@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling — the reference's
+  * `data_df.groupby(GroupBy).resample(Kind).mean()` (`datapump.py:287-327`,
+  * core at `:294`), re-expressed as declarative group-aggregation so Catalyst
+  * plans a single partial-agg + shuffle + final-agg (map-side combine for
+  * free; no per-group driver loop).
+  *
+  * Frequency aliases follow pandas offset aliases (`datapump.py:386-392`
+  * validates via `to_offset`): fixed-width (`S`, `T`/`min`, `H`, `D` and
+  * integer multiples like `15T`) map to `window(ts, dur)`; calendar
+  * frequencies (`W`, `M`, `Q`, `A`/`Y`) map to `date_trunc`.
+  *
+  * Documented deviations from pandas (SURVEY §2.4): buckets are labeled at
+  * the *start* (pandas labels `M`/`Q`/`A` at period end); weeks are ISO
+  * Monday-anchored via `date_trunc('week')` (pandas `W` is Sunday-anchored);
+  * empty buckets between min and max are not emitted (pandas emits NaN rows
+  * that the sparse-record sink then strips to key-only records).
+  */
+object TimeSeries {
+
+  private val FreqPattern = "^(\\d*)\\s*([A-Za-z]+)$".r
+
+  /** Fixed-width window duration string for a pandas alias, or None for
+    * calendar frequencies (which need `date_trunc`). */
+  private def parse(freq: String): Either[String, String] = freq match {
+    case FreqPattern(mult, unit) =>
+      val n = if (mult.isEmpty) 1 else mult.toInt
+      unit match {
+        case "S" | "s" | "sec"         => Left(s"$n seconds")
+        case "T" | "t" | "min"         => Left(s"$n minutes")
+        case "H" | "h"                 => Left(s"$n hours")
+        case "D" | "d"                 => Left(s"$n days")
+        case "W" | "w" if n == 1       => Right("week")
+        case "M" if n == 1             => Right("month")
+        case "Q" | "q" if n == 1       => Right("quarter")
+        case "A" | "Y" | "y" if n == 1 => Right("year")
+        case _ => throw new IllegalArgumentException(
+          s"unsupported frequency alias: $freq")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"unsupported frequency alias: $freq")
+  }
+
+  /** Per-group time-bucket aggregation with arbitrary aggregate columns.
+    * Output columns: groupCols ++ (tsCol = bucket start) ++ agg outputs.
+    */
+  def resampleAgg(df: DataFrame, tsCol: String, freq: String,
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val gcols = groupCols.map(col)
+    parse(freq) match {
+      case Left(dur) =>
+        // window() is epoch-aligned, identical to date_trunc for whole
+        // units in UTC, and generalizes to multiples like "15 minutes".
+        val agged = df.groupBy(gcols :+ window(col(tsCol), dur): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        val aggNames = agged.columns
+          .filterNot(n => n == "window" || groupCols.contains(n))
+        agged.withColumn(tsCol, col("window.start"))
+          .drop("window")
+          .select((groupCols ++ Seq(tsCol) ++ aggNames).map(col): _*)
+      case Right(unit) =>
+        df.groupBy(gcols :+ date_trunc(unit, col(tsCol)).as(tsCol): _*)
+          .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Per-group time-bucket mean of the given value columns — the
+    * reference's exact operation (numeric-only mean per bucket). */
+  def resampleMean(df: DataFrame, tsCol: String, freq: String,
+      groupCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    resampleAgg(df, tsCol, freq, groupCols,
+      valueCols.map(c => avg(col(c)).as(c)))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedupe, TimeSeries}
+
+/** Core scan/filter/agg/join/dedupe queries — the reference's behavioral
+  * heart (dedupe + resample, `datapump.py:446-456`, `:287-327`) plus the
+  * first relational-breadth entries (SURVEY §2.1, §2.2, §2.4, §2.6).
+  */
+object CoreQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // §2.1 scan_parquet — plain columnar scan; Catalyst prunes to the three
+    // selected columns (check ReadSchema in explain).
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // §2.2 filter_predicate — TPC-H Q6-shaped predicate; all four conjuncts
+    // are pushed to the parquet reader (PushedFilters).
+    "filter_predicate" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                (col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // §2.4 agg_groupby_basic — TPC-H Q1-shaped group-aggregate; partial
+    // aggregation (map-side combine) then one shuffle on the 6-group key.
+    "agg_groupby_basic" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // §2.4 agg_resample_mean — the reference's frequency stat
+    // (H resample grouped by a key, datapump.py:294) over events.
+    "agg_resample_mean" -> ((s, d) =>
+      TimeSeries.resampleAgg(Tables.events(s, d), "ts", "H",
+          Seq("event_type"),
+          Seq(round(avg("value"), 6).as("avg_value"),
+              count(lit(1)).as("n")))
+        .withColumnRenamed("ts", "bucket_start")),
+
+    // §2.6 dedupe_keep_last / dedupe_keep_first — order-sensitive PK dedupe;
+    // event_id is the arrival order (file order proxy in the test corpus).
+    "dedupe_keep_last" -> ((s, d) =>
+      Dedupe.keepLast(Tables.events(s, d), Seq("user_id", "event_type"),
+          col("event_id"))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    "dedupe_keep_first" -> ((s, d) =>
+      Dedupe.keepFirst(Tables.events(s, d), Seq("user_id", "event_type"),
+          col("event_id"))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // §2.4 agg_dupe_count — the reference's logged dupe metric.
+    "agg_dupe_count" -> ((s, d) =>
+      Dedupe.dupeCountDf(Tables.events(s, d), Seq("user_id", "event_type"))),
+
+    // §2.3 join_broadcast — small-dim broadcast join (region is 5 rows).
+    "join_broadcast" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")),
+
+    // §2.3 join_inner_equi — fact ⋈ dim with aggregation on top; customer is
+    // broadcastable at test SF but shuffle-joins correctly at scale.
+    "join_inner_equi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("revenue"))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "agg_groupby_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_resample_mean" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |  round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    "dedupe_keep_last" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "dedupe_keep_first" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "agg_dupe_count" ->
+      """SELECT count(*) - count(DISTINCT (user_id, event_type)) AS dupe_count
+        |FROM events""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "join_inner_equi" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+  )
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Reads verify_out_dir/oracle_sql.json + per-query parquet dumps written by
+`graft.Verify`, runs each oracle SQL in DuckDB over the sf parquet tables,
+and compares (column-name-sorted, row-sorted) values exactly.
+Dev-only tool — the Scala library never depends on this.
+"""
+import duckdb, json, sys, glob, math
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    sql = oracle[name]
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        fails += 1
+        continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        fails += 1
+        continue
+    gs = got.sort_values(by=list(got.columns), ignore_index=True)
+    es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    diff_cols = []
+    for c in gs.columns:
+        a, b = gs[c], es[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            n = int((~eq).sum())
+            i = (~eq).idxmax()
+            diff_cols.append(f"{c}({n} diffs, e.g. {a[i]!r} vs {b[i]!r})")
+    if diff_cols:
+        print(f"FAIL {name}: value diffs: {'; '.join(diff_cols)}")
+        fails += 1
+    else:
+        print(f"ok   {name} ({len(got)} rows)")
+
+print(f"\n{len([n for n in oracle if not only or n in only]) - fails} ok, {fails} failed")
+sys.exit(1 if fails else 0)
