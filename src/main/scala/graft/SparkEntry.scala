@@ -14,6 +14,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries,
+    RelationalQueries,
+    ScalarQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

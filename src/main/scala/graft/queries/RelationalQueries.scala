@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.Joins
+
+/** Relational breadth (SURVEY §2.3 joins, §2.4 aggs, §2.5 windows,
+  * §2.7 sorts/limits/set ops). All oracle-checked against DuckDB.
+  */
+object RelationalQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ---- joins ----------------------------------------------------------
+    "join_left_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "join_left_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // full-outer of two pre-aggregated sides: nations seen by customers
+    // vs by suppliers. Pre-aggregating both sides first keeps the shuffle
+    // small (aggregate-then-join beats join-then-aggregate here).
+    "join_outer" -> ((s, d) => {
+      val cust = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // theta/range join against a tiny literal band dim — Catalyst plans a
+    // BroadcastNestedLoopJoin; the dim is 4 rows so the "nested loop" is a
+    // 4-way predicate fan-out per row, cheap at any scale.
+    "join_range_theta" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0_50", 0.0, 50.0), ("b50_100", 50.0, 100.0),
+        ("b100_250", 100.0, 250.0), ("b250_1000", 250.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+    }),
+
+    // as-of join: each event enriched with the user's latest order at or
+    // before the event time (one-shuffle union+last implementation).
+    "join_asof" -> ((s, d) =>
+      Joins.asOfJoin(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "asof_o_orderkey", "asof_o_totalprice")),
+
+    // ---- aggregations ---------------------------------------------------
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders"))),
+
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    // ---- window functions ----------------------------------------------
+    "win_dedupe_rank" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        row_number().over(Window.partitionBy("user_id", "event_type")
+          .orderBy("event_id")).as("rn"))),
+
+    "win_topk_per_group" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")),
+
+    "win_running_total" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(sum("value").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+          .as("running_value"))),
+
+    "win_lag_delta" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(col("value") - lag("value", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")), 6)
+          .as("delta"))),
+
+    "win_moving_avg" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(avg("value").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(-3, Window.currentRow)), 6).as("mavg"))),
+
+    // ---- sorts / limits / top-k ----------------------------------------
+    // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
+    // then a k-row merge on the driver — no global sort at any scale.
+    "topk_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "sort_orderby" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    "limit_n" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- set ops --------------------------------------------------------
+    "set_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    "set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    "set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(
+          Tables.supplier(s, d)
+            .filter(col("s_acctbal") > 5000)
+            .select(col("s_nationkey").as("nationkey")))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "join_outer" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
+
+    "join_range_theta" ->
+      """SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events JOIN (VALUES
+        |  ('b0_50', 0.0, 50.0), ('b50_100', 50.0, 100.0),
+        |  ('b100_250', 100.0, 250.0), ('b250_1000', 250.0, 1000.0))
+        |  AS b(band, lo, hi)
+        |ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id,
+        |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "win_dedupe_rank" ->
+      """SELECT event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY event_id) AS rn
+        |FROM events""".stripMargin,
+
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "win_running_total" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS running_value
+        |FROM events""".stripMargin,
+
+    "win_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 6) AS delta
+        |FROM events""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events""".stripMargin,
+
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "sort_orderby" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "limit_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |WHERE s_acctbal > 5000""".stripMargin,
+  )
+}

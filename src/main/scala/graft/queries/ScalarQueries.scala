@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY §2.8): multi-format timestamp parsing
+  * (the reference's `dateparser` loop, `datapump.py:439-444`, re-expressed
+  * as a codegen'd `coalesce(try_to_timestamp...)` chain), timestamp
+  * formatting, the `(UPDATED: ts)` description regex, and the NS
+  * string/date/math/json/array function families.
+  */
+object ScalarQueries extends QueryPack {
+
+  // The reference's 4 default date formats (datapump.py:89-92), in try
+  // order. Fuzzy dateparser fallback is deliberately not reproduced
+  // (non-deterministic surface — SURVEY §2.8).
+  private val sparkFmts = Seq(
+    "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+    "dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+
+  def queries: Map[String, Q] = Map(
+    // Round-trip: format each event ts into one of 4 formats (picked by
+    // event_id % 4), then recover it with the ordered try-parse chain.
+    "scalar_parse_ts" -> ((s, d) => {
+      val raw = Tables.events(s, d).withColumn("ts_str",
+        when(pmod(col("event_id"), lit(4)) === 0,
+          date_format(col("ts"), sparkFmts(0)))
+        .when(pmod(col("event_id"), lit(4)) === 1,
+          date_format(col("ts"), sparkFmts(1)))
+        .when(pmod(col("event_id"), lit(4)) === 2,
+          date_format(col("ts"), sparkFmts(2)))
+        .otherwise(date_format(col("ts"), sparkFmts(3))))
+      raw.select(col("event_id"), col("ts_str"),
+        coalesce(sparkFmts.map(f =>
+          try_to_timestamp(col("ts_str"), lit(f))): _*).as("parsed"))
+    }),
+
+    "scalar_ts_format" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))),
+
+    // The reference's resource-description stamp handling
+    // (datapump.py:614-630): strip a prior ' (UPDATED: ...)' suffix and
+    // extract the stamp.
+    "scalar_regex_desc" -> ((s, d) => {
+      val desc = concat(col("event_type"),
+        lit(" (UPDATED: "), date_format(col("ts"), "yyyy-MM-dd"), lit(")"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_replace(desc, " \\(UPDATED: .*\\)$", "").as("base_desc"),
+        regexp_extract(desc, " \\(UPDATED: (.*)\\)$", 1).as("stamp"))
+    }),
+
+    "string_funcs" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_up"),
+        length(col("text")).cast("long").as("t_len"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        concat(col("lang"), lit(":"), col("source")).as("tag"),
+        substring(col("text"), 1, 20).as("head20"))),
+
+    "date_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))),
+
+    "math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        floor(col("l_extendedprice")).as("floor_price"))),
+
+    "json_get" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    "array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(element_at(col("embedding"), 1).cast("double"), 6)
+          .as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x), 4).as("vec_sum"))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scalar_parse_ts" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 4 AS INT)
+        |      WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      WHEN 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+        |      WHEN 2 THEN strftime(ts, '%d.%m.%Y %H:%M:%S')
+        |      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS ts_str
+        |  FROM events)
+        |SELECT event_id, ts_str,
+        |  coalesce(
+        |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(ts_str, '%m/%d/%Y %H:%M:%S'),
+        |    try_strptime(ts_str, '%d.%m.%Y %H:%M:%S'),
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S')) AS parsed
+        |FROM raw""".stripMargin,
+
+    "scalar_ts_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events""".stripMargin,
+
+    "scalar_regex_desc" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    event_type || ' (UPDATED: ' || strftime(ts, '%Y-%m-%d') || ')'
+        |      AS descr
+        |  FROM events)
+        |SELECT event_id,
+        |  regexp_replace(descr, ' \(UPDATED: .*\)$', '') AS base_desc,
+        |  regexp_extract(descr, ' \(UPDATED: (.*)\)$', 1) AS stamp
+        |FROM d""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_up,
+        |  length(text) AS t_len,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  lang || ':' || source AS tag,
+        |  substring(text, 1, 20) AS head20
+        |FROM documents""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  round(abs(l_discount - 0.05), 6) AS abs_disc,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price
+        |FROM lineitem""".stripMargin,
+
+    "json_get" ->
+      """SELECT event_id,
+        |  TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+        |    AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE))), 4) AS vec_sum
+        |FROM embeddings""".stripMargin,
+  )
+}
