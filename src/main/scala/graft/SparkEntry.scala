@@ -16,6 +16,9 @@ object SparkEntry {
     CoreQueries,
     RelationalQueries,
     ScalarQueries,
+    StatsQueries,
+    TextQueries,
+    VectorQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline tier (north star,
+  * BASELINE.json): tokenization, per-doc stats, TF-IDF, quality scoring,
+  * language-ID heuristic, and content fingerprinting. All are declarative
+  * column expressions / group-aggregations — no UDFs, so everything stays
+  * inside codegen except the higher-order functions (interpreted but
+  * vectorized per-row).
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is space-separated token text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** doc_id × token exploded view — the base for TF-IDF and inverted
+    * indexes. One narrow shuffle-free projection. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+
+  /** Per-document stats: token count, distinct tokens, mean token length,
+    * stopword ratio. Pure per-row expressions — fully parallel, no shuffle. */
+  def textStats(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val ts = tokens(col(textCol))
+    val nTok = size(ts)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_distinct"),
+      // chars minus separators over token count
+      round((length(col(textCol)) - (nTok - 1)).cast("double") / nTok, 6)
+        .as("avg_token_len"),
+      round(size(filter(ts, t => array_contains(stopArr, t)))
+        .cast("double") / nTok, 6).as("stop_ratio"))
+  }
+
+  /** Deterministic quality score in [0,1]: rewards length (saturating at
+    * 100 tokens), penalizes stopword density, rewards lexical diversity. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val ts = tokens(col(textCol))
+    val nTok = size(ts).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopRatio = size(filter(ts, t => array_contains(stopArr, t)))
+      .cast("double") / nTok
+    val distinctRatio = size(array_distinct(ts)).cast("double") / nTok
+    docs.select(col(idCol),
+      round(least(nTok / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - stopRatio) * 0.3 + distinctRatio * 0.3, 6).as("quality"))
+  }
+
+  /** TF-IDF: tf(d,t) × ln((N+1)/(df(t)+1)). Two group-aggregations (both
+    * shuffle on token — small key space) + one broadcast of the scalar N. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokenize(docs, idCol, textCol)
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+          .as("tfidf"))
+  }
+
+  /** Charset/stopword language-ID heuristic. NOTE: the synthetic corpus
+    * shares one vocabulary across langs (verified empirically), so content
+    * signals are degenerate there — the operator demonstrates the real
+    * decision structure (charset range checks, then stopword markers). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike("[\\u3040-\\u30ff]"), "ja")
+        .when(t.rlike("[\\u0400-\\u04ff]"), "ru")
+        .when(t.rlike("(^| )(the|of|and)( |$)"), "en")
+        .when(t.rlike("(^| )(el|la|de|que)( |$)"), "es")
+        .when(t.rlike("(^| )(der|die|das|und)( |$)"), "de")
+        .when(t.rlike("(^| )(le|la|et|les)( |$)"), "fr")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Rolling polynomial fingerprint over characters:
+    * h = fold(h*31 + codepoint) mod 1e9+7. Deterministic and engine-neutral
+    * (expressible identically in DuckDB for the oracle), unlike xxhash64. */
+  def fingerprint(text: Column): Column =
+    // filter guards against split("") emitting empty strings (engine-
+    // dependent trailing-empty behavior); DuckDB's char split never does.
+    aggregate(filter(split(text, ""), ch => length(ch) === 1), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators (north star): cosine top-k and pairwise
+  * similarity joins over `Array[Float]` embedding columns.
+  *
+  * Math is done with higher-order functions in double precision (floats
+  * cast element-wise before multiply) so the DuckDB oracle reproduces the
+  * values bit-for-bit modulo final-ulp accumulation, absorbed by round(6).
+  *
+  * Scale design: norms are computed once per vector BEFORE any join (an
+  * O(n·d) projection), so the pairwise stage only pays one dot product per
+  * candidate pair. Brute force is the exact baseline; the 100 TB path is
+  * blocking (label/partition), and a planned LSH (random-hyperplane) or IVF
+  * (k-means-bucket) candidate generator — same verify-exactly pattern as
+  * TextDedupe.minhashLshPairs.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vectors with pre-computed norms (projection, no shuffle). */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__norm", norm(col(vecCol)))
+
+  /** Exact brute-force cosine top-k against a single query vector.
+    * The query side is a 1-row broadcast; ranking plans as
+    * TakeOrderedAndProject (per-partition heap, k-row driver merge). */
+  def cosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val v = withNorm(vectors, vecCol)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    v.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Pairwise cosine-similarity join with optional equality blocking.
+    * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
+  def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCol: Option[String]): DataFrame = {
+    val v = withNorm(vectors, vecCol)
+    val aCols = v.columns.map(c => col(c).as(s"a_$c"))
+    val bCols = v.columns.map(c => col(c).as(s"b_$c"))
+    val a = v.select(aCols.toIndexedSeq: _*)
+    val b = v.select(bCols.toIndexedSeq: _*)
+    val cond = blockCol match {
+      case Some(bc) => col(s"a_$bc") === col(s"b_$bc") &&
+        col(s"a_$idCol") < col(s"b_$idCol")
+      case None => col(s"a_$idCol") < col(s"b_$idCol")
+    }
+    val base = a.join(b, cond)
+      .select((Seq(col(s"a_$idCol").as("id1"), col(s"b_$idCol").as("id2")) ++
+        blockCol.map(bc => col(s"a_$bc").as(bc)).toSeq :+
+        (dot(col(s"a_$vecCol"), col(s"b_$vecCol")) /
+          (col("a___norm") * col("b___norm"))).as("cos")): _*)
+    base.filter(col("cos") >= threshold)
+      .withColumn("cos_sim", round(col("cos"), 6))
+      .drop("cos")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{TextOps, TextDedupe}
+
+/** Text-analysis + dedup-family queries over `documents` (SURVEY §2.9 and
+  * the north-star LLM-pipeline tier).
+  *
+  * The shared DuckDB shingle CTE mirrors TextDedupe.shingles exactly
+  * (3-token shingles, distinct per doc, docs under 3 tokens excluded).
+  */
+object TextQueries extends QueryPack {
+
+  private def shingleCte(blocked: Boolean): String = {
+    val langCol = if (blocked) ", lang" else ""
+    val langJoin = if (blocked) " AND a.lang = b.lang" else ""
+    s"""WITH tok AS (SELECT doc_id$langCol, string_split(text, ' ') AS ts
+       |            FROM documents),
+       |sh AS (SELECT DISTINCT doc_id$langCol, s FROM (
+       |  SELECT doc_id$langCol, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i))),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b
+       |    ON a.s = b.s$langJoin AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(inter / (s1.nsh + s2.nsh - inter), 4) AS jaccard
+       |FROM pairs p
+       |JOIN sizes s1 ON p.d1 = s1.doc_id
+       |JOIN sizes s2 ON p.d2 = s2.doc_id
+       |WHERE round(inter / (s1.nsh + s2.nsh - inter), 4) >= 0.5""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "text_tokenize" -> ((s, d) =>
+      TextOps.tokenize(Tables.documents(s, d), "doc_id", "text")),
+
+    "text_stats" -> ((s, d) =>
+      TextOps.textStats(Tables.documents(s, d), "doc_id", "text")),
+
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
+
+    "text_lang_id" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // exact duplicate groups by full text
+    "dedupe_exact" -> ((s, d) =>
+      Tables.documents(s, d).groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "n")),
+
+    // normalized-exact tier: lowercase, trim, collapse whitespace
+    "dedupe_exact_norm" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+          .as("norm_text"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "n")),
+
+    // exact n-gram Jaccard pairs, language-blocked
+    "dedupe_near_ngram" -> ((s, d) =>
+      TextDedupe.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, blockCol = Some("lang"))),
+
+    // MinHash+LSH candidates verified exactly — matches the global exact
+    // oracle because recall at s>=0.95 with b=8,r=4 is 1-3e-8 (see op doc)
+    "dedupe_minhash_lsh" -> ((s, d) =>
+      TextDedupe.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5)),
+
+    // SimHash hamming pairs — xxhash64-based, not oracle-expressible
+    "dedupe_simhash" -> ((s, d) =>
+      TextDedupe.simhashPairs(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_tokenize" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  round((length(text) - (len(string_split(text, ' ')) - 1))
+        |    / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  round(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('a', 'the')))
+        |    / len(string_split(text, ' ')), 6) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(least(nt / 100.0, 1.0) * 0.4
+        |    + (1.0 - ns / nt) * 0.3 + (nd / nt) * 0.3, 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('a', 'the'))) AS DOUBLE) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+        |  FROM documents)""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |          FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |  round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+
+    "text_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |    WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |    WHEN regexp_matches(text, '(^| )(the|of|and)( |$)') THEN 'en'
+        |    WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
+        |    WHEN regexp_matches(text, '(^| )(der|die|das|und)( |$)') THEN 'de'
+        |    WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
+        |    ELSE 'und' END AS pred_lang
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedupe_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "dedupe_exact_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+        .stripMargin,
+
+    "dedupe_near_ngram" -> shingleCte(blocked = true),
+
+    "dedupe_minhash_lsh" -> shingleCte(blocked = false),
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.VectorOps
+
+/** Embedding similarity queries over `embeddings` (north-star tier):
+  * brute-force cosine top-k, label-blocked pairwise join, and global
+  * embedding near-dup detection. Thresholds calibrated on the corpus
+  * (max global cosine 0.513; 26 label-blocked pairs >= 0.35; 14 global
+  * pairs >= 0.45).
+  */
+object VectorQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    "vec_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.cosineTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", k = 10)
+    }),
+
+    "vec_pairwise_join" -> ((s, d) =>
+      VectorOps.pairwiseCosine(
+        Tables.embeddings(s, d).select("vec_id", "label", "embedding"),
+        "vec_id", "embedding", threshold = 0.35, blockCol = Some("label"))
+        .select("id1", "id2", "label", "cos_sim")),
+
+    "dedupe_embed" -> ((s, d) =>
+      VectorOps.pairwiseCosine(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.45, blockCol = None)
+        .select("id1", "id2", "cos_sim")),
+  )
+
+  private val vCte =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, e,
+      |    sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "vec_cosine_topk" -> (vCte +
+      """,
+        |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+        |SELECT n.vec_id,
+        |  round(list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm), 6) AS cos_sim
+        |FROM n, q WHERE n.vec_id <> 0
+        |ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) DESC, n.vec_id
+        |LIMIT 10""".stripMargin),
+
+    "vec_pairwise_join" -> (vCte +
+      """
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35"""
+        .stripMargin),
+
+    "dedupe_embed" -> (vCte +
+      """
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45"""
+        .stripMargin),
+  )
+}
