@@ -19,6 +19,7 @@ object SparkEntry {
     StatsQueries,
     TextQueries,
     VectorQueries,
+    IngestQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

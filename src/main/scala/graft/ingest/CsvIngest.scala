@@ -1,0 +1,96 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV ingestion parity with the reference (`datapump.py:421-444`):
+  * glob → newest-first file ordering → header CSV read with
+  * empty-string-as-null and leading-whitespace stripping → multi-format
+  * timestamp parsing → 4-type coarsening.
+  */
+object CsvIngest {
+
+  /** The reference's default date format list (`datapump.py:89-92`),
+    * expressed as Spark datetime patterns, tried in order. */
+  val DefaultFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+    "dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Ordered-fallback multi-format parse (the dateparser loop,
+    * `datapump.py:439-444`, minus its fuzzy tier — SURVEY §2.8). */
+  def parseTs(c: Column, formats: Seq[String] = DefaultFormats): Column =
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** Files matching a glob, newest mtime first — the reference's
+    * processing order (`datapump.py:426`). Listing happens on the driver
+    * (file metadata only); the data read stays distributed. */
+  def listByMtimeDesc(spark: SparkSession, glob: String): Seq[String] = {
+    val path = new Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+    statuses.filter(_.isFile)
+      .sortBy(-_.getModificationTime)
+      .map(_.getPath.toString).toSeq
+  }
+
+  /** Read one CSV file with the reference's read options
+    * (`datapump.py:442-444`: header, skipinitialspace, na_values='').
+    * Schema is inferred, then coarsened (int→long, float→double) and
+    * string columns that fully parse as timestamps become timestamps
+    * (all-or-nothing per column, `datapump.py:149-166`). */
+  def readCsv(spark: SparkSession, path: String,
+      formats: Seq[String] = DefaultFormats): DataFrame = {
+    val raw = spark.read
+      .option("header", true)
+      .option("ignoreLeadingWhiteSpace", true)
+      .option("nullValue", "")
+      .option("inferSchema", true)
+      .csv(path)
+    inferTypes(raw, formats)
+  }
+
+  /** The 4-type coarsening + all-or-nothing string→timestamp inference.
+    * One aggregation pass decides every string column at once (non-null
+    * count vs parse-success count), then a single projection applies the
+    * casts — two jobs total regardless of column count. */
+  def inferTypes(df: DataFrame, formats: Seq[String] = DefaultFormats)
+      : DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    val tsCols: Set[String] =
+      if (stringCols.isEmpty) Set.empty
+      else {
+        val aggs = stringCols.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__nn"),
+            count(parseTs(col(c), formats)).as(s"${c}__ts"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        stringCols.filter { c =>
+          val nn = row.getAs[Long](s"${c}__nn")
+          nn > 0 && row.getAs[Long](s"${c}__ts") == nn
+        }.toSet
+      }
+    val projected = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType if tsCols(f.name) =>
+          parseTs(col(f.name), formats).as(f.name)
+        case IntegerType | ShortType | ByteType =>
+          col(f.name).cast(LongType).as(f.name)
+        case FloatType => col(f.name).cast(DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(projected.toIndexedSeq: _*)
+  }
+
+  /** CKAN-style 4-type name for a Spark type (`get_col_dtype`,
+    * `datapump.py:149-166`) — the schema IR the sink DDL consumes. */
+  def ckanType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "int"
+    case DoubleType | FloatType => "float"
+    case TimestampType => "timestamp"
+    case _ => "text"
+  }
+}

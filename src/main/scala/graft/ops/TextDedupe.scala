@@ -81,10 +81,15 @@ object TextDedupe {
 
   /** LSH candidate pairs from banding the signature into `bands` bands of
     * k/bands rows, verified with exact Jaccard >= threshold.
-    * With k=32, b=8, r=4 and near-dup similarity ~0.95+, recall is
-    * 1 − (1 − s^r)^b ≈ 1 − 3e-8 — the exact-Jaccard oracle is safe. */
+    *
+    * Default k=32, b=16, r=2: per-pair miss probability (1 − s^r)^b is
+    * 3e-12 at s=0.9 and 8e-8 at s=0.8 (the corpus minimum above the 0.5
+    * threshold — verified empirically), so the exact-Jaccard oracle is
+    * safe. r=2 admits more random band collisions than r=4; they cost one
+    * exact verification each and are filtered, which is the right trade
+    * until the candidate set itself dominates (then raise r AND k). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+      threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     val r = k / bands
     val withSig = docs
       .select(col(idCol), col(textCol),

@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.CsvIngest
+import graft.ops.Dedupe
+import graft.sink.SinkOps
+
+/** Ingestion-parity queries (SURVEY §2.1/§2.2): the CSV read path with
+  * multi-format timestamp parsing + type inference, newest-first mtime
+  * ordering with upsert precedence, projection, and the logical PK upsert.
+  *
+  * scan_csv_glob and scan_order_mtime materialize small deterministic CSV
+  * fixtures under /tmp at query time (the corpus is parquet-only); their
+  * oracles are over the source parquet / literal VALUES, so the whole
+  * write→glob→read→infer pipeline is what's under test.
+  */
+object IngestQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // parquet → mixed-format CSV → glob read → infer → typed DataFrame
+    "scan_csv_glob" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv_fixture/${math.abs(d.hashCode)}"
+      val fmts = CsvIngest.DefaultFormats
+      val m = pmod(col("event_id"), lit(4))
+      Tables.events(s, d).select(
+          col("event_id"),
+          when(m === 0, date_format(col("ts"), fmts(0)))
+            .when(m === 1, date_format(col("ts"), fmts(1)))
+            .when(m === 2, date_format(col("ts"), fmts(2)))
+            .otherwise(date_format(col("ts"), fmts(3))).as("ts"),
+          when(col("event_type") === "view", lit(null))
+            .otherwise(col("event_type")).as("event_type"),
+          col("value"))
+        .write.mode("overwrite").option("header", true).csv(tmp)
+      CsvIngest.readCsv(s, s"$tmp/*.csv")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
+    // newest-first processing order with last-write-wins upsert precedence
+    // (the reference's quirky-but-real semantics: newest file is processed
+    // FIRST, so the oldest file's rows land LAST and win — datapump.py:426)
+    "scan_order_mtime" -> ((s, d) => {
+      val dir = Paths.get("/tmp/graft_mtime_fixture")
+      Files.createDirectories(dir)
+      val files = Seq(
+        ("f1.csv", "k,v\n1,10.5\n2,20.5\n", 1700000000000L),
+        ("f2.csv", "k,v\n1,11.5\n", 1700000010000L),
+        ("f3.csv", "k,v\n2,22.5\n3,33.5\n", 1700000020000L))
+      files.foreach { case (name, content, mtime) =>
+        val p = dir.resolve(name)
+        Files.write(p, content.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        p.toFile.setLastModified(mtime)
+      }
+      val ordered = CsvIngest.listByMtimeDesc(s, s"$dir/*.csv")
+      val stamped = ordered.zipWithIndex.map { case (p, rank) =>
+        CsvIngest.readCsv(s, p).withColumn("__rank", lit(rank))
+      }.reduce(_ unionByName _)
+      Dedupe.keepLast(stamped, Seq("k"), col("__rank")).drop("__rank")
+    }),
+
+    // §2.2 project_drop_cols (reference Stat.DropColumns, datapump.py:291)
+    "project_drop_cols" -> ((s, d) =>
+      Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
+
+    // §2.1 sink_upsert, logical form: incoming batch wins by PK
+    "sink_upsert" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val existing = orders
+        .filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // +1000.0 (exact IEEE add) rather than a rounded multiply: Spark's
+      // round(double) goes through the shortest-decimal repr while DuckDB
+      // rounds the binary value — they disagree on .xx5 boundaries.
+      val incoming = orders
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      SinkOps.logicalUpsert(existing, incoming, Seq("o_orderkey"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_csv_glob" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |  CASE WHEN event_type = 'view' THEN NULL ELSE event_type END
+        |    AS event_type,
+        |  value
+        |FROM events""".stripMargin,
+
+    "scan_order_mtime" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
+        |FROM (VALUES (1, 10.5), (2, 20.5), (3, 33.5)) AS t(k, v)"""
+        .stripMargin,
+
+    "project_drop_cols" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "sink_upsert" ->
+      """WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |new AS (SELECT o_orderkey, o_custkey,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM new
+        |UNION ALL
+        |SELECT * FROM old
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)""".stripMargin,
+  )
+}

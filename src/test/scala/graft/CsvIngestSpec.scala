@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import graft.ingest.CsvIngest
+import org.apache.spark.sql.types._
+
+class CsvIngestSpec extends SparkSpec {
+
+  private def writeCsv(content: String): String = {
+    val f = Files.createTempFile("graft-csv", ".csv")
+    Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("all-or-nothing timestamp inference: clean column becomes timestamp") {
+    val p = writeCsv(
+      "ts,x\n2024-01-01 10:00:00,1\n01/02/2024 11:00:00,2\n")
+    val df = CsvIngest.readCsv(spark, p)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.schema("x").dataType == LongType) // int coarsened to long
+  }
+
+  test("one garbage value makes the whole column text (datapump.py:155)") {
+    val p = writeCsv(
+      "ts,x\n2024-01-01 10:00:00,1\nnot-a-date,2\n2024-01-03 10:00:00,3\n")
+    val df = CsvIngest.readCsv(spark, p)
+    assert(df.schema("ts").dataType == StringType)
+  }
+
+  test("empty strings read as nulls; all-null column stays text") {
+    val p = writeCsv("a,b\n,x\n,y\n")
+    val df = CsvIngest.readCsv(spark, p)
+    assert(df.filter(df("a").isNull).count() == 2)
+    assert(df.schema("a").dataType == StringType)
+  }
+
+  test("format order: first matching format wins (ambiguous day<=12)") {
+    // 01/02/2024 is ambiguous; MM/dd comes before dd.MM in the list but
+    // dd.MM uses dots so there is no cross-format ambiguity by design.
+    val p = writeCsv("ts\n01/02/2024 00:00:00\n")
+    val df = CsvIngest.readCsv(spark, p)
+    val got = df.collect()(0).getTimestamp(0).toInstant.toString
+    assert(got == "2024-01-02T00:00:00Z") // parsed as MM/dd, not dd.MM
+  }
+
+  test("floats coarsen to double, leading whitespace stripped") {
+    val p = writeCsv("a,b\n 1.5,  x\n2.5,y\n")
+    val df = CsvIngest.readCsv(spark, p)
+    assert(df.schema("a").dataType == DoubleType)
+    assert(df.select("b").collect().map(_.getString(0)).toSet == Set("x", "y"))
+  }
+
+  test("listByMtimeDesc orders newest first") {
+    val dir = Files.createTempDirectory("graft-mtime")
+    Seq(("a.csv", 1000L), ("b.csv", 3000L), ("c.csv", 2000L)).foreach {
+      case (n, t) =>
+        val p = dir.resolve(n)
+        Files.write(p, "x\n1\n".getBytes)
+        p.toFile.setLastModified(1700000000000L + t)
+    }
+    val names = CsvIngest.listByMtimeDesc(spark, s"$dir/*.csv")
+      .map(_.split('/').last)
+    assert(names == Seq("b.csv", "c.csv", "a.csv"))
+  }
+
+  test("ckanType 4-way mapping") {
+    assert(CsvIngest.ckanType(LongType) == "int")
+    assert(CsvIngest.ckanType(DoubleType) == "float")
+    assert(CsvIngest.ckanType(TimestampType) == "timestamp")
+    assert(CsvIngest.ckanType(StringType) == "text")
+    assert(CsvIngest.ckanType(BooleanType) == "text") // fallback
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def frame() = Seq(
+    ("s1", ts("2024-01-01 10:05:00"), 10.0),
+    ("s1", ts("2024-01-01 10:55:00"), 20.0),
+    ("s1", ts("2024-01-01 11:05:00"), 30.0),
+    ("s2", ts("2024-01-01 10:30:00"), 100.0),
+    ("s2", ts("2024-03-15 00:00:00"), 200.0)
+  ).toDF("sensor", "dt", "v")
+
+  test("hourly resample mean labels at bucket start") {
+    val got = TimeSeries.resampleMean(frame(), "dt", "H", Seq("sensor"), Seq("v"))
+      .as[(String, Timestamp, Double)].collect().toSet
+    assert(got == Set(
+      ("s1", ts("2024-01-01 10:00:00"), 15.0),
+      ("s1", ts("2024-01-01 11:00:00"), 30.0),
+      ("s2", ts("2024-01-01 10:00:00"), 100.0),
+      ("s2", ts("2024-03-15 00:00:00"), 200.0)))
+  }
+
+  test("15-minute multiple frequency") {
+    val got = TimeSeries.resampleMean(frame(), "dt", "15T", Seq("sensor"), Seq("v"))
+      .filter($"sensor" === "s1")
+      .as[(String, Timestamp, Double)].collect().toSet
+    assert(got == Set(
+      ("s1", ts("2024-01-01 10:00:00"), 10.0),
+      ("s1", ts("2024-01-01 10:45:00"), 20.0),
+      ("s1", ts("2024-01-01 11:00:00"), 30.0)))
+  }
+
+  test("calendar month frequency labels at month start") {
+    val got = TimeSeries.resampleMean(frame(), "dt", "M", Seq("sensor"), Seq("v"))
+      .filter($"sensor" === "s2")
+      .as[(String, Timestamp, Double)].collect().toSet
+    assert(got == Set(
+      ("s2", ts("2024-01-01 00:00:00"), 100.0),
+      ("s2", ts("2024-03-01 00:00:00"), 200.0)))
+  }
+
+  test("week frequency is Monday-anchored (ISO, documented deviation)") {
+    // 2024-01-01 is a Monday; 2024-03-15 is a Friday -> week starts 03-11
+    val got = TimeSeries.resampleMean(frame(), "dt", "W", Seq("sensor"), Seq("v"))
+      .filter($"sensor" === "s2")
+      .as[(String, Timestamp, Double)].collect().toSet
+    assert(got == Set(
+      ("s2", ts("2024-01-01 00:00:00"), 100.0),
+      ("s2", ts("2024-03-11 00:00:00"), 200.0)))
+  }
+
+  test("mean-recombination invariant: sum(bucket_mean*bucket_n) == sum(v)") {
+    val withN = TimeSeries.resampleAgg(frame(), "dt", "H", Seq("sensor"),
+      Seq(avg($"v").as("m"), count(lit(1)).as("n")))
+    val recombined = withN.agg(sum($"m" * $"n")).as[Double].collect()(0)
+    val direct = frame().agg(sum($"v")).as[Double].collect()(0)
+    assert(math.abs(recombined - direct) < 1e-9)
+  }
+
+  test("unsupported alias throws") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleMean(frame(), "dt", "5Q", Seq("sensor"), Seq("v"))
+    }
+  }
+}
