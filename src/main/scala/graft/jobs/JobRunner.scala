@@ -1,0 +1,169 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ingest.CsvIngest
+import graft.ops.{Dedupe, Stats, TimeSeries}
+import graft.sink.{Catalog, JdbcSink, SinkOps}
+
+/** The reference's whole lifecycle (`datapump.py` Entry 1-3, SURVEY §3):
+  * scan a queue directory for `*-job.json`, and per job: glob input CSVs
+  * newest-first, per file read → order-sensitive PK dedupe → type-infer →
+  * ensure/truncate/upsert sink table → restamp resource description →
+  * compute requested stats over the accumulated table → archive the input
+  * to processed/ (or problems/ on failure), logging DUPES/PROCESSED/ELAPSED.
+  */
+class JobRunner(
+    spark: SparkSession,
+    sink: JdbcSink,
+    inputDir: String,
+    processedDir: String,
+    problemsDir: String,
+    datecolumn: String = "DateTime",
+    dateformats: Seq[String] = CsvIngest.DefaultFormats) {
+
+  val catalog = new Catalog(sink)
+
+  private def log(file: String, line: String): Unit = {
+    val p = Paths.get(file)
+    Files.createDirectories(p.getParent)
+    Files.write(p, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** One sweep over the queue (`datapump.py:694-707`): every non-hidden
+    * `*-job.json` in inputDir. Returns per-job outcomes. */
+  def runAll(): Seq[(String, Either[String, JobResult])] = {
+    val dir = Paths.get(inputDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val jobFiles = Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .filter(p => p.getFileName.toString.endsWith("-job.json"))
+      .toSeq.sortBy(_.toString)
+    jobFiles.map { jf =>
+      jf.toString -> runJobFile(jf)
+    }
+  }
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  case class JobResult(table: String, files: Seq[FileResult])
+  case class FileResult(path: String, rows: Long, dupes: Long,
+      elapsedSec: Double)
+
+  def runJobFile(jobFile: Path): Either[String, JobResult] =
+    Job.parse(new String(Files.readAllBytes(jobFile), "UTF-8")) match {
+      case Left(err) =>
+        log(s"$problemsDir/problems.log", s"$jobFile INVALID: $err")
+        Left(err)
+      case Right(job) => Try(runJob(job)) match {
+        case Success(r) => Right(r)
+        case Failure(e) =>
+          log(s"$problemsDir/problems.log", s"$jobFile FAILED: ${e.getMessage}")
+          Left(e.getMessage)
+      }
+    }
+
+  def runJob(job: Job): JobResult = {
+    val table = catalog.tableName(
+      job.targetOrg, job.targetPackage, job.targetResource)
+    // newest-first: the reference's processing order (datapump.py:426)
+    val files = CsvIngest.listByMtimeDesc(spark, job.inputFile)
+    val results = files.map { f =>
+      val t0 = System.nanoTime()
+      Try(processFile(f, job, table)) match {
+        case Success((rows, dupes)) =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          archive(f, processedDir)
+          log(s"$processedDir/processed.log",
+            f"$f DUPES: $dupes PROCESSED: $rows ELAPSED: $dt%.3f")
+          FileResult(f, rows, dupes, dt)
+        case Failure(e) =>
+          archive(f, problemsDir)
+          log(s"$problemsDir/problems.log", s"$f FAILED: ${e.getMessage}")
+          FileResult(f, -1, -1, 0)
+      }
+    }
+    // stats over the ACCUMULATED table (re-read from the sink, the
+    // reference's scan_http_csv, datapump.py:375-376)
+    if (job.stats.nonEmpty && sink.tableExists(table)) {
+      val acc = sink.readBack(spark, table)
+      job.stats.foreach(st => runStat(st, acc, table, job))
+    }
+    JobResult(table, results)
+  }
+
+  private def processFile(path: String, job: Job, table: String)
+      : (Long, Long) = {
+    val raw = CsvIngest.readCsv(spark, path, dateformats)
+    job.primaryKey.find(pk => !raw.columns.contains(pk)).foreach { missing =>
+      throw new IllegalArgumentException(
+        s"primary key column '$missing' absent from $path")
+    }
+    val stamped = Dedupe.withArrivalOrder(raw.coalesce(1))
+    val dupes = stamped.count() -
+      stamped.select(job.primaryKey.map(col): _*).distinct().count()
+    val deduped = (if (job.dedupe == "first")
+        Dedupe.keepFirst(stamped, job.primaryKey, col("__arrival"))
+      else Dedupe.keepLast(stamped, job.primaryKey, col("__arrival")))
+      .drop("__arrival")
+    sink.ensureTable(table, deduped.schema, job.primaryKey)
+    if (job.truncate) sink.truncate(table)
+    sink.upsert(deduped, table, job.primaryKey)
+    catalog.updateDescription(table,
+      java.time.LocalDateTime.now().withNano(0).toString.replace('T', ' '))
+    (deduped.count(), dupes)
+  }
+
+  private def runStat(st: StatSpec, acc: DataFrame, table: String,
+      job: Job): Unit = {
+    val statTable = s"${table}__${st.kind.toLowerCase}"
+    val numericCols = acc.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == LongType => f.name
+    }.toSeq
+    st.kind match {
+      case "descriptive" =>
+        val out = Stats.describe(acc, numericCols)
+        sink.ensureTable(statTable, out.schema, Seq("stat"))
+        sink.upsert(out, statTable, Seq("stat"))
+      case "mode" =>
+        val out = Stats.modeAll(acc,
+          acc.columns.filterNot(_ == datecolumn).toSeq)
+        sink.ensureTable(statTable, out.schema, Seq("row_idx"))
+        sink.truncate(statTable) // mode rows are positional, not keyed
+        sink.upsert(out, statTable, Seq("row_idx"))
+      case freq =>
+        // frequency stat: resample mean grouped by GroupBy, after dropping
+        // DropColumns (datapump.py:287-327). The stat is computed from the
+        // immutable read-back frame - consecutive stats do NOT see each
+        // other's drops (deliberate fix of SURVEY §2.10 bug 4).
+        val kept = acc.drop(st.dropColumns: _*)
+        val valueCols = kept.schema.fields.collect {
+          case f if (f.dataType == DoubleType || f.dataType == LongType) &&
+            !st.groupBy.contains(f.name) => f.name
+        }.toSeq
+        val out = TimeSeries.resampleMean(
+          kept, datecolumn, freq, st.groupBy, valueCols)
+        sink.ensureTable(statTable, out.schema, st.groupBy :+ datecolumn)
+        sink.upsert(out, statTable, st.groupBy :+ datecolumn)
+    }
+  }
+
+  private def archive(file: String, destDir: String): Unit = {
+    val src = Paths.get(file.stripPrefix("file:"))
+    if (Files.exists(src)) {
+      Files.createDirectories(Paths.get(destDir))
+      Files.move(src, Paths.get(destDir).resolve(src.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

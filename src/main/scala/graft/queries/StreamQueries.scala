@@ -1,0 +1,120 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.StreamOps
+
+/** Driver-checkable Structured Streaming queries (SURVEY §2.9): each runs
+  * a REAL streaming query (file source → AvailableNow → memory sink) to
+  * completion and returns the materialized table, so the DuckDB oracle
+  * verifies batch/stream parity: same input ⇒ same result as batch SQL.
+  *
+  * Windowed aggregations run in complete mode (deterministic full output);
+  * watermark/late-data semantics — which have no batch-SQL equivalent —
+  * are covered by StreamingSpec instead.
+  */
+object StreamQueries extends QueryPack {
+
+  // events.ts arrives as raw nanos (long) under the file-stream reader too;
+  // normalize exactly like Tables.events.
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = s.read.parquet(s"$d/events.parquet") // schema template
+    // glob, not literal path: single-file paths fail basePath validation
+    StreamOps.fileStreamParquet(s, s"$d/events.parque*", batch.schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "stream_window_tumbling" -> ((s, d) =>
+      StreamOps.runToMemory(
+        StreamOps.tumbling(eventsStream(s, d), "ts", "1 hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))),
+        outputMode = "complete")
+        .select(col("event_type"), col("window.start").as("bucket_start"),
+          col("n"), col("avg_value"))),
+
+    "stream_window_sliding" -> ((s, d) =>
+      StreamOps.runToMemory(
+        StreamOps.sliding(eventsStream(s, d), "ts", "2 hours", "1 hour",
+          Seq("event_type"), Seq(count(lit(1)).as("n"))),
+        outputMode = "complete")
+        .select(col("event_type"), col("window.start").as("win_start"),
+          col("n"))),
+
+    "stream_window_session" -> ((s, d) =>
+      StreamOps.runToMemory(
+        StreamOps.session(eventsStream(s, d), "ts", "30 minutes",
+          Seq("user_id"), Seq(count(lit(1)).as("n"), min("ts").as("first_ts"))),
+        outputMode = "complete")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("first_ts"), col("n"))),
+
+    // CSV file stream with a deterministic runtime fixture; oracle is a
+    // literal VALUES table. Exercises schema-pinned streaming CSV ingest.
+    "stream_ingest_files" -> ((s, d) => {
+      val dir = Paths.get("/tmp/graft_stream_fixture")
+      Files.createDirectories(dir)
+      Seq(("a.csv", "k,v\n1,10.5\n2,20.5\n"), ("b.csv", "k,v\n3,30.5\n"))
+        .foreach { case (n, content) =>
+          Files.write(dir.resolve(n), content.getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      StreamOps.runToMemory(
+        StreamOps.fileStreamCsv(s, s"$dir/*.csv", schema),
+        outputMode = "append")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_window_tumbling" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    // each event belongs to the 2h windows starting at trunc(ts) and
+    // trunc(ts)-1h
+    "stream_window_sliding" ->
+      """SELECT event_type, CAST(w AS TIMESTAMP) AS win_start, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w
+        |  FROM events)
+        |GROUP BY event_type, w""".stripMargin,
+
+    // gaps-and-islands: new session when the gap from the previous event
+    // is >= 30 minutes (session windows are [start, last+gap))
+    "stream_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_ingest_files" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
+        |FROM (VALUES (1, 10.5), (2, 20.5), (3, 30.5)) AS t(k, v)"""
+        .stripMargin,
+  )
+}

@@ -1,0 +1,190 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager, Types}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Physical JDBC sink — the engine's CKAN-datastore analog
+  * (`datapump.py:560-612`: `datastore_create` with PK + index,
+  * `datastore_upsert`, `datastore_delete`).
+  *
+  * Upserts run distributed: `df.foreachPartition` opens one connection per
+  * partition and executes batched upsert statements (Postgres
+  * `INSERT ... ON CONFLICT DO UPDATE`, Derby `MERGE INTO`). For Postgres,
+  * pair with `reWriteBatchedInserts=true` in the URL. At cluster scale the
+  * parallelism knob is the DataFrame's partition count — repartition to the
+  * sink's connection budget before writing.
+  *
+  * Only connection properties cross the closure boundary (the class is a
+  * small serializable value); connections are created inside partitions.
+  */
+case class JdbcSink(url: String, user: String = "", password: String = "")
+    extends Serializable {
+
+  private def isDerby = url.startsWith("jdbc:derby")
+
+  def connect(): Connection =
+    if (user.isEmpty) DriverManager.getConnection(url)
+    else DriverManager.getConnection(url, user, password)
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+    case DoubleType | FloatType => "DOUBLE PRECISION"
+    case TimestampType => "TIMESTAMP"
+    case _ => if (isDerby) "VARCHAR(32672)" else "TEXT"
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Types.BIGINT
+    case DoubleType | FloatType => Types.DOUBLE
+    case TimestampType => Types.TIMESTAMP
+    case _ => Types.VARCHAR
+  }
+
+  def tableExists(table: String): Boolean = {
+    val c = connect()
+    try {
+      val rs = c.getMetaData.getTables(null, null, null,
+        Array("TABLE"))
+      var found = false
+      while (rs.next() && !found)
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally c.close()
+  }
+
+  /** CREATE TABLE with PRIMARY KEY (the reference's
+    * `datastore_create(primary_key=…, indexes=…)` — the PK constraint IS
+    * the index on both dialects). No-op if the table exists. */
+  def ensureTable(table: String, schema: StructType, pk: Seq[String]): Unit = {
+    if (tableExists(table)) return
+    val cols = schema.fields.map { f =>
+      val notNull = if (pk.contains(f.name)) " NOT NULL" else ""
+      s""""${f.name}" ${sqlType(f.dataType)}$notNull"""
+    }.mkString(", ")
+    val pkClause =
+      if (pk.nonEmpty) s""", PRIMARY KEY (${pk.map(c => s""""$c"""").mkString(", ")})"""
+      else ""
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(s"""CREATE TABLE "$table" ($cols$pkClause)""")
+      st.close()
+    } finally c.close()
+  }
+
+  /** Full truncate (`datastore_delete` with no filter, datapump.py:545). */
+  def truncate(table: String): Unit = {
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        if (isDerby) s"""DELETE FROM "$table""""
+        else s"""TRUNCATE TABLE "$table"""")
+      st.close()
+    } finally c.close()
+  }
+
+  /** Distributed batched PK upsert. Incoming batches must be PK-deduped
+    * (the engine always dedupes before the sink, like the reference —
+    * `datapump.py:446` runs dedupe before `datastore_upsert`).
+    *
+    * Postgres: one `INSERT ... ON CONFLICT DO UPDATE` statement. Derby
+    * (test dialect) rejects MERGE from a VALUES source, so it runs batched
+    * DELETE-then-INSERT inside one transaction — same last-write-wins
+    * semantics. */
+  def upsert(df: DataFrame, table: String, pk: Seq[String],
+      batchSize: Int = 500): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val q = cols.map(c => s""""$c"""")
+    val types = schema.fields.map(f => jdbcType(f.dataType))
+    val pkIdx = pk.map(cols.indexOf(_)).toArray
+    require(!pkIdx.contains(-1), s"pk $pk not in ${cols.mkString(",")}")
+    val insSql =
+      s"""INSERT INTO "$table" (${q.mkString(", ")}) """ +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val (sql1, sql2) =
+      if (isDerby) {
+        val delSql = s"""DELETE FROM "$table" WHERE """ +
+          pk.map(c => s""""$c" = ?""").mkString(" AND ")
+        (delSql, insSql)
+      } else {
+        val conflict = pk.map(c => s""""$c"""").mkString(", ")
+        val nonPk = cols.filterNot(pk.contains)
+        val action =
+          if (nonPk.nonEmpty) "DO UPDATE SET " +
+            nonPk.map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
+          else "DO NOTHING"
+        (insSql + s" ON CONFLICT ($conflict) $action", null)
+      }
+    val self = this
+    val twoPhase = sql2 != null
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val c = self.connect()
+        try {
+          c.setAutoCommit(false)
+          val ps1 = c.prepareStatement(sql1)
+          val ps2 = if (twoPhase) c.prepareStatement(sql2) else null
+          var n = 0
+          rows.foreach { row =>
+            if (twoPhase) {
+              // derby: delete by PK, then insert the full row
+              var j = 0
+              while (j < pkIdx.length) {
+                ps1.setObject(j + 1, row.get(pkIdx(j))); j += 1
+              }
+              ps1.addBatch()
+              var i = 0
+              while (i < cols.length) {
+                val v = row.get(i)
+                if (v == null) ps2.setNull(i + 1, types(i))
+                else ps2.setObject(i + 1, v)
+                i += 1
+              }
+              ps2.addBatch()
+            } else {
+              var i = 0
+              while (i < cols.length) {
+                val v = row.get(i)
+                if (v == null) ps1.setNull(i + 1, types(i))
+                else ps1.setObject(i + 1, v)
+                i += 1
+              }
+              ps1.addBatch()
+            }
+            n += 1
+            if (n % batchSize == 0) {
+              ps1.executeBatch()
+              if (twoPhase) ps2.executeBatch()
+            }
+          }
+          ps1.executeBatch()
+          if (twoPhase) ps2.executeBatch()
+          c.commit()
+          ps1.close()
+          if (twoPhase) ps2.close()
+        } finally c.close()
+      }
+    }
+  }
+
+  /** Read the accumulated table back (the reference re-downloads the whole
+    * resource over HTTP for stats, `datapump.py:375-376`; here it's a
+    * parallel JDBC scan). */
+  def readBack(spark: SparkSession, table: String): DataFrame = {
+    val props = new java.util.Properties()
+    if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
+    spark.read.jdbc(url, s""""$table"""", props)
+  }
+
+  def recordCount(table: String): Long = {
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT COUNT(*) FROM "$table"""")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+}

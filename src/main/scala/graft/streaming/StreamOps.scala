@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.sink.JdbcSink
+
+/** Structured Streaming tier (SURVEY §2.9; north star "Structured
+  * Streaming ingestion + JDBC sink").
+  *
+  * The reference's "stream" is a filesystem queue (`datapump.py:694-707`);
+  * here it becomes a real file-source stream with archive-on-completion
+  * (`cleanSource=archive` ≙ move-to-processed), watermarked event-time
+  * windows, stateful streaming dedupe, and a per-micro-batch JDBC upsert
+  * (`foreachBatch` → JdbcSink.upsert) — the canonical streaming-upsert
+  * pattern.
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicLong(0)
+
+  /** CSV file-source stream over a directory, with the reference's archive
+    * semantics: processed files are moved to `archiveDir` (cleanSource),
+    * the streaming twin of the processed/ queue move. */
+  def fileStreamCsv(spark: SparkSession, dir: String, schema: StructType,
+      archiveDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("nullValue", "")
+    archiveDir.foreach { a =>
+      r = r.option("cleanSource", "archive").option("sourceArchiveDir", a)
+    }
+    maxFilesPerTrigger.foreach(m => r = r.option("maxFilesPerTrigger", m))
+    r.csv(dir)
+  }
+
+  /** Parquet file-source stream with a fixed schema. NOTE: the file source
+    * requires a directory or a GLOB — a literal single-file path fails
+    * basePath validation, so to stream one file use a glob that matches it
+    * (e.g. `dir/events.parque*`). */
+  def fileStreamParquet(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling event-time window aggregation. */
+  def tumbling(events: DataFrame, tsCol: String, dur: String,
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events.groupBy(
+      (keys.map(col) :+ window(col(tsCol), dur)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding event-time window aggregation. */
+  def sliding(events: DataFrame, tsCol: String, dur: String, slide: String,
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events.groupBy(
+      (keys.map(col) :+ window(col(tsCol), dur, slide)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window (gap-based) aggregation. */
+  def session(events: DataFrame, tsCol: String, gap: String,
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events.groupBy(
+      (keys.map(col) :+ session_window(col(tsCol), gap)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Run a (bounded) streaming DataFrame to completion with AvailableNow
+    * into a memory sink and return the materialized result — used by the
+    * driver-checkable stream queries and batch-parity tests. */
+  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
+    * PK-deduped (keep the max of `orderCol` per key within the batch)
+    * before hitting the sink, so replays and intra-batch dupes stay
+    * idempotent. */
+  def upsertEachBatch(stream: DataFrame, sink: JdbcSink, table: String,
+      pk: Seq[String], orderCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.ops.Dedupe.keepLast(batch, pk, col(orderCol))
+        sink.ensureTable(table, deduped.schema, pk)
+        sink.upsert(deduped, table, pk)
+      }
+      .start()
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sink.{Catalog, JdbcSink}
+
+class JdbcSinkSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def freshSink(name: String) =
+    JdbcSink(s"jdbc:derby:memory:$name;create=true")
+
+  test("ensureTable + upsert + readBack round-trip") {
+    val sink = freshSink("rt")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    sink.ensureTable("t1", df.schema, Seq("k"))
+    sink.upsert(df, "t1", Seq("k"))
+    val back = sink.readBack(spark, "t1")
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    assert(sink.recordCount("t1") == 2)
+  }
+
+  test("upsert updates on PK conflict (last write wins)") {
+    val sink = freshSink("up")
+    val df1 = Seq((1L, "old"), (2L, "keep")).toDF("k", "s")
+    sink.ensureTable("t2", df1.schema, Seq("k"))
+    sink.upsert(df1, "t2", Seq("k"))
+    sink.upsert(Seq((1L, "new"), (3L, "ins")).toDF("k", "s"), "t2", Seq("k"))
+    val back = sink.readBack(spark, "t2").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("nulls and timestamps survive the sink boundary") {
+    val sink = freshSink("nt")
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:30:00")
+    val df = Seq((1L, Some("x"), Option(ts)), (2L, None, None))
+      .toDF("k", "s", "t")
+    sink.ensureTable("t3", df.schema, Seq("k"))
+    sink.upsert(df, "t3", Seq("k"))
+    val back = sink.readBack(spark, "t3").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getTimestamp(2)))).toSet
+    assert(back == Set((1L, Some("x"), Some(ts)), (2L, None, None)))
+  }
+
+  test("truncate empties the table") {
+    val sink = freshSink("tr")
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    sink.ensureTable("t4", df.schema, Seq("k"))
+    sink.upsert(df, "t4", Seq("k"))
+    sink.truncate("t4")
+    assert(sink.recordCount("t4") == 0)
+  }
+
+  test("catalog description stamping strips prior stamp") {
+    val sink = freshSink("cat")
+    val cat = new Catalog(sink)
+    assert(cat.tableName("My Org", "IoT-Test", "air quality") ==
+      "my_org__iot_test__air_quality")
+    val s1 = cat.updateDescription("res1", "2024-01-01 10:00:00")
+    assert(s1 == "res1 (UPDATED: 2024-01-01 10:00:00)")
+    val s2 = cat.updateDescription("res1", "2024-02-02 11:00:00")
+    assert(s2 == "res1 (UPDATED: 2024-02-02 11:00:00)") // single stamp
+    assert(cat.lastUpdated(s2).contains("2024-02-02 11:00:00"))
+  }
+}

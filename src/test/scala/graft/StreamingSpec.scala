@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sink.JdbcSink
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream_dedupe: dropDuplicatesWithinWatermark across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val deduped = in.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((ts("2024-01-01 10:00:00"), "a", 1.0),
+               (ts("2024-01-01 10:01:00"), "a", 2.0), // dupe in-batch
+               (ts("2024-01-01 10:02:00"), "b", 3.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 10:30:00"), "a", 4.0)) // dupe across batches
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").select("k").as[String].collect().toSeq
+    assert(keys.sorted == Seq("a", "b")) // one row per key within watermark
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggs") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    in.addData((ts("2024-01-01 10:05:00"), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    in.addData((ts("2024-01-01 11:00:00"), 2.0))
+    q.processAllAvailable()
+    // this event is > 10 min behind the watermark (10:50) -> dropped
+    in.addData((ts("2024-01-01 10:06:00"), 99.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 12:00:00"), 3.0)) // flush second window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_out")
+      .select(col("window.start").cast("string"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 10:00:00") == 1) // late row did NOT bump n to 2
+  }
+
+  test("stream_upsert_sink: foreachBatch upserts each micro-batch, " +
+      "replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    java.nio.file.Files.write(dir.resolve("one.csv"),
+      "k,ord,v\n1,1,a\n1,2,b\n2,1,c\n".getBytes) // in-batch dupe on k=1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ord",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sink = JdbcSink("jdbc:derby:memory:streamup;create=true")
+    val stream = StreamOps.fileStreamCsv(spark, s"$dir/*.csv", schema)
+    val q = StreamOps.upsertEachBatch(stream, sink, "st", Seq("k"), "ord")
+    q.awaitTermination()
+    val got = sink.readBack(spark, "st").select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "b"), (2L, "c"))) // keep-last within batch
+
+    // replay the same data (new file, same keys): last write still wins
+    java.nio.file.Files.write(dir.resolve("two.csv"),
+      "k,ord,v\n2,9,z\n".getBytes)
+    val q2 = StreamOps.upsertEachBatch(
+      StreamOps.fileStreamCsv(spark, s"$dir/*.csv", schema),
+      sink, "st", Seq("k"), "ord")
+    q2.awaitTermination()
+    val got2 = sink.readBack(spark, "st").select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got2 == Set((1L, "b"), (2L, "z")))
+  }
+
+  test("file stream with archive moves processed files") {
+    val src = java.nio.file.Files.createTempDirectory("graft-arch-src")
+    val arch = java.nio.file.Files.createTempDirectory("graft-arch-dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-arch-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val out = java.nio.file.Files.createTempDirectory("graft-arch-out")
+    def runOnce(): Unit = {
+      val df = StreamOps.fileStreamCsv(spark, s"$src/*.csv", schema,
+        archiveDir = Some(arch.toString))
+      // parquet sink (memory sink cannot resume from a checkpoint)
+      val q = df.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(src.resolve("a.csv"), "k\n1\n2\n".getBytes)
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == 2)
+    // cleanSource archiving is lazy: completed-batch files are cleaned
+    // when LATER batches commit. Drive a second batch, then poll.
+    java.nio.file.Files.write(src.resolve("b.csv"), "k\n3\n".getBytes)
+    runOnce()
+    val deadline = System.currentTimeMillis() + 20000
+    var moved = false
+    while (!moved && System.currentTimeMillis() < deadline) {
+      moved = !java.nio.file.Files.exists(src.resolve("a.csv"))
+      if (!moved) Thread.sleep(250)
+    }
+    assert(moved, "source file was not archived after a subsequent batch")
+  }
+}
