@@ -21,6 +21,7 @@ object SparkEntry {
     VectorQueries,
     IngestQueries,
     StreamQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -34,6 +34,15 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     case _ => if (isDerby) "VARCHAR(32672)" else "TEXT"
   }
 
+  /** Spark 4 returns java.time values from Rows (java8API default-on);
+    * JDBC drivers want java.sql types. */
+  private def coerce(v: Any): Any = v match {
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case dt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(dt)
+    case other => other
+  }
+
   private def jdbcType(dt: DataType): Int = dt match {
     case LongType | IntegerType | ShortType | ByteType => Types.BIGINT
     case DoubleType | FloatType => Types.DOUBLE
@@ -133,14 +142,14 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
               // derby: delete by PK, then insert the full row
               var j = 0
               while (j < pkIdx.length) {
-                ps1.setObject(j + 1, row.get(pkIdx(j))); j += 1
+                ps1.setObject(j + 1, coerce(row.get(pkIdx(j)))); j += 1
               }
               ps1.addBatch()
               var i = 0
               while (i < cols.length) {
                 val v = row.get(i)
                 if (v == null) ps2.setNull(i + 1, types(i))
-                else ps2.setObject(i + 1, v)
+                else ps2.setObject(i + 1, coerce(v))
                 i += 1
               }
               ps2.addBatch()
@@ -149,7 +158,7 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
               while (i < cols.length) {
                 val v = row.get(i)
                 if (v == null) ps1.setNull(i + 1, types(i))
-                else ps1.setObject(i + 1, v)
+                else ps1.setObject(i + 1, coerce(v))
                 i += 1
               }
               ps1.addBatch()
