@@ -49,6 +49,56 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- ANN: random-hyperplane LSH (the 100 TB candidate-generation path)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
+  private def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign(v · plane_i). Cosine-similar vectors
+    * agree on most signs, so they land in the same or nearby buckets. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    planes(nBits, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate cosine top-k: candidates are vectors whose LSH bucket is
+    * within hamming distance `probe` of the query's bucket (multi-probe),
+    * then exact cosine ranking on candidates only.
+    *
+    * This is the scale path for `cosineTopK`: instead of scoring all n
+    * vectors, score ~n/2^nBits per probed bucket. Recall depends on the
+    * similarity level (sign-agreement probability 1-θ/π per bit) — on
+    * near-orthogonal random data it is deliberately modest; on genuinely
+    * near-duplicate data (cos ≥ 0.9) per-bit agreement is ≥ 0.86 and
+    * recall approaches 1. Exact `cosineTopK` stays the correctness oracle.
+    *
+    * Deployment note: computing the bucket costs nBits dot products, so
+    * the win over brute force requires `__bucket` to be a PRECOMPUTED
+    * (stored/partitioned-on) column — build it once at ingest, then each
+    * query touches only the probed buckets' partitions. Here it is
+    * computed inline because the corpus is read-only parquet.
+    */
+  def annCosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nBits: Int = 8, dim: Int = 64, probe: Int = 1): DataFrame = {
+    val v = withNorm(vectors, vecCol)
+      .withColumn("__bucket", lshBucket(col(vecCol), nBits, dim))
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"),
+        lshBucket(col(queryVecCol), nBits, dim).as("__qbucket"))
+    val cand = v.crossJoin(broadcast(q))
+      .filter(bit_count(col("__bucket").bitwiseXOR(col("__qbucket"))) <= probe)
+    cand.select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Pairwise cosine-similarity join with optional equality blocking.
     * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,

@@ -47,6 +47,15 @@ object CoreQueries extends QueryPack {
               count(lit(1)).as("n")))
         .withColumnRenamed("ts", "bucket_start")),
 
+    // §2.4 calendar-frequency resample (date_trunc path) over the 80-month
+    // orders history — start-labeled months (documented pandas deviation).
+    "agg_resample_calendar" -> ((s, d) =>
+      TimeSeries.resampleAgg(Tables.orders(s, d), "o_orderdate", "M",
+          Seq("o_orderstatus"),
+          Seq(round(avg("o_totalprice"), 6).as("avg_price"),
+              count(lit(1)).as("n")))
+        .withColumnRenamed("o_orderdate", "month_start")),
+
     // §2.6 dedupe_keep_last / dedupe_keep_first — order-sensitive PK dedupe;
     // event_id is the arrival order (file order proxy in the test corpus).
     "dedupe_keep_last" -> ((s, d) =>
@@ -99,6 +108,12 @@ object CoreQueries extends QueryPack {
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_resample_calendar" ->
+      """SELECT o_orderstatus,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  round(avg(o_totalprice), 6) AS avg_price, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus, month_start""".stripMargin,
 
     "agg_resample_mean" ->
       """SELECT event_type,

@@ -65,6 +65,19 @@ object IngestQueries extends QueryPack {
     "project_drop_cols" -> ((s, d) =>
       Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
 
+    // §2.2 project_drop_first — drop the positional first column (the
+    // datastore's internal _id, datapump.py:298)
+    "project_drop_first" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.drop(c.columns.head)
+    }),
+
+    // §2.8 scalar_isnull — the sparse-record emit gate (datapump.py:318)
+    "scalar_isnull" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        when(col("event_type") === "view", lit(null))
+          .otherwise(col("event_type")).isNull.as("is_sparse"))),
+
     // §2.1 sink_upsert, logical form: incoming batch wins by PK
     "sink_upsert" -> ((s, d) => {
       val orders = Tables.orders(s, d)
@@ -98,6 +111,12 @@ object IngestQueries extends QueryPack {
 
     "project_drop_cols" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "project_drop_first" ->
+      "SELECT c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "scalar_isnull" ->
+      """SELECT event_id, event_type = 'view' AS is_sparse FROM events""",
 
     "sink_upsert" ->
       """WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice

@@ -117,6 +117,22 @@ object RelationalQueries extends QueryPack {
           Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(-3, Window.currentRow)), 6).as("mavg"))),
 
+    // RANGE frame over a numeric ordering key: mean of all events whose
+    // event_id is within 100 of the current one, per user.
+    "win_moving_avg_range" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(avg("value").over(
+          Window.partitionBy("user_id").orderBy("event_id")
+            .rangeBetween(-100, 0)), 6).as("range_mavg"))),
+
+    // HLL sketch cardinality — approximate, so no DuckDB hash oracle;
+    // RelationalSpec bounds the error against the exact count.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"))),
+
     // ---- sorts / limits / top-k ----------------------------------------
     // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
     // then a k-row merge on the driver — no global sort at any scale.
@@ -237,6 +253,12 @@ object RelationalQueries extends QueryPack {
       """SELECT event_id, user_id,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events""".stripMargin,
+
+    "win_moving_avg_range" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 6) AS range_mavg
         |FROM events""".stripMargin,
 
     "topk_global" ->

@@ -32,6 +32,17 @@ object VectorQueries extends QueryPack {
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", threshold = 0.45, blockCol = None)
         .select("id1", "id2", "cos_sim")),
+
+    // ANN scale path: sign-LSH bucketed candidates + exact rerank. No SQL
+    // oracle (approximate); VectorOpsSpec checks candidate scores against
+    // the exact ranking.
+    "vec_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.annCosineTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
+    }),
   )
 
   private val vCte =

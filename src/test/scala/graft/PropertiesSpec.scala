@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Dedupe
+import graft.sink.SinkOps
+
+/** Property-based laws from SURVEY §5.3: dedupe idempotence, dedupe+upsert
+  * composition, parse/format round-trip. Uses ScalaCheck generators with
+  * fixed seeds (no scalatestplus bridge in the offline cache) — each law
+  * is checked over several generated cases, deterministically. */
+class PropertiesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val rowsGen: Gen[List[(Int, Int, Double)]] =
+    Gen.listOfN(25, for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0.0, 100.0)
+    } yield (k, v)).map(_.zipWithIndex
+      .map { case ((k, v), i) => (k, i, v) }) // unique arrival order
+
+  private def cases[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: dedupe keep-last is idempotent") {
+    cases(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "ord", "v")
+      val once = Dedupe.keepLast(df, Seq("k"), col("ord"))
+      val twice = Dedupe.keepLast(once, Seq("k"), col("ord"))
+      assert(once.collect().toSet == twice.collect().toSet)
+    }
+  }
+
+  test("property: sequential upserts equal one deduped upsert (keep-last)") {
+    cases(rowsGen, 5).foreach { rows =>
+      val (first, second) = rows.splitAt(rows.size / 2)
+      val base = spark.emptyDataset[(Int, Int, Double)].toDF("k", "ord", "v")
+      def ded(xs: List[(Int, Int, Double)]) =
+        Dedupe.keepLast(xs.toDF("k", "ord", "v"), Seq("k"), col("ord"))
+      val sequential = SinkOps.logicalUpsert(
+        SinkOps.logicalUpsert(base, ded(first), Seq("k")),
+        ded(second), Seq("k"))
+      val global = Dedupe.keepLast(rows.toDF("k", "ord", "v"),
+        Seq("k"), col("ord"))
+      assert(sequential.select("k", "v").collect().toSet ==
+        global.select("k", "v").collect().toSet)
+    }
+  }
+
+  test("property: ts format/parse round-trips across the 4 formats") {
+    val fmts = graft.ingest.CsvIngest.DefaultFormats
+    val tsGen = Gen.choose(0L, 4102444800L).map(_ * 1000L) // whole seconds
+    val batch = cases(Gen.listOfN(8, tsGen), 4).flatten
+    fmts.indices.foreach { fmtIdx =>
+      val df = batch.map(new java.sql.Timestamp(_)).toDF("ts")
+      val bad = df.select(
+          graft.ingest.CsvIngest.parseTs(
+            date_format(col("ts"), fmts(fmtIdx))).as("rt"), col("ts"))
+        .filter(col("rt") =!= col("ts") || col("rt").isNull)
+      assert(bad.count() == 0, s"format ${fmts(fmtIdx)} did not round-trip")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def vecs() = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),  // near query
+    (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal
+    (3L, Seq(-1.0f, 0.0f, 0.0f)), // opposite
+    (4L, Seq(0.8f, 0.2f, 0.1f))   // near query
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine, excludes nothing, rounds output") {
+    val q = vecs().filter($"vec_id" === 0).select("embedding")
+    val got = VectorOps.cosineTopK(vecs().filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 2)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 4L)) // the two near vectors
+    assert(got.forall(r => r._2 > 0.9))
+  }
+
+  test("pairwiseCosine self-join finds the symmetric near pair once") {
+    val got = VectorOps.pairwiseCosine(vecs(), "vec_id", "embedding",
+      threshold = 0.9, blockCol = None)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) && got.contains((1L, 4L)))
+    assert(got.forall(p => p._1 < p._2)) // each pair exactly once
+  }
+
+  test("annCosineTopK candidates carry exact cosine scores (subset of " +
+      "brute force) and find genuinely near duplicates") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 50)
+      .as[(Long, Double)].collect().toMap
+    val ann = VectorOps.annCosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10,
+      nBits = 8, dim = 64, probe = 1)
+      .as[(Long, Double)].collect()
+    // every ANN hit that brute force also ranked carries the SAME score
+    ann.foreach { case (id, cos) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9)) }
+    assert(ann.nonEmpty)
+  }
+
+  test("ann with full probe distance degenerates to exact top-k") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val annAll = VectorOps.annCosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10,
+      nBits = 8, dim = 64, probe = 8) // hamming <= nBits: every bucket
+      .as[(Long, Double)].collect().toSeq
+    assert(annAll == exact)
+  }
+}
