@@ -36,29 +36,58 @@ object TextDedupe {
 
   /** Exact n-gram Jaccard similarity join: pairs of docs with
     * jaccard(shingles) >= threshold. `blockCol` (e.g. language) bounds the
-    * candidate space; pass None for a global join. */
+    * candidate space; pass None for a global join.
+    *
+    * Exact-but-pruned via PREFIX FILTERING (Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin): under any
+    * common total order on shingles, a pair with J >= t must share a token
+    * among the first (n − ⌈t·n⌉ + 1) tokens of each side. Ordering by
+    * ascending document frequency puts the RAREST shingles in the prefix,
+    * so inverted-index buckets stay small — this kills the quadratic
+    * hot-shingle blow-up that a naive shingle self-join hits at scale,
+    * without losing a single qualifying pair. A length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes further before exact verification on
+    * the full shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, blockCol: Option[String] = None): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, blockCol.toSeq)
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val a = idx.toDF(idx.columns.map(c => s"a_$c"): _*)
-    val b = idx.toDF(idx.columns.map(c => s"b_$c"): _*)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select((col(idCol) +: blockCol.map(col).toSeq :+
+        shingles(col(textCol)).as("sharr")): _*)
+      .filter(size(col("sharr")) > 0)
+      .withColumn("nsh", size(col("sharr")))
+    val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
+      col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
+    // global shingle document-frequency → rare-first canonical order
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .drop("df", "rk")
+    val aSide = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
+    val bSide = prefix.toDF(prefix.columns.map(c => s"b_$c"): _*)
+    val lenOk = col("b_nsh") >= ceil(col("a_nsh") * threshold) &&
+      col("a_nsh") >= ceil(col("b_nsh") * threshold)
     val joinCond = blockCol match {
       case Some(bc) => col("a_shingle") === col("b_shingle") &&
-        col(s"a_$bc") === col(s"b_$bc") && col(s"a_$idCol") < col(s"b_$idCol")
+        col(s"a_$bc") === col(s"b_$bc") &&
+        col(s"a_$idCol") < col(s"b_$idCol") && lenOk
       case None => col("a_shingle") === col("b_shingle") &&
-        col(s"a_$idCol") < col(s"b_$idCol")
+        col(s"a_$idCol") < col(s"b_$idCol") && lenOk
     }
-    val inter = a.join(b, joinCond)
-      .groupBy(col(s"a_$idCol"), col(s"b_$idCol"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF(s"a_$idCol", "a_nsh"), s"a_$idCol")
-      .join(sizes.toDF(s"b_$idCol", "b_nsh"), s"b_$idCol")
-      .select(
-        col(s"a_$idCol").as("d1"), col(s"b_$idCol").as("d2"),
-        round(col("inter").cast("double") /
-          (col("a_nsh") + col("b_nsh") - col("inter")), 4).as("jaccard"))
+    val cand = aSide.join(bSide, joinCond)
+      .select(col(s"a_$idCol").as("d1"), col(s"b_$idCol").as("d2"))
+      .distinct()
+    // exact verification on the candidates' full shingle sets
+    val sh = base.select(col(idCol), col("sharr"))
+    val verified = cand
+      .join(sh.toDF("d1", "sh1"), "d1")
+      .join(sh.toDF("d2", "sh2"), "d2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    verified.select(col("d1"), col("d2"),
+        round(inter / (size(col("sh1")) + size(col("sh2")) - inter), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -99,6 +99,91 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- ANN: IVF (inverted-file) coarse quantizer — the second scale path
+
+  /** Train a coarse quantizer: k spherical-k-means centroids fit on a
+    * driver-side sample (FAISS-style — quantizer training uses a bounded
+    * sample regardless of corpus size, so this collect is O(sampleN·d),
+    * NOT O(corpus)). Cosine metric: vectors and centroids are L2-normalized
+    * and Lloyd updates maximize dot product. Deterministic: seeded sample,
+    * seeded init, fixed iteration count. */
+  def ivfTrain(vectors: DataFrame, vecCol: String, nCentroids: Int,
+      sampleFraction: Double = 1.0, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Float]] = {
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val sample = vectors.select(vecCol).sample(sampleFraction, seed)
+      .collect().map(_.getSeq[Float](0).toArray).map(normalize)
+    require(sample.length >= nCentroids, "sample smaller than nCentroids")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.indices.toList).take(nCentroids)
+      .map(sample(_)).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- centroids.indices) {
+          var d = 0.0
+          for (i <- v.indices) d += v(i).toDouble * centroids(c)(i)
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        counts(best) += 1
+        for (i <- v.indices) sums(best)(i) += v(i)
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else normalize(sums(c).map(_.toFloat))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Per-row nearest-centroid cell id (map-only projection: nCentroids
+    * codegen'd dot products, no shuffle). Centroids are unit vectors, so
+    * argmax dot == argmax cosine. */
+  def ivfCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Approximate cosine top-k via IVF: assign every vector to its nearest
+    * coarse centroid, probe only the query's `nProbe` nearest cells, exact
+    * cosine rerank on those candidates.
+    *
+    * Scale shape: assignment is a projection (precompute + partition the
+    * corpus BY `__cell` at ingest time and a query reads ~nProbe/nCentroids
+    * of the data via partition pruning); the probe-set computation is a
+    * 1-row broadcast; rerank plans as TakeOrderedAndProject. nProbe =
+    * nCentroids degenerates to exact brute force (spec-verified). */
+  def ivfCosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(vectors, vecCol, nCentroids, seed = seed)
+    val v = withNorm(vectors, vecCol)
+      .withColumn("__cell", ivfCell(col(vecCol), centroids))
+    // query probe set: indices of the nProbe highest-scoring centroids,
+    // computed as an expression so multi-query batches stay distributed.
+    val qScored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(queryVecCol), typedlit(c.toSeq))).as("neg"),
+        lit(i).as("i"))
+    }: _*)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"),
+        transform(slice(sort_array(qScored), 1, nProbe), s => s("i"))
+          .as("__probes"))
+    v.crossJoin(broadcast(q))
+      .filter(array_contains(col("__probes"), col("__cell")))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Pairwise cosine-similarity join with optional equality blocking.
     * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,

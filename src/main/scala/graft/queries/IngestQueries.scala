@@ -61,6 +61,22 @@ object IngestQueries extends QueryPack {
       Dedupe.keepLast(stamped, Seq("k"), col("__rank")).drop("__rank")
     }),
 
+    // §2.1 scan_partition_prune — the 100 TB layout story: land data
+    // hive-partitioned on the natural time key, so a day-scoped query
+    // reads 1/30th of the corpus via partition pruning (the date filter
+    // resolves against directory names, visible as PartitionFilters in
+    // the physical plan — zero data files from other days are opened).
+    "scan_partition_prune" -> ((s, d) => {
+      val tmp = s"/tmp/graft_part_fixture/${math.abs(d.hashCode)}"
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_date") === lit("2024-01-15"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // §2.2 project_drop_cols (reference Stat.DropColumns, datapump.py:291)
     "project_drop_cols" -> ((s, d) =>
       Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
@@ -108,6 +124,11 @@ object IngestQueries extends QueryPack {
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
         |FROM (VALUES (1, 10.5), (2, 20.5), (3, 33.5)) AS t(k, v)"""
         .stripMargin,
+
+    "scan_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
 
     "project_drop_cols" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",

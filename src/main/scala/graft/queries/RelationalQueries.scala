@@ -80,6 +80,26 @@ object RelationalQueries extends QueryPack {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
              count(lit(1)).as("n"))),
 
+    // skew-resistant two-stage aggregation: events.event_type has only a
+    // handful of distinct values, so a naive groupBy sends each hot key to
+    // ONE reducer — at 100 TB that single task is the job. Salting splits
+    // each hot key across 16 sub-keys (partial agg), then a second tiny
+    // shuffle (≤ types×16 rows) recombines exactly. avg recombines as
+    // Σsum/Σcount, never avg-of-avgs. Same result as the plain groupBy
+    // (the oracle IS the plain groupBy).
+    "agg_skew_salted" -> ((s, d) => {
+      val salted = Tables.events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(16)))
+      salted.groupBy("event_type", "__salt")
+        .agg(count(lit(1)).as("pc"), sum("value").as("ps"),
+             max("value").as("pm"))
+        .groupBy("event_type")
+        .agg(sum("pc").as("n"),
+             round(sum("ps"), 2).as("sum_value"),
+             round(sum("ps") / sum("pc"), 6).as("avg_value"),
+             round(max("pm"), 6).as("max_value"))
+    }),
+
     // ---- window functions ----------------------------------------------
     "win_dedupe_rank" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -222,6 +242,13 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(sum(value) / count(*), 6) AS avg_value,
+        |  round(max(value), 6) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "win_dedupe_rank" ->
       """SELECT event_id,

@@ -36,6 +36,18 @@ object VectorQueries extends QueryPack {
     // ANN scale path: sign-LSH bucketed candidates + exact rerank. No SQL
     // oracle (approximate); VectorOpsSpec checks candidate scores against
     // the exact ranking.
+    // ANN scale path 2: IVF coarse quantizer (sample-trained spherical
+    // k-means) + nProbe cell probing + exact rerank. Rows-only check
+    // (approximate); VectorOpsSpec proves score-exactness and
+    // probe-all degeneracy to exact top-k.
+    "vec_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.ivfCosineTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
     "vec_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorOps.annCosineTopK(

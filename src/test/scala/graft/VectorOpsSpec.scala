@@ -49,6 +49,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("ivfCosineTopK candidates carry exact cosine scores and probing " +
+      "all cells degenerates to exact top-k") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val ivfAll = VectorOps.ivfCosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10,
+      nCentroids = 8, nProbe = 8) // probe every cell ⇒ exact
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfAll == exact)
+    val exactAll = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 5000)
+      .as[(Long, Double)].collect().toMap
+    val ivf = VectorOps.ivfCosineTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, "embedding", k = 10,
+      nCentroids = 8, nProbe = 2)
+      .as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit carries the same score brute force computed for it
+    ivf.foreach { case (id, cos) =>
+      exactAll.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9)) }
+  }
+
+  test("ivfTrain is deterministic and centroids are unit-norm") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val c1 = VectorOps.ivfTrain(emb, "embedding", 8, seed = 7L)
+    val c2 = VectorOps.ivfTrain(emb, "embedding", 8, seed = 7L)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
+  }
+
   test("ann with full probe distance degenerates to exact top-k") {
     val d = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, d)
