@@ -27,12 +27,21 @@ object Stats {
         round(avg(col(c)), 6).as(s"${c}__mean"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        round(expr(s"percentile($c, 0.25)"), 6).as(s"${c}__p25"),
-        round(expr(s"percentile($c, 0.5)"), 6).as(s"${c}__p50"),
-        round(expr(s"percentile($c, 0.75)"), 6).as(s"${c}__p75"),
+        // ONE percentile aggregate per column for all three quantiles:
+        // each percentile call buffers the column's values independently,
+        // so the array form cuts the dominant sort/merge cost 3×
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pq"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+      .select(cols.flatMap { c =>
+        Seq(col(s"${c}__count"), col(s"${c}__mean"), col(s"${c}__std"),
+          col(s"${c}__min"),
+          round(element_at(col(s"${c}__pq"), 1), 6).as(s"${c}__p25"),
+          round(element_at(col(s"${c}__pq"), 2), 6).as(s"${c}__p50"),
+          round(element_at(col(s"${c}__pq"), 3), 6).as(s"${c}__p75"),
+          col(s"${c}__max"))
+      }: _*)
     val statLabels = Seq(
       "count" -> "count", "mean" -> "mean", "std" -> "std", "min" -> "min",
       "25%" -> "p25", "50%" -> "p50", "75%" -> "p75", "max" -> "max")
@@ -53,18 +62,21 @@ object Stats {
     * the single-partition window is bounded, not data-sized.
     */
   def modeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aligned = cols.map { c =>
-      val counts = df.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("n"))
-      val maxN = counts.agg(max(col("n")).as("max_n"))
-      counts.join(broadcast(maxN), col("n") === col("max_n"))
-        .select(col("v").as(c))
-        .withColumn("__row", row_number().over(Window.orderBy(col(c))))
-    }
-    val joined = aligned.reduce { (l, r) =>
-      l.join(r, Seq("__row"), "full_outer")
-    }
-    joined.withColumnRenamed("__row", "row_idx")
+    // long format — ONE scan of the input for all columns (the previous
+    // shape re-scanned the table once per column): explode each row into
+    // (column, value) pairs, count by pair, keep per-column max-count ties
+    // via a broadcast of the per-column maxima, rank ties, pivot back.
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+    val counts = pairs.groupBy("c", "v").agg(count(lit(1)).as("n"))
+    val maxes = counts.groupBy("c").agg(max("n").as("max_n"))
+    val tied = counts.join(broadcast(maxes), "c")
+      .filter(col("n") === col("max_n"))
+    // the rank window runs over tied values only (bounded, not data-sized)
+    val ranked = tied.withColumn("row_idx", row_number().over(
+      Window.partitionBy("c").orderBy("v")))
+    ranked.groupBy("row_idx").pivot("c", cols).agg(first("v"))
       .select((Seq("row_idx") ++ cols).map(col): _*)
   }
 }

@@ -43,6 +43,18 @@ object TextQueries extends QueryPack {
     "text_quality" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // token counting two ways: whitespace and a BPE-ish pre-tokenizer
+    // regex (GPT-2 style: contraction suffixes | letter runs | digit runs
+    // | punctuation runs, each optionally space-prefixed). Pure per-row
+    // expressions — no shuffle, fully codegen'd scan.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"),
+          lit(0))).cast("long").as("n_bpe_tokens"))),
+
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
@@ -54,18 +66,26 @@ object TextQueries extends QueryPack {
         TextOps.fingerprint(col("text")).as("fp"))),
 
     // exact duplicate groups by full text
+    // exact dedupe, hash-groupBy: the shuffle key is (length, xxhash64)
+    // of the text, NOT the text itself — at 100 TB shuffling full
+    // document bodies as group keys is the bottleneck; 8+8 bytes per row
+    // is not. Collision would need equal length AND equal 64-bit hash
+    // (P < 1e-12 at billions of docs) — same grouping as the oracle's
+    // GROUP BY text in every realizable case.
     "dedupe_exact" -> ((s, d) =>
-      Tables.documents(s, d).groupBy("text")
+      Tables.documents(s, d)
+        .groupBy(length(col("text")), xxhash64(col("text")))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
         .select("keep_id", "n")),
 
     // normalized-exact tier: lowercase, trim, collapse whitespace
-    "dedupe_exact_norm" -> ((s, d) =>
+    "dedupe_exact_norm" -> ((s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
       Tables.documents(s, d)
-        .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-          .as("norm_text"))
+        .groupBy(length(norm), xxhash64(norm))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
-        .select("keep_id", "n")),
+        .select("keep_id", "n")
+    }),
 
     // exact n-gram Jaccard pairs, language-blocked
     "dedupe_near_ngram" -> ((s, d) =>
@@ -87,6 +107,14 @@ object TextQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     "text_tokenize" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+        |    AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
     "text_stats" ->
