@@ -44,6 +44,25 @@ object Multimodal {
       }
   }
 
+  case class Resized(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+
+  /** Binary→binary resize at the partition boundary (the dataflow shape of
+    * image downscaling: payload in, smaller payload + updated metadata
+    * out). STUB body: truncate to `targetBytes`; a real resizer would
+    * decode-scale-encode here with the codec opened once per partition. */
+  def resizeStub(spark: SparkSession, bin: DataFrame,
+      targetBytes: Int): Dataset[Resized] = {
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[BinRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = if (r.payload.length > targetBytes) r.payload.take(targetBytes)
+                  else r.payload
+          Resized(r.doc_id, p, p.length.toLong)
+        }
+      }
+  }
+
   /** Frame-sampling fan-out: split the payload into fixed-width frames and
     * fingerprint each — the dataflow shape of video frame extraction
     * (explode multiplies rows; downstream repartitions by (doc, frame)). */

@@ -25,6 +25,11 @@ object MultimodalQueries extends QueryPack {
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text", 32)),
 
+    "mm_resize_stub" -> ((s, d) =>
+      Multimodal.resizeStub(s,
+        Multimodal.withBinary(Tables.documents(s, d), "doc_id", "text"), 96)
+        .toDF().select(col("doc_id"), col("n_bytes"))),
+
     // §2.4 agg_record_count (datapump.py:565 calculate_record_count)
     "agg_record_count" -> ((s, d) =>
       Tables.lineitem(s, d).agg(count(lit(1)).as("n"))),
@@ -89,6 +94,10 @@ object MultimodalQueries extends QueryPack {
         |FROM documents,
         |  unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)"""
         .stripMargin,
+
+    "mm_resize_stub" ->
+      """SELECT doc_id, least(length(text), 96) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "agg_record_count" -> "SELECT count(*) AS n FROM lineitem",
 

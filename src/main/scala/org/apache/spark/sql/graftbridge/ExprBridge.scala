@@ -16,4 +16,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def col(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Imperative function registration into a live session's registry
+    * (`sessionState` is `private[sql]`, hence bridged here). Overwrites on
+    * re-registration — idempotent by name. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
