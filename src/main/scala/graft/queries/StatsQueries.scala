@@ -17,6 +17,23 @@ object StatsQueries extends QueryPack {
 
     "agg_mode" -> ((s, d) =>
       Stats.modeAll(Tables.events(s, d), Seq("event_type", "user_id"))),
+
+    // describe over a TIMESTAMP column — the reference's
+    // datetime_is_numeric=True semantics (datapump.py:331-336): mean/
+    // min/max are meaningful on the time axis. The mean uses EXACT
+    // integer math (epoch-second sum + integer floor division) — a
+    // double `avg` over epoch values accumulates summation-order error
+    // of ~100 µs at 1e5 rows, which an exact-equality oracle cannot
+    // tolerate.
+    "agg_describe_ts" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d).agg(
+        count(col("ts")).as("n"),
+        expr("timestamp_seconds(sum(unix_seconds(ts)) div count(ts))")
+          .as("mean_ts"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -36,6 +53,14 @@ object StatsQueries extends QueryPack {
         row("max", c => s"CAST(max($c) AS DOUBLE)"),
       ).mkString("\nUNION ALL\n")
     },
+
+    "agg_describe_ts" ->
+      """SELECT count(ts) AS n,
+        |  make_timestamp((CAST(sum(floor(epoch(ts))) AS BIGINT)
+        |    // count(ts)) * 1000000) AS mean_ts,
+        |  CAST(min(ts) AS TIMESTAMP) AS min_ts,
+        |  CAST(max(ts) AS TIMESTAMP) AS max_ts
+        |FROM events""".stripMargin,
 
     "agg_mode" ->
       """WITH c1 AS (SELECT CAST(event_type AS VARCHAR) AS v, count(*) AS n
