@@ -22,18 +22,21 @@ object IngestQueries extends QueryPack {
     // parquet → mixed-format CSV → glob read → infer → typed DataFrame
     "scan_csv_glob" -> ((s, d) => {
       val tmp = s"/tmp/graft_csv_fixture/${math.abs(d.hashCode)}"
-      val fmts = CsvIngest.DefaultFormats
-      val m = pmod(col("event_id"), lit(4))
-      Tables.events(s, d).select(
-          col("event_id"),
-          when(m === 0, date_format(col("ts"), fmts(0)))
-            .when(m === 1, date_format(col("ts"), fmts(1)))
-            .when(m === 2, date_format(col("ts"), fmts(2)))
-            .otherwise(date_format(col("ts"), fmts(3))).as("ts"),
-          when(col("event_type") === "view", lit(null))
-            .otherwise(col("event_type")).as("event_type"),
-          col("value"))
-        .write.mode("overwrite").option("header", true).csv(tmp)
+      // fixture content is deterministic in d — write once, reuse after
+      if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+        val fmts = CsvIngest.DefaultFormats
+        val m = pmod(col("event_id"), lit(4))
+        Tables.events(s, d).select(
+            col("event_id"),
+            when(m === 0, date_format(col("ts"), fmts(0)))
+              .when(m === 1, date_format(col("ts"), fmts(1)))
+              .when(m === 2, date_format(col("ts"), fmts(2)))
+              .otherwise(date_format(col("ts"), fmts(3))).as("ts"),
+            when(col("event_type") === "view", lit(null))
+              .otherwise(col("event_type")).as("event_type"),
+            col("value"))
+          .write.mode("overwrite").option("header", true).csv(tmp)
+      }
       CsvIngest.readCsv(s, s"$tmp/*.csv")
         .select("event_id", "ts", "event_type", "value")
     }),
@@ -68,9 +71,11 @@ object IngestQueries extends QueryPack {
     // the physical plan — zero data files from other days are opened).
     "scan_partition_prune" -> ((s, d) => {
       val tmp = s"/tmp/graft_part_fixture/${math.abs(d.hashCode)}"
-      Tables.events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+        Tables.events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      }
       s.read.parquet(tmp)
         .filter(col("event_date") === lit("2024-01-15"))
         .groupBy("event_type")

@@ -46,6 +46,43 @@ class TextDedupeSpec extends SparkSpec {
     assert(!got.contains((3L, 4L)))
   }
 
+  test("prefix-filtered join is EXACT: equals brute-force pairs on a " +
+      "randomized corpus across thresholds") {
+    // seeded random corpus with planted duplicate structure: overlapping
+    // token windows from a small vocabulary produce the full range of
+    // pairwise jaccards, so the prefix filter's pruning bound is actually
+    // exercised (not just hit by trivially-disjoint docs)
+    val rnd = new scala.util.Random(12345)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(15)
+      val start = rnd.nextInt(5)
+      (id, (0 until n).map(i => vocab((start + i / 2) % vocab.size))
+        .mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = TextDedupe.ngramJaccardPairs(df, "doc_id", "text", t, None)
+        .select("d1", "d2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force: all pairs via shingle-array crossJoin
+      val sh = df.select(col("doc_id"),
+        TextDedupe.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val brute = sh.toDF("d1", "sh1").crossJoin(sh.toDF("d2", "sh2"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            (size(col("sh1")) + size(col("sh2")) -
+              size(array_intersect(col("sh1"), col("sh2")))), 4).as("j"))
+        .filter(col("j") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t")
+    }
+  }
+
   test("docs shorter than shingle size produce no pairs") {
     val tiny = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
     val pairs = TextDedupe.ngramJaccardPairs(tiny, "doc_id", "text", 0.1, None)
