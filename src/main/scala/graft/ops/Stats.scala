@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.StableRound
 
 /** The reference's stats operators (`datapump.py:329-371`):
   * `describe(include='all')` and tie-faithful `df.mode()`.
@@ -24,7 +25,7 @@ object Stats {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"${c}__count"),
-        round(avg(col(c)), 6).as(s"${c}__mean"),
+        StableRound.round6(avg(col(c))).as(s"${c}__mean"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
         // ONE percentile aggregate per column for all three quantiles:

@@ -2,16 +2,17 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.StableRound
 
 /** Near-duplicate detection over documents — the LLM-pipeline dedup family
   * (north star): exact, normalized-exact, exact n-gram Jaccard via inverted
   * index, MinHash+LSH banding, and SimHash hamming-banding.
   *
   * Scale design notes:
-  *  - The exact-Jaccard path is an inverted-index self-join on shingles —
-  *    shuffle keyed by shingle. At 100 TB, high-document-frequency shingles
-  *    create quadratic bucket blow-up; `maxShingleDf` prunes them (a
-  *    stop-shingle cut, standard in similarity-join literature).
+  *  - The exact-Jaccard path is a prefix-filtered inverted-index self-join
+  *    (Bayardo WWW'07): only each doc's rarest (n − ⌈t·n⌉ + 1) shingles are
+  *    indexed, so high-document-frequency shingles never form join buckets
+  *    — the exactness proof is in `ngramJaccardPairs`' doc.
   *  - MinHash+LSH replaces the full inverted index with b band buckets per
   *    doc: cost O(docs × b) rows, candidate pairs only within equal band
   *    signatures, then exact verification on the candidates. This is the
@@ -95,7 +96,8 @@ object TextDedupe {
       .join(sh.toDF("d2", "sh2"), "d2")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     verified.select(col("d1"), col("d2"),
-        round(inter / (size(col("sh1")) + size(col("sh2")) - inter), 4)
+        StableRound.round4(
+          inter / (size(col("sh1")) + size(col("sh2")) - inter))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -172,7 +174,8 @@ object TextDedupe {
       .join(sh.toDF("d2", "sh2"), "d2")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     verified.select(col("d1"), col("d2"),
-        round(inter / (size(col("sh1")) + size(col("sh2")) - inter), 4)
+        StableRound.round4(
+          inter / (size(col("sh1")) + size(col("sh2")) - inter))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.StableRound
 
 /** Text-analysis operators for the LLM-data-pipeline tier (north star,
   * BASELINE.json): tokenization, per-doc stats, TF-IDF, quality scoring,
@@ -32,10 +33,11 @@ object TextOps {
       nTok.cast("long").as("n_tokens"),
       size(array_distinct(ts)).cast("long").as("n_distinct"),
       // chars minus separators over token count
-      round((length(col(textCol)) - (nTok - 1)).cast("double") / nTok, 6)
+      StableRound.round6(
+        (length(col(textCol)) - (nTok - 1)).cast("double") / nTok)
         .as("avg_token_len"),
-      round(size(filter(ts, t => array_contains(stopArr, t)))
-        .cast("double") / nTok, 6).as("stop_ratio"))
+      StableRound.round6(size(filter(ts, t => array_contains(stopArr, t)))
+        .cast("double") / nTok).as("stop_ratio"))
   }
 
   /** Deterministic quality score in [0,1]: rewards length (saturating at
@@ -49,8 +51,8 @@ object TextOps {
       .cast("double") / nTok
     val distinctRatio = size(array_distinct(ts)).cast("double") / nTok
     docs.select(col(idCol),
-      round(least(nTok / 100.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - stopRatio) * 0.3 + distinctRatio * 0.3, 6).as("quality"))
+      StableRound.round6(least(nTok / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - stopRatio) * 0.3 + distinctRatio * 0.3).as("quality"))
   }
 
   /** TF-IDF: tf(d,t) × ln((N+1)/(df(t)+1)). Two group-aggregations (both

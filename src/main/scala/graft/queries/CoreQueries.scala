@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{StableRound, Tables}
 import graft.ops.{Dedupe, TimeSeries}
 
 /** Core scan/filter/agg/join/dedupe queries — the reference's behavioral
@@ -35,7 +35,7 @@ object CoreQueries extends QueryPack {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          StableRound.round6(avg("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     // §2.4 agg_resample_mean — the reference's frequency stat
@@ -43,16 +43,22 @@ object CoreQueries extends QueryPack {
     "agg_resample_mean" -> ((s, d) =>
       TimeSeries.resampleAgg(Tables.events(s, d), "ts", "H",
           Seq("event_type"),
-          Seq(round(avg("value"), 6).as("avg_value"),
+          Seq(StableRound.round6(avg("value")).as("avg_value"),
               count(lit(1)).as("n")))
         .withColumnRenamed("ts", "bucket_start")),
 
     // §2.4 calendar-frequency resample (date_trunc path) over the 80-month
     // orders history — start-labeled months (documented pandas deviation).
+    // The mean is computed in EXACT integer math (cents -> floor'd
+    // micro-units): o_totalprice is an exact 2-decimal value with ~3e5
+    // magnitude, where a double avg's cross-engine ULP noise (~6e-11)
+    // straddles terminating-rational round boundaries — observed as a
+    // 1-digit oracle mismatch at sf0.01 before this change.
     "agg_resample_calendar" -> ((s, d) =>
       TimeSeries.resampleAgg(Tables.orders(s, d), "o_orderdate", "M",
           Seq("o_orderstatus"),
-          Seq(round(avg("o_totalprice"), 6).as("avg_price"),
+          Seq((expr("(sum(cast(round(o_totalprice * 100) as bigint)) * 10000)" +
+                " div count(1)").cast("double") / 1000000.0).as("avg_price"),
               count(lit(1)).as("n")))
         .withColumnRenamed("o_orderdate", "month_start")),
 
@@ -105,20 +111,22 @@ object CoreQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(round(CAST(avg(l_discount) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_resample_calendar" ->
       """SELECT o_orderstatus,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        |  round(avg(o_totalprice), 6) AS avg_price, count(*) AS n
+        |  CAST((CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    * 10000) // count(*) AS BIGINT) / 1000000.0 AS avg_price,
+        |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus, month_start""".stripMargin,
 
     "agg_resample_mean" ->
       """SELECT event_type,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
-        |  round(avg(value), 6) AS avg_value, count(*) AS n
+        |  CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value, count(*) AS n
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
 
     "dedupe_keep_last" ->

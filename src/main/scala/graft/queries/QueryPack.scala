@@ -19,3 +19,6 @@ trait QueryPack {
   def queries: Map[String, Q]
   def oracle: Map[String, String]
 }
+
+// Boundary-stable cross-engine rounding lives in graft.StableRound
+// (package-level so ops/ can use it too); oracle SQL uses its sqlN twins.

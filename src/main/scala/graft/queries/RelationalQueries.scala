@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{StableRound, Tables}
 import graft.ops.Joins
 
 /** Relational breadth (SURVEY §2.3 joins, §2.4 aggs, §2.5 windows,
@@ -52,7 +52,7 @@ object RelationalQueries extends QueryPack {
         .join(broadcast(bands),
           col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), StableRound.round6(avg("value")).as("avg_value"))
     }),
 
     // as-of join: each event enriched with the user's latest order at or
@@ -96,7 +96,7 @@ object RelationalQueries extends QueryPack {
         .groupBy("event_type")
         .agg(sum("pc").as("n"),
              round(sum("ps"), 2).as("sum_value"),
-             round(sum("ps") / sum("pc"), 6).as("avg_value"),
+             StableRound.round6(sum("ps") / sum("pc")).as("avg_value"),
              round(max("pm"), 6).as("max_value"))
     }),
 
@@ -133,18 +133,18 @@ object RelationalQueries extends QueryPack {
     "win_moving_avg" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        round(avg("value").over(
+        StableRound.round6(avg("value").over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(-3, Window.currentRow)), 6).as("mavg"))),
+            .rowsBetween(-3, Window.currentRow))).as("mavg"))),
 
     // RANGE frame over a numeric ordering key: mean of all events whose
     // event_id is within 100 of the current one, per user.
     "win_moving_avg_range" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        round(avg("value").over(
+        StableRound.round6(avg("value").over(
           Window.partitionBy("user_id").orderBy("event_id")
-            .rangeBetween(-100, 0)), 6).as("range_mavg"))),
+            .rangeBetween(-100, 0))).as("range_mavg"))),
 
     // HLL sketch cardinality — approximate, so no DuckDB hash oracle;
     // RelationalSpec bounds the error against the exact count.
@@ -213,7 +213,7 @@ object RelationalQueries extends QueryPack {
         |ON c.c_nationkey = s.s_nationkey""".stripMargin,
 
     "join_range_theta" ->
-      """SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
+      """SELECT band, count(*) AS n, CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value
         |FROM events JOIN (VALUES
         |  ('b0_50', 0.0, 50.0), ('b50_100', 50.0, 100.0),
         |  ('b100_250', 100.0, 250.0), ('b250_1000', 250.0, 1000.0))
@@ -246,7 +246,7 @@ object RelationalQueries extends QueryPack {
     "agg_skew_salted" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,
-        |  round(sum(value) / count(*), 6) AS avg_value,
+        |  CAST(round(CAST(sum(value) / count(*) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value,
         |  round(max(value), 6) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -278,14 +278,14 @@ object RelationalQueries extends QueryPack {
 
     "win_moving_avg" ->
       """SELECT event_id, user_id,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |  CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(27,12)), 6) AS DOUBLE) AS mavg
         |FROM events""".stripMargin,
 
     "win_moving_avg_range" ->
       """SELECT event_id, user_id,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 6) AS range_mavg
+        |  CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(27,12)), 6) AS DOUBLE) AS range_mavg
         |FROM events""".stripMargin,
 
     "topk_global" ->

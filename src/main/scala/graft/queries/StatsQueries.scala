@@ -44,7 +44,7 @@ object StatsQueries extends QueryPack {
           cs.map(c => s"${f(c)} AS $c").mkString(", ") + " FROM lineitem"
       Seq(
         row("count", c => s"CAST(count($c) AS DOUBLE)"),
-        row("mean", c => s"round(avg($c), 6)"),
+        row("mean", c => s"CAST(round(CAST(avg($c) AS DECIMAL(27,12)), 6) AS DOUBLE)"),
         row("std", c => s"round(stddev_samp($c), 6)"),
         row("min", c => s"CAST(min($c) AS DOUBLE)"),
         row("25%", c => s"round(quantile_cont($c, 0.25), 6)"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{StableRound, Tables}
 import graft.streaming.StreamOps
 
 /** Driver-checkable Structured Streaming queries (SURVEY §2.9): each runs
@@ -31,7 +31,7 @@ object StreamQueries extends QueryPack {
       StreamOps.runToMemory(
         StreamOps.tumbling(eventsStream(s, d), "ts", "1 hour",
           Seq("event_type"),
-          Seq(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))),
+          Seq(count(lit(1)).as("n"), StableRound.round6(avg("value")).as("avg_value"))),
         outputMode = "complete")
         .select(col("event_type"), col("window.start").as("bucket_start"),
           col("n"), col("avg_value"))),
@@ -77,7 +77,7 @@ object StreamQueries extends QueryPack {
     "stream_window_tumbling" ->
       """SELECT event_type,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
-        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |  count(*) AS n, CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
 
     // each event belongs to the 2h windows starting at trunc(ts) and

@@ -26,11 +26,11 @@ object TextQueries extends QueryPack {
        |    ON a.s = b.s$langJoin AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2,
-       |  round(inter / (s1.nsh + s2.nsh - inter), 4) AS jaccard
+       |  CAST(round(CAST(inter / (s1.nsh + s2.nsh - inter) AS DECIMAL(27,12)), 4) AS DOUBLE) AS jaccard
        |FROM pairs p
        |JOIN sizes s1 ON p.d1 = s1.doc_id
        |JOIN sizes s2 ON p.d2 = s2.doc_id
-       |WHERE round(inter / (s1.nsh + s2.nsh - inter), 4) >= 0.5""".stripMargin
+       |WHERE CAST(round(CAST(inter / (s1.nsh + s2.nsh - inter) AS DECIMAL(27,12)), 4) AS DOUBLE) >= 0.5""".stripMargin
   }
 
   def queries: Map[String, Q] = Map(
@@ -121,17 +121,17 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |  round((length(text) - (len(string_split(text, ' ')) - 1))
-        |    / len(string_split(text, ' ')), 6) AS avg_token_len,
-        |  round(len(list_filter(string_split(text, ' '),
+        |  CAST(round(CAST((length(text) - (len(string_split(text, ' ')) - 1))
+        |    / len(string_split(text, ' ')) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_token_len,
+        |  CAST(round(CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('a', 'the')))
-        |    / len(string_split(text, ' ')), 6) AS stop_ratio
+        |    / len(string_split(text, ' ')) AS DECIMAL(27,12)), 6) AS DOUBLE) AS stop_ratio
         |FROM documents""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,
-        |  round(least(nt / 100.0, 1.0) * 0.4
-        |    + (1.0 - ns / nt) * 0.3 + (nd / nt) * 0.3, 6) AS quality
+        |  CAST(round(CAST(least(nt / 100.0, 1.0) * 0.4
+        |    + (1.0 - ns / nt) * 0.3 + (nd / nt) * 0.3 AS DECIMAL(27,12)), 6) AS DOUBLE) AS quality
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
