@@ -184,6 +184,46 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The deployed form of IVF: land the corpus hive-partitioned BY CELL
+    * (`partitionBy("cell")` at ingest), then answer queries by reading only
+    * the probed cells' partitions — the `cell IN (probes)` filter resolves
+    * against directory names (PartitionFilters), so (nCentroids − nProbe)/
+    * nCentroids of the data is never opened. This is what makes IVF an
+    * actual I/O win at 100 TB rather than a compute filter.
+    *
+    * `layoutDir` is written once if absent (idempotent); `centroids` must
+    * be the same quantizer used for the layout (pass the ivfTrain result).
+    */
+  def ivfCosineTopKPruned(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      centroids: Array[Array[Float]], nProbe: Int,
+      layoutDir: String): DataFrame = {
+    if (!new java.io.File(s"$layoutDir/_SUCCESS").exists()) {
+      vectors.withColumn("cell", ivfCell(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    }
+    val corpus = spark.read.parquet(layoutDir)
+    val qScored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(queryVecCol), typedlit(c.toSeq))).as("neg"),
+        lit(i).as("i"))
+    }: _*)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"),
+        transform(slice(sort_array(qScored), 1, nProbe), s => s("i"))
+          .as("__probes"))
+    val probes = q.select(explode(col("__probes")).as("p"))
+      .collect().map(_.getInt(0))
+    corpus.filter(col("cell").isin(probes: _*)) // -> PartitionFilters
+      .crossJoin(broadcast(q.drop("__probes")))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) /
+          (norm(col(vecCol)) * col("__qnorm"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Pairwise cosine-similarity join with optional equality blocking.
     * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,

@@ -48,6 +48,21 @@ object VectorQueries extends QueryPack {
         "embedding", k = 10, nCentroids = 16, nProbe = 4)
     }),
 
+    // IVF with the PHYSICAL layout: corpus landed hive-partitioned by
+    // cell, probe filter prunes partitions (PartitionFilters in the plan)
+    // — only nProbe/nCentroids of the data is read. Same results as
+    // vec_ann_ivf given the same quantizer (spec-verified).
+    "vec_ann_ivf_pruned" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding")
+      val centroids = VectorOps.ivfTrain(corpus, "embedding", 16)
+      VectorOps.ivfCosineTopKPruned(s, corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", k = 10, centroids, nProbe = 4,
+        layoutDir = s"/tmp/graft_ivf_fixture/${math.abs(d.hashCode)}")
+    }),
+
     "vec_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorOps.annCosineTopK(

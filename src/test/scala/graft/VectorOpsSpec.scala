@@ -75,6 +75,24 @@ class VectorOpsSpec extends SparkSpec {
       exactAll.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9)) }
   }
 
+  test("ivfCosineTopKPruned (partitioned layout) equals in-memory IVF " +
+      "and its plan prunes partitions") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val centroids = VectorOps.ivfTrain(corpus, "embedding", 8, seed = 42L)
+    val dir = s"/tmp/graft_ivf_spec_${System.nanoTime()}"
+    val pruned = VectorOps.ivfCosineTopKPruned(spark, corpus, "vec_id",
+      "embedding", q, "embedding", k = 10, centroids, nProbe = 2, dir)
+    val inMem = VectorOps.ivfCosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10, nCentroids = 8, nProbe = 2, seed = 42L)
+    assert(pruned.as[(Long, Double)].collect().toSeq ==
+      inMem.as[(Long, Double)].collect().toSeq)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("ivfTrain is deterministic and centroids are unit-norm") {
     val d = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, d)
