@@ -49,6 +49,30 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Batch top-k: the k nearest corpus vectors for EACH of a set of query
+    * vectors. Queries broadcast (one crossJoin, no corpus shuffle); ranking
+    * is a window over query_id — the shuffle moves only (query, id, score)
+    * triples, never vectors. For corpora where even the triples are too
+    * big, pre-reduce with a per-partition top-k (groupBy spark_partition_id
+    * + query) before the global rank; not needed at this tier. */
+  def cosineTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = withNorm(vectors, vecCol)
+    val q = withNorm(queries, qVecCol).select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    v.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
   // ---- ANN: random-hyperplane LSH (the 100 TB candidate-generation path)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */

@@ -100,6 +100,28 @@ object RelationalQueries extends QueryPack {
              round(max("pm"), 6).as("max_value"))
     }),
 
+    // skew-resistant JOIN: events.user_id has ~150 distinct values over
+    // 100k+ rows — a shuffled equi-join would put each hot user on one
+    // reducer. Salting: fact side gets salt = hash mod 8; dim side is
+    // REPLICATED 8× (explode), join on (key, salt) spreads every hot key
+    // over 8 tasks. Exact same rows as the plain join (the oracle). When
+    // the dim fits the broadcast threshold Catalyst/AQE broadcasts and
+    // salting is moot — this query demonstrates the pattern for dims that
+    // don't.
+    "join_skew_salted" -> ((s, d) => {
+      val nSalt = 8
+      val fact = Tables.events(s, d)
+        .withColumn("__fsalt", pmod(col("event_id"), lit(nSalt)))
+      val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .withColumn("__dsalt", explode(
+          sequence(lit(0), lit(nSalt - 1)).cast("array<bigint>")))
+      fact.join(dim,
+          col("user_id") === col("c_custkey") &&
+            col("__fsalt") === col("__dsalt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- window functions ----------------------------------------------
     "win_dedupe_rank" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -242,6 +264,11 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "agg_skew_salted" ->
       """SELECT event_type, count(*) AS n,

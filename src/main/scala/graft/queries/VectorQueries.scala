@@ -21,6 +21,15 @@ object VectorQueries extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // batch similarity search: top-3 neighbors for each of 5 query vectors
+    "vec_cosine_topk_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.cosineTopKBatch(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+    }),
+
     "vec_pairwise_join" -> ((s, d) =>
       VectorOps.pairwiseCosine(
         Tables.embeddings(s, d).select("vec_id", "label", "embedding"),
@@ -88,6 +97,19 @@ object VectorQueries extends QueryPack {
         |FROM n, q WHERE n.vec_id <> 0
         |ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) DESC, n.vec_id
         |LIMIT 10""".stripMargin),
+
+    "vec_cosine_topk_batch" -> (vCte +
+      """,
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm
+        |      FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, n.vec_id,
+        |    list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) AS cos,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) DESC,
+        |        n.vec_id) AS rk
+        |  FROM n, q WHERE n.vec_id >= 5)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk
+        |FROM scored WHERE rk <= 3""".stripMargin),
 
     "vec_pairwise_join" -> (vCte +
       """
