@@ -175,6 +175,16 @@ object RelationalQueries extends QueryPack {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))),
 
+    // KLL/GK-style quantile sketch — the 100 TB quantile path (exact
+    // percentile buffers every value; the sketch is bounded-memory and
+    // mergeable). Rows-only check; RelationalSpec bounds the error.
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("approx_pq"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95))")
+          .as("exact_pq"))),
+
     // ---- sorts / limits / top-k ----------------------------------------
     // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
     // then a k-row merge on the driver — no global sort at any scale.
