@@ -24,7 +24,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detailed =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(detailed)
+    // the detailed line is ~4 KB and log-tail windows can truncate its
+    // head, losing the total — persist it and ALSO print a short
+    // total-only line LAST so the headline number always survives
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), detailed + "\n")
+    catch { case _: Throwable => }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,30 +109,38 @@ class JobRunner(
       throw new IllegalArgumentException(
         s"primary key column '$missing' absent from $path")
     }
-    val stamped = Dedupe.withArrivalOrder(raw.coalesce(1))
-    val dupes = stamped.count() -
-      stamped.select(job.primaryKey.map(col): _*).distinct().count()
-    val deduped = (if (job.dedupe == "first")
-        Dedupe.keepFirst(stamped, job.primaryKey, col("__arrival"))
-      else Dedupe.keepLast(stamped, job.primaryKey, col("__arrival")))
-      .drop("__arrival")
-    sink.ensureTable(table, deduped.schema, job.primaryKey)
-    if (job.truncate) sink.truncate(table)
-    sink.upsert(deduped, table, job.primaryKey)
-    catalog.updateDescription(table,
-      java.time.LocalDateTime.now().withNano(0).toString.replace('T', ' '))
-    (deduped.count(), dupes)
+    // cache the stamped frame: three actions run over it (count,
+    // distinct-count, upsert) and without the cache each one re-reads and
+    // re-infers the CSV. One file fits executor memory by construction
+    // (the reference holds it whole in pandas).
+    val stamped = Dedupe.withArrivalOrder(raw.coalesce(1)).cache()
+    try {
+      val total = stamped.count()
+      val distinctPk =
+        stamped.select(job.primaryKey.map(col): _*).distinct().count()
+      val deduped = (if (job.dedupe == "first")
+          Dedupe.keepFirst(stamped, job.primaryKey, col("__arrival"))
+        else Dedupe.keepLast(stamped, job.primaryKey, col("__arrival")))
+        .drop("__arrival")
+      sink.ensureTable(table, deduped.schema, job.primaryKey)
+      if (job.truncate) sink.truncate(table)
+      sink.upsert(deduped, table, job.primaryKey)
+      catalog.updateDescription(table,
+        java.time.LocalDateTime.now().withNano(0).toString.replace('T', ' '))
+      // keepFirst/keepLast emit exactly one row per PK group, so the
+      // processed-row count IS the distinct-PK count — no third scan
+      (distinctPk, total - distinctPk)
+    } finally stamped.unpersist()
   }
 
   private def runStat(st: StatSpec, acc: DataFrame, table: String,
       job: Job): Unit = {
     val statTable = s"${table}__${st.kind.toLowerCase}"
-    val numericCols = acc.schema.fields.collect {
-      case f if f.dataType == DoubleType || f.dataType == LongType => f.name
-    }.toSeq
     st.kind match {
       case "descriptive" =>
-        val out = Stats.describe(acc, numericCols)
+        // describe(include='all') — ALL columns, with unique/top/freq rows,
+        // matching the reference's pandas describe (datapump.py:331-336)
+        val out = Stats.describeAll(acc, acc.columns.toSeq)
         sink.ensureTable(statTable, out.schema, Seq("stat"))
         sink.upsert(out, statTable, Seq("stat"))
       case "mode" =>

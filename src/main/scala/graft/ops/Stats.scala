@@ -53,6 +53,121 @@ object Stats {
       s"stack(${statLabels.size}, $stackArgs) AS (stat, ${cols.mkString(", ")})")
   }
 
+  /** pandas `describe(include='all')` (reference `datapump.py:331-336`):
+    * the full stat table over ALL columns — numeric, string AND timestamp —
+    * with the object-column rows `unique`/`top`/`freq` included. Output is
+    * `stat` + one STRING column per input column (pandas' mixed-type stat
+    * cells, relationally): numeric cells render as DECIMAL(28,6) strings,
+    * timestamps as 'yyyy-MM-dd HH:mm:ss', inapplicable cells are null
+    * (pandas' NaN).
+    *
+    * Semantics per column class (documented deviations from pandas):
+    *  - numeric: count/mean/std/min/25%/50%/75%/max (unique/top/freq null —
+    *    pandas also leaves these NaN for numeric columns)
+    *  - string: count/unique/top/freq; `top` ties break to the LOWEST value
+    *    (pandas' idxmax order is underspecified — this is deterministic)
+    *  - timestamp: count/mean/min/max on the time axis (the reference's
+    *    datetime_is_numeric handling); mean is EXACT integer epoch-second
+    *    math (see agg_describe_ts); quantiles/std null
+    *
+    * Scale shape: ONE distributed aggregation pass for every count/moment/
+    * quantile cell, plus ONE long-format scan for the string modes (same
+    * trick as [[modeAll]] — explode to (col, value) pairs so k columns cost
+    * one shuffle, not k). Both sides reduce to a single row before the
+    * final stack pivot — no driver collect anywhere.
+    */
+  def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = cols.map(c => c -> df.schema(c).dataType).toMap
+    val numCols = cols.filter(c => dt(c).isInstanceOf[NumericType])
+    val strCols = cols.filter(c => dt(c) == StringType)
+    val tsCols = cols.filter(c =>
+      dt(c) == TimestampType || dt(c) == TimestampNTZType)
+
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"${c}__count"))
+      if (numCols.contains(c)) base ++ Seq(
+        StableRound.round6(avg(col(c))).as(s"${c}__mean"),
+        round(stddev_samp(col(c)), 6).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pq"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+      else if (tsCols.contains(c)) base ++ Seq(
+        expr(s"timestamp_seconds(sum(unix_seconds(cast($c as timestamp)))" +
+          s" div count($c))").as(s"${c}__mean_ts"),
+        min(col(c)).as(s"${c}__min_ts"),
+        max(col(c)).as(s"${c}__max_ts"))
+      else if (strCols.contains(c))
+        base :+ count_distinct(col(c)).as(s"${c}__unique")
+      else base
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // string modes: long format, one scan for all string columns; both
+    // frames are single-row so the crossJoin is trivially broadcast
+    val withTop = if (strCols.isEmpty) one else {
+      val pairs = df.select(explode(array(strCols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.c").as("c"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+      val counts = pairs.groupBy("c", "v").agg(count(lit(1)).as("n"))
+      val top = counts.withColumn("rk", row_number().over(
+          Window.partitionBy("c").orderBy(col("n").desc, col("v"))))
+        .filter(col("rk") === 1)
+        .groupBy().pivot("c", strCols).agg(first(struct(col("v"), col("n"))))
+        .select(strCols.map(c => col(c).as(s"${c}__top")): _*)
+      one.crossJoin(broadcast(top))
+    }
+
+    // deterministic cross-engine cell rendering: doubles via DECIMAL(28,6)
+    // (fixed 6-digit scale — both engines print the identical string),
+    // timestamps second-truncated
+    def decStr(c: Column): Column = c.cast("decimal(28,6)").cast("string")
+    def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val nullStr = lit(null).cast("string")
+
+    def cell(c: String, stat: String): Column = {
+      val isNum = numCols.contains(c)
+      val isStr = strCols.contains(c)
+      val isTs = tsCols.contains(c)
+      stat match {
+        case "count" => col(s"${c}__count").cast("string")
+        case "unique" =>
+          if (isStr) col(s"${c}__unique").cast("string") else nullStr
+        case "top" => if (isStr) col(s"${c}__top.v") else nullStr
+        case "freq" =>
+          if (isStr) col(s"${c}__top.n").cast("string") else nullStr
+        case "mean" =>
+          if (isNum) decStr(col(s"${c}__mean"))
+          else if (isTs) tsStr(col(s"${c}__mean_ts")) else nullStr
+        case "std" => if (isNum) decStr(col(s"${c}__std")) else nullStr
+        case "min" =>
+          if (isNum) decStr(col(s"${c}__min"))
+          else if (isTs) tsStr(col(s"${c}__min_ts")) else nullStr
+        case "25%" | "50%" | "75%" =>
+          if (isNum) {
+            val idx = stat match {
+              case "25%" => 1; case "50%" => 2; case _ => 3
+            }
+            decStr(round(element_at(col(s"${c}__pq"), idx), 6))
+          } else nullStr
+        case "max" =>
+          if (isNum) decStr(col(s"${c}__max"))
+          else if (isTs) tsStr(col(s"${c}__max_ts")) else nullStr
+      }
+    }
+
+    val statNames = Seq("count", "unique", "top", "freq", "mean", "std",
+      "min", "25%", "50%", "75%", "max")
+    val cells = withTop.select(statNames.flatMap(st =>
+      cols.map(c => cell(c, st).as(s"${c}__$st"))): _*)
+    val stackArgs = statNames.map { st =>
+      s"'$st', " + cols.map(c => s"`${c}__$st`").mkString(", ")
+    }.mkString(", ")
+    cells.selectExpr(
+      s"stack(${statNames.size}, $stackArgs) AS (stat, ${cols.mkString(", ")})")
+  }
+
   /** Tie-faithful per-column mode matrix — pandas `df.mode()`
     * (reference `datapump.py:337-341`): for each column, ALL values tied
     * for the max count, row-aligned across columns by per-column rank

@@ -128,17 +128,24 @@ object VectorOps {
   /** Train a coarse quantizer: k spherical-k-means centroids fit on a
     * driver-side sample (FAISS-style — quantizer training uses a bounded
     * sample regardless of corpus size, so this collect is O(sampleN·d),
-    * NOT O(corpus)). Cosine metric: vectors and centroids are L2-normalized
-    * and Lloyd updates maximize dot product. Deterministic: seeded sample,
-    * seeded init, fixed iteration count. */
+    * NOT O(corpus)). The sample is drawn by ranking on a seeded hash of the
+    * vector and keeping the first `sampleN` — a TakeOrderedAndProject
+    * (per-partition heap of sampleN, k-row driver merge), so it is a
+    * deterministic uniform-ish sample in ONE pass with no count action and
+    * driver memory hard-capped at sampleN·d floats at any corpus size.
+    * Cosine metric: vectors and centroids are L2-normalized and Lloyd
+    * updates maximize dot product. Deterministic: seeded sample, seeded
+    * init, fixed iteration count. */
   def ivfTrain(vectors: DataFrame, vecCol: String, nCentroids: Int,
-      sampleFraction: Double = 1.0, iters: Int = 8,
+      sampleN: Int = 4096, iters: Int = 8,
       seed: Long = 42L): Array[Array[Float]] = {
     def normalize(v: Array[Float]): Array[Float] = {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
-    val sample = vectors.select(vecCol).sample(sampleFraction, seed)
+    val sample = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)))
+      .limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray).map(normalize)
     require(sample.length >= nCentroids, "sample smaller than nCentroids")
     val rnd = new scala.util.Random(seed)
@@ -223,7 +230,11 @@ object VectorOps {
       query: DataFrame, queryVecCol: String, k: Int,
       centroids: Array[Array[Float]], nProbe: Int,
       layoutDir: String): DataFrame = {
-    if (!new java.io.File(s"$layoutDir/_SUCCESS").exists()) {
+    // Hadoop FS probe (not java.io.File) so the layout works on any
+    // filesystem the cluster reads — HDFS/object stores, not just local
+    val success = new org.apache.hadoop.fs.Path(s"$layoutDir/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
       vectors.withColumn("cell", ivfCell(col(vecCol), centroids))
         .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
     }

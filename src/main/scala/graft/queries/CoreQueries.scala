@@ -53,12 +53,17 @@ object CoreQueries extends QueryPack {
     // micro-units): o_totalprice is an exact 2-decimal value with ~3e5
     // magnitude, where a double avg's cross-engine ULP noise (~6e-11)
     // straddles terminating-rational round boundaries — observed as a
-    // 1-digit oracle mismatch at sf0.01 before this change.
+    // 1-digit oracle mismatch at sf0.01 before this change. The cent-sum
+    // accumulates in DECIMAL(38,0), not BIGINT: a group's scaled cent-sum
+    // passes 2^63 at large TPC-H scale factors and would silently wrap in
+    // non-ANSI mode (DuckDB's BIGINT sum widens to HUGEINT, so only the
+    // Spark side needed widening).
     "agg_resample_calendar" -> ((s, d) =>
       TimeSeries.resampleAgg(Tables.orders(s, d), "o_orderdate", "M",
           Seq("o_orderstatus"),
-          Seq((expr("(sum(cast(round(o_totalprice * 100) as bigint)) * 10000)" +
-                " div count(1)").cast("double") / 1000000.0).as("avg_price"),
+          Seq((expr("(sum(cast(round(o_totalprice * 100) as decimal(38,0)))" +
+                " * 10000) div count(1)").cast("double") / 1000000.0)
+                .as("avg_price"),
               count(lit(1)).as("n")))
         .withColumnRenamed("o_orderdate", "month_start")),
 

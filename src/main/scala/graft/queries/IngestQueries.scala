@@ -21,9 +21,10 @@ object IngestQueries extends QueryPack {
   def queries: Map[String, Q] = Map(
     // parquet → mixed-format CSV → glob read → infer → typed DataFrame
     "scan_csv_glob" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv_fixture/${math.abs(d.hashCode)}"
-      // fixture content is deterministic in d — write once, reuse after
-      if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+      // fixture keyed on the SOURCE's content fingerprint (uri+len+mtime):
+      // regenerating the dataset at the same path invalidates the cache
+      val tmp = s"/tmp/graft_csv_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
         val fmts = CsvIngest.DefaultFormats
         val m = pmod(col("event_id"), lit(4))
         Tables.events(s, d).select(
@@ -70,8 +71,8 @@ object IngestQueries extends QueryPack {
     // resolves against directory names, visible as PartitionFilters in
     // the physical plan — zero data files from other days are opened).
     "scan_partition_prune" -> ((s, d) => {
-      val tmp = s"/tmp/graft_part_fixture/${math.abs(d.hashCode)}"
-      if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+      val tmp = s"/tmp/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
         Tables.events(s, d)
           .withColumn("event_date", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("event_date").parquet(tmp)

@@ -54,7 +54,9 @@ object MultimodalQueries extends QueryPack {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       sink.ensureTable("rt_orders", slice.schema, Seq("o_orderkey"))
       sink.upsert(slice, "rt_orders", Seq("o_orderkey"))
-      sink.readBack(s, "rt_orders")
+      // read back cast to the pre-sink schema: Derby TIMESTAMP surfaces as
+      // TimestampType while the source column is TimestampNTZ
+      sink.readBack(s, "rt_orders", slice.schema)
     }),
 
     // §2.1 sink_truncate: truncate between loads — only the second load
@@ -78,10 +80,12 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime
         |FROM documents""".stripMargin,
 
+    // CAST(list_sum AS BIGINT): DuckDB's list_sum returns HUGEINT, which
+    // pandas renders as float ("696.0") vs Spark's BIGINT ("696")
     "mm_decode_stub" ->
       """SELECT doc_id, length(text) AS n_bytes,
-        |  list_sum(list_transform(string_split(substring(text, 1, 8), ''),
-        |    c -> CAST(unicode(c) AS BIGINT))) AS feat
+        |  CAST(list_sum(list_transform(string_split(substring(text, 1, 8), ''),
+        |    c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS feat
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->
@@ -95,8 +99,11 @@ object MultimodalQueries extends QueryPack {
         |  unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)"""
         .stripMargin,
 
+    // octet_length(encode(...)), not length(...): the Spark side truncates
+    // the UTF-8 payload at 96 BYTES, so the oracle must count bytes too or
+    // parity silently depends on the corpus being pure ASCII
     "mm_resize_stub" ->
-      """SELECT doc_id, least(length(text), 96) AS n_bytes
+      """SELECT doc_id, least(octet_length(encode(text)), 96) AS n_bytes
         |FROM documents""".stripMargin,
 
     "agg_record_count" -> "SELECT count(*) AS n FROM lineitem",

@@ -168,22 +168,34 @@ object RelationalQueries extends QueryPack {
           Window.partitionBy("user_id").orderBy("event_id")
             .rangeBetween(-100, 0))).as("range_mavg"))),
 
-    // HLL sketch cardinality — approximate, so no DuckDB hash oracle;
-    // RelationalSpec bounds the error against the exact count.
+    // HLL sketch cardinality — the estimate itself can never hash-match a
+    // different engine, so the ERROR BOUND is emitted as data: the oracle
+    // selects the exact twin + `true`, making the entry fully hash-checkable
+    // while SketchSpec keeps the numeric bound.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts"))),
+          approx_count_distinct(col("l_partkey")).as("approx"),
+          count_distinct(col("l_partkey")).as("exact"))
+        .select(col("exact").as("exact_parts"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact")
+            <= 0.05).as("within_5pct"))),
 
     // KLL/GK-style quantile sketch — the 100 TB quantile path (exact
     // percentile buffers every value; the sketch is bounded-memory and
-    // mergeable). Rows-only check; RelationalSpec bounds the error.
+    // mergeable). Scalar projection (array columns crash the driver's
+    // pandas row-sort), error bound emitted as data like agg_approx_distinct.
     "agg_approx_quantile" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("approx_pq"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95))")
-          .as("exact_pq"))),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+            .as("apq"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("epq"))
+        .select(
+          round(element_at(col("epq"), 1), 6).as("exact_p50"),
+          round(element_at(col("epq"), 2), 6).as("exact_p95"),
+          (abs(element_at(col("apq"), 1) - element_at(col("epq"), 1)) /
+            element_at(col("epq"), 1) <= 0.01).as("p50_within_1pct"),
+          (abs(element_at(col("apq"), 2) - element_at(col("epq"), 2)) /
+            element_at(col("epq"), 2) <= 0.01).as("p95_within_1pct"))),
 
     // ---- sorts / limits / top-k ----------------------------------------
     // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
@@ -226,6 +238,18 @@ object RelationalQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // sketch ops: the oracle checks the exact twin + asserts the sketch's
+    // published error bound held (Spark side computes the boolean)
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_5pct FROM lineitem""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+        |  true AS p50_within_1pct, true AS p95_within_1pct
+        |FROM lineitem""".stripMargin,
+
     "join_left_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -11,9 +11,18 @@ object StatsQueries extends QueryPack {
   private val descCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  // events exercises all three column classes of describe(include='all'):
+  // numeric (event_id, user_id, value), string (event_type), ts (ts)
+  private val allCols = Seq("event_id", "user_id", "event_type", "value", "ts")
+
   def queries: Map[String, Q] = Map(
     "agg_describe" -> ((s, d) =>
       Stats.describe(Tables.lineitem(s, d), descCols)),
+
+    // the reference's full describe(include='all') surface
+    // (datapump.py:331-336): unique/top/freq rows + string & ts columns
+    "agg_describe_all" -> ((s, d) =>
+      Stats.describeAll(Tables.events(s, d), allCols)),
 
     "agg_mode" -> ((s, d) =>
       Stats.modeAll(Tables.events(s, d), Seq("event_type", "user_id"))),
@@ -52,6 +61,55 @@ object StatsQueries extends QueryPack {
         row("75%", c => s"round(quantile_cont($c, 0.75), 6)"),
         row("max", c => s"CAST(max($c) AS DOUBLE)"),
       ).mkString("\nUNION ALL\n")
+    },
+
+    "agg_describe_all" -> {
+      val num = Seq("event_id", "user_id", "value")
+      val str = Seq("event_type")
+      val ts = Seq("ts")
+      val NULL = "CAST(NULL AS VARCHAR)"
+      // DECIMAL(28,6)→VARCHAR renders a fixed 6-digit scale identically in
+      // both engines — the cross-engine-stable string form of a double cell
+      def dec(e: String) = s"CAST(CAST($e AS DECIMAL(28,6)) AS VARCHAR)"
+      def tsf(e: String) = s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      def topSub(c: String, field: String) =
+        s"(SELECT $field FROM (SELECT $c AS v, count(*) AS n FROM events " +
+          s"WHERE $c IS NOT NULL GROUP BY 1 ORDER BY n DESC, v LIMIT 1))"
+      def cell(c: String, stat: String): String = stat match {
+        case "count" => s"CAST(count($c) AS VARCHAR)"
+        case "unique" =>
+          if (str.contains(c)) s"CAST(count(DISTINCT $c) AS VARCHAR)" else NULL
+        case "top" =>
+          if (str.contains(c)) topSub(c, "v") else NULL
+        case "freq" =>
+          if (str.contains(c)) s"CAST(${topSub(c, "n")} AS VARCHAR)" else NULL
+        case "mean" =>
+          if (num.contains(c))
+            dec(s"round(CAST(avg($c) AS DECIMAL(27,12)), 6)")
+          else if (ts.contains(c))
+            tsf(s"make_timestamp((CAST(sum(floor(epoch($c))) AS BIGINT) " +
+              s"// count($c)) * 1000000)")
+          else NULL
+        case "std" =>
+          if (num.contains(c)) dec(s"round(stddev_samp($c), 6)") else NULL
+        case "min" | "max" =>
+          if (num.contains(c)) dec(s"$stat($c)")
+          else if (ts.contains(c)) tsf(s"CAST($stat($c) AS TIMESTAMP)")
+          else NULL
+        case pct => // "25%" | "50%" | "75%"
+          val q = pct.stripSuffix("%").toInt / 100.0
+          if (num.contains(c)) dec(s"round(quantile_cont($c, $q), 6)")
+          else NULL
+      }
+      Seq("count", "unique", "top", "freq", "mean", "std",
+          "min", "25%", "50%", "75%", "max").map { stat =>
+        // top/freq rows hold only scalar subqueries and NULLs — no
+        // aggregate, so a FROM clause would fan out to one row per event
+        val from = if (stat == "top" || stat == "freq") "" else " FROM events"
+        s"SELECT '$stat' AS stat, " +
+          allCols.map(c => s"""${cell(c, stat)} AS $c""").mkString(", ") +
+          from
+      }.mkString("\nUNION ALL\n")
     },
 
     "agg_describe_ts" ->

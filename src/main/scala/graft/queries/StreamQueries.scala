@@ -52,6 +52,86 @@ object StreamQueries extends QueryPack {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("first_ts"), col("n"))),
 
+    // stateful streaming dedupe (dropDuplicatesWithinWatermark state
+    // store). Keys only in the output: WHICH row survives per key depends
+    // on partition arrival order, but the key SET is deterministic — the
+    // batch-SQL oracle is DISTINCT. Cross-batch survivor semantics are
+    // covered by StreamingSpec.
+    "stream_dedupe" -> ((s, d) =>
+      StreamOps.runToMemory(
+        eventsStream(s, d)
+          .withWatermark("ts", "24 hours")
+          .dropDuplicatesWithinWatermark("user_id", "event_type"),
+        outputMode = "append")
+        .select(col("user_id"), col("event_type"))),
+
+    // streaming upsert sink: foreachBatch → batched JDBC PK-upsert into
+    // Derby → read the accumulated table back. keep-last by event_id per
+    // key inside each batch, so the result equals batch keep-last dedupe.
+    "stream_upsert_sink" -> ((s, d) => {
+      val sink = graft.sink.JdbcSink("jdbc:derby:memory:streamupq;create=true")
+      val stream = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+      val q = StreamOps.upsertEachBatch(stream, sink, "st_upsert",
+        Seq("user_id", "event_type"), "event_id")
+      q.awaitTermination()
+      sink.readBack(s, "st_upsert")
+    }),
+
+    // watermark semantics end-to-end: two CSV files arrive in two separate
+    // runs of the SAME checkpointed query (watermark state persists in the
+    // checkpoint — AvailableNow processes everything present in one batch,
+    // so sequential runs are how distinct watermark epochs are driven).
+    // File 2 carries an event BEHIND the watermark established by file 1 —
+    // it must be dropped from the windowed aggregate, and only
+    // watermark-closed windows are emitted in append mode. The oracle is
+    // the exact literal expectation, so a broken drop (extra/bumped window
+    // row) and broken finalization (missing row) both fail the compare.
+    "stream_late_data" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_late_fixture")
+      // fresh fixture every call: the checkpoint must not remember a
+      // previous run or no batches would fire at all
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val src = base.resolve("src"); Files.createDirectories(src)
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      def runOnce(): Unit = {
+        val q = StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
+          .select(col("window.start").as("win_start"), col("n"),
+            col("sum_v"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: establishes watermark max(ts)-10min = 10:20
+      Files.write(src.resolve("f1.csv"),
+        "ts,v\n2024-01-01 10:05:00,1.0\n2024-01-01 10:30:00,2.0\n"
+          .getBytes("UTF-8"))
+      runOnce()
+      // run 2: 10:06 is behind the restored 10:20 watermark -> dropped;
+      // 12:00 advances the watermark to 11:50, closing the 10:30 window
+      Files.write(src.resolve("f2.csv"),
+        "ts,v\n2024-01-01 10:06:00,99.0\n2024-01-01 12:00:00,3.0\n"
+          .getBytes("UTF-8"))
+      runOnce()
+      s.read.parquet(out)
+    }),
+
     // CSV file stream with a deterministic runtime fixture; oracle is a
     // literal VALUES table. Exercises schema-pinned streaming CSV ingest.
     "stream_ingest_files" -> ((s, d) => {
@@ -116,5 +196,25 @@ object StreamQueries extends QueryPack {
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
         |FROM (VALUES (1, 10.5), (2, 20.5), (3, 30.5)) AS t(k, v)"""
         .stripMargin,
+
+    "stream_dedupe" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_upsert_sink" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    // expected: [10:00 window n=1 sum 1.0] (late 10:06 row DROPPED),
+    // [10:30 window n=1 sum 2.0] (closed by the no-data batch after f2);
+    // the [12:00) window stays open past the final watermark -> not emitted
+    "stream_late_data" ->
+      """SELECT CAST(w AS TIMESTAMP) AS win_start, CAST(n AS BIGINT) AS n,
+        |  CAST(s AS DOUBLE) AS sum_v
+        |FROM (VALUES (TIMESTAMP '2024-01-01 10:00:00', 1, 1.0),
+        |             (TIMESTAMP '2024-01-01 10:30:00', 1, 2.0))
+        |  AS t(w, n, s)""".stripMargin,
   )
 }

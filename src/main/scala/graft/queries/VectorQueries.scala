@@ -69,7 +69,7 @@ object VectorQueries extends QueryPack {
       VectorOps.ivfCosineTopKPruned(s, corpus, "vec_id", "embedding",
         emb.filter(col("vec_id") === 0).select("embedding"),
         "embedding", k = 10, centroids, nProbe = 4,
-        layoutDir = s"/tmp/graft_ivf_fixture/${math.abs(d.hashCode)}")
+        layoutDir = s"/tmp/graft_ivf_fixture/${Fixtures.key(s, s"$d/embeddings.parquet")}")
     }),
 
     "vec_ann_lsh" -> ((s, d) => {

@@ -30,7 +30,12 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
   private def sqlType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType => "BIGINT"
     case DoubleType | FloatType => "DOUBLE PRECISION"
-    case TimestampType => "TIMESTAMP"
+    // TimestampNTZ is what Spark 4 infers for parquet timestamps without
+    // isAdjustedToUTC (the common pandas/arrow layout) — without this case
+    // such columns were silently created as VARCHAR and read back as the
+    // java.sql.Timestamp string repr.
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
     case _ => if (isDerby) "VARCHAR(32672)" else "TEXT"
   }
 
@@ -46,7 +51,8 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
   private def jdbcType(dt: DataType): Int = dt match {
     case LongType | IntegerType | ShortType | ByteType => Types.BIGINT
     case DoubleType | FloatType => Types.DOUBLE
-    case TimestampType => Types.TIMESTAMP
+    case TimestampType | TimestampNTZType => Types.TIMESTAMP
+    case DateType => Types.DATE
     case _ => Types.VARCHAR
   }
 
@@ -186,6 +192,23 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     val props = new java.util.Properties()
     if (user.nonEmpty) { props.put("user", user); props.put("password", password) }
     spark.read.jdbc(url, s""""$table"""", props)
+  }
+
+  /** Read back cast to a caller-known schema: JDBC type mapping is lossy
+    * (e.g. Derby TIMESTAMP ⇒ TimestampType even when the source column was
+    * TimestampNTZ), so round-trip queries pass the pre-sink schema and get
+    * the exact source types back. Columns absent from `expected` pass
+    * through unchanged. */
+  def readBack(spark: SparkSession, table: String,
+      expected: StructType): DataFrame = {
+    val byName = expected.fields.map(f => f.name -> f.dataType).toMap
+    val raw = readBack(spark, table)
+    raw.select(raw.columns.map { c =>
+      byName.get(c) match {
+        case Some(dt) => org.apache.spark.sql.functions.col(c).cast(dt).as(c)
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }.toIndexedSeq: _*)
   }
 
   def recordCount(table: String): Long = {

@@ -74,8 +74,9 @@ class JobRunnerSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "s1", 12.0),
       ("2024-01-01 11:00:00.0", "s1", 20.0)))
 
-    // stats tables exist and have content
-    assert(sink.recordCount(s"${table}__descriptive") == 8)
+    // stats tables exist and have content: describe(include='all') emits
+    // the full pandas row set — count/unique/top/freq + 7 numeric moments
+    assert(sink.recordCount(s"${table}__descriptive") == 11)
     assert(sink.recordCount(s"${table}__h") == 2) // two hourly buckets
 
     // archive semantics: 2 good files moved to processed/, poison to problems/

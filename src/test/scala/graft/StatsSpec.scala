@@ -19,6 +19,45 @@ class StatsSpec extends SparkSpec {
     assert(got("max") == 4.0)
   }
 
+  test("describeAll: unique/top/freq + per-class cell applicability") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, "b", 10.0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "a", 20.0, Timestamp.valueOf("2024-01-01 12:00:00")),
+      (3L, "a", 30.0, Timestamp.valueOf("2024-01-01 14:00:00")),
+      (4L, "c", 40.0, Timestamp.valueOf("2024-01-01 16:00:00")))
+      .toDF("id", "s", "x", "ts")
+    val got = Stats.describeAll(df, Seq("id", "s", "x", "ts"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(got.size == 11) // pandas describe(include='all') row set
+    assert(got("count") == (("4", "4", "4", "4")))
+    // unique/top/freq apply to the string column only
+    assert(got("unique") == ((null, "3", null, null)))
+    assert(got("top") == ((null, "a", null, null))) // modal value
+    assert(got("freq") == ((null, "2", null, null)))
+    // numeric cells render as fixed-scale DECIMAL(28,6) strings
+    assert(got("mean")._1 == "2.500000")
+    assert(got("mean")._3 == "25.000000")
+    assert(got("50%")._3 == "25.000000")
+    assert(got("max")._3 == "40.000000")
+    assert(got("std")._2 == null) // std not defined for strings
+    // timestamp: exact epoch-mean + min/max on the time axis, no quantiles
+    assert(got("mean")._4 == "2024-01-01 13:00:00")
+    assert(got("min")._4 == "2024-01-01 10:00:00")
+    assert(got("max")._4 == "2024-01-01 16:00:00")
+    assert(got("25%")._4 == null)
+  }
+
+  test("describeAll: string top ties break to the lowest value") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("s")
+    val got = Stats.describeAll(df, Seq("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("top") == "a") // 'a' and 'b' tie at 2 — lowest wins
+    assert(got("freq") == "2")
+  }
+
   test("mode: ties are all returned, row-aligned, sorted by value") {
     // col a: 'x' and 'y' tie at 2; col b: single mode 9
     val df = Seq(("x", 9), ("x", 9), ("y", 9), ("y", 8), ("z", 7))
