@@ -10,18 +10,29 @@ import graft.StableRound
   */
 object Stats {
 
+  /** Quantile aggregate: exact `percentile` for oracle parity, or
+    * bounded-memory mergeable `approx_percentile` for the 100 TB path
+    * (both return the same array shape, so callers are mode-agnostic). */
+  private def pctExpr(c: String, pcts: String, exact: Boolean): Column =
+    if (exact) expr(s"percentile($c, $pcts)")
+    else expr(s"approx_percentile($c, $pcts, 10000)")
+
   /** pandas-describe-shaped stat table over numeric columns: one string
     * `stat` column + one double column per input column, rows
     * count/mean/std/min/25%/50%/75%/max (reference `datapump.py:331-336`).
     *
     * One distributed aggregation pass computes every cell (partial aggs +
     * single shuffle), then `stack` pivots the single row into stat rows —
-    * no driver-side collect. Quantiles are exact `percentile` (linearly
-    * interpolated, matching pandas and DuckDB `quantile_cont`); at 100 TB
-    * swap for `approx_percentile` — exactness here is for oracle parity
+    * no driver-side collect. With `exact=true` (default) quantiles are
+    * exact `percentile` (linearly interpolated, matching pandas and DuckDB
+    * `quantile_cont`) — the oracle-parity mode, which buffers each
+    * column's values. `exact=false` is the 100 TB mode: `approx_percentile`
+    * (accuracy 10000 ⇒ rank error ≤ 1e-4·n) is bounded-memory and
+    * mergeable, so the aggregation never holds a column in RAM
     * (SURVEY §7 hard part 3).
     */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describe(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"${c}__count"),
@@ -31,7 +42,7 @@ object Stats {
         // ONE percentile aggregate per column for all three quantiles:
         // each percentile call buffers the column's values independently,
         // so the array form cuts the dominant sort/merge cost 3×
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pq"),
+        pctExpr(c, "array(0.25, 0.5, 0.75)", exact).as(s"${c}__pq"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -76,7 +87,8 @@ object Stats {
     * one shuffle, not k). Both sides reduce to a single row before the
     * final stack pivot — no driver collect anywhere.
     */
-  def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describeAll(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     val dt = cols.map(c => c -> df.schema(c).dataType).toMap
     val numCols = cols.filter(c => dt(c).isInstanceOf[NumericType])
@@ -90,7 +102,7 @@ object Stats {
         StableRound.round6(avg(col(c))).as(s"${c}__mean"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pq"),
+        pctExpr(c, "array(0.25, 0.5, 0.75)", exact).as(s"${c}__pq"),
         max(col(c)).cast("double").as(s"${c}__max"))
       else if (tsCols.contains(c)) base ++ Seq(
         expr(s"timestamp_seconds(sum(unix_seconds(cast($c as timestamp)))" +

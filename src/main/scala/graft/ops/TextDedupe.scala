@@ -53,9 +53,18 @@ object TextDedupe {
     * hot-shingle blow-up that a naive shingle self-join hits at scale,
     * without losing a single qualifying pair. A length filter
     * (t·|A| ≤ |B| ≤ |A|/t) prunes further before exact verification on
-    * the full shingle sets. */
+    * the full shingle sets.
+    *
+    * `broadcastDfreq`: when the distinct-shingle vocabulary fits an
+    * executor (true for bounded-domain corpora; NOT for open web text at
+    * 100 TB), broadcasting the (shingle, df) table turns the dfreq
+    * annotation into a broadcast-hash join and saves a full shuffle of the
+    * exploded inverted index — the index is then shuffled only once, by
+    * the window key. Default off: the merge join is the
+    * arbitrary-vocabulary-safe plan. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+      threshold: Double, blockCol: Option[String] = None,
+      broadcastDfreq: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .select((col(idCol) +: blockCol.map(col).toSeq :+
@@ -65,7 +74,8 @@ object TextDedupe {
     val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
       col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
     // global shingle document-frequency → rare-first canonical order
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq0 = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastDfreq) broadcast(dfreq0) else dfreq0
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))

@@ -197,6 +197,35 @@ object RelationalQueries extends QueryPack {
           (abs(element_at(col("apq"), 2) - element_at(col("epq"), 2)) /
             element_at(col("epq"), 2) <= 0.01).as("p95_within_1pct"))),
 
+    // Bucketed co-located join — the 100 TB join layout story: both sides
+    // are LANDED bucketed (+ sorted) on the join key via bucketBy/
+    // saveAsTable, so every later join on that key is exchange-free — the
+    // SortMergeJoin reads co-located buckets directly (no Exchange, no
+    // Sort, on either side; JoinsSpec asserts the plan). The one-time
+    // bucketed write is the amortized cost; repeated joins are shuffle-free.
+    "join_bucketed" -> ((s, d) => {
+      val key = Fixtures.key(s, s"$d/orders.parquet")
+      def ensure(name: String, df: org.apache.spark.sql.DataFrame,
+          bucketCol: String): org.apache.spark.sql.DataFrame = {
+        val tbl = s"graft_b_${name}_$key"
+        if (!s.catalog.tableExists(tbl)) {
+          df.write.mode("overwrite")
+            .bucketBy(8, bucketCol).sortBy(bucketCol)
+            .option("path", s"/tmp/graft_bucket_fixture/$key/$name")
+            .saveAsTable(tbl)
+        }
+        s.table(tbl)
+      }
+      val o = ensure("orders", Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey")
+      val c = ensure("customer", Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey"), "c_custkey")
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
     // ---- sorts / limits / top-k ----------------------------------------
     // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
     // then a k-row merge on the driver — no global sort at any scale.
@@ -249,6 +278,12 @@ object RelationalQueries extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
         |  true AS p50_within_1pct, true AS p95_within_1pct
         |FROM lineitem""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "join_left_semi" ->
       """SELECT c_custkey, c_name FROM customer

@@ -87,10 +87,15 @@ object TextQueries extends QueryPack {
         .select("keep_id", "n")
     }),
 
-    // exact n-gram Jaccard pairs, language-blocked
+    // exact n-gram Jaccard pairs, language-blocked. broadcastDfreq: this
+    // corpus has a bounded shingle vocabulary (~27k distinct at sf0.1), so
+    // the document-frequency table broadcasts and the inverted index is
+    // shuffled once instead of twice; open-vocabulary corpora keep the
+    // default merge-join plan.
     "dedupe_near_ngram" -> ((s, d) =>
       TextDedupe.ngramJaccardPairs(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.5, blockCol = Some("lang"))),
+        "doc_id", "text", threshold = 0.5, blockCol = Some("lang"),
+        broadcastDfreq = true)),
 
     // MinHash+LSH candidates verified exactly — matches the global exact
     // oracle because recall at s>=0.95 with b=8,r=4 is 1-3e-8 (see op doc)

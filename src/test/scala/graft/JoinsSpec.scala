@@ -9,6 +9,26 @@ class JoinsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("bucketed join on co-bucketed tables plans with NO Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (1L, 11.0)).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/a").saveAsTable("spec_bucket_a")
+    Seq((1L, "x"), (2L, "y"), (4L, "z")).toDF("k", "name")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/b").saveAsTable("spec_bucket_b")
+    val joined = spark.table("spec_bucket_a").hint("merge")
+      .join(spark.table("spec_bucket_b"), "k")
+    // co-located + co-sorted buckets: the SortMergeJoin reads both sides
+    // directly — no shuffle, no sort, at ANY table size
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(joined.count() == 3) // k=1 twice, k=2 once
+    spark.sql("DROP TABLE spec_bucket_a")
+    spark.sql("DROP TABLE spec_bucket_b")
+  }
+
   test("asOfJoin picks latest right row at or before left ts") {
     val left = Seq(
       (1L, 10L, ts("2024-01-05 00:00:00")),
