@@ -208,11 +208,26 @@ object RelationalQueries extends QueryPack {
       def ensure(name: String, df: org.apache.spark.sql.DataFrame,
           bucketCol: String): org.apache.spark.sql.DataFrame = {
         val tbl = s"graft_b_${name}_$key"
+        val path = s"/tmp/graft_bucket_fixture/$key/$name"
         if (!s.catalog.tableExists(tbl)) {
-          df.write.mode("overwrite")
-            .bucketBy(8, bucketCol).sortBy(bucketCol)
-            .option("path", s"/tmp/graft_bucket_fixture/$key/$name")
-            .saveAsTable(tbl)
+          if (Fixtures.exists(s, path)) {
+            // layout already on disk from an earlier session: re-attach it
+            // as an external bucketed table instead of rewriting — the
+            // catalog entry carries the bucket spec, the files carry the
+            // bucket ids in their names. This is the cluster pattern too:
+            // bucketed layouts are written once and re-registered by every
+            // consumer session.
+            s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL})
+                     |USING PARQUET
+                     |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+                     |INTO 8 BUCKETS
+                     |LOCATION '$path'""".stripMargin)
+          } else {
+            df.write.mode("overwrite")
+              .bucketBy(8, bucketCol).sortBy(bucketCol)
+              .option("path", path)
+              .saveAsTable(tbl)
+          }
         }
         s.table(tbl)
       }
