@@ -88,6 +88,21 @@ object TextOps {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** PII scrubbing patterns — the pre-training redaction pass. ASCII-only
+    * character classes so Java regex (Spark) and RE2 (other engines) agree;
+    * extend per deployment (SSNs, IPs, credit cards follow the same shape). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails/phones and count redactions. regexp_replace is global
+    * in Spark; pure per-row column expressions — map-only at any scale. */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(col(textCol), lit(PhoneRe))).as("n_pii"))
+
   /** Rolling polynomial fingerprint over characters:
     * h = fold(h*31 + codepoint) mod 1e9+7. Deterministic and engine-neutral
     * (expressible identically in DuckDB for the oracle), unlike xxhash64. */

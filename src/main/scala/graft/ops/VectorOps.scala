@@ -259,6 +259,26 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Evaluate `bound` once per row for `body`-many uses (1-element
+    * transform let-binding — HOFs have no CSE; see TextDedupe.let1). */
+  private def let1(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
+  /** Symmetric per-vector int8 quantization — the embedding STORAGE
+    * operator at 100 TB: a float32 corpus stores 4× smaller as int8 +
+    * one float scale per vector, which is what makes billion-vector
+    * indexes disk-resident. q_i = round_half_up(x_i·127/max|x|); the
+    * scale to dequantize is max|x|/127. Pure column expression (map-only,
+    * no shuffle); round_half_up is spelled floor(v+0.5) because that is
+    * bit-identical across engines, while native round(double) is not.
+    * max|x| is let-bound — inlined it would re-scan the vector per
+    * element (O(d²), the HOF no-CSE pitfall). */
+  def quantizeInt8(vec: Column): Column =
+    let1(array_max(transform(vec, x => abs(x.cast("double")))), maxabs =>
+      when(maxabs === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x =>
+          floor(x.cast("double") / maxabs * 127.0 + 0.5).cast("int"))))
+
   /** Pairwise cosine-similarity join with optional equality blocking.
     * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,

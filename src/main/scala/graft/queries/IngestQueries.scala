@@ -83,6 +83,24 @@ object IngestQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // JSONL source — the dominant LLM-training-data interchange format.
+    // Round trip: events → to_json lines → schema-pinned spark.read.json.
+    // A pinned schema (never inference) is the 100 TB contract: inference
+    // would scan the corpus twice and can drift between files.
+    "scan_jsonl" -> ((s, d) => {
+      val tmp = s"/tmp/graft_jsonl_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        Tables.events(s, d)
+          .select(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(tmp)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
     // §2.2 project_drop_cols (reference Stat.DropColumns, datapump.py:291)
     "project_drop_cols" -> ((s, d) =>
       Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
@@ -135,6 +153,11 @@ object IngestQueries extends QueryPack {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type""".stripMargin,
+
+    // double round-trip through JSON shortest-decimal repr is exact, so
+    // the oracle is the source table itself
+    "scan_jsonl" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "project_drop_cols" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",

@@ -241,6 +241,44 @@ object RelationalQueries extends QueryPack {
           round(sum("o_totalprice"), 2).as("revenue"))
     }),
 
+    // Pivot (long→wide crosstab): month × order-status counts. Pivot
+    // values are PINNED (never inferred — inference costs an extra
+    // distinct pass and makes the output schema data-dependent, both
+    // wrong at scale). Missing cells coalesce to 0 like SQL FILTER'd
+    // counts.
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("m", month(col("o_orderdate")).cast("long"))
+        .groupBy("m").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("m"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    // Stratified sample (training-data pipelines: class-balanced
+    // subsampling). sampleBy is per-row Bernoulli on a seeded hash —
+    // single pass, no shuffle, exactly reproducible for a fixed seed, but
+    // engine-specific — so the CHECK emitted as data is the per-stratum
+    // binomial bound (observed within 5σ of n·f), and the exact stratum
+    // totals carry the hash comparison.
+    "sample_stratified" -> ((s, d) => {
+      val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+        "signup" -> 0.25, "error" -> 0.0)
+      val events = Tables.events(s, d)
+      val sampled = events.stat.sampleBy("event_type", fractions, seed = 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+      val totals = events.groupBy("event_type")
+        .agg(count(lit(1)).as("stratum_total"))
+      val f = element_at(typedlit(fractions), col("event_type"))
+      totals.join(sampled, Seq("event_type"), "left")
+        .select(col("event_type"), col("stratum_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") -
+            col("stratum_total") * f) <=
+            lit(5.0) * sqrt(col("stratum_total") * f * (lit(1.0) - f)
+              + lit(1.0))).as("sample_ok"))
+    }),
+
     // ---- sorts / limits / top-k ----------------------------------------
     // Global top-k plans as TakeOrderedAndProject: per-partition heap of k,
     // then a k-row merge on the driver — no global sort at any scale.
@@ -287,6 +325,17 @@ object RelationalQueries extends QueryPack {
     "agg_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  true AS within_5pct FROM lineitem""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT month(o_orderdate) AS m,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT event_type, count(*) AS stratum_total, true AS sample_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_approx_quantile" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,

@@ -27,6 +27,19 @@ object StatsQueries extends QueryPack {
     "agg_mode" -> ((s, d) =>
       Stats.modeAll(Tables.events(s, d), Seq("event_type", "user_id"))),
 
+    // correlation / covariance — describe-adjacent bivariate stats; one
+    // distributed agg pass (partial moments + single merge), scale-free.
+    "agg_corr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d).agg(
+        graft.StableRound.round6(corr("l_quantity", "l_extendedprice"))
+          .as("corr_qty_price"),
+        graft.StableRound.round6(corr("l_discount", "l_tax"))
+          .as("corr_disc_tax"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4)
+          .as("covar_qty_price"))
+    }),
+
     // describe over a TIMESTAMP column — the reference's
     // datetime_is_numeric=True semantics (datapump.py:331-336): mean/
     // min/max are meaningful on the time axis. The mean uses EXACT
@@ -111,6 +124,15 @@ object StatsQueries extends QueryPack {
           from
       }.mkString("\nUNION ALL\n")
     },
+
+    "agg_corr" ->
+      """SELECT CAST(round(CAST(corr(l_quantity, l_extendedprice)
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS corr_qty_price,
+        |  CAST(round(CAST(corr(l_discount, l_tax)
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS corr_disc_tax,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4)
+        |    AS covar_qty_price
+        |FROM lineitem""".stripMargin,
 
     "agg_describe_ts" ->
       """SELECT count(ts) AS n,

@@ -58,6 +58,21 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // PII redaction — the pre-training scrub pass. The corpus carries no
+    // real PII, so deterministic synthetic PII (an email + phone derived
+    // from doc_id) is injected first; the scrub must find and redact
+    // exactly those. Map-only column expressions.
+    "text_pii_scrub" -> ((s, d) =>
+      TextOps.scrubPii(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+            .as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), expr("right(scrubbed, 48)").as("tail"),
+          col("n_pii"))),
+
     "text_lang_id" -> ((s, d) =>
       TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
 
@@ -144,6 +159,21 @@ object TextQueries extends QueryPack {
         |      t -> t IN ('a', 'the'))) AS DOUBLE) AS ns,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
         |  FROM documents)""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  right(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 48) AS tail,
+        |  CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t,
+        |      '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_pii
+        |FROM w""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -42,6 +42,19 @@ object VectorQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.45, blockCol = None)
         .select("id1", "id2", "cos_sim")),
 
+    // int8 embedding quantization (4× storage cut — the disk-resident
+    // index format). Output is scalar per-vector stats of the quantized
+    // codes (the driver compare cannot sort array cells), fully
+    // oracle-checked — DuckDB reproduces the identical codes.
+    "vec_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))),
+
     // ANN scale path: sign-LSH bucketed candidates + exact rerank. No SQL
     // oracle (approximate); VectorOpsSpec checks candidate scores against
     // the exact ranking.
@@ -89,6 +102,19 @@ object VectorQueries extends QueryPack {
       |    sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "vec_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) / maxabs * 127 + 0.5) AS INT)) AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin,
+
     "vec_cosine_topk" -> (vCte +
       """,
         |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)

@@ -93,6 +93,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("quantizeInt8: symmetric scale, half-up rounding, zero-vector safe") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),            // zero vector -> all-zero codes
+      (3L, Seq(-2.0f, 1.0f))            // negative max-magnitude
+    ).toDF("id", "v")
+    val got = df.select(col("id"), VectorOps.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // maxabs=1: 127, floor(-63.5+0.5)=-63, 0, floor(31.75+0.5)=32
+    assert(got(1L) == Seq(127, -63, 0, 32))
+    assert(got(2L) == Seq(0, 0))
+    assert(got(3L) == Seq(-127, 64)) // floor(63.5+0.5)=64
+    // round-trip error bounded by half a quantization step
+    val err = df.filter(col("id") =!= 2).select(col("v"),
+        VectorOps.quantizeInt8(col("v")).as("q"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0); val q = r.getSeq[Int](1)
+        val maxabs = v.map(x => math.abs(x.toDouble)).max
+        v.zip(q).map { case (x, c) =>
+          math.abs(x.toDouble - c * maxabs / 127.0) }.max
+      }.max
+    assert(err <= 0.5 * 2.0 / 127.0 + 1e-9)
+  }
+
   test("ivfTrain is deterministic and centroids are unit-norm") {
     val d = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, d)
