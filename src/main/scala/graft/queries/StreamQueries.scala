@@ -65,6 +65,16 @@ object StreamQueries extends QueryPack {
         outputMode = "append")
         .select(col("user_id"), col("event_type"))),
 
+    // custom streaming state (flatMapGroupsWithState): per-user running
+    // (count, max) in the state store. One AvailableNow batch over the
+    // bounded input ⇒ one emission per key with the final totals, so the
+    // batch-SQL oracle is a plain groupBy. Cross-batch accumulation is
+    // StreamingSpec's half.
+    "stream_stateful_count" -> ((s, d) =>
+      StreamOps.runToMemory(
+        StreamOps.statefulUserCounts(eventsStream(s, d)),
+        outputMode = "append")),
+
     // streaming upsert sink: foreachBatch → batched JDBC PK-upsert into
     // Derby → read the accumulated table back. keep-last by event_id per
     // key inside each batch, so the result equals batch keep-last dedupe.
@@ -199,6 +209,11 @@ object StreamQueries extends QueryPack {
 
     "stream_dedupe" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  max(event_id) AS max_event_id
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "stream_upsert_sink" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -82,6 +82,31 @@ object StreamOps {
     df.sparkSession.table(name)
   }
 
+  /** Per-key running aggregate via CUSTOM STATE (flatMapGroupsWithState) —
+    * the API for stateful logic that windows/dropDuplicates can't express
+    * (running counters, custom sessionization, CDC-style merge). State is
+    * one (count, max) pair per key, persisted in the state store across
+    * micro-batches; each batch emits the key's updated running totals.
+    * NoTimeout: the keyspace here (users) is bounded; unbounded keyspaces
+    * pair this with event-time timeouts to bound the store. */
+  def statefulUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          var (n, m) = state.getOption.getOrElse((0L, Long.MinValue))
+          rows.foreach { r => n += 1; if (r._2 > m) m = r._2 }
+          state.update((n, m))
+          Iterator((uid, n, m))
+      }
+      .toDF("user_id", "n_events", "max_event_id")
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

@@ -56,6 +56,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00") == 1) // late row did NOT bump n to 2
   }
 
+  test("statefulUserCounts accumulates custom state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val counted = StreamOps.statefulUserCounts(
+      in.toDF().toDF("user_id", "event_id"))
+    val q = counted.writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    in.addData((1L, 10L), (1L, 11L), (2L, 20L))
+    q.processAllAvailable()
+    in.addData((1L, 12L)) // state for user 1 must carry over
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits one row per (key, batch); the LAST row per key
+    // carries the accumulated running totals
+    val last = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("max_event_id").as("m"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(last(1L) == ((3L, 12L))) // 2 from batch 1 + 1 from batch 2
+    assert(last(2L) == ((1L, 20L)))
+  }
+
   test("stream_upsert_sink: foreachBatch upserts each micro-batch, " +
       "replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
