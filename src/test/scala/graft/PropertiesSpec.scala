@@ -48,6 +48,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: pivot cells conserve the per-group totals") {
+    val d = "/root/testdata/sf0.001"
+    val piv = SparkEntry.queries("agg_pivot")(spark, d)
+      .withColumn("cells", col("n_f") + col("n_o") + col("n_p"))
+    val totals = Tables.orders(spark, d)
+      .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("total"))
+    assert(piv.join(totals, "m")
+      .filter(col("cells") =!= col("total")).count() == 0)
+  }
+
+  test("property: stratified sample is reproducible for a fixed seed") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val fr = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+      "signup" -> 0.25, "error" -> 0.0)
+    def ids() = events.stat.sampleBy("event_type", fr, seed = 7L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids() == ids()) // per-row seeded Bernoulli — replay-identical
+  }
+
   test("property: ts format/parse round-trips across the 4 formats") {
     val fmts = graft.ingest.CsvIngest.DefaultFormats
     val tsGen = Gen.choose(0L, 4102444800L).map(_ * 1000L) // whole seconds
