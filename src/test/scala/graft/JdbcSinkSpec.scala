@@ -42,6 +42,29 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back == Set((1L, Some("x"), Some(ts)), (2L, None, None)))
   }
 
+  test("TimestampNTZ and Date columns round-trip typed (not as VARCHAR)") {
+    // regression: parquet timestamps without isAdjustedToUTC read as
+    // TimestampNTZ in Spark 4; the sink once created such columns as
+    // VARCHAR, so read-back returned 'yyyy-MM-dd HH:mm:ss.f' strings
+    val sink = freshSink("ntz")
+    val df = spark.sql(
+      """SELECT 1L AS k, TIMESTAMP_NTZ '2024-03-01 08:30:00' AS tntz,
+        |  DATE '2024-03-01' AS d""".stripMargin)
+    assert(df.schema("tntz").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    sink.ensureTable("t5", df.schema, Seq("k"))
+    sink.upsert(df, "t5", Seq("k"))
+    val back = sink.readBack(spark, "t5", df.schema)
+    assert(back.schema("tntz").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val row = back.collect().head
+    assert(row.getAs[java.time.LocalDateTime]("tntz") ==
+      java.time.LocalDateTime.of(2024, 3, 1, 8, 30, 0))
+    assert(row.getAs[java.sql.Date]("d").toString == "2024-03-01")
+  }
+
   test("truncate empties the table") {
     val sink = freshSink("tr")
     val df = Seq((1L, 1.0)).toDF("k", "v")
