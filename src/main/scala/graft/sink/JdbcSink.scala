@@ -108,31 +108,40 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     * (test dialect) rejects MERGE from a VALUES source, so it runs batched
     * DELETE-then-INSERT inside one transaction — same last-write-wins
     * semantics. */
+  /** Dialect upsert statements: Postgres = one `INSERT … ON CONFLICT DO
+    * UPDATE` (second element null); Derby (test dialect, rejects MERGE
+    * from a VALUES source) = (DELETE-by-PK, INSERT) executed as batched
+    * pairs in one transaction. Exposed for spec coverage — the Postgres
+    * branch has no live server in the test environment. */
+  private[graft] def upsertSql(table: String, cols: Seq[String],
+      pk: Seq[String]): (String, String) = {
+    val q = cols.map(c => s""""$c"""")
+    val insSql =
+      s"""INSERT INTO "$table" (${q.mkString(", ")}) """ +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    if (isDerby) {
+      val delSql = s"""DELETE FROM "$table" WHERE """ +
+        pk.map(c => s""""$c" = ?""").mkString(" AND ")
+      (delSql, insSql)
+    } else {
+      val conflict = pk.map(c => s""""$c"""").mkString(", ")
+      val nonPk = cols.filterNot(pk.contains)
+      val action =
+        if (nonPk.nonEmpty) "DO UPDATE SET " +
+          nonPk.map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
+        else "DO NOTHING"
+      (insSql + s" ON CONFLICT ($conflict) $action", null)
+    }
+  }
+
   def upsert(df: DataFrame, table: String, pk: Seq[String],
       batchSize: Int = 500): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames
-    val q = cols.map(c => s""""$c"""")
     val types = schema.fields.map(f => jdbcType(f.dataType))
     val pkIdx = pk.map(cols.indexOf(_)).toArray
     require(!pkIdx.contains(-1), s"pk $pk not in ${cols.mkString(",")}")
-    val insSql =
-      s"""INSERT INTO "$table" (${q.mkString(", ")}) """ +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val (sql1, sql2) =
-      if (isDerby) {
-        val delSql = s"""DELETE FROM "$table" WHERE """ +
-          pk.map(c => s""""$c" = ?""").mkString(" AND ")
-        (delSql, insSql)
-      } else {
-        val conflict = pk.map(c => s""""$c"""").mkString(", ")
-        val nonPk = cols.filterNot(pk.contains)
-        val action =
-          if (nonPk.nonEmpty) "DO UPDATE SET " +
-            nonPk.map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
-          else "DO NOTHING"
-        (insSql + s" ON CONFLICT ($conflict) $action", null)
-      }
+    val (sql1, sql2) = upsertSql(table, cols.toSeq, pk)
     val self = this
     val twoPhase = sql2 != null
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

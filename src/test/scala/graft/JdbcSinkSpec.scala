@@ -65,6 +65,21 @@ class JdbcSinkSpec extends SparkSpec {
     assert(row.getAs[java.sql.Date]("d").toString == "2024-03-01")
   }
 
+  test("upsert SQL: Postgres ON CONFLICT shape and Derby delete+insert") {
+    val pg = JdbcSink("jdbc:postgresql://host/db")
+    val (pgSql, pgNull) = pg.upsertSql("t", Seq("k1", "k2", "v"), Seq("k1", "k2"))
+    assert(pgNull == null) // single-statement dialect
+    assert(pgSql ==
+      """INSERT INTO "t" ("k1", "k2", "v") VALUES (?, ?, ?)""" +
+        """ ON CONFLICT ("k1", "k2") DO UPDATE SET "v" = EXCLUDED."v"""")
+    // all-PK table degenerates to DO NOTHING (nothing to update)
+    assert(pg.upsertSql("t", Seq("k"), Seq("k"))._1.endsWith("DO NOTHING"))
+    val derby = JdbcSink("jdbc:derby:memory:x")
+    val (del, ins) = derby.upsertSql("t", Seq("k", "v"), Seq("k"))
+    assert(del == """DELETE FROM "t" WHERE "k" = ?""")
+    assert(ins == """INSERT INTO "t" ("k", "v") VALUES (?, ?)""")
+  }
+
   test("truncate empties the table") {
     val sink = freshSink("tr")
     val df = Seq((1L, 1.0)).toDF("k", "v")
