@@ -168,6 +168,18 @@ object RelationalQueries extends QueryPack {
           Window.partitionBy("user_id").orderBy("event_id")
             .rangeBetween(-100, 0))).as("range_mavg"))),
 
+    // quartile bucketing + relative rank per group — ntile ties are
+    // row-order-dependent, so the ordering includes the unique key
+    "win_ntile" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"),
+        StableRound.round6(percent_rank().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .as("pct_rank"))),
+
     // HLL sketch cardinality — the estimate itself can never hash-match a
     // different engine, so the ERROR BOUND is emitted as data: the oracle
     // selects the exact twin + `true`, making the entry fully hash-checkable
@@ -179,6 +191,26 @@ object RelationalQueries extends QueryPack {
         .select(col("exact").as("exact_parts"),
           (abs(col("approx") - col("exact")).cast("double") / col("exact")
             <= 0.05).as("within_5pct"))),
+
+    // Sketch MERGEABILITY — the rollup pattern that makes sketches the
+    // 100 TB cardinality path: build one Datasketches-HLL PER DAY
+    // (incremental ingest materializes these once), then answer the
+    // all-time question by UNIONING daily sketches — no rescan of
+    // history. Check emitted as data: merged estimate within 5% of the
+    // exact (single-pass) distinct count.
+    "agg_hll_merge" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val daily = events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
+      val exact = events.agg(
+        count_distinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact).select(col("exact_users"),
+        (abs(col("merged_est") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_5pct"))
+    }),
 
     // KLL/GK-style quantile sketch — the 100 TB quantile path (exact
     // percentile buffers every value; the sketch is bounded-memory and
@@ -325,6 +357,19 @@ object RelationalQueries extends QueryPack {
     "agg_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  true AS within_5pct FROM lineitem""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  true AS within_5pct FROM events""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(round(CAST(percent_rank() OVER w AS DECIMAL(27,12)), 6)
+        |    AS DOUBLE) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "agg_pivot" ->
       """SELECT month(o_orderdate) AS m,
