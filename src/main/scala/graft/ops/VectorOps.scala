@@ -123,6 +123,44 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The deployed form of sign-LSH: land the corpus hive-partitioned BY
+    * BUCKET (computed once at ingest), answer queries by reading only the
+    * buckets within hamming distance `probe` of the query's bucket — the
+    * probe set resolves against directory names (PartitionFilters), so
+    * the other ~(1 − probed/2^nBits) of the corpus is never opened. This
+    * closes the "bucket must be precomputed" deployment note on
+    * [[annCosineTopK]]: the inline form is the semantics, this is the
+    * I/O-winning layout. */
+  def lshCosineTopKPruned(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nBits: Int, dim: Int, probe: Int, layoutDir: String): DataFrame = {
+    val success = new org.apache.hadoop.fs.Path(s"$layoutDir/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      vectors.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+        .write.mode("overwrite").partitionBy("bucket").parquet(layoutDir)
+    }
+    val corpus = spark.read.parquet(layoutDir)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"),
+        lshBucket(col(queryVecCol), nBits, dim).as("__qbucket"))
+    // probe-set enumeration is O(2^nBits) driver arithmetic on the 1-row
+    // query's bucket — no data touched
+    val qb = q.select("__qbucket").collect()(0).getLong(0)
+    val probes = (0 until (1 << nBits))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
+      .map(_.toLong)
+    corpus.filter(col("bucket").isin(probes: _*)) // -> PartitionFilters
+      .crossJoin(broadcast(q.drop("__qbucket")))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) /
+          (norm(col(vecCol)) * col("__qnorm"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   // ---- ANN: IVF (inverted-file) coarse quantizer — the second scale path
 
   /** Train a coarse quantizer: k spherical-k-means centroids fit on a

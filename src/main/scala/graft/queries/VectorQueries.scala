@@ -92,6 +92,21 @@ object VectorQueries extends QueryPack {
         emb.filter(col("vec_id") === 0).select("embedding"),
         "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
     }),
+
+    // LSH with the PHYSICAL layout: corpus landed hive-partitioned by
+    // sign-LSH bucket; the multi-probe filter prunes partitions, so only
+    // ~9/256 of the corpus is opened. Same results as vec_ann_lsh given
+    // the same hyperplanes (spec-verified).
+    "vec_ann_lsh_pruned" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.lshCosineTopKPruned(s,
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+        "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", k = 10, nBits = 8, dim = 64, probe = 1,
+        layoutDir =
+          s"/tmp/graft_lsh_fixture/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+    }),
   )
 
   private val vCte =

@@ -93,6 +93,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("lshCosineTopKPruned (partitioned layout) equals inline LSH " +
+      "and its plan prunes partitions") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val dir = s"/tmp/graft_lsh_spec_${System.nanoTime()}"
+    val pruned = VectorOps.lshCosineTopKPruned(spark, corpus, "vec_id",
+      "embedding", q, "embedding", k = 10, nBits = 8, dim = 64, probe = 1,
+      dir)
+    val inline = VectorOps.annCosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
+    assert(pruned.as[(Long, Double)].collect().toSeq ==
+      inline.as[(Long, Double)].collect().toSeq)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("quantizeInt8: symmetric scale, half-up rounding, zero-vector safe") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.0f, 0.25f)),
