@@ -101,6 +101,30 @@ object IngestQueries extends QueryPack {
         .select("event_id", "user_id", "event_type", "value")
     }),
 
+    // Schema evolution across landed files — years of ingested data drift
+    // (columns added/retired); mergeSchema unions the footers and reads
+    // absent columns as null. Fixture: two parquet files with overlapping
+    // schemas ((k,a) and (k,b)).
+    "scan_schema_merge" -> ((s, d) => {
+      val tmp =
+        s"/tmp/graft_merge_fixture/${Fixtures.key(s, s"$d/region.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        val r = Tables.region(s, d)
+        r.select(col("r_regionkey").as("k"), col("r_name").as("a"))
+          .write.mode("overwrite").parquet(s"$tmp/part1")
+        r.select(col("r_regionkey").as("k"),
+            length(col("r_name")).cast("long").as("b"))
+          .write.mode("overwrite").parquet(s"$tmp/part2")
+        // one _SUCCESS at the fixture root marks both parts written
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")).close()
+      }
+      s.read.option("mergeSchema", true)
+        .parquet(s"$tmp/part1", s"$tmp/part2")
+        .select("k", "a", "b")
+    }),
+
     // §2.2 project_drop_cols (reference Stat.DropColumns, datapump.py:291)
     "project_drop_cols" -> ((s, d) =>
       Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
@@ -158,6 +182,16 @@ object IngestQueries extends QueryPack {
     // the oracle is the source table itself
     "scan_jsonl" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    // each source file contributes its own columns; the other file's rows
+    // carry null there
+    "scan_schema_merge" ->
+      """SELECT r_regionkey AS k, r_name AS a, CAST(NULL AS BIGINT) AS b
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey AS k, CAST(NULL AS VARCHAR) AS a,
+        |  CAST(length(r_name) AS BIGINT) AS b
+        |FROM region""".stripMargin,
 
     "project_drop_cols" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",

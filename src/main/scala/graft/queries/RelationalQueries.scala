@@ -288,6 +288,18 @@ object RelationalQueries extends QueryPack {
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))),
 
+    // Unpivot/melt (wide→long, the pivot inverse) — e.g. reshaping metric
+    // columns into (metric, value) rows for generic downstream aggs.
+    // Pure Expand node: map-only, rows × |value cols|, no shuffle.
+    "unpivot_melt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // Stratified sample (training-data pipelines: class-balanced
     // subsampling). sampleBy is per-row Bernoulli on a seeded hash —
     // single pass, no shuffle, exactly reproducible for a fixed seed, but
@@ -381,6 +393,16 @@ object RelationalQueries extends QueryPack {
     "sample_stratified" ->
       """SELECT event_type, count(*) AS stratum_total, true AS sample_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
 
     "agg_approx_quantile" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
