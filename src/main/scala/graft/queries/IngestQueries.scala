@@ -125,6 +125,25 @@ object IngestQueries extends QueryPack {
         .select("k", "a", "b")
     }),
 
+    // Small-files compaction: a 32-fragment landing dir (one file per
+    // micro-batch is the streaming-ingest pathology) rewritten to few
+    // size-targeted files; the oracle checks row-level identity with the
+    // source table — compaction must be a pure layout change.
+    "sink_compact" -> ((s, d) => {
+      val key = Fixtures.key(s, s"$d/events.parquet")
+      val frag = s"/tmp/graft_compact_fixture/$key/fragmented"
+      val out = s"/tmp/graft_compact_fixture/$key/compacted"
+      if (!Fixtures.exists(s, frag)) {
+        Tables.events(s, d).select("event_id", "user_id", "value")
+          .repartition(32).write.mode("overwrite").parquet(frag)
+      }
+      if (!Fixtures.exists(s, out)) {
+        graft.ingest.Compaction.compact(s, frag, out,
+          targetBytes = 512 * 1024)
+      }
+      s.read.parquet(out)
+    }),
+
     // §2.2 project_drop_cols (reference Stat.DropColumns, datapump.py:291)
     "project_drop_cols" -> ((s, d) =>
       Tables.customer(s, d).drop("c_acctbal", "c_nationkey")),
@@ -182,6 +201,10 @@ object IngestQueries extends QueryPack {
     // the oracle is the source table itself
     "scan_jsonl" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    // compaction is a pure layout change: row content identical to source
+    "sink_compact" ->
+      "SELECT event_id, user_id, value FROM events",
 
     // each source file contributes its own columns; the other file's rows
     // carry null there

@@ -70,4 +70,23 @@ class CsvIngestSpec extends SparkSpec {
     assert(CsvIngest.ckanType(StringType) == "text")
     assert(CsvIngest.ckanType(BooleanType) == "text") // fallback
   }
+
+  test("compaction collapses fragments and preserves row content exactly") {
+    import sqlImplicits._
+    import graft.ingest.Compaction
+    val base = Files.createTempDirectory("graft-compact")
+    val frag = s"$base/frag"; val out = s"$base/out"
+    (1 to 1000).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .repartition(16).write.parquet(frag)
+    assert(Compaction.fileCount(spark, frag) == 16)
+    // huge target -> everything fits one file
+    assert(Compaction.compact(spark, frag, out, targetBytes = 1L << 30) == 1)
+    assert(Compaction.fileCount(spark, out) == 1)
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().sorted.toSeq ==
+      (1 to 1000).map(i => (i.toLong, i * 1.5)))
+    // tiny target -> proportional file count from the FS listing
+    val bytes = Compaction.dataBytes(spark, frag)
+    val n = Compaction.compact(spark, frag, s"$base/out2", bytes / 4 + 1)
+    assert(n >= 3 && n <= 4 && Compaction.fileCount(spark, s"$base/out2") == n)
+  }
 }
