@@ -116,17 +116,22 @@ object StreamQueries extends QueryPack {
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.DoubleType)))
       def runOnce(): Unit = {
-        val q = StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "10 minutes"))
-          .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
-          .select(col("window.start").as("win_start"), col("n"),
-            col("sum_v"))
-          .writeStream.format("parquet").option("path", out)
-          .option("checkpointLocation", ckpt).outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // small state-store count for the 4-row fixture (see runToMemory)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", 4)
+        try {
+          val q = StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
+            .select(col("window.start").as("win_start"), col("n"),
+              col("sum_v"))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       }
       // run 1: establishes watermark max(ts)-10min = 10:20
       Files.write(src.resolve("f1.csv"),

@@ -69,17 +69,30 @@ object StreamOps {
 
   /** Run a (bounded) streaming DataFrame to completion with AvailableNow
     * into a memory sink and return the materialized result — used by the
-    * driver-checkable stream queries and batch-parity tests. */
-  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    * driver-checkable stream queries and batch-parity tests.
+    *
+    * State partitioning: the shuffle-partition count at FIRST start
+    * becomes the query's state-store count for life (it is baked into the
+    * checkpoint). These bounded runs use a small count — 32 state stores
+    * per micro-batch is pure per-instance overhead here (measured 2× on
+    * the windowed queries); production sizing belongs to the deployment's
+    * key cardinality, not this default. */
+  def runToMemory(df: DataFrame, outputMode: String,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Per-key running aggregate via CUSTOM STATE (flatMapGroupsWithState) —
