@@ -212,6 +212,63 @@ object RelationalQueries extends QueryPack {
           col("exact_users") <= 0.05).as("within_5pct"))
     }),
 
+    // Count-Min frequency sketch — bounded-memory heavy-hitter counts.
+    // The sketch aggregation is distributed (mergeable buffers); only the
+    // FINAL verification is driver-side, and it is bounded by the number
+    // of probed keys (|event types| = 5), never by rows. CMS guarantees
+    // est ≥ exact and est ≤ exact + ε·N with prob ≥ confidence.
+    "agg_count_min" -> ((s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d)
+      val eps = 0.001
+      val skBin = events
+        .agg(expr(s"count_min_sketch(event_type, ${eps}d, 0.99d, 42)")
+          .as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBin))
+      val exact = events.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val n = exact.map(_._2).sum
+      exact.toSeq.map { case (k, ex) =>
+        val est = cms.estimateCount(k)
+        (k, ex, est >= ex && est <= ex + (2 * eps * n).toLong)
+      }.toDF("event_type", "exact_n", "within_bound")
+    }),
+
+    // Bloom-filter pre-join — the runtime-filter pattern at scale: build
+    // a bloom over the fact side's keys, broadcast it, and pre-filter the
+    // other side before an expensive join (no false negatives, ≤fpp false
+    // positives). Emitted check: bloom-passed count brackets the exact
+    // semi-join count from above within the fpp margin.
+    "agg_bloom_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      // df.stat.bloomFilter aggregates the sketch distributed (mergeable
+      // per-partition buffers) and returns the merged filter; the probe
+      // is a broadcast of the ~KB filter into a UDF — the one place a
+      // UDF is warranted, since Spark exposes no public might_contain
+      // column function (the engine's own InjectRuntimeFilter uses the
+      // internal twin of exactly this plan shape).
+      val bf = orders.stat.bloomFilter("o_custkey",
+        expectedNumItems = 200000L, fpp = 0.03)
+      val bfBc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+      val maybe = cust.filter(mightContain(col("c_custkey")))
+        .agg(count(lit(1)).as("bloom_n"))
+      val exact = cust.join(orders, col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("exact_matches"))
+      val total = cust.agg(count(lit(1)).as("n_cust"))
+      maybe.crossJoin(exact).crossJoin(total)
+        .select(col("exact_matches"),
+          (col("bloom_n") >= col("exact_matches") &&
+            col("bloom_n") <= col("exact_matches") +
+              ceil(col("n_cust") * 0.03).cast("long"))
+            .as("within_fpp"))
+    }),
+
     // KLL/GK-style quantile sketch — the 100 TB quantile path (exact
     // percentile buffers every value; the sketch is bounded-memory and
     // mergeable). Scalar projection (array columns crash the driver's
@@ -373,6 +430,16 @@ object RelationalQueries extends QueryPack {
     "agg_hll_merge" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  true AS within_5pct FROM events""".stripMargin,
+
+    "agg_count_min" ->
+      """SELECT event_type, count(*) AS exact_n, true AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_bloom_join" ->
+      """SELECT count(*) AS exact_matches, true AS within_fpp
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
 
     "win_ntile" ->
       """SELECT o_orderkey, o_orderstatus,
