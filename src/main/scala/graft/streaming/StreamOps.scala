@@ -120,6 +120,56 @@ object StreamOps {
       .toDF("user_id", "n_events", "max_event_id")
   }
 
+  /** Custom gap-timeout sessionization via flatMapGroupsWithState +
+    * EVENT-TIME TIMEOUT — the state-TTL mechanism: a session's state
+    * carries (start, end, count) and registers a timeout at
+    * lastEvent + gap; when the WATERMARK passes that instant the state
+    * times out, the closed session is EMITTED and the state REMOVED —
+    * so the store never accumulates dead sessions (the unbounded-keyspace
+    * safety `session_window` gets for free, here in the custom-state
+    * form). Batch-granular: events arriving in one micro-batch fold into
+    * one open session (gap splitting happens on watermark passage).
+    * Returns (user_id, session_start, session_end, n_events) per CLOSED
+    * session. */
+  def sessionizeWithTimeout(events: DataFrame, userCol: String,
+      tsCol: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      // project/cast BEFORE the watermark: a cast after it mints a new
+      // attribute without the event-time tag and EventTimeTimeout rejects
+      // the query
+      .select(col(userCol).cast("long").as("__u"),
+        col(tsCol).cast("timestamp").as("__t"))
+      .withWatermark("__t", s"$gapMinutes minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, e0, n0) = state.get
+            state.remove()
+            Iterator((uid, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(e0), n0))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val (s0, e0, n0) =
+              state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
+            val merged =
+              (math.min(s0, ts.min), math.max(e0, ts.max), n0 + ts.size)
+            state.update(merged)
+            // close when the watermark passes lastEvent + gap
+            state.setTimeoutTimestamp(merged._2 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

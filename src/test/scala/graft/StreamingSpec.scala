@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 20L)))
   }
 
+  test("sessionizeWithTimeout closes sessions on watermark passage and " +
+      "evicts their state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.sessionizeWithTimeout(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts", gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // open a session for user 1
+    in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty) // still open — nothing emitted
+    // another user's event pushes the watermark past 10:10 + 30min
+    in.addData((2L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    val done = spark.table("sess_out")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(done == Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L)))
+    // user 2's session is open, not emitted; a later event closes it
+    in.addData((3L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sess_out").select("user_id")
+      .as[Long].collect().toSet
+    assert(all == Set(1L, 2L))
+  }
+
   test("stream_upsert_sink: foreachBatch upserts each micro-batch, " +
       "replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
