@@ -1,5 +1,23 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at the SF dir in
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":0.1}`.
+  *
+  * Two passes: an UNTIMED warmup pass runs every query once first, so the
+  * timed pass measures steady-state per-query cost — without it, whichever
+  * query runs first absorbs one-time JVM/codegen/broadcast-pool/scan-cache
+  * init (round 2's first query billed 9.4s for ~2s of work) and
+  * round-over-round per-query comparison is meaningless. Queries are
+  * re-runnable by construction (fixtures are mtime-cached, memory-sink
+  * names are counter-fresh, Derby upserts are idempotent).
+  *
+  * stdout discipline: the JSON line is the ONLY stdout output and the last
+  * thing printed (driver parsers take the tail); anything human-facing
+  * goes to stderr. The line is also persisted to `bench_out.json`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,28 +30,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: parquet reader + codegen + shuffle machinery init,
-    // so the first timed query isn't billed for one-time JVM setup
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().count()
+
+    // pass 1 — untimed warmup (errors ignored; the timed pass reports them)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => System.err.println(s"[warmup] $name failed") }
+    }
+
+    // pass 2 — timed, steady state
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // locale-pinned plain-decimal rendering: no scientific notation, no
+    // locale comma separators — the line must stay machine-parseable JSON
+    def num(v: Double): String = "%.4f".formatLocal(Locale.US, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(detailed)
-    // the detailed line is ~4 KB and log-tail windows can truncate its
-    // head, losing the total — persist it and ALSO print a short
-    // total-only line LAST so the headline number always survives
+    // numeric sf parsed from the dir name ("…/sf0.1" -> 0.1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), detailed + "\n")
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -14,8 +14,12 @@ object Stats {
     * bounded-memory mergeable `approx_percentile` for the 100 TB path
     * (both return the same array shape, so callers are mode-agnostic). */
   private def pctExpr(c: String, pcts: String, exact: Boolean): Column =
-    if (exact) expr(s"percentile($c, $pcts)")
-    else expr(s"approx_percentile($c, $pcts, 10000)")
+    // cast the input to double in BOTH modes: `percentile` always returns
+    // double, but `approx_percentile` preserves the input type, so an
+    // integer column would yield array<bigint> cells that break the stack()
+    // pivot's uniform-double contract in the approx path
+    if (exact) expr(s"percentile(cast($c as double), $pcts)")
+    else expr(s"approx_percentile(cast($c as double), $pcts, 10000)")
 
   /** pandas-describe-shaped stat table over numeric columns: one string
     * `stat` column + one double column per input column, rows

@@ -251,8 +251,14 @@ object RelationalQueries extends QueryPack {
       // UDF is warranted, since Spark exposes no public might_contain
       // column function (the engine's own InjectRuntimeFilter uses the
       // internal twin of exactly this plan shape).
+      // size the filter FROM THE DATA: a fixed expectedNumItems saturates
+      // once distinct keys outgrow it and the real fpp blows past the
+      // asserted margin (a data-size-dependent correctness bug). The row
+      // count upper-bounds the distinct count, and parquet serves it from
+      // footer metadata — no extra scan.
+      val nOrders = orders.count()
       val bf = orders.stat.bloomFilter("o_custkey",
-        expectedNumItems = 200000L, fpp = 0.03)
+        expectedNumItems = math.max(nOrders, 1000L), fpp = 0.03)
       val bfBc = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
       val maybe = cust.filter(mightContain(col("c_custkey")))

@@ -63,7 +63,12 @@ object StreamQueries extends QueryPack {
           .withWatermark("ts", "24 hours")
           .dropDuplicatesWithinWatermark("user_id", "event_type"),
         outputMode = "append")
-        .select(col("user_id"), col("event_type"))),
+        .select(col("user_id"), col("event_type"))
+        // a key CAN legitimately be re-emitted across micro-batches once
+        // the watermark expires its dedupe state; collapse to the key set
+        // so the DISTINCT oracle holds for any batch split, not just the
+        // single-batch AvailableNow drain
+        .distinct()),
 
     // custom streaming state (flatMapGroupsWithState): per-user running
     // (count, max) in the state store. One AvailableNow batch over the
@@ -73,7 +78,14 @@ object StreamQueries extends QueryPack {
     "stream_stateful_count" -> ((s, d) =>
       StreamOps.runToMemory(
         StreamOps.statefulUserCounts(eventsStream(s, d)),
-        outputMode = "append")),
+        outputMode = "append")
+        // append mode emits the RUNNING totals once per micro-batch a key
+        // appears in; both columns are monotone per key, so max() selects
+        // the final emission — the oracle stays correct even if the source
+        // ever splits the bounded input into multiple batches
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          max("max_event_id").as("max_event_id"))),
 
     // streaming upsert sink: foreachBatch → batched JDBC PK-upsert into
     // Derby → read the accumulated table back. keep-last by event_id per
@@ -86,6 +98,14 @@ object StreamQueries extends QueryPack {
       val q = StreamOps.upsertEachBatch(stream, sink, "st_upsert",
         Seq("user_id", "event_type"), "event_id")
       q.awaitTermination()
+      // the keep-last-by-event_id oracle relies on the bounded source
+      // draining in ONE micro-batch (across batches the upsert is
+      // last-batch-wins, which only equals keep-last if event_ids arrive
+      // in order) — assert that precondition instead of silently
+      // diverging if a trigger limit is ever configured
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"stream_upsert_sink oracle requires a single-batch drain, saw $dataBatches data batches")
       sink.readBack(s, "st_upsert")
     }),
 
@@ -115,11 +135,9 @@ object StreamQueries extends QueryPack {
           org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.DoubleType)))
-      def runOnce(): Unit = {
+      def runOnce(): Unit =
         // small state-store count for the 4-row fixture (see runToMemory)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", 4)
-        try {
+        StreamOps.withStatePartitions(s, 4) {
           val q = StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
             .withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "10 minutes"))
@@ -131,8 +149,7 @@ object StreamQueries extends QueryPack {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      }
+        }
       // run 1: establishes watermark max(ts)-10min = 10:20
       Files.write(src.resolve("f1.csv"),
         "ts,v\n2024-01-01 10:05:00,1.0\n2024-01-01 10:30:00,2.0\n"

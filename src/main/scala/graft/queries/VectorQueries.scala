@@ -123,8 +123,10 @@ object VectorQueries extends QueryPack {
         |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         |  FROM embeddings),
         |q AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(
-        |      CAST(x AS DOUBLE) / maxabs * 127 + 0.5) AS INT)) AS qv
+        |    CASE WHEN maxabs = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS INT))
+        |      ELSE list_transform(embedding, x -> CAST(floor(
+        |        CAST(x AS DOUBLE) / maxabs * 127 + 0.5) AS INT)) END AS qv
         |  FROM m)
         |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max

@@ -21,6 +21,28 @@ object StreamOps {
 
   private val nameCounter = new AtomicLong(0)
 
+  /** Guards the shuffle-partition save/set/restore window below: the conf
+    * is session-global, so two overlapping scoped calls would race on it
+    * (set A, set B, restore A's saved value, restore B's saved value =
+    * B's temporary). Serializing the window makes the mutation safe for
+    * concurrent graft callers; OTHER queries the application runs on the
+    * same SparkSession during the window still observe the temporary
+    * value — callers needing full isolation should use a separate
+    * SparkSession (`spark.newSession()` shares the state stores but not
+    * the conf). */
+  private val confLock = new Object
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` (the streaming state-store count at FIRST query start — baked
+    * into the checkpoint for the query's life). Serialized via
+    * [[confLock]]; see its scaladoc for the isolation contract. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    confLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   /** CSV file-source stream over a directory, with the reference's archive
     * semantics: processed files are moved to `archiveDir` (cleanSource),
     * the streaming twin of the processed/ queue move. */
@@ -81,9 +103,7 @@ object StreamOps {
       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
+    withStatePartitions(spark, statePartitions) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -91,7 +111,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 
