@@ -75,8 +75,11 @@ object VectorOps {
 
   // ---- ANN: random-hyperplane LSH (the 100 TB candidate-generation path)
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
-  private def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded). Public so
+    * oracle builders can render the SAME planes as SQL literals — the
+    * bucket function is data-independent, which is what makes sign-LSH
+    * fully expressible (and hash-checkable) in a second engine. */
+  def planes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
   }

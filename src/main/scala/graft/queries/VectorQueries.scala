@@ -55,19 +55,46 @@ object VectorQueries extends QueryPack {
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))),
 
-    // ANN scale path: sign-LSH bucketed candidates + exact rerank. No SQL
-    // oracle (approximate); VectorOpsSpec checks candidate scores against
-    // the exact ranking.
+    // ANN scale path: sign-LSH bucketed candidates + exact rerank, run on
+    // the PLANTED corpus (true neighbors at cos ≈ 0.9996 — see
+    // [[plantedCorpus]]) so recall is a testable claim, not vacuous.
+    // Fully hash-checked: the DuckDB oracle replicates the bucket
+    // computation from the literal hyperplanes (data-independent, seeded)
+    // and the `recall_ok` column is the bound-as-data pattern — Spark
+    // computes recall@10 vs exact brute force genuinely; the oracle emits
+    // literal TRUE, so a recall drop below 0.9 hash-fails the entry.
+    "vec_ann_lsh" -> ((s, d) => {
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = VectorOps.annCosineTopK(corpus, "vec_id", "embedding",
+        query, "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
+    }),
+
+    // LSH with the PHYSICAL layout: corpus landed hive-partitioned by
+    // sign-LSH bucket; the multi-probe filter prunes partitions, so only
+    // ~9/256 of the corpus is opened. Same oracle as vec_ann_lsh — the
+    // layout changes I/O, not results (also spec-verified).
+    "vec_ann_lsh_pruned" -> ((s, d) => {
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = VectorOps.lshCosineTopKPruned(s, corpus, "vec_id",
+        "embedding", query, "embedding", k = 10, nBits = 8, dim = 64,
+        probe = 1, layoutDir =
+          s"/tmp/graft_lsh_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
+    }),
+
     // ANN scale path 2: IVF coarse quantizer (sample-trained spherical
-    // k-means) + nProbe cell probing + exact rerank. Rows-only check
-    // (approximate); VectorOpsSpec proves score-exactness and
-    // probe-all degeneracy to exact top-k.
+    // k-means) + nProbe cell probing + exact rerank, on the planted
+    // corpus. The trained centroids are data-dependent (not
+    // SQL-expressible), so the oracle is the EXACT brute-force top-10 —
+    // hash equality asserts recall 1.0 on the planted cluster (the whole
+    // point of a coarse quantizer is that a tight cluster lands in one
+    // cell), plus the same genuine recall_ok bound column.
     "vec_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      VectorOps.ivfCosineTopK(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0).select("embedding"),
-        "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = VectorOps.ivfCosineTopK(corpus, "vec_id", "embedding",
+        query, "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
     // IVF with the PHYSICAL layout: corpus landed hive-partitioned by
@@ -75,39 +102,125 @@ object VectorQueries extends QueryPack {
     // — only nProbe/nCentroids of the data is read. Same results as
     // vec_ann_ivf given the same quantizer (spec-verified).
     "vec_ann_ivf_pruned" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val corpus = emb.filter(col("vec_id") =!= 0)
-        .select("vec_id", "embedding")
+      val (corpus, query) = plantedCorpus(s, d)
       val centroids = VectorOps.ivfTrain(corpus, "embedding", 16)
-      VectorOps.ivfCosineTopKPruned(s, corpus, "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0).select("embedding"),
-        "embedding", k = 10, centroids, nProbe = 4,
-        layoutDir = s"/tmp/graft_ivf_fixture/${Fixtures.key(s, s"$d/embeddings.parquet")}")
-    }),
-
-    "vec_ann_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      VectorOps.annCosineTopK(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0).select("embedding"),
-        "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
-    }),
-
-    // LSH with the PHYSICAL layout: corpus landed hive-partitioned by
-    // sign-LSH bucket; the multi-probe filter prunes partitions, so only
-    // ~9/256 of the corpus is opened. Same results as vec_ann_lsh given
-    // the same hyperplanes (spec-verified).
-    "vec_ann_lsh_pruned" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      VectorOps.lshCosineTopKPruned(s,
-        emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-        "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0).select("embedding"),
-        "embedding", k = 10, nBits = 8, dim = 64, probe = 1,
+      val ann = VectorOps.ivfCosineTopKPruned(s, corpus, "vec_id",
+        "embedding", query, "embedding", k = 10, centroids, nProbe = 4,
         layoutDir =
-          s"/tmp/graft_lsh_fixture/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+          s"/tmp/graft_ivf_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
   )
+
+  /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
+    * embeddings are near-orthogonal random vectors (max pairwise cosine
+    * 0.513), so "did ANN find the neighbors" is unanswerable on them —
+    * any recall bound would be vacuous. This derives, engine-neutrally
+    * and deterministically, a corpus where query 0 HAS true neighbors:
+    * 12 perturbed copies `float(double(base) + 0.03·double(other_i))`
+    * (other_i = vectors 1..12 as noise directions, ids offset by
+    * 100000), each at cosine ≈ 0.9996 to the query — so exact top-10 is
+    * 10 planted rows and recall@10 is a sharp, meaningful quantity.
+    * All arithmetic (double add, float cast) is IEEE-exact in both
+    * engines, so DuckDB reproduces the corpus bit-for-bit. */
+  private[graft] def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__base"))
+    val planted = emb.filter(col("vec_id").between(1, 12))
+      .crossJoin(broadcast(base))
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("__base"), col("embedding"),
+          (b, o) => (b.cast("double") + lit(0.03) * o.cast("double"))
+            .cast("float")).as("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").union(planted)
+    (corpus, emb.filter(col("vec_id") === 0).select("embedding"))
+  }
+
+  private def exactTop10(corpus: org.apache.spark.sql.DataFrame,
+      query: org.apache.spark.sql.DataFrame) =
+    VectorOps.cosineTopK(corpus, "vec_id", "embedding", query, "embedding",
+      k = 10)
+
+  /** Append `recall_ok` = (|ann ∩ exact| ≥ k·minRecall) to the ANN top-k
+    * frame. Fully declarative — the two k-row id lists are collected into
+    * single-row aggregates and the boolean broadcast back, no driver
+    * action. Oracles emit literal TRUE for this column, so it only
+    * matches when the genuinely computed recall clears the bound. */
+  private[graft] def annotateRecall(ann: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame, k: Int, minRecall: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val annIds = ann.agg(collect_list("vec_id").as("__ann_ids"))
+    val exIds = exact.agg(collect_list("vec_id").as("__ex_ids"))
+    val ok = annIds.crossJoin(exIds).select(
+      (size(array_intersect(col("__ann_ids"), col("__ex_ids")))
+        >= math.ceil(k * minRecall).toInt).as("recall_ok"))
+    ann.crossJoin(broadcast(ok))
+  }
+
+  // ---- ANN oracle construction --------------------------------------
+  // The planted corpus (see plantedCorpus) re-derived in DuckDB: all
+  // arithmetic is IEEE double add + float cast, bit-identical across
+  // engines.
+  private val plantedCte =
+    """WITH pbase AS (SELECT embedding AS be FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT o.vec_id + 100000 AS vec_id,
+      |    list_transform(range(1, 65), i -> CAST(CAST(b.be[i] AS DOUBLE)
+      |      + 0.03*CAST(o.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
+      |  FROM embeddings o, pbase b WHERE o.vec_id BETWEEN 1 AND 12),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+      |  UNION ALL SELECT vec_id, embedding FROM planted),
+      |cn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+      |  FROM (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM corpus)),
+      |qn AS (SELECT qe, sqrt(list_dot_product(qe, qe)) AS qnrm
+      |  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |    FROM embeddings WHERE vec_id = 0))""".stripMargin
+
+  /** A float rendered so the SQL double literal equals `double(f)`
+    * exactly (BigDecimal of a double is exact). */
+  private def planeSql(p: Seq[Float]): String =
+    p.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+      .mkString("[", ",", "]::DOUBLE[]")
+
+  /** The sign-LSH bucket of list-expression `e`, from the SAME seeded
+    * hyperplanes Spark uses (VectorOps.planes is public for exactly
+    * this) — bit i set iff e · plane_i > 0. */
+  private def bucketSql(e: String): String =
+    graft.ops.VectorOps.planes(8, 64).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($e, ${planeSql(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Full sign-LSH ANN replicated in DuckDB: bucket corpus + query with
+    * the literal planes, keep hamming ≤ probe, exact rerank, top-k.
+    * recall_ok is literal TRUE — the bound-as-data half of the check. */
+  private def lshOracleSql: String =
+    plantedCte +
+      s""",
+        |cb AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bucket FROM cn),
+        |qb AS (SELECT qe, qnrm, ${bucketSql("qe")} AS bucket FROM qn)
+        |SELECT cb.vec_id,
+        |  round(list_dot_product(cb.e, qb.qe) / (cb.nrm * qb.qnrm), 6) AS cos_sim,
+        |  TRUE AS recall_ok
+        |FROM cb, qb
+        |WHERE bit_count(CAST(xor(cb.bucket, qb.bucket) AS BIGINT)) <= 1
+        |ORDER BY list_dot_product(cb.e, qb.qe) / (cb.nrm * qb.qnrm) DESC, cb.vec_id
+        |LIMIT 10""".stripMargin
+
+  /** Exact brute-force top-10 over the planted corpus — the IVF oracle:
+    * hash equality against it asserts the quantizer achieved recall 1.0
+    * on the planted cluster. */
+  private def exactPlantedOracleSql: String =
+    plantedCte +
+      """
+        |SELECT cn.vec_id,
+        |  round(list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm), 6) AS cos_sim,
+        |  TRUE AS recall_ok
+        |FROM cn, qn
+        |ORDER BY list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) DESC, cn.vec_id
+        |LIMIT 10""".stripMargin
 
   private val vCte =
     """WITH v AS (SELECT vec_id, label,
@@ -117,6 +230,11 @@ object VectorQueries extends QueryPack {
       |    sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "vec_ann_lsh" -> lshOracleSql,
+    "vec_ann_lsh_pruned" -> lshOracleSql,
+    "vec_ann_ivf" -> exactPlantedOracleSql,
+    "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
+
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding,

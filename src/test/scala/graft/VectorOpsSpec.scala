@@ -160,4 +160,37 @@ class VectorOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(annAll == exact)
   }
+
+  test("planted corpus has true neighbors and ANN recall@10 is genuinely " +
+      "asserted — including the negative control") {
+    import graft.queries.VectorQueries
+    val d = "/root/testdata/sf0.001"
+    val (corpus, query) = VectorQueries.plantedCorpus(spark, d)
+    // the fixture does what it claims: >= 10 true neighbors at cos >= 0.99
+    // (the raw synthetic corpus maxes out at 0.513, so recall on it was
+    // untestable — this is the round-3 fix)
+    val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10).as[(Long, Double)].collect()
+    assert(exact.length == 10 && exact.forall(_._2 >= 0.99))
+    assert(exact.forall(_._1 >= 100000)) // all planted ids
+    // positive: LSH ANN over the planted corpus achieves the bound
+    val ann = VectorOps.annCosineTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10, nBits = 8, dim = 64, probe = 1)
+    val okCol = VectorQueries.annotateRecall(ann,
+      VectorOps.cosineTopK(corpus, "vec_id", "embedding", query,
+        "embedding", k = 10), k = 10, minRecall = 0.9)
+      .select("recall_ok").distinct().as[Boolean].collect().toSeq
+    assert(okCol == Seq(true))
+    // negative control: a deliberately broken "ANN" (bottom-10 by cosine)
+    // must flip recall_ok to false through the SAME machinery — proving
+    // the assertion can actually fail
+    val worst = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = corpus.count().toInt)
+      .orderBy(col("cos_sim").asc).limit(10)
+    val badCol = VectorQueries.annotateRecall(worst,
+      VectorOps.cosineTopK(corpus, "vec_id", "embedding", query,
+        "embedding", k = 10), k = 10, minRecall = 0.9)
+      .select("recall_ok").distinct().as[Boolean].collect().toSeq
+    assert(badCol == Seq(false))
+  }
 }
