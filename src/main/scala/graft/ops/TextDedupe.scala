@@ -200,12 +200,31 @@ object TextDedupe {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset: bit b of the fingerprint is 1
-    * iff the sum over tokens of ±1 (sign of bit b of xxhash64(token)) is
-    * positive. Single codegen'd pass (graft.functions.SimHash64). */
+  /** Per-token 60-bit hash from two independent polynomial hashes mod
+    * 30-bit primes: `h = poly(31, 1e9+7) · 2^30 + poly(37, 998244353)`.
+    * Deliberately engine-neutral (the same construction as
+    * TextOps.fingerprint, and expressible verbatim in DuckDB via
+    * list_reduce) — swapping xxhash64 for this is what turns
+    * dedupe_simhash from a rows-only check into a full hash oracle.
+    * All intermediates stay < 2^36, so the arithmetic never overflows
+    * in either engine. The char list is let-bound ([[let1]]) so the two
+    * polynomial folds share one split. */
+  def tokenHash60(t: Column): Column =
+    let1(filter(split(t, ""), ch => length(ch) === 1), chs => {
+      def poly(base: Int, mod: Long): Column =
+        aggregate(chs, lit(0L),
+          (acc, ch) => pmod(acc * base + ascii(ch), lit(mod)))
+      poly(31, 1000000007L) * lit(1073741824L) + poly(37, 998244353L)
+    })
+
+  /** 60-bit SimHash over the token multiset: bit b of the fingerprint is 1
+    * iff the sum over tokens of ±1 (sign of bit b of tokenHash60(token))
+    * is positive. Single codegen'd voting pass (graft.functions.SimHash64;
+    * bits 60–63 of the input are always 0, so the top 4 output bits vote
+    * negative and stay 0 — hamming semantics are unchanged). */
   def simhash(text: Column): Column =
     graft.functions.SimHash64.simhash64(
-      transform(split(text, " "), t => xxhash64(t)))
+      transform(split(text, " "), t => tokenHash60(t)))
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming, candidate
     * generation by 16-bit chunk banding (pigeonhole: hamming <= 3 implies

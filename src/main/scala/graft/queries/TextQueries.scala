@@ -118,11 +118,43 @@ object TextQueries extends QueryPack {
       TextDedupe.minhashLshPairs(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.5)),
 
-    // SimHash hamming pairs — xxhash64-based, not oracle-expressible
+    // SimHash hamming pairs. The token hash is the engine-neutral
+    // two-prime polynomial (TextDedupe.tokenHash60), so the WHOLE
+    // pipeline — token hash, 60-bit voting, hamming filter — has a full
+    // DuckDB oracle (the banding candidate generation is pigeonhole-
+    // exact at hamming <= 3, so Spark's output equals brute-force
+    // all-pairs and the oracle can be the quadratic form).
     "dedupe_simhash" -> ((s, d) =>
       TextDedupe.simhashPairs(Tables.documents(s, d),
         "doc_id", "text", maxHamming = 3)),
   )
+
+  /** tokenHash60 in DuckDB: the same two polynomial folds, combined
+    * identically; all intermediates < 2^36 so no overflow either side. */
+  private def tokenHash60Sql(tok: String): String = {
+    def poly(base: Int, mod: Long): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($tok, ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |    (acc, x) -> (acc * $base + x) % $mod)""".stripMargin
+    s"(${poly(31, 1000000007L)} * 1073741824 + ${poly(37, 998244353L)})"
+  }
+
+  /** The 60 SimHash vote bits as one grouped aggregate: bit b set iff
+    * Σ_tokens sign-of-bit-b votes positive. */
+  private def simhashSql: String = {
+    val bits = (0 until 60).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${tokenHash60Sql("t")} AS h FROM tok),
+       |sh AS (SELECT doc_id, $bits AS sh FROM th GROUP BY doc_id)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) <= 3""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "text_tokenize" ->
@@ -221,5 +253,6 @@ object TextQueries extends QueryPack {
     "dedupe_near_ngram" -> shingleCte(blocked = true),
 
     "dedupe_minhash_lsh" -> shingleCte(blocked = false),
+    "dedupe_simhash" -> simhashSql,
   )
 }
