@@ -7,18 +7,24 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction at the partition boundary.
   *
-  * The decode itself is a STUB — this container has no image/audio codecs,
-  * so `decodeStub` computes a deterministic fake feature (length + sum of
-  * the first 8 bytes). Everything AROUND the stub is real and load-bearing:
-  * the binary column + metadata schema, the typed Dataset boundary, the
-  * mapPartitions batch shape (one iterator per partition ⇒ amortized codec
-  * init, the same shape a real decoder needs), and the frame-sampling
-  * fan-out. Swapping in a real codec changes only the function body.
+  * Image decode and resize are REAL: `decodeImage` decodes PNG/JPEG/GIF/
+  * BMP payloads with the JDK's `javax.imageio.ImageIO` (no external
+  * dependency) and emits true width/height/per-channel pixel sums;
+  * `resizeImage` decodes, rescales with `Graphics2D`
+  * (nearest-neighbor — deterministic), and re-encodes PNG. Payloads no
+  * JDK reader recognizes (e.g. the text stand-ins, or audio/video whose
+  * codecs this container lacks) fall back to the deterministic fake path
+  * (length + head-byte sum / truncation) so the pipeline shape stays
+  * total. The mapPartitions boundary is where a per-partition codec
+  * context would init; ImageIO's reader registry is JVM-wide so nothing
+  * extra is needed for images.
   */
 object Multimodal {
 
+  // java.awt must never try to touch a display in an executor
+  System.setProperty("java.awt.headless", "true")
+
   case class BinRecord(doc_id: Long, payload: Array[Byte])
-  case class Decoded(doc_id: Long, n_bytes: Long, feat: Long)
 
   /** Attach an opaque binary payload + typed metadata struct to documents
     * (here the payload is the utf-8 text itself — a stand-in for image
@@ -29,39 +35,131 @@ object Multimodal {
         octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
         lit("text/plain").as("mime")).as("meta"))
 
-  /** Partition-boundary decode: one iterator per partition so a real codec
-    * would init once per partition, not per row. The fake feature is the
-    * sum of the first 8 unsigned byte values. */
-  def decodeStub(spark: SparkSession, bin: DataFrame): Dataset[Decoded] = {
+
+  case class ImageMeta(doc_id: Long, n_bytes: Long, is_image: Boolean,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode at the partition boundary: `ImageIO.read` over the
+    * binary payload, emitting true dimensions and per-channel pixel sums
+    * (the feature-extraction shape: decode → reduce to fixed-width
+    * features; a model-input pipeline would emit the tensor instead).
+    * Non-image payloads take the deterministic fallback (is_image=false,
+    * width/height 0, sum_r = sum of the first 8 unsigned bytes) so the
+    * operator is total over mixed corpora. */
+  def decodeImage(spark: SparkSession, bin: DataFrame): Dataset[ImageMeta] = {
     import spark.implicits._
     bin.select(col("doc_id"), col("payload")).as[BinRecord]
       .mapPartitions { it =>
-        // real pipeline: val codec = Codec.open() once, here — STUB:
         it.map { r =>
-          val head = r.payload.take(8).map(b => (b & 0xff).toLong).sum
-          Decoded(r.doc_id, r.payload.length.toLong, head)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null) {
+            val head = r.payload.take(8).map(b => (b & 0xff).toLong).sum
+            ImageMeta(r.doc_id, r.payload.length.toLong, is_image = false,
+              0, 0, head, 0L, 0L)
+          } else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(r.doc_id, r.payload.length.toLong, is_image = true,
+              img.getWidth, img.getHeight, sr, sg, sb)
+          }
         }
       }
+  }
+
+  /** REAL binary→binary image resize: ImageIO decode → Graphics2D scale
+    * (NEAREST_NEIGHBOR interpolation: picks source pixels, no blended
+    * fractional arithmetic — bit-deterministic across JVMs) → lossless
+    * PNG re-encode. Non-image payloads fall back to truncation at
+    * `targetBytes` (the previous stub behavior), keeping the operator
+    * total. */
+  def resizeImage(spark: SparkSession, bin: DataFrame,
+      targetW: Int, targetH: Int, targetBytes: Int): Dataset[Resized] = {
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[BinRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null) {
+            val p = if (r.payload.length > targetBytes)
+              r.payload.take(targetBytes) else r.payload
+            Resized(r.doc_id, p, p.length.toLong)
+          } else {
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            val p = bos.toByteArray
+            Resized(r.doc_id, p, p.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG: pixel i = y·w+x gets channel values
+    * `r=(id+i) mod 251, g=(7id+3i) mod 251, b=(13id+5i) mod 239` — primes
+    * below 256, so the channel sums are closed-form in doc_id and a SQL
+    * oracle can predict the decoded statistics without any codec. With
+    * `constant=true` every pixel is the i=0 color, making the image
+    * invariant under ANY resampling kernel — the resize oracle needs no
+    * model of the interpolator. PNG is lossless, so decode recovers these
+    * exact values. */
+  def syntheticPng(docId: Long, w: Int, h: Int,
+      constant: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = if (constant) 0L else (y.toLong * w + x)
+        val r = ((docId + i) % 251).toInt
+        val g = ((docId * 7 + i * 3) % 251).toInt
+        val b = ((docId * 13 + i * 5) % 239).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** An image-bytes corpus derived from document ids: one synthetic PNG
+    * per doc (distributed generation — the encode runs inside
+    * mapPartitions, no driver materialization). */
+  def imageFixture(spark: SparkSession, docs: DataFrame, idCol: String,
+      w: Int, h: Int, constant: Boolean): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id, w, h, constant))))
+      .toDF("doc_id", "payload")
   }
 
   case class Resized(doc_id: Long, payload: Array[Byte], n_bytes: Long)
-
-  /** Binary→binary resize at the partition boundary (the dataflow shape of
-    * image downscaling: payload in, smaller payload + updated metadata
-    * out). STUB body: truncate to `targetBytes`; a real resizer would
-    * decode-scale-encode here with the codec opened once per partition. */
-  def resizeStub(spark: SparkSession, bin: DataFrame,
-      targetBytes: Int): Dataset[Resized] = {
-    import spark.implicits._
-    bin.select(col("doc_id"), col("payload")).as[BinRecord]
-      .mapPartitions { it =>
-        it.map { r =>
-          val p = if (r.payload.length > targetBytes) r.payload.take(targetBytes)
-                  else r.payload
-          Resized(r.doc_id, p, p.length.toLong)
-        }
-      }
-  }
 
   /** Frame-sampling fan-out: split the payload into fixed-width frames and
     * fingerprint each — the dataflow shape of video frame extraction

@@ -17,17 +17,48 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.mime").as("mime"))),
 
-    "mm_decode_stub" -> ((s, d) =>
-      Multimodal.decodeStub(s,
+    // REAL ImageIO decode over synthetic PNGs whose pixels are closed-form
+    // in doc_id (Multimodal.syntheticPng) — the oracle predicts the decoded
+    // width/height/channel sums without any codec, so the whole
+    // encode→decode→feature path is hash-checked. n_bytes is projected
+    // away (PNG compressed size is not closed-form).
+    "mm_decode_image" -> ((s, d) =>
+      Multimodal.decodeImage(s,
+        Multimodal.imageFixture(s, Tables.documents(s, d), "doc_id",
+          w = 16, h = 16, constant = false))
+        .toDF().select("doc_id", "is_image", "width", "height",
+          "sum_r", "sum_g", "sum_b")),
+
+    // non-image payloads take the deterministic fallback branch of the
+    // SAME operator (is_image=false, head-byte sum) — the mixed-corpus
+    // totality contract, oracle-checked
+    "mm_decode_fallback" -> ((s, d) =>
+      Multimodal.decodeImage(s,
         Multimodal.withBinary(Tables.documents(s, d), "doc_id", "text"))
-        .toDF()),
+        .toDF().select(col("doc_id"), col("n_bytes"), col("is_image"),
+          col("sum_r").as("feat"))),
 
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text", 32)),
 
-    "mm_resize_stub" -> ((s, d) =>
-      Multimodal.resizeStub(s,
-        Multimodal.withBinary(Tables.documents(s, d), "doc_id", "text"), 96)
+    // REAL Graphics2D resize: constant-color PNGs (invariant under any
+    // resampling kernel) → 16×16 decoded, scaled to 8×8, PNG re-encoded,
+    // decoded AGAIN — the oracle predicts the post-resize channel sums
+    // exactly (64 × the doc's color).
+    "mm_resize_image" -> ((s, d) =>
+      Multimodal.decodeImage(s,
+        Multimodal.resizeImage(s,
+          Multimodal.imageFixture(s, Tables.documents(s, d), "doc_id",
+            w = 16, h = 16, constant = true),
+          targetW = 8, targetH = 8, targetBytes = 96).toDF())
+        .toDF().select("doc_id", "is_image", "width", "height",
+          "sum_r", "sum_g", "sum_b")),
+
+    // non-image payloads: truncation fallback of the same resize operator
+    "mm_resize_fallback" -> ((s, d) =>
+      Multimodal.resizeImage(s,
+        Multimodal.withBinary(Tables.documents(s, d), "doc_id", "text"),
+        targetW = 8, targetH = 8, targetBytes = 96)
         .toDF().select(col("doc_id"), col("n_bytes"))),
 
     // §2.4 agg_record_count (datapump.py:565 calculate_record_count)
@@ -80,12 +111,34 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime
         |FROM documents""".stripMargin,
 
+    // gradient image: pixel i has r=(id+i)%251, g=(7id+3i)%251,
+    // b=(13id+5i)%239 over i in 0..255 — the decoded channel sums are
+    // these closed forms (PNG is lossless)
+    "mm_decode_image" ->
+      """SELECT doc_id, TRUE AS is_image, 16 AS width, 16 AS height,
+        |  CAST(list_sum(list_transform(range(0, 256),
+        |    i -> (doc_id + i) % 251)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, 256),
+        |    i -> (doc_id * 7 + i * 3) % 251)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, 256),
+        |    i -> (doc_id * 13 + i * 5) % 239)) AS BIGINT) AS sum_b
+        |FROM documents""".stripMargin,
+
     // CAST(list_sum AS BIGINT): DuckDB's list_sum returns HUGEINT, which
     // pandas renders as float ("696.0") vs Spark's BIGINT ("696")
-    "mm_decode_stub" ->
-      """SELECT doc_id, length(text) AS n_bytes,
+    "mm_decode_fallback" ->
+      """SELECT doc_id, length(text) AS n_bytes, FALSE AS is_image,
         |  CAST(list_sum(list_transform(string_split(substring(text, 1, 8), ''),
         |    c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS feat
+        |FROM documents""".stripMargin,
+
+    // constant-color 16×16 → 8×8: any resampling kernel preserves the
+    // color, so each 8×8 channel sum is 64 × the doc's color
+    "mm_resize_image" ->
+      """SELECT doc_id, TRUE AS is_image, 8 AS width, 8 AS height,
+        |  CAST(64 * (doc_id % 251) AS BIGINT) AS sum_r,
+        |  CAST(64 * ((doc_id * 7) % 251) AS BIGINT) AS sum_g,
+        |  CAST(64 * ((doc_id * 13) % 239) AS BIGINT) AS sum_b
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->
@@ -102,7 +155,7 @@ object MultimodalQueries extends QueryPack {
     // octet_length(encode(...)), not length(...): the Spark side truncates
     // the UTF-8 payload at 96 BYTES, so the oracle must count bytes too or
     // parity silently depends on the corpus being pure ASCII
-    "mm_resize_stub" ->
+    "mm_resize_fallback" ->
       """SELECT doc_id, least(octet_length(encode(text)), 96) AS n_bytes
         |FROM documents""".stripMargin,
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("decodeImage decodes real PNG bytes: dims and channel sums match " +
+      "the generator's closed form") {
+    val fixture = Multimodal.imageFixture(spark,
+      Seq(0L, 1L, 250L, 251L).toDF("doc_id"), "doc_id",
+      w = 16, h = 16, constant = false)
+    val got = Multimodal.decodeImage(spark, fixture).collect()
+      .map(m => m.doc_id -> m).toMap
+    got.values.foreach { m =>
+      assert(m.is_image && m.width == 16 && m.height == 16)
+      assert(m.n_bytes > 0) // real compressed PNG payload
+    }
+    // closed form: sum over i in 0..255 of (id + i) % 251 etc.
+    def sums(id: Long) = (
+      (0L until 256L).map(i => (id + i) % 251).sum,
+      (0L until 256L).map(i => (id * 7 + i * 3) % 251).sum,
+      (0L until 256L).map(i => (id * 13 + i * 5) % 239).sum)
+    Seq(0L, 1L, 250L, 251L).foreach { id =>
+      val (r, g, b) = sums(id)
+      assert((got(id).sum_r, got(id).sum_g, got(id).sum_b) == ((r, g, b)))
+    }
+  }
+
+  test("resizeImage is a real decode→scale→re-encode: constant image " +
+      "resizes to the same color, output is a decodable PNG") {
+    val fixture = Multimodal.imageFixture(spark,
+      Seq(5L, 300L).toDF("doc_id"), "doc_id", w = 16, h = 16,
+      constant = true)
+    val resized = Multimodal.resizeImage(spark, fixture,
+      targetW = 8, targetH = 8, targetBytes = 96).toDF()
+    val decoded = Multimodal.decodeImage(spark, resized).collect()
+      .map(m => m.doc_id -> m).toMap
+    Seq(5L, 300L).foreach { id =>
+      val m = decoded(id)
+      assert(m.is_image && m.width == 8 && m.height == 8)
+      assert(m.sum_r == 64 * (id % 251))
+      assert(m.sum_g == 64 * ((id * 7) % 251))
+      assert(m.sum_b == 64 * ((id * 13) % 239))
+    }
+  }
+
+  test("non-image payloads take the deterministic fallback branch") {
+    val bin = Seq((1L, "hello world!")).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinary(bin, "doc_id", "text")
+    val dec = Multimodal.decodeImage(spark, withBin).collect().head
+    assert(!dec.is_image && dec.width == 0 && dec.n_bytes == 12L)
+    assert(dec.sum_r == "hello wo".getBytes("UTF-8").map(_ & 0xff).sum)
+    val res = Multimodal.resizeImage(spark, withBin, 8, 8,
+      targetBytes = 5).collect().head
+    assert(res.n_bytes == 5L && new String(res.payload, "UTF-8") == "hello")
+  }
+}
