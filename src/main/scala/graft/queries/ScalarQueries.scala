@@ -12,15 +12,21 @@ import graft.Tables
 object ScalarQueries extends QueryPack {
 
   // The reference's 4 default date formats (datapump.py:89-92), in try
-  // order. Fuzzy dateparser fallback is deliberately not reproduced
-  // (non-deterministic surface — SURVEY §2.8).
-  private val sparkFmts = Seq(
-    "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
-    "dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+  // order; graft.ops.Timestamps adds the bounded deterministic
+  // fuzzy-fallback tier (the dateparser analog — SURVEY §2.8; remaining
+  // deviation is natural-language dates only).
+  private val sparkFmts = graft.ops.Timestamps.DeclaredFormats.map(_._1)
+
+  // the fuzzy fixture cycles through formats NONE of the declared four
+  // match — every parse below resolves in the fallback tier
+  private val fuzzyFixture = Seq(
+    "yyyy-MM-dd", "MM/dd/yyyy", "dd MMM yyyy HH:mm:ss",
+    "MMM dd, yyyy", "yyyy/MM/dd HH:mm:ss", "yyyyMMdd")
 
   def queries: Map[String, Q] = Map(
     // Round-trip: format each event ts into one of 4 formats (picked by
-    // event_id % 4), then recover it with the ordered try-parse chain.
+    // event_id % 4), then recover it with the ordered try-parse chain
+    // (declared formats first — the fuzzy tier never fires here).
     "scalar_parse_ts" -> ((s, d) => {
       val raw = Tables.events(s, d).withColumn("ts_str",
         when(pmod(col("event_id"), lit(4)) === 0,
@@ -31,8 +37,24 @@ object ScalarQueries extends QueryPack {
           date_format(col("ts"), sparkFmts(2)))
         .otherwise(date_format(col("ts"), sparkFmts(3))))
       raw.select(col("event_id"), col("ts_str"),
-        coalesce(sparkFmts.map(f =>
-          try_to_timestamp(col("ts_str"), lit(f))): _*).as("parsed"))
+        graft.ops.Timestamps.parseTs(col("ts_str")).as("parsed"))
+    }),
+
+    // The dateparser-fallback tier (datapump.py:439-444): strings in six
+    // formats the declared chain does NOT cover — date-only (midnight),
+    // US month-first, English month names, compact basic — all recovered
+    // by the extended chain. Deterministic, codegen'd, no UDF.
+    "scalar_parse_ts_fuzzy" -> ((s, d) => {
+      val cases = fuzzyFixture.zipWithIndex
+      val raw = Tables.events(s, d).withColumn("ts_str",
+        cases.tail.foldLeft(
+          when(pmod(col("event_id"), lit(cases.length)) === cases.head._2,
+            date_format(col("ts"), cases.head._1))) { case (acc, (f, i)) =>
+          acc.when(pmod(col("event_id"), lit(cases.length)) === i,
+            date_format(col("ts"), f))
+        })
+      raw.select(col("event_id"), col("ts_str"),
+        graft.ops.Timestamps.parseTs(col("ts_str")).as("parsed"))
     }),
 
     "scalar_ts_format" -> ((s, d) =>
@@ -94,7 +116,7 @@ object ScalarQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "scalar_parse_ts" ->
-      """WITH raw AS (
+      s"""WITH raw AS (
         |  SELECT event_id,
         |    CASE CAST(event_id % 4 AS INT)
         |      WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
@@ -103,11 +125,24 @@ object ScalarQueries extends QueryPack {
         |      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS ts_str
         |  FROM events)
         |SELECT event_id, ts_str,
-        |  coalesce(
-        |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
-        |    try_strptime(ts_str, '%m/%d/%Y %H:%M:%S'),
-        |    try_strptime(ts_str, '%d.%m.%Y %H:%M:%S'),
-        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S')) AS parsed
+        |  ${graft.ops.Timestamps.parseTsOracleSql("ts_str")} AS parsed
+        |FROM raw""".stripMargin,
+
+    // strftime patterns mirror fuzzyFixture in order; the parse chain is
+    // generated from the SAME table as the Spark chain (order-identical)
+    "scalar_parse_ts_fuzzy" ->
+      s"""WITH raw AS (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 6 AS INT)
+        |      WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+        |      WHEN 1 THEN strftime(ts, '%m/%d/%Y')
+        |      WHEN 2 THEN strftime(ts, '%d %b %Y %H:%M:%S')
+        |      WHEN 3 THEN strftime(ts, '%b %d, %Y')
+        |      WHEN 4 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+        |      ELSE strftime(ts, '%Y%m%d') END AS ts_str
+        |  FROM events)
+        |SELECT event_id, ts_str,
+        |  ${graft.ops.Timestamps.parseTsOracleSql("ts_str")} AS parsed
         |FROM raw""".stripMargin,
 
     "scalar_ts_format" ->
