@@ -89,6 +89,33 @@ object StreamOps {
       (keys.map(col) :+ session_window(col(tsCol), gap)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** The default (HDFS-backed, on-heap) state store provider. */
+  val HdfsStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** RocksDB state store provider (ships with Spark + rocksdbjni): state
+    * lives off-heap/on-disk per store instead of as JVM objects — the
+    * scale choice once streaming keyspaces outgrow executor heap
+    * (dedupe/session state over 100 TB event streams). Same exactly-once
+    * semantics; changelog/snapshot files still go to the checkpoint
+    * location. */
+  val RocksDbStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the given state-store provider class scoped in (and
+    * the previous value restored after), serialized on the same lock as
+    * the partition override — the provider conf is read at query START
+    * and then pinned by the query, so the scope only needs to cover
+    * `start()`. */
+  def withStateStore[T](spark: SparkSession, providerClass: String)(
+      body: => T): T =
+    confLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.get(key, HdfsStateStore)
+      spark.conf.set(key, providerClass)
+      try body finally spark.conf.set(key, prev)
+    }
+
   /** Run a (bounded) streaming DataFrame to completion with AvailableNow
     * into a memory sink and return the materialized result — used by the
     * driver-checkable stream queries and batch-parity tests.
@@ -98,19 +125,28 @@ object StreamOps {
     * checkpoint). These bounded runs use a small count — 32 state stores
     * per micro-batch is pure per-instance overhead here (measured 2× on
     * the windowed queries); production sizing belongs to the deployment's
-    * key cardinality, not this default. */
+    * key cardinality, not this default.
+    *
+    * `stateStore`: state-store provider class for stateful operators —
+    * [[HdfsStateStore]] (default; state as on-heap JVM objects) or
+    * [[RocksDbStateStore]] (off-heap/on-disk; the 100 TB-keyspace
+    * choice). Results are provider-independent (StreamingSpec asserts
+    * it); only memory residence and checkpoint file layout change. */
   def runToMemory(df: DataFrame, outputMode: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      stateStore: String = HdfsStateStore): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     withStatePartitions(spark, statePartitions) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStateStore(spark, stateStore) {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.table(name)
   }

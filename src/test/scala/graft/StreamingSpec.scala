@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == Set((1L, "b"), (2L, "z")))
   }
 
+  test("RocksDB state store yields identical results to the default " +
+      "HDFS-backed store on a stateful query") {
+    // the provider changes state RESIDENCE (off-heap/on-disk vs heap
+    // objects), never semantics — run the same custom-state aggregation
+    // under both and compare
+    def run(provider: String): Seq[(Long, Long, Long)] = {
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, Long)]
+      in.addData(Seq.tabulate(200)(i => (i % 7L, i.toLong)): _*)
+      StreamOps.runToMemory(
+        StreamOps.statefulUserCounts(in.toDF().toDF("user_id", "event_id")),
+        outputMode = "append", stateStore = provider)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("max_event_id").as("m"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    val hdfs = run(StreamOps.HdfsStateStore)
+    val rocks = run(StreamOps.RocksDbStateStore)
+    assert(rocks == hdfs)
+    assert(hdfs.map(_._2).sum == 200) // and the counts are the real ones
+  }
+
   test("file stream with archive moves processed files") {
     val src = java.nio.file.Files.createTempDirectory("graft-arch-src")
     val arch = java.nio.file.Files.createTempDirectory("graft-arch-dst")
