@@ -18,9 +18,18 @@ class GraftExtensionsSpec extends SparkSpec {
     import sqlImplicits._
     val df = Seq(("a b c d"), ("x y")).toDF("text")
     df.createOrReplaceTempView("ext_docs")
+    // same engine-neutral token hash the Column API uses
+    // (TextDedupe.tokenHash60), spelled in SQL
     val viaSql = spark.sql(
       """SELECT graft_simhash64(transform(split(text, ' '),
-        |  t -> xxhash64(t))) AS sh FROM ext_docs""".stripMargin)
+        |  t -> aggregate(filter(split(t, ''), ch -> length(ch) = 1),
+        |         CAST(0 AS BIGINT),
+        |         (acc, ch) -> pmod(acc * 31 + ascii(ch), 1000000007))
+        |       * 1073741824
+        |     + aggregate(filter(split(t, ''), ch -> length(ch) = 1),
+        |         CAST(0 AS BIGINT),
+        |         (acc, ch) -> pmod(acc * 37 + ascii(ch), 998244353))))
+        |  AS sh FROM ext_docs""".stripMargin)
       .collect().map(_.getLong(0)).toSeq
     val viaCol = df.select(graft.ops.TextDedupe.simhash(
         org.apache.spark.sql.functions.col("text")).as("sh"))
