@@ -46,6 +46,19 @@ class TextDedupeSpec extends SparkSpec {
     assert(!got.contains((3L, 4L)))
   }
 
+  test("fused SimHashText equals the composed HOF simhash on the real " +
+      "corpus (incl. empty/multi-space edge cases)") {
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, " lead"),
+      (5L, "trail "), (6L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").unionByName(edge)
+    val diff = corpus.select(
+      TextDedupe.simhash($"text").as("fused"),
+      TextDedupe.simhashComposed($"text").as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(diff == 0)
+  }
+
   test("prefix-filtered join is EXACT: equals brute-force pairs on a " +
       "randomized corpus across thresholds") {
     // seeded random corpus with planted duplicate structure: overlapping
