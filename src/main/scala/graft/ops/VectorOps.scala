@@ -126,6 +126,36 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Batch ANN: approximate top-k for EACH of a set of query vectors —
+    * the candidate-generation shape of embedding near-dedupe at scale
+    * (queries broadcast once; each corpus row is scored only against
+    * queries whose bucket is within hamming `probe` of its own, then a
+    * per-query window ranks the surviving candidates — the shuffle moves
+    * only (query, id, score) triples, never vectors). Single-query
+    * [[annCosineTopK]] is the k=1-query special case; same planes ⇒ same
+    * buckets. */
+  def annCosineTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nBits: Int = 8, dim: Int = 64, probe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = withNorm(vectors, vecCol)
+      .withColumn("__bucket", lshBucket(col(vecCol), nBits, dim))
+    val q = withNorm(queries, qVecCol)
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qvec"),
+        col("__norm").as("__qnorm"),
+        lshBucket(col(qVecCol), nBits, dim).as("__qbucket"))
+    v.crossJoin(broadcast(q))
+      .filter(bit_count(col("__bucket").bitwiseXOR(col("__qbucket"))) <= probe)
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
   /** The deployed form of sign-LSH: land the corpus hive-partitioned BY
     * BUCKET (computed once at ingest), answer queries by reading only the
     * buckets within hamming distance `probe` of the query's bucket — the

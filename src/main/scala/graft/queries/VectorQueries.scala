@@ -97,6 +97,22 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // BATCH ANN — approximate top-5 for each of 5 query vectors in one
+    // pass (the candidate-generation shape of embedding near-dedupe).
+    // Planted corpus seeds 5 true neighbors per query; the oracle
+    // replicates the batch LSH from the literal planes, and recall_ok
+    // asserts aggregate recall ≥ 0.9 over all 25 (query, neighbor)
+    // slots against exact brute force.
+    "vec_ann_batch" -> ((s, d) => {
+      val (corpus, queries) = plantedCorpusMulti(s, d)
+      val ann = VectorOps.annCosineTopKBatch(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nBits = 8, dim = 64,
+        probe = 1)
+      val exact = VectorOps.cosineTopKBatch(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      annotateRecallBatch(ann, exact, slots = 25, minRecall = 0.9)
+    }),
+
     // IVF with the PHYSICAL layout: corpus landed hive-partitioned by
     // cell, probe filter prunes partitions (PartitionFilters in the plan)
     // — only nProbe/nCentroids of the data is read. Same results as
@@ -143,6 +159,43 @@ object VectorQueries extends QueryPack {
       query: org.apache.spark.sql.DataFrame) =
     VectorOps.cosineTopK(corpus, "vec_id", "embedding", query, "embedding",
       k = 10)
+
+  /** Multi-query twin of [[plantedCorpus]]: queries are vectors 0..4 and
+    * each gets 5 planted neighbors built from its own slice of noise
+    * directions (vectors 5+5q..9+5q, ids offset by 100000 + 1000·q), so
+    * aggregate recall is measured over 25 (query, neighbor) slots. */
+  private[graft] def plantedCorpusMulti(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val bases = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("__base"))
+    val dirs = emb.filter(col("vec_id").between(5, 29))
+      .select(col("vec_id").as("did"), col("embedding").as("__dir"))
+    val planted = dirs.join(broadcast(bases),
+        col("did").between(col("qid") * 5 + 5, col("qid") * 5 + 9))
+      .select((col("did") + lit(100000L) + col("qid") * 1000L).as("vec_id"),
+        zip_with(col("__base"), col("__dir"),
+          (b, o) => (b.cast("double") + lit(0.03) * o.cast("double"))
+            .cast("float")).as("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select("vec_id", "embedding").union(planted)
+    (corpus, emb.filter(col("vec_id") < 5).select("vec_id", "embedding"))
+  }
+
+  /** Batch form of [[annotateRecall]]: aggregate hit count over all
+    * (query_id, vec_id) slots of the two batch top-k frames. */
+  private[graft] def annotateRecallBatch(ann: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame, slots: Int, minRecall: Double)
+      : org.apache.spark.sql.DataFrame = {
+    def pairs(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(concat_ws("#", col("query_id"), col("vec_id")).as("__p"))
+        .agg(collect_list("__p").as(name))
+    val ok = pairs(ann, "__a").crossJoin(pairs(exact, "__e")).select(
+      (size(array_intersect(col("__a"), col("__e")))
+        >= math.ceil(slots * minRecall).toInt).as("recall_ok"))
+    ann.crossJoin(broadcast(ok))
+  }
 
   /** Append `recall_ok` = (|ann ∩ exact| ≥ k·minRecall) to the ANN top-k
     * frame. Fully declarative — the two k-row id lists are collected into
@@ -209,6 +262,40 @@ object VectorQueries extends QueryPack {
         |ORDER BY list_dot_product(cb.e, qb.qe) / (cb.nrm * qb.qnrm) DESC, cb.vec_id
         |LIMIT 10""".stripMargin
 
+  /** Batch LSH replicated in DuckDB over the multi-query planted corpus:
+    * per-row and per-query buckets from the literal planes, hamming ≤ 1
+    * candidate filter, per-query exact rerank window, top-5. recall_ok is
+    * the literal-TRUE half of the bound-as-data check. */
+  private def lshBatchOracleSql: String =
+    s"""WITH bases AS (SELECT vec_id AS qid, embedding AS be
+      |  FROM embeddings WHERE vec_id < 5),
+      |planted AS (SELECT o.vec_id + 100000 + b.qid * 1000 AS vec_id,
+      |    list_transform(range(1, 65), i -> CAST(CAST(b.be[i] AS DOUBLE)
+      |      + 0.03*CAST(o.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
+      |  FROM embeddings o JOIN bases b
+      |    ON o.vec_id BETWEEN b.qid * 5 + 5 AND b.qid * 5 + 9),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+      |  UNION ALL SELECT vec_id, embedding FROM planted),
+      |cn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+      |    ${bucketSql("e")} AS bucket
+      |  FROM (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM corpus)),
+      |qn AS (SELECT query_id, qe, sqrt(list_dot_product(qe, qe)) AS qnrm,
+      |    ${bucketSql("qe")} AS bucket
+      |  FROM (SELECT vec_id AS query_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |    FROM embeddings WHERE vec_id < 5)),
+      |cand AS (SELECT qn.query_id, cn.vec_id,
+      |    list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) AS cos,
+      |    row_number() OVER (PARTITION BY qn.query_id
+      |      ORDER BY list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) DESC,
+      |        cn.vec_id) AS rk
+      |  FROM cn, qn
+      |  WHERE bit_count(CAST(xor(cn.bucket, qn.bucket) AS BIGINT)) <= 1)
+      |SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk,
+      |  TRUE AS recall_ok
+      |FROM cand WHERE rk <= 5""".stripMargin
+
   /** Exact brute-force top-10 over the planted corpus — the IVF oracle:
     * hash equality against it asserts the quantizer achieved recall 1.0
     * on the planted cluster. */
@@ -232,6 +319,7 @@ object VectorQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     "vec_ann_lsh" -> lshOracleSql,
     "vec_ann_lsh_pruned" -> lshOracleSql,
+    "vec_ann_batch" -> lshBatchOracleSql,
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
 

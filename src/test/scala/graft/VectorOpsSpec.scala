@@ -161,6 +161,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(annAll == exact)
   }
 
+  test("annCosineTopKBatch slices equal single-query annCosineTopK " +
+      "per query (same planes, same buckets)") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
+    val batch = VectorOps.annCosineTopKBatch(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, nBits = 8, dim = 64, probe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val single = VectorOps.annCosineTopK(corpus, "vec_id", "embedding",
+        emb.filter($"vec_id" === qid).select("embedding"), "embedding",
+        k = 4, nBits = 8, dim = 64, probe = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid")
+    }
+  }
+
   test("planted corpus has true neighbors and ANN recall@10 is genuinely " +
       "asserted — including the negative control") {
     import graft.queries.VectorQueries
