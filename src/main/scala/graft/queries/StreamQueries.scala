@@ -52,6 +52,26 @@ object StreamQueries extends QueryPack {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("first_ts"), col("n"))),
 
+    // watermarked stream-stream INTERVAL join (click attribution): each
+    // view joined to same-user clicks within [view_ts, view_ts+10min].
+    // Inner join emits each match exactly once; the time bound is what
+    // lets the state store evict — the oracle is the equivalent batch
+    // self-join.
+    "stream_join_interval" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      StreamOps.runToMemory(
+        StreamOps.intervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", windowMinutes = 10),
+        outputMode = "append")
+        .select("user_id", "view_id", "click_id")
+    }),
+
     // stateful streaming dedupe (dropDuplicatesWithinWatermark state
     // store). Keys only in the output: WHICH row survives per key depends
     // on partition arrival order, but the key SET is deterministic — the
@@ -191,6 +211,14 @@ object StreamQueries extends QueryPack {
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
         |  count(*) AS n, CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    "stream_join_interval" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE"""
+        .stripMargin,
 
     // each event belongs to the 2h windows starting at trunc(ts) and
     // trunc(ts)-1h

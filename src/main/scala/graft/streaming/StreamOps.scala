@@ -226,6 +226,30 @@ object StreamOps {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Watermarked stream-stream INTERVAL join — the click-attribution /
+    * impression-conversion shape: match right-side events to left-side
+    * events of the same key within `[leftTs, leftTs + windowMinutes]`.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict joined state once the watermark passes
+    * (without the bound, stream-stream join state grows forever — the
+    * 100 TB failure mode). Inner join: a match emits exactly once, when
+    * both sides have arrived. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, windowMinutes: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+      .withWatermark(rightTsCol, watermark)
+    l.join(r,
+      col(keyCol) === col(s"__r_$keyCol") &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <=
+          col(leftTsCol) + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .drop(s"__r_$keyCol")
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

@@ -141,6 +141,34 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == Set((1L, "b"), (2L, "z")))
   }
 
+  test("stream-stream interval join matches across micro-batches and " +
+      "emits each match exactly once") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      views.toDF().toDF("user_id", "view_ts", "view_id"),
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      "user_id", "view_ts", "click_ts", windowMinutes = 10)
+      .select("user_id", "view_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    // batch 1: a view arrives, its click hasn't yet
+    views.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    clicks.addData((2L, ts("2024-01-01 10:00:00"), 900L)) // wrong user
+    q.processAllAvailable()
+    assert(spark.table("ij_out").count() == 0)
+    // batch 2: the matching click arrives within the window; also an
+    // out-of-window click (11 min later) that must NOT match
+    clicks.addData((1L, ts("2024-01-01 10:05:00"), 200L),
+                   (1L, ts("2024-01-01 10:11:00"), 300L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 200L))) // one match, exactly once
+  }
+
   test("RocksDB state store yields identical results to the default " +
       "HDFS-backed store on a stateful query") {
     // the provider changes state RESIDENCE (off-heap/on-disk vs heap
