@@ -88,6 +88,54 @@ object TextOps {
         .otherwise("und").as("pred_lang"))
   }
 
+  /** The composed CURATION pass — what the tier exists for: one operator
+    * that runs the standard pre-training document filters in precedence
+    * order and emits keep/reject with the FIRST failing rule as the
+    * reason (the shape every corpus-curation report needs):
+    *   1. `lang`      — language-ID heuristic says 'und'
+    *   2. `too_short` / `too_long` — whitespace token count outside
+    *      [minTokens, maxTokens]
+    *   3. `quality`   — quality score below minQuality
+    *   4. `duplicate` — not the min-id holder of its normalized-text
+    *      group (exact dedupe, keep-first)
+    * All rules are column expressions; the only shuffle is the dedupe
+    * window. Here it partitions by the normalized text directly (oracle-
+    * identical in any engine); at corpus scale swap the partition key for
+    * `(length(norm), fingerprint(norm))` exactly as `dedupe_exact_norm`
+    * does — same groups, 16-byte shuffle keys instead of document
+    * bodies. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxTokens: Int, minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = tokens(col(textCol))
+    val nTok = size(ts).cast("double")
+    val stopArr = array(Seq("a", "the").map(lit): _*)
+    val quality = StableRound.round6(
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - size(filter(ts, t => array_contains(stopArr, t)))
+          .cast("double") / nTok) * 0.3 +
+        size(array_distinct(ts)).cast("double") / nTok * 0.3)
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    // same decision chain as langId (inlined: curate emits one row per
+    // doc, so the rule must be an expression, not a joined frame)
+    val pred = when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(col(textCol).rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(col(textCol).rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(col(textCol).rlike("(^| )(the|of|and)( |$)"), "en")
+      .when(col(textCol).rlike("(^| )(el|la|de|que)( |$)"), "es")
+      .when(col(textCol).rlike("(^| )(der|die|das|und)( |$)"), "de")
+      .when(col(textCol).rlike("(^| )(le|la|et|les)( |$)"), "fr")
+      .otherwise("und")
+    val keeper = min(col(idCol)).over(Window.partitionBy(norm))
+    val reason = when(pred === "und", "lang")
+      .when(size(ts) < minTokens, "too_short")
+      .when(size(ts) > maxTokens, "too_long")
+      .when(quality < minQuality, "quality")
+      .when(col(idCol) =!= keeper, "duplicate")
+    docs.select(col(idCol), reason.as("reject_reason"),
+      reason.isNull.as("keep"))
+  }
+
   /** PII scrubbing patterns — the pre-training redaction pass. ASCII-only
     * character classes so Java regex (Spark) and RE2 (other engines) agree;
     * extend per deployment (SSNs, IPs, credit cards follow the same shape). */

@@ -43,6 +43,13 @@ object TextQueries extends QueryPack {
     "text_quality" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // the composed curation pass: lang → length bounds → quality →
+    // exact-dup, first failing rule wins (thresholds sized so every rule
+    // fires on this corpus)
+    "text_curate" -> ((s, d) =>
+      TextOps.curate(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 20, maxTokens = 90, minQuality = 0.58)),
+
     // token counting two ways: whitespace and a BPE-ish pre-tokenizer
     // regex (GPT-2 style: contraction suffixes | letter runs | digit runs
     // | punctuation runs, each optionally space-prefixed). Pure per-row
@@ -191,6 +198,45 @@ object TextQueries extends QueryPack {
         |      t -> t IN ('a', 'the'))) AS DOUBLE) AS ns,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
         |  FROM documents)""".stripMargin,
+
+    // same rule chain, same precedence; quality uses the DECIMAL(27,12)
+    // stable-round construction text_quality already proves cross-engine
+    "text_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS ntok,
+        |    CAST(round(CAST(
+        |      least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+        |      + (1.0 - len(list_filter(string_split(text, ' '),
+        |          tk -> tk IN ('a', 'the')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+        |      + len(list_distinct(string_split(text, ' ')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      AS DECIMAL(27,12)), 6) AS DOUBLE) AS q,
+        |    CASE
+        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+        |      WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+        |      WHEN regexp_matches(text, '(^| )(the|of|and)( |$)') THEN 'en'
+        |      WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
+        |      WHEN regexp_matches(text, '(^| )(der|die|das|und)( |$)') THEN 'de'
+        |      WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
+        |      ELSE 'und' END AS pred,
+        |    min(doc_id) OVER (PARTITION BY
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS keeper
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN pred = 'und' THEN 'lang'
+        |       WHEN ntok < 20 THEN 'too_short'
+        |       WHEN ntok > 90 THEN 'too_long'
+        |       WHEN q < 0.58 THEN 'quality'
+        |       WHEN doc_id <> keeper THEN 'duplicate' END AS reject_reason,
+        |  (CASE WHEN pred = 'und' THEN 'lang'
+        |       WHEN ntok < 20 THEN 'too_short'
+        |       WHEN ntok > 90 THEN 'too_long'
+        |       WHEN q < 0.58 THEN 'quality'
+        |       WHEN doc_id <> keeper THEN 'duplicate' END) IS NULL AS keep
+        |FROM t""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH w AS (SELECT doc_id,
