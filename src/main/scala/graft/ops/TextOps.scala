@@ -99,11 +99,12 @@ object TextOps {
     *   4. `duplicate` — not the min-id holder of its normalized-text
     *      group (exact dedupe, keep-first)
     * All rules are column expressions; the only shuffle is the dedupe
-    * window. Here it partitions by the normalized text directly (oracle-
-    * identical in any engine); at corpus scale swap the partition key for
-    * `(length(norm), fingerprint(norm))` exactly as `dedupe_exact_norm`
-    * does — same groups, 16-byte shuffle keys instead of document
-    * bodies. */
+    * window, and it partitions on `(length(norm), fingerprint(norm))` —
+    * 16-byte keys instead of document bodies, the same scale tradeoff
+    * `dedupe_exact_norm` makes (a (length, hash) collision between
+    * different texts is vanishingly rare, and the engine-neutral
+    * fingerprint makes the grouping reproducible in any oracle
+    * engine). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxTokens: Int, minQuality: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -126,7 +127,8 @@ object TextOps {
       .when(col(textCol).rlike("(^| )(der|die|das|und)( |$)"), "de")
       .when(col(textCol).rlike("(^| )(le|la|et|les)( |$)"), "fr")
       .otherwise("und")
-    val keeper = min(col(idCol)).over(Window.partitionBy(norm))
+    val keeper = min(col(idCol))
+      .over(Window.partitionBy(length(norm), fingerprint(norm)))
     val reason = when(pred === "und", "lang")
       .when(size(ts) < minTokens, "too_short")
       .when(size(ts) > maxTokens, "too_long")

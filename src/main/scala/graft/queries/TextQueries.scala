@@ -223,7 +223,13 @@ object TextQueries extends QueryPack {
         |      WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
         |      ELSE 'und' END AS pred,
         |    min(doc_id) OVER (PARTITION BY
-        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS keeper
+        |      length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(
+        |            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ''),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS keeper
         |  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN pred = 'und' THEN 'lang'
