@@ -20,12 +20,12 @@ import graft.StableRound
   */
 object TextDedupe {
 
-  /** 3-token shingle set (distinct) per document. Guarded for short docs.
-    * The token array is let-bound (see [[let1]]): HOF lambdas have no
-    * CSE/codegen, so a raw `split(text)` referenced n times per shingle
-    * re-tokenizes the whole document n·|shingles| times per row — measured
-    * 50× on the sf0.1 corpus. */
-  def shingles(text: Column, n: Int = 3): Column =
+  /** 3-token shingle set (distinct) per document — composable reference
+    * form. Guarded for short docs. The token array is let-bound (see
+    * [[let1]]): HOF lambdas have no CSE/codegen, so a raw `split(text)`
+    * referenced n times per shingle re-tokenizes the whole document
+    * n·|shingles| times per row — measured 50× on the sf0.1 corpus. */
+  def shinglesComposed(text: Column, n: Int = 3): Column =
     let1(split(text, " "), ts => {
       val idxs = sequence(lit(1), size(ts) - (n - 1))
       val mk = transform(idxs, i =>
@@ -33,6 +33,13 @@ object TextDedupe {
       array_distinct(when(size(ts) >= n, mk)
         .otherwise(array().cast("array<string>")))
     })
+
+  /** Production form of [[shinglesComposed]]: one codegen'd pass
+    * (graft.functions.ShingleArray) — the ngram pipeline evaluates the
+    * kernel up to 4× per query, and even let-bound HOFs stay
+    * interpreted. TextDedupeSpec pins exact equality. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleArray.shingleArray(text, n)
 
   /** Exploded (id, shingle) inverted-index view. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,

@@ -59,6 +59,21 @@ class TextDedupeSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("codegen ShingleArray equals the composed HOF shingles on the " +
+      "real corpus (incl. short/empty/multi-space edge cases)") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq((1L, ""), (2L, "a b"), (3L, "a b c"), (4L, "a  b c d"),
+      (5L, "x x x x x"), (6L, " lead tok here"), (7L, "trail tok here "))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").unionByName(edge)
+    val diff = corpus.select(
+      TextDedupe.shingles(col("text")).as("fused"),
+      TextDedupe.shinglesComposed(col("text")).as("composed"))
+      .filter(not(col("fused") <=> col("composed"))).count()
+    assert(diff == 0)
+  }
+
   test("prefix-filtered join is EXACT: equals brute-force pairs on a " +
       "randomized corpus across thresholds") {
     // seeded random corpus with planted duplicate structure: overlapping
