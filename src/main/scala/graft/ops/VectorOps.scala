@@ -330,6 +330,142 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- Product quantization (FAISS-style PQ) — the memory-compression
+  // path: a d-dim float corpus stores as M byte-codes per vector (32×
+  // smaller at d=64, M=8), queries score codes via per-subspace lookup
+  // tables (ADC), exact rerank on the survivors.
+
+  /** Train PQ codebooks: split the (L2-normalized) vectors into `m`
+    * subvectors of d/m dims; per subspace, k-means with `k` centroids on
+    * a bounded sample (same hash-ranked sampling contract as
+    * [[ivfTrain]]: driver memory O(sampleN·d) at ANY corpus size).
+    * Returns codebooks(m)(k)(d/m). Deterministic (seeded). */
+  def pqTrain(vectors: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+      sampleN: Int = 4096, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val sample = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0) v else v.map(x => (x / n).toFloat)
+      }
+    require(sample.length >= k, "sample smaller than k")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { mi =>
+      val subs = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      var cents = rnd.shuffle(subs.indices.toList).take(k)
+        .map(subs(_)).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- cents.indices) {
+            var dist = 0.0
+            for (i <- 0 until dsub) {
+              val df = v(i).toDouble - cents(c)(i)
+              dist += df * df
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+          }
+          counts(best) += 1
+          for (i <- 0 until dsub) sums(best)(i) += v(i)
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode a NORMALIZED vector column: per subspace, the id of the
+    * L2-nearest codebook centroid — an array of `m` small ints (the
+    * byte-code column an index stores instead of floats). Map-only
+    * column expression: argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codes = (0 until m).map { mi =>
+      // let-bound: the subvector slice feeds k score expressions (HOF
+      // lambdas have no CSE — unbound it would re-slice per centroid)
+      let1(slice(vec, mi * dsub + 1, dsub), sub => {
+        val scores = array(codebooks(mi).map { c =>
+          val half = (c.map(x => x.toDouble * x).sum / 2.0).toFloat
+          dot(sub, typedlit(c.toSeq)) - lit(half)
+        }: _*)
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      })
+    }
+    array(codes: _*)
+  }
+
+  /** ADC (asymmetric distance computation) score: the query precomputes
+    * per-subspace lookup tables `lut(m)(c) = q̂_m · centroid_c`; a code
+    * array scores as Σ_m lut(m)(code_m) ≈ q̂ · x̂ (= cosine, both sides
+    * normalized). M element_at lookups per row — codegen-friendly, no
+    * float vectors touched at query time. */
+  def pqAdcScore(codes: Column, lut: Array[Array[Float]]): Column =
+    lut.zipWithIndex.map { case (t, mi) =>
+      element_at(typedlit(t.toSeq),
+        element_at(codes, mi + 1) + 1).cast("double")
+    }.reduce(_ + _)
+
+  /** PQ-ANN cosine top-k: normalize corpus + query, encode corpus to M
+    * byte-codes (at ingest in a deployment — the index IS the codes),
+    * ADC-score all codes against the query's lookup tables, keep the
+    * top `rerank` candidates (TakeOrderedAndProject), exact-rerank to
+    * top `k`. The scan touches only (id, codes) — at 100 TB the float
+    * vectors are read for just `rerank` rows. */
+  def pqCosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      m: Int = 8, kCent: Int = 16, rerank: Int = 40,
+      seed: Long = 42L): DataFrame = {
+    val codebooks = pqTrain(vectors, vecCol, m, kCent, seed = seed)
+    val dsub = codebooks(0)(0).length
+    // normalized corpus, encoded once (map-only). The norm is let-bound:
+    // inlined into the transform lambda it would recompute the full dot
+    // per ELEMENT (the O(d²) HOF no-CSE pitfall)
+    val unit = let1(norm(col(vecCol)), nrm =>
+      transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
+    val v = vectors
+      .withColumn("__unit", unit)
+      .withColumn("__codes", pqEncode(col("__unit"), codebooks))
+    // query: 1-row bounded collect to build the M×K lookup tables
+    val qv = query.select(col(queryVecCol)).collect()(0)
+      .getSeq[Float](0).toArray
+    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val qhat = if (qn == 0) qv else qv.map(x => (x / qn).toFloat)
+    val lut = Array.tabulate(m) { mi =>
+      codebooks(mi).map { c =>
+        var s = 0.0
+        for (i <- 0 until dsub) s += qhat(mi * dsub + i).toDouble * c(i)
+        s.toFloat
+      }
+    }
+    val cand = v
+      .select(col(idCol), col(vecCol),
+        pqAdcScore(col("__codes"), lut).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+    // exact rerank on the survivors
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    cand.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (norm(col(vecCol)) * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Evaluate `bound` once per row for `body`-many uses (1-element
     * transform let-binding — HOFs have no CSE; see TextDedupe.let1). */
   private def let1(bound: Column, body: Column => Column): Column =

@@ -97,6 +97,21 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // PQ-ANN (FAISS-style product quantization): corpus stored as M=8
+    // byte-codes per vector (32× smaller than float32 at d=64), query
+    // scores codes via per-subspace lookup tables (ADC), exact rerank on
+    // the top-40 survivors. Codebooks are data-trained (not
+    // SQL-expressible), so like IVF the oracle is the exact brute-force
+    // top-10 — hash equality asserts the compressed index still achieves
+    // recall 1.0 on the planted cluster — plus the genuine recall_ok
+    // bound.
+    "vec_ann_pq" -> ((s, d) => {
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = VectorOps.pqCosineTopK(corpus, "vec_id", "embedding",
+        query, "embedding", k = 10, m = 8, kCent = 16, rerank = 40)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
+    }),
+
     // BATCH ANN — approximate top-5 for each of 5 query vectors in one
     // pass (the candidate-generation shape of embedding near-dedupe).
     // Planted corpus seeds 5 true neighbors per query; the oracle
@@ -322,6 +337,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_batch" -> lshBatchOracleSql,
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
+    "vec_ann_pq" -> exactPlantedOracleSql,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -180,6 +180,33 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes are bounded small ints, training is deterministic, " +
+      "and rerank-all degenerates to exact top-k") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val cb1 = VectorOps.pqTrain(corpus, "embedding", m = 8, k = 16, seed = 7L)
+    val cb2 = VectorOps.pqTrain(corpus, "embedding", m = 8, k = 16, seed = 7L)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.map(_.map(_.toSeq).toSeq).toSeq) // deterministic
+    assert(cb1.length == 8 && cb1(0).length == 16 && cb1(0)(0).length == 8)
+    // codes: m ints in [0, k) — the 8-byte storage claim
+    val codes = corpus.select(
+      VectorOps.pqEncode(col("embedding"), cb1).as("c"))
+      .select(explode($"c").as("ci")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+    // rerank = corpus size ⇒ the ADC preselection cannot drop anything:
+    // result equals exact brute force
+    val n = corpus.count().toInt
+    val pqAll = VectorOps.pqCosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10, m = 8, kCent = 16, rerank = n)
+      .as[(Long, Double)].collect().toSeq
+    val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10).as[(Long, Double)].collect().toSeq
+    assert(pqAll == exact)
+  }
+
   test("planted corpus has true neighbors and ANN recall@10 is genuinely " +
       "asserted — including the negative control") {
     import graft.queries.VectorQueries
