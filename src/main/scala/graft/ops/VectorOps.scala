@@ -466,6 +466,59 @@ object VectorOps {
       .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF+PQ — the composed FAISS index shape for billion-vector search:
+    * the coarse quantizer prunes to `nProbe` of `nCentroids` cells
+    * (partition pruning in the deployed layout), PQ codes score the
+    * surviving cells' vectors via ADC lookup tables (no floats touched),
+    * exact rerank on the top `rerank`. I/O scales with nProbe/nCentroids
+    * of the corpus AND each scanned row is M bytes instead of 4·d —
+    * the two compressions multiply. Training stays hard-bounded
+    * (both quantizers sample via the hash-ranked top-N contract). */
+  def ivfPqCosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, kCent: Int = 16,
+      rerank: Int = 40, seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(vectors, vecCol, nCentroids, seed = seed)
+    val codebooks = pqTrain(vectors, vecCol, m, kCent, seed = seed)
+    val dsub = codebooks(0)(0).length
+    val unit = let1(norm(col(vecCol)), nrm =>
+      transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
+    val v = vectors
+      .withColumn("__cell", ivfCell(col(vecCol), centroids))
+      .withColumn("__codes", pqEncode(unit, codebooks))
+    // query driver-side (1-row bounded collect): probe set + ADC tables
+    val qv = query.select(col(queryVecCol)).collect()(0)
+      .getSeq[Float](0).toArray
+    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val qhat = if (qn == 0) qv else qv.map(x => (x / qn).toFloat)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      for (j <- c.indices) s += qhat(j).toDouble * c(j)
+      (-s, i)
+    }.sorted.take(nProbe).map(_._2)
+    val lut = Array.tabulate(m) { mi =>
+      codebooks(mi).map { c =>
+        var s = 0.0
+        for (i <- 0 until dsub) s += qhat(mi * dsub + i).toDouble * c(i)
+        s.toFloat
+      }
+    }
+    val cand = v.filter(col("__cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), col(vecCol),
+        pqAdcScore(col("__codes"), lut).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    cand.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (norm(col(vecCol)) * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Evaluate `bound` once per row for `body`-many uses (1-element
     * transform let-binding — HOFs have no CSE; see TextDedupe.let1). */
   private def let1(bound: Column, body: Column => Column): Column =

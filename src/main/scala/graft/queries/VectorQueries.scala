@@ -112,6 +112,17 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // IVF+PQ — the composed FAISS shape: coarse cells prune I/O, PQ
+    // codes compress what's scanned (the compressions multiply). Same
+    // exact-top-10 oracle + genuine recall bound as its components.
+    "vec_ann_ivfpq" -> ((s, d) => {
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = VectorOps.ivfPqCosineTopK(corpus, "vec_id", "embedding",
+        query, "embedding", k = 10, nCentroids = 16, nProbe = 4,
+        m = 8, kCent = 16, rerank = 40)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
+    }),
+
     // BATCH ANN — approximate top-5 for each of 5 query vectors in one
     // pass (the candidate-generation shape of embedding near-dedupe).
     // Planted corpus seeds 5 true neighbors per query; the oracle
@@ -338,6 +349,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
     "vec_ann_pq" -> exactPlantedOracleSql,
+    "vec_ann_ivfpq" -> exactPlantedOracleSql,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -205,6 +205,12 @@ class VectorOpsSpec extends SparkSpec {
     val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
       q, "embedding", k = 10).as[(Long, Double)].collect().toSeq
     assert(pqAll == exact)
+    // IVF+PQ with probe-all + rerank-all also degenerates to exact
+    val ivfpqAll = VectorOps.ivfPqCosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10, nCentroids = 8, nProbe = 8,
+      m = 8, kCent = 16, rerank = n)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfpqAll == exact)
   }
 
   test("planted corpus has true neighbors and ANN recall@10 is genuinely " +
