@@ -51,6 +51,35 @@ object CsvIngest {
     inferTypes(raw, formats)
   }
 
+  /** Schema-pinned CSV read with ROW-LEVEL quarantine — the Spark-native
+    * refinement of the reference's whole-file `problems/` move
+    * (`datapump.py:648`): instead of failing the entire file on one bad
+    * row, PERMISSIVE mode parses what it can, captures each malformed
+    * line verbatim in a corrupt-record column, and the result splits into
+    * a clean frame and a quarantine frame (raw line kept for the repair
+    * queue). A malformed row = wrong token count or an unparseable typed
+    * field; well-formed rows with empty fields are clean nulls, not
+    * quarantine. Map-only — quarantine adds no shuffle at any scale. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema
+      .add("__raw", org.apache.spark.sql.types.StringType)
+    val df = spark.read
+      .option("header", true)
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__raw")
+      .schema(withCorrupt)
+      .csv(path)
+      // corrupt-record columns cannot be filtered on a lazily-parsed
+      // plan without materialization; cache scopes the parse
+      .cache()
+    val good = df.filter(col("__raw").isNull).drop("__raw")
+    val bad = df.filter(col("__raw").isNotNull).select(col("__raw"))
+    (good, bad)
+  }
+
   /** The 4-type coarsening + all-or-nothing string→timestamp inference.
     * One aggregation pass decides every string column at once (non-null
     * count vs parse-success count), then a single projection applies the

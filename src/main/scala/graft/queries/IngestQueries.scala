@@ -84,6 +84,40 @@ object IngestQueries extends QueryPack {
     }),
 
     // JSONL source — the dominant LLM-training-data interchange format.
+    // Row-level quarantine (the reference moves WHOLE failing files to
+    // problems/, datapump.py:648 — at scale one bad line must not dump a
+    // terabyte file): PERMISSIVE parse splits clean rows from malformed
+    // ones, keeping each bad line verbatim for the repair queue. Output
+    // = clean rows + the quarantine count; literal-VALUES oracle pins
+    // which lines are malformed vs merely null-valued.
+    "scan_corrupt_quarantine" -> ((s, d) => {
+      val dir = Paths.get("/tmp/graft_quarantine_fixture")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("data.csv"),
+        ("k,v,ts\n" +
+          "1,10.5,2024-01-01 00:00:00\n" +          // clean
+          "2,notanumber,2024-01-01 00:00:00\n" +    // bad: v unparseable
+          "3,7.5\n" +                                // bad: short row
+          ",,\n" +                                   // clean: all-null row
+          "4,,2024-01-02 00:00:00\n" +               // clean: null v
+          "5,5.5,2024-01-03 00:00:00,extra\n")       // bad: extra token
+          .getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val (good, bad) = CsvIngest.readCsvQuarantine(s,
+        s"$dir/data.csv", schema)
+      val nBad = bad.agg(count(lit(1)).as("n_quarantined"))
+      good.select(col("k"), col("v"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .crossJoin(broadcast(nBad))
+    }),
+
     // Round trip: events → to_json lines → schema-pinned spark.read.json.
     // A pinned schema (never inference) is the 100 TB contract: inference
     // would scan the corpus twice and can drift between files.
@@ -196,6 +230,19 @@ object IngestQueries extends QueryPack {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type""".stripMargin,
+
+    // literal oracle pins Spark's PERMISSIVE semantics: unparseable
+    // field / short row / extra token ⇒ quarantine; all-null and
+    // null-valued well-formed rows ⇒ clean
+    "scan_corrupt_quarantine" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v,
+        |  CAST(ts_str AS VARCHAR) AS ts_str,
+        |  CAST(3 AS BIGINT) AS n_quarantined
+        |FROM (VALUES
+        |  (1, 10.5, '2024-01-01 00:00:00'),
+        |  (NULL, NULL, NULL),
+        |  (4, NULL, '2024-01-02 00:00:00')) AS t(k, v, ts_str)"""
+        .stripMargin,
 
     // double round-trip through JSON shortest-decimal repr is exact, so
     // the oracle is the source table itself

@@ -89,4 +89,25 @@ class CsvIngestSpec extends SparkSpec {
     val n = Compaction.compact(spark, frag, s"$base/out2", bytes / 4 + 1)
     assert(n >= 3 && n <= 4 && Compaction.fileCount(spark, s"$base/out2") == n)
   }
+
+  test("readCsvQuarantine splits clean rows from malformed, keeping the " +
+      "raw line for the repair queue") {
+    val p = writeCsv(
+      "k,v\n" +
+        "1,1.5\n" +          // clean
+        "2,oops\n" +         // bad: unparseable double
+        "3\n" +              // bad: short row
+        "4,\n")              // clean: null v
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val (good, bad) = CsvIngest.readCsvQuarantine(spark, p, schema)
+    import sqlImplicits._
+    assert(good.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // quarantine preserves the offending lines verbatim
+    val raw = bad.as[String].collect().toSet
+    assert(raw == Set("2,oops", "3"))
+  }
 }
