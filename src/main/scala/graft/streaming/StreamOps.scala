@@ -232,11 +232,16 @@ object StreamOps {
     * Both sides carry watermarks and the join condition bounds event-time
     * distance, so Spark can evict joined state once the watermark passes
     * (without the bound, stream-stream join state grows forever — the
-    * 100 TB failure mode). Inner join: a match emits exactly once, when
-    * both sides have arrived. */
+    * 100 TB failure mode). Inner join (default): a match emits exactly
+    * once, when both sides have arrived. `leftOuter`: additionally, a
+    * left row with NO match emits once with null right columns — but
+    * only after the watermark passes the end of its match window
+    * (before that a match could still arrive), so unmatched results are
+    * watermark-delayed by construction. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, windowMinutes: Int,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right
       .withColumnRenamed(keyCol, s"__r_$keyCol")
@@ -246,7 +251,7 @@ object StreamOps {
         col(rightTsCol) >= col(leftTsCol) &&
         col(rightTsCol) <=
           col(leftTsCol) + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
+      joinType)
       .drop(s"__r_$keyCol")
   }
 

@@ -169,6 +169,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 200L))) // one match, exactly once
   }
 
+  test("left-outer interval join emits unmatched lefts with null right " +
+      "only after the watermark closes their window") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      views.toDF().toDF("user_id", "view_ts", "view_id"),
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      "user_id", "view_ts", "click_ts", windowMinutes = 10,
+      watermark = "5 minutes", joinType = "leftOuter")
+      .select($"user_id", $"view_id", $"click_id")
+    val q = joined.writeStream.format("memory").queryName("oj_out")
+      .outputMode("append").start()
+    // view 100 will match; view 101 never will
+    views.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+                  (2L, ts("2024-01-01 10:00:00"), 101L))
+    clicks.addData((1L, ts("2024-01-01 10:05:00"), 200L))
+    q.processAllAvailable()
+    val early = spark.table("oj_out").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    // the unmatched view must NOT have emitted yet — its window is open
+    assert(early == Set((1L, 100L, Some(200L))))
+    // advance both watermarks far past view_ts + 10min + 5min delay
+    views.addData((9L, ts("2024-01-01 12:00:00"), 900L))
+    clicks.addData((9L, ts("2024-01-01 12:00:00"), 901L))
+    q.processAllAvailable()
+    // one more batch: outer-null emission happens on the batch AFTER the
+    // watermark update is committed
+    views.addData((8L, ts("2024-01-01 12:00:01"), 800L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("oj_out").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(got.contains((2L, 101L, None))) // unmatched left, null right
+    assert(got.contains((1L, 100L, Some(200L))))
+  }
+
   test("RocksDB state store yields identical results to the default " +
       "HDFS-backed store on a stateful query") {
     // the provider changes state RESIDENCE (off-heap/on-disk vs heap
