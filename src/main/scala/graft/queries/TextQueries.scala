@@ -50,6 +50,30 @@ object TextQueries extends QueryPack {
       TextOps.curate(Tables.documents(s, d), "doc_id", "text",
         minTokens = 20, maxTokens = 90, minQuality = 0.58)),
 
+    // the END-TO-END training-data report: curation verdicts + PII
+    // accounting + token budget of the surviving corpus, as ONE
+    // aggregation pass over the curate output (conditional aggregates —
+    // no second scan, no driver loop). The per-reason columns are the
+    // numbers every corpus-build report leads with.
+    "pipeline_curate_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cur = TextOps.curate(docs, "doc_id", "text",
+        minTokens = 20, maxTokens = 90, minQuality = 0.58)
+      val nPii = regexp_count(col("text"), lit(TextOps.EmailRe)) +
+        regexp_count(col("text"), lit(TextOps.PhoneRe))
+      docs.join(cur, "doc_id").agg(
+        count(lit(1)).as("n_input"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        count(when(col("reject_reason") === "lang", 1)).as("n_lang"),
+        count(when(col("reject_reason") === "too_short", 1)).as("n_too_short"),
+        count(when(col("reject_reason") === "too_long", 1)).as("n_too_long"),
+        count(when(col("reject_reason") === "quality", 1)).as("n_quality"),
+        count(when(col("reject_reason") === "duplicate", 1)).as("n_duplicate"),
+        sum(when(col("keep"), size(split(col("text"), " ")))
+          .otherwise(0)).as("total_tokens_kept"),
+        sum(when(col("keep"), nPii).otherwise(0)).as("n_pii_redacted"))
+    }),
+
     // token counting two ways: whitespace and a BPE-ish pre-tokenizer
     // regex (GPT-2 style: contraction suffixes | letter runs | digit runs
     // | punctuation runs, each optionally space-prefixed). Pure per-row
@@ -136,6 +160,52 @@ object TextQueries extends QueryPack {
         "doc_id", "text", maxHamming = 3)),
   )
 
+  /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
+    * shared by the per-doc verdict oracle and the one-pass report
+    * oracle, so the rule chain exists in exactly one SQL rendering. */
+  private def curateCteSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS ntok,
+      |    CAST(round(CAST(
+      |      least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+      |      + (1.0 - len(list_filter(string_split(text, ' '),
+      |          tk -> tk IN ('a', 'the')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |      + len(list_distinct(string_split(text, ' ')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+      |      AS DECIMAL(27,12)), 6) AS DOUBLE) AS q,
+      |    CASE
+      |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |      WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+      |      WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+      |      WHEN regexp_matches(text, '(^| )(the|of|and)( |$)') THEN 'en'
+      |      WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
+      |      WHEN regexp_matches(text, '(^| )(der|die|das|und)( |$)') THEN 'de'
+      |      WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
+      |      ELSE 'und' END AS pred,
+      |    min(doc_id) OVER (PARTITION BY
+      |      length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(
+      |            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS keeper
+      |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |  CASE WHEN pred = 'und' THEN 'lang'
+      |       WHEN ntok < 20 THEN 'too_short'
+      |       WHEN ntok > 90 THEN 'too_long'
+      |       WHEN q < 0.58 THEN 'quality'
+      |       WHEN doc_id <> keeper THEN 'duplicate' END AS reject_reason,
+      |  (CASE WHEN pred = 'und' THEN 'lang'
+      |       WHEN ntok < 20 THEN 'too_short'
+      |       WHEN ntok > 90 THEN 'too_long'
+      |       WHEN q < 0.58 THEN 'quality'
+      |       WHEN doc_id <> keeper THEN 'duplicate' END) IS NULL AS keep
+      |FROM t)""".stripMargin
+
   /** tokenHash60 in DuckDB: the same two polynomial folds, combined
     * identically; all intermediates < 2^36 so no overflow either side. */
   private def tokenHash60Sql(tok: String): String = {
@@ -202,47 +272,27 @@ object TextQueries extends QueryPack {
     // same rule chain, same precedence; quality uses the DECIMAL(27,12)
     // stable-round construction text_quality already proves cross-engine
     "text_curate" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    len(string_split(text, ' ')) AS ntok,
-        |    CAST(round(CAST(
-        |      least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-        |      + (1.0 - len(list_filter(string_split(text, ' '),
-        |          tk -> tk IN ('a', 'the')))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-        |      + len(list_distinct(string_split(text, ' ')))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
-        |      AS DECIMAL(27,12)), 6) AS DOUBLE) AS q,
-        |    CASE
-        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-        |      WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
-        |      WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
-        |      WHEN regexp_matches(text, '(^| )(the|of|and)( |$)') THEN 'en'
-        |      WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
-        |      WHEN regexp_matches(text, '(^| )(der|die|das|und)( |$)') THEN 'de'
-        |      WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
-        |      ELSE 'und' END AS pred,
-        |    min(doc_id) OVER (PARTITION BY
-        |      length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
-        |      list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(string_split(
-        |            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ''),
-        |            c -> CAST(unicode(c) AS BIGINT))),
-        |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS keeper
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN pred = 'und' THEN 'lang'
-        |       WHEN ntok < 20 THEN 'too_short'
-        |       WHEN ntok > 90 THEN 'too_long'
-        |       WHEN q < 0.58 THEN 'quality'
-        |       WHEN doc_id <> keeper THEN 'duplicate' END AS reject_reason,
-        |  (CASE WHEN pred = 'und' THEN 'lang'
-        |       WHEN ntok < 20 THEN 'too_short'
-        |       WHEN ntok > 90 THEN 'too_long'
-        |       WHEN q < 0.58 THEN 'quality'
-        |       WHEN doc_id <> keeper THEN 'duplicate' END) IS NULL AS keep
-        |FROM t""".stripMargin,
+      (curateCteSql + "\nSELECT doc_id, reject_reason, keep FROM c"),
+
+    // the one-pass corpus report over the same curate relation
+    "pipeline_curate_report" ->
+      (curateCteSql + """
+        |SELECT count(*) AS n_input,
+        |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+        |  count(CASE WHEN reject_reason = 'lang' THEN 1 END) AS n_lang,
+        |  count(CASE WHEN reject_reason = 'too_short' THEN 1 END) AS n_too_short,
+        |  count(CASE WHEN reject_reason = 'too_long' THEN 1 END) AS n_too_long,
+        |  count(CASE WHEN reject_reason = 'quality' THEN 1 END) AS n_quality,
+        |  count(CASE WHEN reject_reason = 'duplicate' THEN 1 END) AS n_duplicate,
+        |  CAST(sum(CASE WHEN keep THEN len(string_split(text, ' '))
+        |    ELSE 0 END) AS BIGINT) AS total_tokens_kept,
+        |  CAST(sum(CASE WHEN keep THEN
+        |      len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text,
+        |        '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |    ELSE 0 END) AS BIGINT) AS n_pii_redacted
+        |FROM c""".stripMargin),
 
     "text_pii_scrub" ->
       """WITH w AS (SELECT doc_id,
