@@ -12,42 +12,90 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for each left row, the single right row with the greatest
-    * `rightTs <= leftTs` among rows sharing the join key; ties on ts broken
-    * by the greatest `rightTieBreak`. Right value columns come back prefixed
-    * `asof_`; left rows with no prior right row get nulls.
+  /** As-of join, pandas `merge_asof` directions:
+    *  - `backward` (default): the right row with the greatest
+    *    `rightTs <= leftTs` per key;
+    *  - `forward`: the right row with the smallest `rightTs >= leftTs`;
+    *  - `nearest`: whichever of the two is closest in absolute time
+    *    (exact-distance ties prefer backward).
+    * Exact-instant matches count in every direction (pandas
+    * allow_exact_matches=True). Ties on the chosen instant break by the
+    * greatest `rightTieBreak`. Right value columns come back prefixed
+    * `asof_`; left rows with no candidate get nulls.
     *
     * Implementation is the scalable union trick, not join-then-prune:
-    * tag both sides, union, and carry right values forward with
-    * `last(ignoreNulls)` over (key, ts, side) ordering. This is ONE hash
-    * shuffle on the key with linear per-key state — no |L_k|×|R_k| pair
-    * blow-up when a key has many rows on both sides, which is what kills
-    * the naive equi-join-then-rank plan at 100 TB.
+    * tag both sides, union, and carry right values across with
+    * `last/first(ignoreNulls)` over (key, ts, side) orderings. This is
+    * ONE hash shuffle on the key with linear per-key state — no
+    * |L_k|×|R_k| pair blow-up when a key has many rows on both sides,
+    * which is what kills the naive equi-join-then-rank plan at 100 TB
+    * (`nearest` sorts the same partitioning twice, once per direction —
+    * still no pair materialization).
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       rightTieBreak: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction: $direction")
     val l2 = left
-      .withColumn("__ts", col(leftTs))
+      .withColumn("__ts", col(leftTs).cast("timestamp"))
       .withColumn("__side", lit(1))
+    // __rts rides along as an extra carried column so `nearest` can
+    // compare match distances
     val r2 = right.select(
       (col(rightKey).as(leftKey) +:
         col(rightTs).cast("timestamp").as("__ts") +:
         col(rightTieBreak).as("__tie") +:
+        col(rightTs).cast("timestamp").as("__rts_v") +:
         rightValueCols.map(c => col(c).as(s"asof_$c"))): _*)
       .withColumn("__side", lit(0))
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    // Right rows sort before left rows at the same instant (side 0 < 1), so
-    // "rightTs <= leftTs" is inclusive; among right ties, tie asc makes
-    // last() pick the max tie-break.
-    val w = Window.partitionBy(col(leftKey))
+    val carryCols = rightValueCols.map(c => s"asof_$c") :+ "__rts_v"
+
+    // backward: right rows sort BEFORE left at the same instant
+    // (side 0 < 1), so "rightTs <= leftTs" is inclusive; among right
+    // ties, tie asc makes last() pick the max tie-break.
+    val wB = Window.partitionBy(col(leftKey))
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c", F.last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    // forward: left rows sort BEFORE right at the same instant
+    // (side desc: 1 < 0 reversed), so "rightTs >= leftTs" is inclusive;
+    // tie desc makes first() pick the max tie-break at the nearest
+    // instant.
+    val wF = Window.partitionBy(col(leftKey))
+      .orderBy(col("__ts").asc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def carried(prefix: String, w: org.apache.spark.sql.expressions.WindowSpec,
+        agg: (org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+        : DataFrame => DataFrame = df =>
+      carryCols.foldLeft(df) { (acc, c) =>
+        acc.withColumn(s"$prefix$c", agg(col(c)).over(w))
+      }
+
+    val out = direction match {
+      case "backward" =>
+        carried("", wB, c => F.last(c, ignoreNulls = true))(u)
+      case "forward" =>
+        carried("", wF, c => F.first(c, ignoreNulls = true))(u)
+      case "nearest" =>
+        val both = carried("__f_", wF, c => F.first(c, ignoreNulls = true))(
+          carried("__b_", wB, c => F.last(c, ignoreNulls = true))(u))
+        // exact-microsecond distances (timestamps carry sub-second
+        // precision; truncating to seconds would flip near-ties)
+        val useB = col("__f___rts_v").isNull ||
+          (col("__b___rts_v").isNotNull &&
+            (F.unix_micros(col("__ts")) - F.unix_micros(col("__b___rts_v"))
+              <= F.unix_micros(col("__f___rts_v")) - F.unix_micros(col("__ts"))))
+        carryCols.foldLeft(both) { (acc, c) =>
+          acc.withColumn(c,
+            F.when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+        }.drop(carryCols.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie")
+    out.filter(col("__side") === 1)
+      .drop("__ts", "__side", "__tie", "__rts_v")
   }
 }

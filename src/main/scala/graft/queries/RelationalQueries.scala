@@ -67,6 +67,34 @@ object RelationalQueries extends QueryPack {
         rightValueCols = Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "asof_o_orderkey", "asof_o_totalprice")),
 
+    // merge_asof direction='forward': earliest order at-or-after each
+    // event (left rows with no later order keep nulls — the oracle must
+    // LEFT JOIN for parity)
+    "join_asof_forward" -> ((s, d) =>
+      Joins.asOfJoin(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        direction = "forward")
+        .select("event_id", "user_id", "asof_o_orderkey", "asof_o_totalprice")),
+
+    // merge_asof direction='nearest': closest order in absolute time,
+    // exact-distance ties prefer backward; distances compared at full
+    // microsecond precision on both engines
+    "join_asof_nearest" -> ((s, d) =>
+      Joins.asOfJoin(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        direction = "nearest")
+        .select("event_id", "user_id", "asof_o_orderkey", "asof_o_totalprice")),
+
     // ---- aggregations ---------------------------------------------------
     "agg_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
@@ -525,6 +553,31 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT event_id, user_id,
+        |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    // abs distance in exact microseconds; equal-distance ties prefer the
+    // backward (at-or-before) candidate; then max orderkey
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id,
+        |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+        |        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+        |        o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id)
         |WHERE rn = 1""".stripMargin,
 
     "agg_distinct" ->

@@ -66,4 +66,33 @@ class JoinsSpec extends SparkSpec {
       .select("asof_rid").as[Long].collect()
     assert(got.sameElements(Array(9L)))
   }
+
+  test("asOfJoin forward/nearest directions: inclusivity, null on no " +
+      "candidate, nearest prefers backward on exact-distance tie") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-02 00:00:00")), // between 01-01 and 01-05
+      (2L, 10L, ts("2024-01-05 00:00:00")), // exact forward match
+      (3L, 10L, ts("2024-01-09 00:00:00")), // nothing after -> fwd null
+      (4L, 10L, ts("2024-01-03 00:00:00"))  // equidistant 01-01/01-05
+    ).toDF("id", "key", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100L),
+      (10L, ts("2024-01-05 00:00:00"), 101L)
+    ).toDF("rkey", "rts", "rid")
+    def run(dir: String): Map[Long, Option[Long]] =
+      Joins.asOfJoin(left, right, "key", "rkey", "ts", "rts",
+        "rid", Seq("rid"), direction = dir)
+        .select("id", "asof_rid")
+        .collect().map(r => (r.getLong(0), Option(r.get(1))
+          .map(_.asInstanceOf[Long]))).toMap
+    val fwd = run("forward")
+    assert(fwd(1L) == Some(101L)) // earliest >= 01-02
+    assert(fwd(2L) == Some(101L)) // inclusive at equal instant
+    assert(fwd(3L) == None)       // nothing after -> null
+    val near = run("nearest")
+    assert(near(1L) == Some(100L)) // 1 day back vs 3 days fwd
+    assert(near(2L) == Some(101L)) // exact match
+    assert(near(3L) == Some(101L)) // only backward exists
+    assert(near(4L) == Some(100L)) // 2d == 2d tie -> backward
+  }
 }
