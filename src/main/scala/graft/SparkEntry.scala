@@ -18,6 +18,7 @@ object SparkEntry {
     ScalarQueries,
     StatsQueries,
     TextQueries,
+    CorpusQueries,
     VectorQueries,
     IngestQueries,
     StreamQueries,

@@ -18,16 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * one static-method call per row inside whole-stage codegen, and the
   * ngram pipeline evaluates it up to four times per query (prefix index,
   * dfreq, both verify sides). */
-case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleArray(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    ShingleArray.compute(input.asInstanceOf[UTF8String].toString, n)
+    ShingleArray.compute(input.asInstanceOf[UTF8String].toString, n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleArray.compute($c.toString(), $n);")
+      s"${ev.value} = graft.functions.ShingleArray.compute($c.toString(), $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
@@ -37,11 +38,16 @@ object ShingleArray {
 
   /** Static kernel (called from generated code): tokenize on single
     * spaces keeping trailing empties, emit each n-token window joined by
-    * one space, distinct in first-occurrence order. */
-  def compute(s: String, n: Int): ArrayData = {
+    * one space; `distinct` dedupes in first-occurrence order (the dedup
+    * family's set semantics), `!distinct` keeps every occurrence in
+    * position order (the repetition-metric multiset semantics). */
+  def compute(s: String, n: Int, distinct: Boolean): ArrayData = {
     val toks = s.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    // LinkedHashSet dedupes preserving first-occurrence order; plain
+    // ArrayList keeps the multiset. Both emit in a single forward pass.
+    val out = new java.util.LinkedHashSet[String](toks.length * 2)
+    val all = new java.util.ArrayList[String](toks.length)
     var i = 0
     while (i + n <= toks.length) {
       val sb = new java.lang.StringBuilder
@@ -51,11 +57,12 @@ object ShingleArray {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) out.add(sb.toString) else all.add(sb.toString)
       i += 1
     }
-    val arr = new Array[Any](seen.size)
-    val it = seen.iterator()
+    val src: java.util.Collection[String] = if (distinct) out else all
+    val arr = new Array[Any](src.size)
+    val it = src.iterator()
     var k = 0
     while (it.hasNext) {
       arr(k) = UTF8String.fromString(it.next())
@@ -66,4 +73,8 @@ object ShingleArray {
 
   def shingleArray(text: Column, n: Int): Column =
     ExprBridge.col(ShingleArray(ExprBridge.expr(text), n))
+
+  /** Occurrence-order multiset form (no dedup) — for repetition metrics. */
+  def shingleOccurrences(text: Column, n: Int): Column =
+    ExprBridge.col(ShingleArray(ExprBridge.expr(text), n, distinct = false))
 }

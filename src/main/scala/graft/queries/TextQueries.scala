@@ -12,7 +12,7 @@ import graft.ops.{TextOps, TextDedupe}
   */
 object TextQueries extends QueryPack {
 
-  private def shingleCte(blocked: Boolean): String = {
+  private[queries] def shingleCte(blocked: Boolean): String = {
     val langCol = if (blocked) ", lang" else ""
     val langJoin = if (blocked) " AND a.lang = b.lang" else ""
     s"""WITH tok AS (SELECT doc_id$langCol, string_split(text, ' ') AS ts

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Clusters, CorpusOps}
+
+class CorpusOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def seqText(from: Int, n: Int): String =
+    (from until from + n).map("w" + _).mkString(" ")
+
+  test("decontaminate flags exactly the training docs sharing a 13-gram " +
+      "with an eval doc") {
+    val evalText = seqText(0, 20)                 // eval doc, ids % 5 == 0
+    val docs = Seq(
+      (5L, evalText),                             // eval — excluded from output
+      (1L, seqText(0, 15)),                       // shares 13-grams with eval
+      (2L, "prefix " + seqText(4, 14)),           // w4..w17 ⊃ w4..w16 shared
+      (3L, seqText(100, 30)),                     // disjoint vocabulary
+      (4L, seqText(0, 12)),                       // only 12 tokens: no 13-gram
+      (6L, seqText(0, 13))                        // exactly one shared 13-gram
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(docs, "doc_id", "text",
+      isEval = pmod(col("doc_id"), lit(5)) === 0)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(5L), "eval docs must not appear in the output")
+    assert(got(1L)._2 && got(1L)._1 == 3)   // w0..w14 has 3 13-grams, all in eval
+    assert(got(2L)._2)
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false)))        // too short to be flagged
+    assert(got(6L) == ((1L, true)))
+  }
+
+  test("gopherRepetition: clean docs pass, each repetition rule fires") {
+    val clean = (0 until 30).map("word" + _).mkString(" ")
+    val top2Heavy = Seq.fill(10)("spam ham").mkString(" ")   // one dominant 2-gram
+    val dup5Heavy = (seqText(0, 10) + " ") * 3 + seqText(100, 2)  // repeated 10-token run
+    val shortWords = (0 until 30).map(_ => "a b").mkString(" ")   // mean len 1
+    val symbols = (0 until 30).map(_ => "$$$ ###").mkString(" ")  // no alpha
+    val docs = Seq(
+      (1L, clean), (2L, top2Heavy), (3L, dup5Heavy.trim),
+      (4L, shortWords), (5L, symbols)).toDF("doc_id", "text")
+    val got = CorpusOps.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(1L)._3, "clean doc must keep")
+    assert(!got(2L)._3 && got(2L)._1 > 0.20, "top-2-gram rule fires")
+    assert(!got(3L)._3 && got(3L)._2 > 0.15, "dup-5-gram rule fires")
+    assert(!got(4L)._3, "mean word length rule fires")
+    assert(!got(5L)._3, "alpha-word rule fires")
+  }
+
+  test("gopherRepetition handles docs too short for grams") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = CorpusOps.gopherRepetition(docs, "doc_id", "text").head
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("mixtureSample: high-resource domains down-sampled hardest, " +
+      "low-resource kept whole, deterministic membership") {
+    val docs = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1004).map(i => (i.toLong, "tiny"))).toDF("doc_id", "lang")
+    val got = CorpusOps.mixtureSample(docs, "doc_id", "lang",
+      targetFrac = 0.4)
+    val rates = got.groupBy("lang").agg(max("sample_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // tiny domain: budget share alone exceeds its size -> rate 1.0
+    assert(rates("tiny") == 1.0)
+    assert(rates("big") < 0.45 && rates("big") > 0.2)
+    // every tiny doc survives; the big domain is actually thinned
+    val sampledByLang = got.filter(col("sampled")).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampledByLang("tiny") == 4)
+    assert(sampledByLang("big") < 800)
+    // deterministic: a second run yields the identical row set
+    val again = CorpusOps.mixtureSample(docs, "doc_id", "lang",
+      targetFrac = 0.4)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("mixtureSample sampled fraction tracks the computed rate") {
+    val docs = (1 to 2000).map(i => (i.toLong, "only")).toDF("doc_id", "lang")
+    val got = CorpusOps.mixtureSample(docs, "doc_id", "lang",
+      targetFrac = 0.5)
+    val rate = got.agg(max("sample_rate")).head.getDouble(0)
+    val frac = got.filter(col("sampled")).count().toDouble / 2000
+    // single domain: rate = targetFrac exactly; fingerprint-uniformity
+    // keeps the realized fraction within a 5-sigma binomial band
+    assert(rate == 0.5)
+    assert(math.abs(frac - rate) < 5 * math.sqrt(0.25 / 2000))
+  }
+}
+
+class ClustersSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 20) =
+    Clusters.connectedComponents(
+      vs.toDF("id"), es.toDF("src", "dst"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive chains collapse to one min-labelled component") {
+    // chain 1-2, 2-3, 3-4 plus pair 10-11 plus isolated 20
+    val got = cc(Seq(1, 2, 3, 4, 10, 11, 20),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("label flows against edge direction too (undirected semantics)") {
+    // min id sits at the dst end of every edge
+    val got = cc(Seq(1, 2, 3), Seq((3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("long path needs diameter rounds and still converges") {
+    val n = 12
+    val got = cc((1L to n).toSeq, (1L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("maxIter caps the rounds (partial labels, no hang)") {
+    val n = 12
+    val got = cc((1L to n).toSeq, (1L until n).map(i => (i, i + 1)),
+      maxIter = 2)
+    // after 2 rounds labels have propagated at most ~2 hops; the far end
+    // cannot yet be 1, but every label is a valid component member
+    assert(got(12L) != 1L)
+    assert(got.forall { case (v, l) => l <= v })
+  }
+}
