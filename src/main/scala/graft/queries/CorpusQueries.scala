@@ -45,6 +45,41 @@ object CorpusQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
           (col("id") === col("label")).as("is_keeper"))
     }),
+
+    // SEMANTIC cluster dedup: same closure over embedding-cosine pairs —
+    // near-dups the text tiers can't see (paraphrases) cluster by
+    // embedding geometry; reuses dedupe_embed's pair relation
+    "dedupe_embed_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val pairs = graft.ops.VectorOps.pairwiseCosine(emb, "vec_id",
+        "embedding", threshold = 0.45, blockCol = None)
+      Clusters.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
+    // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
+    // batch is checked against the ALREADY-LANDED corpus without
+    // re-deduping history. The existing side is reduced to 16-byte
+    // (length, fingerprint) keys of the normalized text (never document
+    // bodies — the dedupe_exact_norm tradeoff); at 100 TB that key table
+    // is bloom-filterable/broadcastable while the corpus itself is never
+    // rescanned beyond the key projection. Split: incoming = doc_id%3=0.
+    "dedupe_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(length(norm).as("n_len"),
+          graft.ops.TextOps.fingerprint(norm).as("n_fp")).distinct()
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), length(norm).as("n_len"),
+          graft.ops.TextOps.fingerprint(norm).as("n_fp"))
+        .join(existing.withColumn("hit", lit(1)),
+          Seq("n_len", "n_fp"), "left")
+        .select(col("doc_id"), col("hit").isNull.as("is_new"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -142,5 +177,38 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // same closure over the embedding-cosine pair relation
+    "dedupe_embed_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT id1, id2 FROM (
+         |${VectorQueries.vCte}
+         |SELECT a.vec_id AS id1, b.vec_id AS id2
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+         |)),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION ALL SELECT id2, id1 FROM p),
+         |r AS (
+         |  SELECT vec_id AS v, vec_id AS l FROM embeddings
+         |  UNION
+         |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+         |)
+         |SELECT v AS vec_id, min(l) AS cluster_id,
+         |  (v = min(l)) AS is_keeper
+         |FROM r GROUP BY v""".stripMargin,
+
+    // the oracle dedupes on the normalized TEXT itself; the Spark side
+    // groups on its 16-byte (length, fingerprint) proxy — same grouping
+    // in every realizable case (the dedupe_exact convention)
+    "dedupe_incremental" ->
+      """WITH i AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |e AS (SELECT DISTINCT
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT i.doc_id, e.nrm IS NULL AS is_new
+        |FROM i LEFT JOIN e ON i.nrm = e.nrm""".stripMargin,
   )
 }

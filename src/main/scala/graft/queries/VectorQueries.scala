@@ -335,7 +335,7 @@ object VectorQueries extends QueryPack {
         |ORDER BY list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) DESC, cn.vec_id
         |LIMIT 10""".stripMargin
 
-  private val vCte =
+  private[queries] val vCte =
     """WITH v AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),

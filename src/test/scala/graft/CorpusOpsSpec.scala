@@ -92,6 +92,32 @@ class CorpusOpsSpec extends SparkSpec {
   }
 }
 
+class DedupeIncrementalSpec extends SparkSpec {
+  import sqlImplicits._
+  import org.apache.spark.sql.functions._
+
+  test("incoming docs match existing corpus by normalized-text key") {
+    val docs = Seq(
+      (1L, "The quick  brown fox"),      // existing
+      (2L, "completely novel text"),     // existing
+      (3L, "the quick brown fox"),       // incoming: normalized dup of 1
+      (6L, "brand new content here"),    // incoming: new
+      (9L, "COMPLETELY NOVEL TEXT")      // incoming: case-dup of 2
+    ).toDF("doc_id", "text")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(length(norm).as("n_len"),
+        graft.ops.TextOps.fingerprint(norm).as("n_fp")).distinct()
+    val got = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), length(norm).as("n_len"),
+        graft.ops.TextOps.fingerprint(norm).as("n_fp"))
+      .join(existing.withColumn("hit", lit(1)), Seq("n_len", "n_fp"), "left")
+      .select(col("doc_id"), col("hit").isNull.as("is_new"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(3L -> false, 6L -> true, 9L -> false))
+  }
+}
+
 class ClustersSpec extends SparkSpec {
   import sqlImplicits._
 
