@@ -43,12 +43,15 @@ object Clusters {
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    // decimal sum: immune to long overflow at billion-vertex id ranges
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    // decimal sum: immune to long overflow at billion-vertex id ranges.
+    // sum() over zero rows is SQL null — an empty vertex frame is already
+    // at its (vacuous) fixpoint, so null means "stop", not NPE.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .head.getDecimal(0))
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = false
+    var converged = prevSum.isEmpty
     while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
@@ -56,11 +59,96 @@ object Clusters {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       it += 1
     }
+    if (!converged)
+      // labels are still a valid UPPER approximation (every label is an id
+      // within the vertex's component) but components of diameter > maxIter
+      // may be split — surface it rather than returning silently. Graphs
+      // where this fires want [[connectedComponentsStar]] instead.
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter without converging; " +
+          "labels may split long-diameter components " +
+          "(use connectedComponentsStar for long-chain graphs)")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round alternative for graphs whose diameter is unknown or
+    * adversarial (a 1000-link chain converges in ~11 rounds here vs 1000
+    * rounds of min-label propagation).
+    *
+    * Switch criterion (documented contract, measured in PLANS.md):
+    * [[connectedComponents]] (min-label) is the default for DEDUP pair
+    * graphs — near-dup clusters are near-cliques (diameter ≤ 2-3), and
+    * min-label costs one join per round. Use THIS variant when the edge
+    * relation is not a similarity graph (arbitrary lineage/reference
+    * graphs), when min-label exits via maxIter without converging, or
+    * when a diameter bound simply cannot be argued in advance.
+    *
+    * Per round: large-star hangs every strictly-larger neighbor of a node
+    * onto the minimum of its closed neighborhood; small-star does the same
+    * for the smaller-or-equal neighbors. Both are one hash shuffle of
+    * compact (long, long) pairs (window min over the node), and every
+    * emitted edge (child, parent) satisfies child > parent, so the edge
+    * set shrinks toward stars centered at component minima. Fixpoint =
+    * edge set unchanged over a full round (exact set equality via EXCEPT,
+    * not a hash). Lineage is truncated per round (localCheckpoint), same
+    * as min-label. */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("u")
+
+    // large-star: per node u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀ v>u.
+    // v > u ≥ m, so emitted edges keep the child>parent invariant.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      nbr.withColumn("m", least(min(col("v")).over(win), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: direct edges child>parent, per node u over its smaller
+    // neighbors N: m = min(N); emit (v, m) ∀ v∈N and (u, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withMin = dir.withColumn("m", min(col("v")).over(win))
+      withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact set equality: both frames are distinct child>parent pairs
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      it += 1
+    }
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"connectedComponentsStar hit maxIter=$maxIter without converging")
+    // fixpoint edges are stars (child, componentMin); isolated vertices
+    // label themselves. groupBy-min is belt-and-braces for the (already
+    // unique) child→parent relation.
+    val roots = e.groupBy(col("u").as("id")).agg(min("v").as("__root"))
+    vertices.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
   }
 }

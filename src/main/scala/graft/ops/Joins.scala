@@ -53,7 +53,13 @@ object Joins {
         rightValueCols.map(c => col(c).as(s"asof_$c"))): _*)
       .withColumn("__side", lit(0))
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    val carryCols = rightValueCols.map(c => s"asof_$c") :+ "__rts_v"
+    val valCols = rightValueCols.map(c => s"asof_$c")
+    // ONE struct per right row (null for left rows), so the carried pick
+    // is row-ATOMIC: a null right value column stays null in the output
+    // instead of back-filling from a different right row — and each
+    // direction costs one window aggregate instead of |valueCols|+1.
+    val carryStruct = F.when(col("__side") === 0,
+      F.struct((col("__rts_v") +: valCols.map(col)): _*))
 
     // backward: right rows sort BEFORE left at the same instant
     // (side 0 < 1), so "rightTs <= leftTs" is inclusive; among right
@@ -69,33 +75,33 @@ object Joins {
       .orderBy(col("__ts").asc, col("__side").desc, col("__tie").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    def carried(prefix: String, w: org.apache.spark.sql.expressions.WindowSpec,
-        agg: (org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
-        : DataFrame => DataFrame = df =>
-      carryCols.foldLeft(df) { (acc, c) =>
-        acc.withColumn(s"$prefix$c", agg(col(c)).over(w))
-      }
-
-    val out = direction match {
+    val withPick = direction match {
       case "backward" =>
-        carried("", wB, c => F.last(c, ignoreNulls = true))(u)
+        u.withColumn("__pick",
+          F.last(carryStruct, ignoreNulls = true).over(wB))
       case "forward" =>
-        carried("", wF, c => F.first(c, ignoreNulls = true))(u)
+        u.withColumn("__pick",
+          F.first(carryStruct, ignoreNulls = true).over(wF))
       case "nearest" =>
-        val both = carried("__f_", wF, c => F.first(c, ignoreNulls = true))(
-          carried("__b_", wB, c => F.last(c, ignoreNulls = true))(u))
+        val both = u
+          .withColumn("__b", F.last(carryStruct, ignoreNulls = true).over(wB))
+          .withColumn("__f", F.first(carryStruct, ignoreNulls = true).over(wF))
         // exact-microsecond distances (timestamps carry sub-second
         // precision; truncating to seconds would flip near-ties)
-        val useB = col("__f___rts_v").isNull ||
-          (col("__b___rts_v").isNotNull &&
-            (F.unix_micros(col("__ts")) - F.unix_micros(col("__b___rts_v"))
-              <= F.unix_micros(col("__f___rts_v")) - F.unix_micros(col("__ts"))))
-        carryCols.foldLeft(both) { (acc, c) =>
-          acc.withColumn(c,
-            F.when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
-        }.drop(carryCols.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+        val useB = col("__f").isNull ||
+          (col("__b").isNotNull &&
+            (F.unix_micros(col("__ts"))
+              - F.unix_micros(col("__b").getField("__rts_v"))
+              <= F.unix_micros(col("__f").getField("__rts_v"))
+              - F.unix_micros(col("__ts"))))
+        both.withColumn("__pick",
+          F.when(useB, col("__b")).otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
+    val out = valCols.foldLeft(withPick) { (acc, c) =>
+      acc.withColumn(c, col("__pick").getField(c))
     }
     out.filter(col("__side") === 1)
-      .drop("__ts", "__side", "__tie", "__rts_v")
+      .drop("__ts", "__side", "__tie", "__rts_v", "__pick")
   }
 }

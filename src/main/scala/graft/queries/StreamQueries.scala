@@ -155,10 +155,11 @@ object StreamQueries extends QueryPack {
           org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.DoubleType)))
-      def runOnce(): Unit =
-        // small state-store count for the 4-row fixture (see runToMemory)
-        StreamOps.withStatePartitions(s, 4) {
-          val q = StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
+      def runOnce(): Unit = {
+        // small state-store count for the 4-row fixture (see runToMemory);
+        // the lock covers only start() — await runs unlocked
+        val q = StreamOps.withStatePartitions(s, 4) {
+          StreamOps.fileStreamCsv(s, s"$src/*.csv", schema)
             .withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "10 minutes"))
             .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
@@ -168,8 +169,9 @@ object StreamQueries extends QueryPack {
             .option("checkpointLocation", ckpt).outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination()
         }
+        q.awaitTermination()
+      }
       // run 1: establishes watermark max(ts)-10min = 10:20
       Files.write(src.resolve("f1.csv"),
         "ts,v\n2024-01-01 10:05:00,1.0\n2024-01-01 10:30:00,2.0\n"

@@ -137,17 +137,20 @@ object StreamOps {
       stateStore: String = HdfsStateStore): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    withStatePartitions(spark, statePartitions) {
+    // the lock scopes only save/set + start() — both confs are pinned at
+    // query START, so execution runs outside the lock and a slow or hung
+    // query cannot block other graft streaming callers
+    val q = withStatePartitions(spark, statePartitions) {
       withStateStore(spark, stateStore) {
-        val q = df.writeStream
+        df.writeStream
           .format("memory")
           .queryName(name)
           .outputMode(outputMode)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
       }
     }
+    q.awaitTermination()
     spark.table(name)
   }
 

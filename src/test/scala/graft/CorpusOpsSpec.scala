@@ -155,4 +155,37 @@ class ClustersSpec extends SparkSpec {
     assert(got(12L) != 1L)
     assert(got.forall { case (v, l) => l <= v })
   }
+
+  private def star(vs: Seq[Long], es: Seq[(Long, Long)],
+      maxIter: Int = 40) =
+    Clusters.connectedComponentsStar(
+      vs.toDF("id"), es.toDF("src", "dst"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("empty vertex frame returns empty labels (no NPE)") {
+    assert(cc(Seq.empty, Seq.empty).isEmpty)
+    assert(star(Seq.empty, Seq.empty).isEmpty)
+  }
+
+  test("star variant matches min-label on a mixed graph") {
+    val vs = (1L to 15L) :+ 30L
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 5L), (6L, 5L),
+      (10L, 11L), (11L, 10L), (12L, 12L), (14L, 13L), (15L, 13L))
+    assert(star(vs, es) == cc(vs, es))
+  }
+
+  test("star variant: 1000-link chain converges in O(log n) rounds") {
+    // the adversarial worst case for min-label (needs 1000 rounds =
+    // O(diameter)); large-star/small-star must close it within 16 rounds
+    // (~log2 n) — maxIter=16 means convergence failure ⇒ wrong labels
+    // ⇒ assertion failure, so the round bound is enforced, not assumed
+    val n = 1000L
+    val t0 = System.nanoTime()
+    val got = star((1L to n).toSeq, (1L until n).map(i => (i, i + 1)),
+      maxIter = 16)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1000-link chain: $secs%.1f s at local[4]")
+    assert(got.size == n)
+    assert(got.values.toSet == Set(1L))
+  }
 }

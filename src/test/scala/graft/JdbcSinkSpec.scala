@@ -72,8 +72,16 @@ class JdbcSinkSpec extends SparkSpec {
     assert(pgSql ==
       """INSERT INTO "t" ("k1", "k2", "v") VALUES (?, ?, ?)""" +
         """ ON CONFLICT ("k1", "k2") DO UPDATE SET "v" = EXCLUDED."v"""")
+    // single-PK table — the reference's actual sink shape
+    // (datastore_upsert on one primary key, datapump.py:560-566)
+    val (pgSingle, _) = pg.upsertSql("obs", Seq("id", "ts", "val"), Seq("id"))
+    assert(pgSingle ==
+      """INSERT INTO "obs" ("id", "ts", "val") VALUES (?, ?, ?)""" +
+        """ ON CONFLICT ("id") DO UPDATE SET "ts" = EXCLUDED."ts",""" +
+        """ "val" = EXCLUDED."val"""")
     // all-PK table degenerates to DO NOTHING (nothing to update)
-    assert(pg.upsertSql("t", Seq("k"), Seq("k"))._1.endsWith("DO NOTHING"))
+    assert(pg.upsertSql("t", Seq("k"), Seq("k"))._1 ==
+      """INSERT INTO "t" ("k") VALUES (?) ON CONFLICT ("k") DO NOTHING""")
     val derby = JdbcSink("jdbc:derby:memory:x")
     val (del, ins) = derby.upsertSql("t", Seq("k", "v"), Seq("k"))
     assert(del == """DELETE FROM "t" WHERE "k" = ?""")

@@ -67,6 +67,24 @@ class JoinsSpec extends SparkSpec {
     assert(got.sameElements(Array(9L)))
   }
 
+  test("asOfJoin carries the chosen right row ATOMICALLY: a null value " +
+      "column stays null, never back-filled from an older right row") {
+    val left = Seq((1L, 10L, ts("2024-01-10 00:00:00")))
+      .toDF("id", "key", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, Option(1.5)),
+      // the chosen (latest <= left) row has a NULL value column
+      (10L, ts("2024-01-05 00:00:00"), 2L, Option.empty[Double])
+    ).toDF("rkey", "rts", "rid", "rv")
+    for (dir <- Seq("backward", "nearest")) {
+      val row = Joins.asOfJoin(left, right, "key", "rkey", "ts", "rts",
+        "rid", Seq("rid", "rv"), direction = dir)
+        .select("asof_rid", "asof_rv").collect().head
+      assert(row.getLong(0) == 2L, dir)
+      assert(row.isNullAt(1), s"$dir: null rv must not back-fill from rid=1")
+    }
+  }
+
   test("asOfJoin forward/nearest directions: inclusivity, null on no " +
       "candidate, nearest prefers backward on exact-distance tie") {
     val left = Seq(
