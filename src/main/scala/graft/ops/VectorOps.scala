@@ -207,17 +207,39 @@ object VectorOps {
     * Cosine metric: vectors and centroids are L2-normalized and Lloyd
     * updates maximize dot product. Deterministic: seeded sample, seeded
     * init, fixed iteration count. */
+  /** The hash-ranked, hard-bounded, L2-normalized training sample — ONE
+    * scan (TakeOrderedAndProject: per-partition heap of sampleN, k-row
+    * driver merge) shared by BOTH quantizer trainers, so composed
+    * IVF+PQ training costs a single corpus pass. Driver memory is
+    * O(sampleN·d) at any corpus size. */
+  private[graft] def sampleUnitVectors(vectors: DataFrame, vecCol: String,
+      sampleN: Int, seed: Long): Array[Array[Float]] = {
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray).map(normalize)
+  }
+
   def ivfTrain(vectors: DataFrame, vecCol: String, nCentroids: Int,
       sampleN: Int = 4096, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Float]] =
+    ivfTrainOnSample(sampleUnitVectors(vectors, vecCol, sampleN, seed),
+      nCentroids, iters, seed)
+
+  /** Lloyd iterations on an already-collected normalized sample (see
+    * [[sampleUnitVectors]]); split out so IVF+PQ training shares one
+    * sample scan. */
+  private[graft] def ivfTrainOnSample(sample: Array[Array[Float]],
+      nCentroids: Int, iters: Int = 8,
       seed: Long = 42L): Array[Array[Float]] = {
     def normalize(v: Array[Float]): Array[Float] = {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
-    val sample = vectors.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol), lit(seed)))
-      .limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray).map(normalize)
     require(sample.length >= nCentroids, "sample smaller than nCentroids")
     val rnd = new scala.util.Random(seed)
     var centroids = rnd.shuffle(sample.indices.toList).take(nCentroids)
@@ -342,15 +364,15 @@ object VectorOps {
     * Returns codebooks(m)(k)(d/m). Deterministic (seeded). */
   def pqTrain(vectors: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
       sampleN: Int = 4096, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Array[Float]]] =
+    pqTrainOnSample(sampleUnitVectors(vectors, vecCol, sampleN, seed),
+      m, k, iters, seed)
+
+  /** Per-subspace k-means on an already-collected normalized sample —
+    * the shared-sample twin of [[pqTrain]]. */
+  private[graft] def pqTrainOnSample(sample: Array[Array[Float]],
+      m: Int = 8, k: Int = 16, iters: Int = 8,
       seed: Long = 42L): Array[Array[Array[Float]]] = {
-    val sample = vectors.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol), lit(seed)))
-      .limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray)
-      .map { v =>
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (n == 0) v else v.map(x => (x / n).toFloat)
-      }
     require(sample.length >= k, "sample smaller than k")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -478,8 +500,9 @@ object VectorOps {
       query: DataFrame, queryVecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, kCent: Int = 16,
       rerank: Int = 40, seed: Long = 42L): DataFrame = {
-    val centroids = ivfTrain(vectors, vecCol, nCentroids, seed = seed)
-    val codebooks = pqTrain(vectors, vecCol, m, kCent, seed = seed)
+    val sample = sampleUnitVectors(vectors, vecCol, 4096, seed)
+    val centroids = ivfTrainOnSample(sample, nCentroids, seed = seed)
+    val codebooks = pqTrainOnSample(sample, m, kCent, seed = seed)
     val dsub = codebooks(0)(0).length
     val unit = let1(norm(col(vecCol)), nrm =>
       transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
@@ -511,6 +534,161 @@ object VectorOps {
     val q = withNorm(query, queryVecCol)
       .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
     cand.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (norm(col(vecCol)) * col("__qnorm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  // ---- Persisted PQ index (the deployed form of PQ / IVF+PQ) ----------
+  // The inline pqCosineTopK/ivfPqCosineTopK forms re-train and re-encode
+  // the corpus per query — fine as semantics, a scale-killer as a
+  // deployment (the O(corpus) encode negates PQ's purpose: query time
+  // should touch only stored byte-codes). These land the index ONCE:
+  //   layoutDir/            (id, vec, codes)  [partitionBy(cell) if IVF]
+  //   layoutDir/_model/     quantizer centroids + PQ codebooks (parquet;
+  //                         "_"-prefixed so data scans never list it)
+  // and answer queries from it: the ADC pass reads ONLY (id, codes) —
+  // column pruning keeps the float vectors unread — and the exact rerank
+  // re-reads the layout with an `id IN (top-rerank ids)` pushed filter,
+  // so floats are fetched for just `rerank` rows (row-group stats skip
+  // the rest; sort by id at ingest to maximize the skip). With IVF cells
+  // the probe filter additionally prunes whole partitions.
+
+  /** Trained quantizers of a persisted PQ layout: `centroids` empty for
+    * a flat (non-IVF) PQ index. */
+  case class PqIndexModel(centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]])
+
+  private def modelDir(layoutDir: String) = s"$layoutDir/_model"
+
+  private def saveModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, model: PqIndexModel): Unit = {
+    import spark.implicits._
+    val rows =
+      model.centroids.zipWithIndex.toSeq
+        .map { case (c, i) => ("ivf", i, c.toSeq) } ++
+      model.codebooks.zipWithIndex.toSeq.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, i) => (s"pq:$mi", i, c.toSeq) } }
+    rows.toDF("part", "idx", "vec").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndexModel = {
+    val rows = spark.read.parquet(dir).collect()
+    val centroids = rows.filter(_.getString(0) == "ivf")
+      .sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    val codebooks = rows.filter(_.getString(0).startsWith("pq:"))
+      .groupBy(_.getString(0).stripPrefix("pq:").toInt)
+      .toArray.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+    PqIndexModel(centroids, codebooks)
+  }
+
+  /** Idempotently build the persisted PQ index: train both quantizers on
+    * ONE shared sample scan, encode the corpus in a single map-only pass
+    * (the normalization is let-bound so the unit vector is computed once
+    * per row, not once per subspace), land (id, vec, codes)
+    * `partitionBy(cell)` when `nCentroids > 0`, then write the model —
+    * model-write-last makes the `_model/_SUCCESS` probe a completeness
+    * check for the whole layout. Returns the (loaded or trained) model. */
+  def pqLayoutEnsure(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String, layoutDir: String,
+      nCentroids: Int = 0, m: Int = 8, kCent: Int = 16,
+      sampleN: Int = 4096, seed: Long = 42L): PqIndexModel = {
+    val success = new org.apache.hadoop.fs.Path(
+      s"${modelDir(layoutDir)}/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success)) return loadModel(spark, modelDir(layoutDir))
+    val sample = sampleUnitVectors(vectors, vecCol, sampleN, seed)
+    val centroids =
+      if (nCentroids > 0) ivfTrainOnSample(sample, nCentroids, seed = seed)
+      else Array.empty[Array[Float]]
+    val codebooks = pqTrainOnSample(sample, m, kCent, seed = seed)
+    val unit = let1(norm(col(vecCol)), nrm =>
+      transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
+    val encoded = vectors.select(col(idCol), col(vecCol))
+      .withColumn("codes", let1(unit, u => pqEncode(u, codebooks)))
+    if (centroids.nonEmpty)
+      encoded.withColumn("cell", ivfCell(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    else encoded.write.mode("overwrite").parquet(layoutDir)
+    val model = PqIndexModel(centroids, codebooks)
+    saveModel(spark, modelDir(layoutDir), model)
+    model
+  }
+
+  /** Per-subspace ADC lookup tables for a normalized query vector. */
+  private def adcLut(codebooks: Array[Array[Array[Float]]],
+      qhat: Array[Float]): Array[Array[Float]] = {
+    val dsub = codebooks(0)(0).length
+    Array.tabulate(codebooks.length) { mi =>
+      codebooks(mi).map { c =>
+        var s = 0.0
+        for (i <- 0 until dsub) s += qhat(mi * dsub + i).toDouble * c(i)
+        s.toFloat
+      }
+    }
+  }
+
+  /** The ADC candidate stage over a persisted layout: scan touches ONLY
+    * (id, codes) — the float column is never in the ReadSchema — and an
+    * IVF model's probe set prunes cell partitions (PartitionFilters).
+    * Package-private so specs can assert exactly that on its plan. */
+  private[graft] def adcCandidates(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, model: PqIndexModel, idCol: String,
+      qhat: Array[Float], rerank: Int, nProbe: Int): DataFrame = {
+    val lut = adcLut(model.codebooks, qhat)
+    val layout = spark.read.parquet(layoutDir)
+    val probed =
+      if (model.centroids.isEmpty) layout
+      else {
+        val probes = model.centroids.zipWithIndex.map { case (c, i) =>
+          var s = 0.0
+          for (j <- c.indices) s += qhat(j).toDouble * c(j)
+          (-s, i)
+        }.sorted.take(nProbe).map(_._2)
+        layout.filter(col("cell")
+          .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      }
+    probed
+      .select(col(idCol), pqAdcScore(col("codes"), lut).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+  }
+
+  /** Query a persisted PQ layout (see [[pqLayoutEnsure]]): ADC-score the
+    * stored codes (scan touches only (id, codes); cells pruned via
+    * PartitionFilters when the model has an IVF quantizer), keep the top
+    * `rerank`, then exact-rerank by re-reading the layout with the
+    * bounded `id IN (...)` pushed filter — float vectors are read for
+    * `rerank` rows only. Results are identical to the inline
+    * pqCosineTopK/ivfPqCosineTopK given the same seed (same sample ⇒
+    * same quantizers ⇒ same codes; spec-asserted). */
+  def pqCosineTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, model: PqIndexModel, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      rerank: Int = 40, nProbe: Int = 4): DataFrame = {
+    // 1-row bounded collect: normalized query, probe set, ADC tables
+    val qv = query.select(col(queryVecCol)).collect()(0)
+      .getSeq[Float](0).toArray
+    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val qhat = if (qn == 0) qv else qv.map(x => (x / qn).toFloat)
+    val cand = adcCandidates(spark, layoutDir, model, idCol, qhat,
+      rerank, nProbe)
+    // bounded collect (≤ rerank rows) so the float fetch is a PUSHED
+    // id-IN filter on the layout scan, not a join over all floats
+    val candIds = cand.select(col(idCol)).collect().map(_.get(0))
+    val floats = spark.read.parquet(layoutDir)
+      .filter(col(idCol).isin(candIds.toIndexedSeq: _*))
+      .select(col(idCol), col(vecCol))
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    floats.crossJoin(broadcast(q))
       .select(col(idCol),
         (dot(col(vecCol), col("__qvec")) / (norm(col(vecCol)) * col("__qnorm")))
           .as("cos"))

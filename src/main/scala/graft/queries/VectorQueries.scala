@@ -97,29 +97,40 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
-    // PQ-ANN (FAISS-style product quantization): corpus stored as M=8
-    // byte-codes per vector (32× smaller than float32 at d=64), query
-    // scores codes via per-subspace lookup tables (ADC), exact rerank on
-    // the top-40 survivors. Codebooks are data-trained (not
-    // SQL-expressible), so like IVF the oracle is the exact brute-force
-    // top-10 — hash equality asserts the compressed index still achieves
-    // recall 1.0 on the planted cluster — plus the genuine recall_ok
-    // bound.
+    // PQ-ANN (FAISS-style product quantization) with the PERSISTED index:
+    // codes + model landed once (pqLayoutEnsure), queries ADC-score the
+    // stored byte-codes — only (id, codes) scanned, floats read for just
+    // the rerank rows via a pushed id-IN filter. Codebooks are
+    // data-trained (not SQL-expressible), so like IVF the oracle is the
+    // exact brute-force top-10 — hash equality asserts the compressed
+    // index still achieves recall 1.0 on the planted cluster — plus the
+    // genuine recall_ok bound. (Inline re-train/re-encode twin:
+    // VectorOps.pqCosineTopK, spec-asserted equal.)
     "vec_ann_pq" -> ((s, d) => {
       val (corpus, query) = plantedCorpus(s, d)
-      val ann = VectorOps.pqCosineTopK(corpus, "vec_id", "embedding",
-        query, "embedding", k = 10, m = 8, kCent = 16, rerank = 40)
+      val dir =
+        s"/tmp/graft_pq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
+      val model = VectorOps.pqLayoutEnsure(s, corpus, "vec_id", "embedding",
+        dir, nCentroids = 0, m = 8, kCent = 16)
+      val ann = VectorOps.pqCosineTopKFromLayout(s, dir, model,
+        "vec_id", "embedding", query, "embedding", k = 10, rerank = 40)
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
-    // IVF+PQ — the composed FAISS shape: coarse cells prune I/O, PQ
-    // codes compress what's scanned (the compressions multiply). Same
-    // exact-top-10 oracle + genuine recall bound as its components.
+    // IVF+PQ — the composed FAISS shape, persisted: coarse cells prune
+    // I/O (PartitionFilters on the celled layout), PQ codes compress
+    // what's scanned (the compressions multiply), one shared sample scan
+    // trains both quantizers. Same exact-top-10 oracle + genuine recall
+    // bound as its components.
     "vec_ann_ivfpq" -> ((s, d) => {
       val (corpus, query) = plantedCorpus(s, d)
-      val ann = VectorOps.ivfPqCosineTopK(corpus, "vec_id", "embedding",
-        query, "embedding", k = 10, nCentroids = 16, nProbe = 4,
-        m = 8, kCent = 16, rerank = 40)
+      val dir =
+        s"/tmp/graft_ivfpq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
+      val model = VectorOps.pqLayoutEnsure(s, corpus, "vec_id", "embedding",
+        dir, nCentroids = 16, m = 8, kCent = 16)
+      val ann = VectorOps.pqCosineTopKFromLayout(s, dir, model,
+        "vec_id", "embedding", query, "embedding", k = 10, rerank = 40,
+        nProbe = 4)
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 

@@ -111,6 +111,62 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("persisted PQ layout: equals inline PQ and IVF+PQ; ADC scan reads " +
+      "only (id, codes); floats fetched via pushed id-IN filter") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+
+    // flat PQ: persisted results == inline re-train/re-encode results
+    val dirPq = s"/tmp/graft_pq_spec_${System.nanoTime()}"
+    val mPq = VectorOps.pqLayoutEnsure(spark, corpus, "vec_id", "embedding",
+      dirPq, nCentroids = 0)
+    assert(mPq.centroids.isEmpty && mPq.codebooks.length == 8)
+    val gotPq = VectorOps.pqCosineTopKFromLayout(spark, dirPq, mPq,
+      "vec_id", "embedding", q, "embedding", k = 10, rerank = 40)
+    val inlinePq = VectorOps.pqCosineTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 10, m = 8, kCent = 16, rerank = 40)
+    assert(gotPq.as[(Long, Double)].collect().toSeq ==
+      inlinePq.as[(Long, Double)].collect().toSeq)
+    // the rerank stage reads floats through a PUSHED bounded id filter
+    // and never reads the codes column
+    val rerankPlan = gotPq.queryExecution.executedPlan.toString
+    assert(rerankPlan.contains("PushedFilters") &&
+      rerankPlan.contains("In(vec_id"))
+    assert(!rerankPlan.contains("codes"))
+
+    // second ensure call is a pure read (model loaded, nothing re-trained)
+    val mPq2 = VectorOps.pqLayoutEnsure(spark, corpus, "vec_id",
+      "embedding", dirPq, nCentroids = 0)
+    assert(mPq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      mPq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // IVF+PQ: persisted == inline, and the ADC stage prunes cell
+    // partitions while reading only (id, codes)
+    val dirIvf = s"/tmp/graft_ivfpq_spec_${System.nanoTime()}"
+    val mIvf = VectorOps.pqLayoutEnsure(spark, corpus, "vec_id",
+      "embedding", dirIvf, nCentroids = 8)
+    assert(mIvf.centroids.length == 8)
+    val gotIvf = VectorOps.pqCosineTopKFromLayout(spark, dirIvf, mIvf,
+      "vec_id", "embedding", q, "embedding", k = 10, rerank = 40,
+      nProbe = 2)
+    val inlineIvf = VectorOps.ivfPqCosineTopK(corpus, "vec_id",
+      "embedding", q, "embedding", k = 10, nCentroids = 8, nProbe = 2,
+      m = 8, kCent = 16, rerank = 40)
+    assert(gotIvf.as[(Long, Double)].collect().toSeq ==
+      inlineIvf.as[(Long, Double)].collect().toSeq)
+    val qv = q.collect()(0).getSeq[Float](0).toArray
+    val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val qhat = qv.map(x => (x / qn).toFloat)
+    val adcPlan = VectorOps.adcCandidates(spark, dirIvf, mIvf, "vec_id",
+      qhat, rerank = 40, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(adcPlan.contains("PartitionFilters") && adcPlan.contains("cell"))
+    assert(adcPlan.contains("codes") && !adcPlan.contains("embedding"),
+      "ADC candidate scan must not touch the float vector column")
+  }
+
   test("quantizeInt8: symmetric scale, half-up rounding, zero-vector safe") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.0f, 0.25f)),
