@@ -53,6 +53,55 @@ object Timestamps {
   // day-of-week fields in PARSE patterns (SparkUpgradeException), and a
   // weekday prefix adds no date information anyway.
 
+  /** The natural-language tier (datapump.py:439-444 — dateparser's last
+    * resort), as a BOUNDED deterministic subset behind an explicit flag:
+    * relative-day words resolved against a caller-PINNED anchor date
+    * (dateparser uses wall-clock "now"; a distributed engine must pin the
+    * reference instant or the same row parses differently per executor,
+    * per retry, per day), plus full-month-name layouts not already in the
+    * fuzzy tier. One (word → day-offset) table drives both engines. */
+  val RelativeDays: Seq[(String, Int)] =
+    Seq("yesterday" -> -1, "today" -> 0, "tomorrow" -> 1)
+
+  /** NL month-name layouts beyond [[FuzzyFormats]]. */
+  val NlFormats: Seq[(String, String)] = Seq(
+    "dd MMMM yyyy" -> "%d %B %Y")
+
+  /** [[parseTs]] with the NL tier in front: relative-day words parse to
+    * `anchor + offset` at midnight, then the NL month layouts, then the
+    * standard declared→fuzzy chain. Existing behavior is unchanged unless
+    * callers opt in to this entry point (the flag is the function). */
+  def parseTsNl(c: Column, anchor: Column,
+      declared: Seq[String] = DeclaredFormats.map(_._1),
+      fuzzy: Boolean = true): Column = {
+    val norm = lower(trim(c))
+    val rel = RelativeDays.tail.foldLeft(
+      when(norm === RelativeDays.head._1,
+        date_add(anchor, RelativeDays.head._2).cast("timestamp"))) {
+      case (acc, (w, off)) =>
+        acc.when(norm === w, date_add(anchor, off).cast("timestamp"))
+    }
+    coalesce(
+      (rel +: NlFormats.map(f => try_to_timestamp(c, lit(f._1)))) :+
+        parseTs(c, declared, fuzzy): _*)
+  }
+
+  /** The identical NL chain as DuckDB SQL (anchor passed as a SQL date
+    * expression, e.g. `DATE '2024-06-15'`) — generated from the SAME
+    * tables as [[parseTsNl]]. */
+  def parseTsNlOracleSql(expr: String, anchorSql: String,
+      declared: Seq[(String, String)] = DeclaredFormats,
+      fuzzy: Boolean = true): String = {
+    val rel = RelativeDays.map { case (w, off) =>
+      val d = if (off == 0) anchorSql
+        else s"$anchorSql ${if (off > 0) "+" else "-"} INTERVAL ${off.abs} DAY"
+      s"WHEN '$w' THEN CAST($d AS TIMESTAMP)"
+    }.mkString(s"CASE lower(trim($expr)) ", " ", " END")
+    val nl = NlFormats.map(f => s"try_strptime($expr, '${f._2}')")
+    (rel +: nl).mkString("coalesce(\n    ", ",\n    ", ",\n    ") +
+      parseTsOracleSql(expr, declared, fuzzy) + ")"
+  }
+
   /** Ordered try-parse: declared formats first, then (optionally) the
     * fuzzy tier. Null when nothing matches — the reference's all-or-
     * nothing inference bug is NOT reproduced here (SURVEY §2.10). */

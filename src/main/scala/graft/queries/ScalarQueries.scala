@@ -57,6 +57,27 @@ object ScalarQueries extends QueryPack {
         graft.ops.Timestamps.parseTs(col("ts_str")).as("parsed"))
     }),
 
+    // The natural-language tier behind its flag (the parseTsNl entry
+    // point): relative-day words resolve against a PINNED anchor date;
+    // full-month-name layouts parse in the NL/fuzzy tiers. The
+    // `parsed_no_nl` column runs the SAME strings through the flag-OFF
+    // chain — relative words must stay null there, so the oracle hash
+    // pins both the new tier's semantics AND that existing entries are
+    // untouched by it.
+    "scalar_parse_ts_nl" -> ((s, d) => {
+      val anchor = to_date(lit("2024-06-15"))
+      val raw = Tables.events(s, d).withColumn("ts_str",
+        when(pmod(col("event_id"), lit(5)) === 0, lit("yesterday"))
+        .when(pmod(col("event_id"), lit(5)) === 1, lit("Today"))
+        .when(pmod(col("event_id"), lit(5)) === 2, lit("tomorrow"))
+        .when(pmod(col("event_id"), lit(5)) === 3,
+          date_format(col("ts"), "dd MMMM yyyy"))
+        .otherwise(date_format(col("ts"), "MMMM dd, yyyy")))
+      raw.select(col("event_id"), col("ts_str"),
+        graft.ops.Timestamps.parseTsNl(col("ts_str"), anchor).as("parsed"),
+        graft.ops.Timestamps.parseTs(col("ts_str")).as("parsed_no_nl"))
+    }),
+
     "scalar_ts_format" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))),
@@ -143,6 +164,24 @@ object ScalarQueries extends QueryPack {
         |  FROM events)
         |SELECT event_id, ts_str,
         |  ${graft.ops.Timestamps.parseTsOracleSql("ts_str")} AS parsed
+        |FROM raw""".stripMargin,
+
+    // NL fixture mirrored in order; both parse chains generated from the
+    // same tables as the Spark side ("Today" exercises case-folding)
+    "scalar_parse_ts_nl" ->
+      s"""WITH raw AS (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 5 AS INT)
+        |      WHEN 0 THEN 'yesterday'
+        |      WHEN 1 THEN 'Today'
+        |      WHEN 2 THEN 'tomorrow'
+        |      WHEN 3 THEN strftime(ts, '%d %B %Y')
+        |      ELSE strftime(ts, '%B %d, %Y') END AS ts_str
+        |  FROM events)
+        |SELECT event_id, ts_str,
+        |  ${graft.ops.Timestamps.parseTsNlOracleSql("ts_str",
+             "DATE '2024-06-15'")} AS parsed,
+        |  ${graft.ops.Timestamps.parseTsOracleSql("ts_str")} AS parsed_no_nl
         |FROM raw""".stripMargin,
 
     "scalar_ts_format" ->

@@ -50,4 +50,26 @@ class TimestampsSpec extends SparkSpec {
     val positions = sparkOrder.map(p => sql.indexOf(s"'$p'"))
     assert(positions.forall(_ >= 0) && positions == positions.sorted)
   }
+
+  private def parseNl(s: String): Option[String] = {
+    val r = Seq(s).toDF("raw")
+      .select(Timestamps.parseTsNl(col("raw"),
+        to_date(lit("2024-06-15"))).cast("string")).collect().head
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("NL tier: relative words resolve against the pinned anchor; " +
+      "flag-off chain is untouched") {
+    assert(parseNl("yesterday").contains("2024-06-14 00:00:00"))
+    assert(parseNl(" Today ").contains("2024-06-15 00:00:00")) // fold+trim
+    assert(parseNl("TOMORROW").contains("2024-06-16 00:00:00"))
+    assert(parseNl("05 March 2024").contains("2024-03-05 00:00:00"))
+    // NL entry point still runs the full standard chain after its tiers
+    assert(parseNl("2024-03-05 10:30:45").contains("2024-03-05 10:30:45"))
+    assert(parseNl("not a date").isEmpty)
+    // the default chain (flag off) must NOT see relative words — the
+    // documented-deviation contract of the existing entries holds
+    assert(parse("yesterday").isEmpty)
+    assert(parse("05 March 2024").isEmpty)
+  }
 }
