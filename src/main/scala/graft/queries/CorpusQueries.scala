@@ -60,6 +60,63 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // THE COMPOSED PRE-TRAINING PIPELINE — the real corpus build runs
+    // curate → gopher → decontaminate → cluster-dedupe → mixture as ONE
+    // job ending in a one-row report. Composition shape (and why it
+    // equals sequential filtering): curate/gopher verdicts are per-doc
+    // (corpus-independent), the eval-gram set is fixed by the benchmark
+    // (not by filtering), so contamination is per-doc too; the near-dup
+    // pair relation restricted to survivors IS the pair relation of the
+    // filtered corpus; only cluster labels and mixture rates are
+    // recomputed on their actual input sets. Scan/shuffle accounting:
+    // the corpus is scanned once per stage; nothing shuffles document
+    // bodies except the curate dedupe window and the (id,label) cluster
+    // rounds (PLANS.md §15).
+    "pipeline_pretrain_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(5)) === 0
+      val cur = graft.ops.TextOps.curate(docs, "doc_id", "text",
+        minTokens = 20, maxTokens = 90, minQuality = 0.58)
+        .select(col("doc_id"), col("keep").as("cur_keep"))
+      val gop = CorpusOps.gopherRepetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gop_keep"))
+      val dec = CorpusOps.decontaminate(docs, "doc_id", "text", isEval)
+        .select(col("doc_id"), col("contaminated"))
+      val flags = docs.select(col("doc_id"), col("lang"), col("text"),
+          isEval.as("is_eval"))
+        .join(cur, "doc_id").join(gop, "doc_id")
+        .join(dec, Seq("doc_id"), "left") // eval docs carry no dec row
+      val survives = !col("is_eval") && col("cur_keep") &&
+        col("gop_keep") && !coalesce(col("contaminated"), lit(false))
+      val surv = flags.filter(survives)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pairs = TextDedupe.minhashLshPairs(surv, "doc_id", "text",
+        threshold = 0.5)
+      val keepers = Clusters.connectedComponents(
+          surv.select(col("doc_id").as("id")),
+          pairs.select(col("d1").as("src"), col("d2").as("dst")))
+        .filter(col("id") === col("label"))
+        .select(col("id").as("doc_id"))
+        .join(surv, "doc_id")
+      val mixed = CorpusOps.mixtureSample(keepers, "doc_id", "lang")
+        .select(col("doc_id"), col("sampled"))
+        .join(keepers.select(col("doc_id"), col("text")), "doc_id")
+      val a1 = flags.agg(
+        count(lit(1)).as("n_input"),
+        count(when(!col("is_eval"), 1)).as("n_train"),
+        count(when(!col("is_eval") && col("cur_keep"), 1))
+          .as("n_after_curate"),
+        count(when(!col("is_eval") && col("cur_keep") && col("gop_keep"), 1))
+          .as("n_after_gopher"),
+        count(when(survives, 1)).as("n_after_decontam"))
+      val a2 = keepers.agg(count(lit(1)).as("n_after_dedupe"))
+      val a3 = mixed.agg(
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), size(split(col("text"), " ")))
+          .otherwise(0)).as("total_tokens_sampled"))
+      a1.crossJoin(a2).crossJoin(a3)
+    }),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -82,25 +139,27 @@ object CorpusQueries extends QueryPack {
     }),
   )
 
-  def oracle: Map[String, String] = Map(
-    "text_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |            FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         list_aggregate(ts[i:i+12], 'string_agg', ' ') AS g
-        |       FROM tok, unnest(range(1, len(ts) - 11)) AS t(i)
-        |       WHERE len(ts) >= 13),
-        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0),
-        |hits AS (SELECT s.doc_id, count(*) AS h
-        |         FROM sh s JOIN bench b USING (g)
-        |         WHERE s.doc_id % 5 <> 0 GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit_grams,
-        |  coalesce(h.h, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.doc_id % 5 <> 0""".stripMargin,
+  /** The decontamination verdict as a full statement (own WITH scope) —
+    * shared by the standalone entry and the composed pipeline oracle. */
+  private def decontamSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |            FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(ts[i:i+12], 'string_agg', ' ') AS g
+      |       FROM tok, unnest(range(1, len(ts) - 11)) AS t(i)
+      |       WHERE len(ts) >= 13),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0),
+      |hits AS (SELECT s.doc_id, count(*) AS h
+      |         FROM sh s JOIN bench b USING (g)
+      |         WHERE s.doc_id % 5 <> 0 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit_grams,
+      |  coalesce(h.h, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 5 <> 0""".stripMargin
 
-    "text_quality_gopher" -> {
+  /** The Gopher-rules verdict as a full statement — shared likewise. */
+  private def gopherSql: String = {
       val mwl = StableRound.sql6(
         "(length(text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE)")
       val alpha = StableRound.sql6(
@@ -136,7 +195,12 @@ object CorpusQueries extends QueryPack {
          |    AND frac_dup_5gram <= 0.15) AS keep
          |FROM base b LEFT JOIN g2 USING (doc_id) LEFT JOIN g5 USING (doc_id)"""
         .stripMargin
-    },
+  }
+
+  def oracle: Map[String, String] = Map(
+    "text_decontaminate" -> decontamSql,
+
+    "text_quality_gopher" -> gopherSql,
 
     // the Spark side evaluates: rate = least(1.0, 0.4 * n_total * term
     // / denom / n_d) with term/denom exact decimals cast to double — the
@@ -197,6 +261,79 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS vec_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // The composed pipeline, stage oracles embedded as SUBQUERIES (each
+    // keeps its own WITH scope, so CTE names cannot collide) — the
+    // per-stage SQL exists once and is reused here verbatim. The closure
+    // and the mixture rates run over their actual sequential input sets
+    // (survivors / keepers), exactly like the Spark side.
+    "pipeline_pretrain_corpus" ->
+      s"""WITH RECURSIVE
+         |cur AS (SELECT doc_id, keep FROM (
+         |${TextQueries.oracle("text_curate")}
+         |)),
+         |gop AS (SELECT doc_id, keep FROM (
+         |$gopherSql
+         |)),
+         |dec AS (SELECT doc_id, contaminated FROM (
+         |$decontamSql
+         |)),
+         |surv AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d
+         |  JOIN cur ON cur.doc_id = d.doc_id
+         |  JOIN gop ON gop.doc_id = d.doc_id
+         |  LEFT JOIN dec ON dec.doc_id = d.doc_id
+         |  WHERE d.doc_id % 5 <> 0 AND cur.keep AND gop.keep
+         |    AND NOT coalesce(dec.contaminated, FALSE)),
+         |p0 AS (SELECT d1, d2 FROM (
+         |${TextQueries.shingleCte(blocked = false)}
+         |)),
+         |p AS (SELECT d1, d2 FROM p0
+         |      JOIN surv a ON p0.d1 = a.doc_id
+         |      JOIN surv b ON p0.d2 = b.doc_id),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM p
+         |      UNION ALL SELECT d2, d1 FROM p),
+         |r AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM surv
+         |  UNION
+         |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+         |),
+         |lbl AS (SELECT v, min(l) AS cluster FROM r GROUP BY v),
+         |kp AS (SELECT s.doc_id, s.lang, s.text
+         |       FROM surv s JOIN lbl ON lbl.v = s.doc_id
+         |       WHERE lbl.cluster = s.doc_id),
+         |mstats AS (SELECT lang, count(*) AS n_d,
+         |    round(CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(27,12)), 6)
+         |      AS term
+         |  FROM kp GROUP BY lang),
+         |mtot AS (SELECT sum(term) AS denom, sum(n_d) AS n_total FROM mstats),
+         |mrates AS (SELECT lang,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      CAST(0.4 AS DOUBLE) * CAST(n_total AS DOUBLE)
+         |        * CAST(term AS DOUBLE) / CAST(denom AS DOUBLE) / n_d)
+         |      * 1000000) AS BIGINT) AS rate_ppm
+         |  FROM mstats CROSS JOIN mtot),
+         |mx AS (SELECT k.doc_id, k.text,
+         |    ((((k.doc_id % 1000000007) * 48271 + 12345) % 1000000007
+         |        * 48271 + 12345) % 1000000007 % 1000000
+         |      < rate_ppm) AS sampled
+         |  FROM kp k JOIN mrates USING (lang))
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS n_train,
+         |  (SELECT count(*) FROM documents d JOIN cur USING (doc_id)
+         |    WHERE d.doc_id % 5 <> 0 AND cur.keep) AS n_after_curate,
+         |  (SELECT count(*) FROM documents d
+         |    JOIN cur USING (doc_id) JOIN gop USING (doc_id)
+         |    WHERE d.doc_id % 5 <> 0 AND cur.keep AND gop.keep)
+         |    AS n_after_gopher,
+         |  (SELECT count(*) FROM surv) AS n_after_decontam,
+         |  (SELECT count(*) FROM kp) AS n_after_dedupe,
+         |  (SELECT count(CASE WHEN sampled THEN 1 END) FROM mx) AS n_sampled,
+         |  (SELECT CAST(sum(CASE WHEN sampled
+         |      THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+         |    FROM mx) AS total_tokens_sampled""".stripMargin,
 
     // the oracle dedupes on the normalized TEXT itself; the Spark side
     // groups on its 16-byte (length, fingerprint) proxy — same grouping
