@@ -160,4 +160,79 @@ object CorpusOps {
         StableRound.round6(col("rate_ppm") / 1000000.0).as("sample_rate"),
         (samplingHash(col(idCol)) < col("rate_ppm")).as("sampled"))
   }
+
+  /** Exact substring-span deduplication — Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): an n-token span is
+    * duplicated when the SAME span occurs in an earlier (lower-id)
+    * document; the keep-first convention mirrors the suffix-array
+    * dedup's "keep one copy of every duplicated substring". Output per
+    * doc: total span count, duplicated-span count, and the has_dup flag
+    * a filtering pass keys on.
+    *
+    * Scale shape: one occurrence explode + a gram-keyed aggregation
+    * (map-side combine) to find each gram's minimum owner, then one
+    * gram-keyed join back — both exchanges move (gram, id) pairs, never
+    * documents. At open-web scale the join/group key is xxhash64(gram)
+    * (16 bytes) rather than the string; kept as strings here for oracle
+    * exactness (same convention as gopherRepetition). Docs shorter than
+    * n tokens carry zero spans and pass through unflagged. */
+  def substringDedupe(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    val occ = docs.select(col(idCol), explode(
+      graft.functions.ShingleArray.shingleOccurrences(col(textCol), n))
+      .as("gram"))
+    val owner = occ.groupBy("gram").agg(min(col(idCol)).as("__owner"))
+    val agg = occ.join(owner, "gram")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("__owner") < col(idCol), 1)).as("n_dup_grams"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)) > 0).as("has_dup_span"))
+  }
+
+  /** N-gram language-model quality score — the CCNet/KenLM filtering
+    * signal (Wenzek et al. 2020) re-expressed as a corpus-trained bigram
+    * model with add-one smoothing: each document scores the mean negative
+    * log-likelihood (nats/bigram) of its token bigrams under
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Low = phrasing the corpus
+    * finds predictable; high = line noise — the tails are what a quality
+    * gate cuts.
+    *
+    * Scale shape: the unigram/bigram count relations are the classic LM
+    * shuffle (gram-keyed, map-side combined — same exchange class as
+    * text_tfidf); scoring joins the doc's bigram occurrences against the
+    * count relations on the gram key, then reduces to (doc_id, sum, n).
+    * Cross-engine float discipline: each term is StableRound'd to 6
+    * decimals and summed as an EXACT decimal, so the only libm call
+    * compared across engines is a single per-gram ln() at round-6
+    * granularity (the math_funcs precedent), never an
+    * accumulation-order-dependent double sum. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol), explode(
+      graft.functions.ShingleArray.shingleOccurrences(col(textCol), 2))
+      .as("g"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = occ.groupBy("g").agg(count(lit(1)).as("cb"))
+    val scored = occ
+      .join(big, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), StableRound.round6(
+        log((col("cu") + col("v")).cast("double")
+          / (col("cb") + lit(1)).cast("double")))
+        .cast(DecimalType(27, 6)).as("nll"))
+    val perDoc = scored.groupBy(idCol).agg(
+      count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        StableRound.round6(col("s").cast("double") / col("n_bigrams"))
+          .as("nll_per_bigram"))
+  }
 }

@@ -174,4 +174,57 @@ object Multimodal {
         .as(Seq("frame_idx", "frame")))
       .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
         TextOps.fingerprint(col("frame")).as("frame_fp"))
+
+  case class AudioStats(doc_id: Long, n_samples: Long, sum_amp: Long,
+      sum_sq: Long, peak: Int)
+
+  /** Synthetic PCM16-LE audio fixture: per doc, 64 + id%64 samples with
+    * the closed form s_i = ((id·7 + i·13) mod 199) − 99, assembled as
+    * real little-endian 16-bit bytes — so the decode below does genuine
+    * byte-level work while the oracle predicts the stats from the
+    * formula without any codec (the mm_decode_image fixture convention). */
+  def audioFixture(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          bb.putShort((((id * 7 + i * 13L) % 199) - 99).toShort); i += 1
+        }
+        (id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL PCM16-LE decode at the partition boundary: wrap the payload as
+    * a little-endian short buffer and reduce to fixed-width waveform
+    * features (sample count, amplitude sum, energy, peak |amplitude|) —
+    * the audio analog of decodeImage's decode→features shape. Total over
+    * arbitrary bytes by construction: any even-length payload IS a PCM16
+    * stream; a trailing odd byte is ignored (asShortBuffer floor). All
+    * outputs are exact integers — no float drift across engines. */
+  def decodeAudio(spark: SparkSession, bin: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[BinRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val sb = java.nio.ByteBuffer.wrap(r.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.remaining()
+          var sum = 0L; var sq = 0L; var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = sb.get(i).toInt
+            sum += s; sq += s.toLong * s
+            val a = math.abs(s); if (a > peak) peak = a
+            i += 1
+          }
+          AudioStats(r.doc_id, n.toLong, sum, sq, peak)
+        }
+      }
+  }
 }

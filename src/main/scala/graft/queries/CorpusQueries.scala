@@ -60,6 +60,17 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // exact substring-span dedup (Lee et al. 2022): a 13-token span is
+    // duplicated when it also occurs in a lower-id doc (keep-first);
+    // gram-keyed exchanges move (gram, id) pairs, never documents
+    "dedupe_substring" -> ((s, d) =>
+      CorpusOps.substringDedupe(Tables.documents(s, d), "doc_id", "text")),
+
+    // CCNet-style LM quality signal: corpus-trained add-one bigram model,
+    // per-doc mean negative log-likelihood (nats/bigram)
+    "text_lm_score" -> ((s, d) =>
+      CorpusOps.lmScore(Tables.documents(s, d), "doc_id", "text")),
+
     // THE COMPOSED PRE-TRAINING PIPELINE — the real corpus build runs
     // curate → gopher → decontaminate → cluster-dedupe → mixture as ONE
     // job ending in a one-row report. Composition shape (and why it
@@ -261,6 +272,54 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS vec_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // occurrence slicing mirrors ShingleArray.shingleOccurrences (n=13,
+    // non-distinct); keep-first ownership = min doc_id per gram
+    "dedupe_substring" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |            FROM documents),
+        |occ AS (SELECT doc_id,
+        |          list_aggregate(ts[i:i+12], 'string_agg', ' ') AS g
+        |        FROM tok, unnest(range(1, len(ts) - 11)) AS t(i)
+        |        WHERE len(ts) >= 13),
+        |own AS (SELECT g, min(doc_id) AS owner FROM occ GROUP BY g),
+        |agg AS (SELECT o.doc_id, count(*) AS n_grams,
+        |          count(CASE WHEN own.owner < o.doc_id THEN 1 END) AS n_dup
+        |        FROM occ o JOIN own USING (g) GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+        |  coalesce(n_dup, 0) > 0 AS has_dup_span
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // per-term round6(ln) cast to exact DECIMAL before summing, so the
+    // only cross-engine libm comparison is one ln() per gram at round-6
+    // granularity (the math_funcs precedent) — never an
+    // accumulation-order double sum
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |            FROM documents),
+         |occ AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+         |        FROM tok, unnest(range(1, len(ts))) AS t(i)
+         |        WHERE len(ts) >= 2),
+         |cu AS (SELECT w, count(*) AS cu FROM (
+         |         SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+         |v AS (SELECT count(*) AS v FROM cu),
+         |sc AS (SELECT occ.doc_id,
+         |    CAST(${graft.StableRound.sql6(
+                 "ln(CAST(cu.cu + v.v AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE))")}
+         |      AS DECIMAL(27,6)) AS nll
+         |  FROM occ
+         |  JOIN (SELECT g, count(*) AS cb FROM occ GROUP BY g) cb USING (g)
+         |  JOIN cu ON cu.w = split_part(occ.g, ' ', 1)
+         |  CROSS JOIN v),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+         |       FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  ${graft.StableRound.sql6("CAST(s AS DOUBLE) / n_bigrams")}
+         |    AS nll_per_bigram
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // The composed pipeline, stage oracles embedded as SUBQUERIES (each
     // keeps its own WITH scope, so CTE names cannot collide) — the

@@ -41,6 +41,15 @@ object MultimodalQueries extends QueryPack {
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text", 32)),
 
+    // REAL PCM16-LE decode over synthetic waveforms whose samples are
+    // closed-form in doc_id (Multimodal.audioFixture) — byte-level
+    // little-endian short parsing on the Spark side, formula-predicted
+    // integer stats on the oracle side; no codec, no float drift.
+    "mm_audio_stats" -> ((s, d) =>
+      Multimodal.decodeAudio(s,
+        Multimodal.audioFixture(s, Tables.documents(s, d), "doc_id"))
+        .toDF()),
+
     // REAL Graphics2D resize: constant-color PNGs (invariant under any
     // resampling kernel) → 16×16 decoded, scaled to 8×8, PNG re-encoded,
     // decoded AGAIN — the oracle predicts the post-resize channel sums
@@ -151,6 +160,19 @@ object MultimodalQueries extends QueryPack {
         |FROM documents,
         |  unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)"""
         .stripMargin,
+
+    // the audioFixture closed form, re-derived without touching bytes:
+    // n = 64 + id%64 samples, s_i = ((id*7 + i*13) % 199) - 99
+    "mm_audio_stats" ->
+      """WITH s AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |samp AS (SELECT doc_id, ((doc_id * 7 + i * 13) % 199) - 99 AS v
+        |         FROM s, unnest(range(0, n)) AS t(i))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM samp GROUP BY doc_id""".stripMargin,
 
     // octet_length(encode(...)), not length(...): the Spark side truncates
     // the UTF-8 payload at 96 BYTES, so the oracle must count bytes too or

@@ -118,6 +118,51 @@ class DedupeIncrementalSpec extends SparkSpec {
   }
 }
 
+class SubstringLmSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def seqText(from: Int, n: Int): String =
+    (from until from + n).map("w" + _).mkString(" ")
+
+  test("substringDedupe: keep-first span ownership, short docs unflagged") {
+    val docs = Seq(
+      (1L, seqText(0, 20)),            // owns its 8 13-grams (lowest id)
+      (2L, seqText(0, 13)),            // its only 13-gram owned by doc 1
+      (3L, "x " + seqText(0, 13)),     // 2 grams: one fresh, one from doc 1
+      (4L, seqText(100, 13)),          // unique vocabulary: fresh span
+      (5L, seqText(0, 12))             // 12 tokens: no spans at all
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.substringDedupe(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 0L, false)))  // owner: nothing duplicated
+    assert(got(2L) == ((1L, 1L, true)))
+    assert(got(3L) == ((2L, 1L, true)))
+    assert(got(4L) == ((1L, 0L, false)))
+    assert(got(5L) == ((0L, 0L, false)))
+  }
+
+  test("lmScore: repeated phrasing scores lower nll than unique tokens; " +
+      "short docs carry null") {
+    // docs 1-3 repeat one phrase; doc 4 is one-off vocabulary; doc 5 has
+    // a single token (no bigram)
+    val phrase = "the cat sat on the mat"
+    val docs = Seq(
+      (1L, phrase), (2L, phrase), (3L, phrase),
+      (4L, "zq qx jk vw pn rt"),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1L)._1 == 5 && got(1L) == got(2L))
+    assert(got(5L) == ((0L, None)))
+    // common bigrams (count 3) beat never-repeated ones (count 1)
+    assert(got(1L)._2.get < got(4L)._2.get)
+  }
+}
+
 class ClustersSpec extends SparkSpec {
   import sqlImplicits._
 

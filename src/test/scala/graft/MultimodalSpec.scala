@@ -56,4 +56,29 @@ class MultimodalSpec extends SparkSpec {
       targetBytes = 5).collect().head
     assert(res.n_bytes == 5L && new String(res.payload, "UTF-8") == "hello")
   }
+
+  test("decodeAudio parses real PCM16-LE bytes: hand-built waveform, " +
+      "negative samples, odd trailing byte ignored") {
+    // hand-assemble -300, 5, 32767, -32768 as little-endian int16 plus a
+    // dangling byte that asShortBuffer must floor away
+    val bb = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(-300, 5, 32767, -32768).foreach(s => bb.putShort(s.toShort))
+    bb.put(0x7f.toByte)
+    val bin = Seq((9L, bb.array())).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudio(spark, bin).collect().head
+    assert(got.n_samples == 4L)
+    assert(got.sum_amp == -300L + 5 + 32767 - 32768)
+    assert(got.sum_sq == 300L * 300 + 25 + 32767L * 32767 + 32768L * 32768)
+    assert(got.peak == 32768)
+    // the fixture's closed form round-trips through real bytes
+    val fx = Multimodal.decodeAudio(spark,
+      Multimodal.audioFixture(spark, Seq(3L).toDF("doc_id"), "doc_id"))
+      .collect().head
+    val samples = (0 until (64 + 3 % 64)).map(i => ((3 * 7 + i * 13) % 199) - 99)
+    assert(fx.n_samples == samples.length.toLong)
+    assert(fx.sum_amp == samples.map(_.toLong).sum)
+    assert(fx.sum_sq == samples.map(s => s.toLong * s).sum)
+    assert(fx.peak == samples.map(math.abs).max)
+  }
 }
