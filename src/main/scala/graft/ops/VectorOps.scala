@@ -613,10 +613,15 @@ object VectorOps {
       transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
     val encoded = vectors.select(col(idCol), col(vecCol))
       .withColumn("codes", let1(unit, u => pqEncode(u, codebooks)))
+    // sortWithinPartitions(id): tight per-row-group id min/max stats, so
+    // the rerank stage's pushed id-IN filter skips row groups instead of
+    // scanning every float page (no extra shuffle — sort is per-partition)
     if (centroids.nonEmpty)
       encoded.withColumn("cell", ivfCell(col(vecCol), centroids))
+        .sortWithinPartitions(col(idCol))
         .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
-    else encoded.write.mode("overwrite").parquet(layoutDir)
+    else encoded.sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(layoutDir)
     val model = PqIndexModel(centroids, codebooks)
     saveModel(spark, modelDir(layoutDir), model)
     model
