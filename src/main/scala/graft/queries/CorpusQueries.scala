@@ -93,10 +93,18 @@ object CorpusQueries extends QueryPack {
         .select(col("doc_id"), col("keep").as("gop_keep"))
       val dec = CorpusOps.decontaminate(docs, "doc_id", "text", isEval)
         .select(col("doc_id"), col("contaminated"))
+      // the per-doc verdict frame feeds five downstream branches (surv,
+      // the funnel aggregate, and through surv the pair/cluster/mixture
+      // stages) — materialize it ONCE, as a real pipeline lands the
+      // verdict table between stages, instead of re-running
+      // curate+gopher+decontaminate per branch (measured 7.2 s → 4.6 s
+      // at sf0.1; the remainder is the genuine stage sum — minhash pairs
+      // ~1.7 s + cluster rounds ~2 s)
       val flags = docs.select(col("doc_id"), col("lang"), col("text"),
           isEval.as("is_eval"))
         .join(cur, "doc_id").join(gop, "doc_id")
         .join(dec, Seq("doc_id"), "left") // eval docs carry no dec row
+        .localCheckpoint()
       val survives = !col("is_eval") && col("cur_keep") &&
         col("gop_keep") && !coalesce(col("contaminated"), lit(false))
       val surv = flags.filter(survives)
@@ -109,6 +117,7 @@ object CorpusQueries extends QueryPack {
         .filter(col("id") === col("label"))
         .select(col("id").as("doc_id"))
         .join(surv, "doc_id")
+        .localCheckpoint() // feeds mixture stats, the join back, and a2
       val mixed = CorpusOps.mixtureSample(keepers, "doc_id", "lang")
         .select(col("doc_id"), col("sampled"))
         .join(keepers.select(col("doc_id"), col("text")), "doc_id")
