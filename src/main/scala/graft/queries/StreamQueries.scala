@@ -186,6 +186,50 @@ object StreamQueries extends QueryPack {
       s.read.parquet(out)
     }),
 
+    // streaming incremental ingestion dedupe: two sequential runs of one
+    // checkpointed query (distinct micro-batch epochs); run 2 carries a
+    // cross-run duplicate (dropped vs the PERSISTENT key table), a fresh
+    // doc (landed), and an intra-batch duplicate (keep-first). The
+    // unbounded-history shape dropDuplicatesWithinWatermark cannot
+    // express — see StreamOps.incrementalDedupeEachBatch. Oracle is the
+    // exact literal expectation.
+    "stream_incremental_dedupe" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_incdedup_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val src = base.resolve("src"); Files.createDirectories(src)
+      val keyDir = base.resolve("keys").toString
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      def runOnce(): Unit = {
+        val q = StreamOps.withStatePartitions(s, 4) {
+          StreamOps.incrementalDedupeEachBatch(
+            StreamOps.fileStreamCsv(s, s"$src/*.csv", schema),
+            "doc_id", "body", keyDir, outDir, ckpt)
+        }
+        q.awaitTermination()
+      }
+      // run 1: two distinct docs — both land, keys recorded
+      Files.write(src.resolve("f1.csv"),
+        "doc_id,body\n1,alpha one\n2,beta two\n".getBytes("UTF-8"))
+      runOnce()
+      // run 2: 3 duplicates doc 1 (dropped vs the PERSISTENT key table),
+      // 4 is fresh (lands), 5 duplicates 4 within the batch (keep-first)
+      Files.write(src.resolve("f2.csv"),
+        "doc_id,body\n3,alpha one\n4,gamma three\n5,gamma three\n"
+          .getBytes("UTF-8"))
+      runOnce()
+      s.read.parquet(outDir).select("doc_id", "body")
+    }),
+
     // CSV file stream with a deterministic runtime fixture; oracle is a
     // literal VALUES table. Exercises schema-pinned streaming CSV ingest.
     "stream_ingest_files" -> ((s, d) => {
@@ -258,6 +302,13 @@ object StreamQueries extends QueryPack {
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
         |FROM (VALUES (1, 10.5), (2, 20.5), (3, 30.5)) AS t(k, v)"""
         .stripMargin,
+
+    // expected: run-1 docs land; run-2's cross-run dup (3) and
+    // intra-batch dup (5) are dropped, fresh doc 4 lands
+    "stream_incremental_dedupe" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, body
+        |FROM (VALUES (1, 'alpha one'), (2, 'beta two'),
+        |             (4, 'gamma three')) AS t(id, body)""".stripMargin,
 
     "stream_dedupe" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -258,6 +258,52 @@ object StreamOps {
       .drop(s"__r_$keyCol")
   }
 
+  /** Streaming INCREMENTAL ingestion dedupe — the unbounded-history
+    * shape `dropDuplicatesWithinWatermark` cannot express: its state
+    * store is watermark-scoped, but "never land the same document
+    * twice, ever" needs history that outlives any watermark. Per
+    * micro-batch: keep-first within the batch (min `idCol` per key),
+    * anti-join against the PERSISTENT key table, append survivors to
+    * `outDir` and their keys to `keyDir`. Keys are the 16-byte
+    * (length, fingerprint) projection of the normalized text — the
+    * dedupe_incremental convention: at 100 TB the key table is
+    * bloom-filterable/broadcastable while document bodies never
+    * shuffle. Exactly-once note: foreachBatch can re-run a batch on
+    * failure; the anti-join against already-appended keys makes the
+    * replay drop its own duplicates (idempotent by construction). */
+  def incrementalDedupeEachBatch(stream: DataFrame, idCol: String,
+      textCol: String, keyDir: String, outDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+        val keyed = batch
+          .withColumn("n_len", length(norm))
+          .withColumn("n_fp", graft.ops.TextOps.fingerprint(norm))
+        val firstInBatch = keyed
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("n_len", "n_fp").orderBy(col(idCol))))
+          .filter(col("__rk") === 1).drop("__rk")
+        val keyPath = new org.apache.hadoop.fs.Path(keyDir)
+        val fs = keyPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          (if (fs.exists(keyPath))
+            firstInBatch.join(spark.read.parquet(keyDir),
+              Seq("n_len", "n_fp"), "left_anti")
+          else firstInBatch).localCheckpoint()
+        fresh.drop("n_len", "n_fp")
+          .write.mode("append").parquet(outDir)
+        fresh.select("n_len", "n_fp")
+          .write.mode("append").parquet(keyDir)
+      }
+      .start()
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

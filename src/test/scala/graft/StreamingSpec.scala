@@ -261,4 +261,42 @@ class StreamingSpec extends SparkSpec {
     }
     assert(moved, "source file was not archived after a subsequent batch")
   }
+
+  test("incremental dedupe: key table persists across epochs and an " +
+      "identical re-arrival lands nothing") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val keys = base.resolve("keys").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamOps.withStatePartitions(spark, 4) {
+        StreamOps.incrementalDedupeEachBatch(
+          StreamOps.fileStreamCsv(spark, s"$src/*.csv", schema),
+          "doc_id", "body", keys, out, ckpt)
+      }
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(src.resolve("f1.csv"),
+      "doc_id,body\n1,aa bb\n2,cc dd\n".getBytes("UTF-8"))
+    runOnce()
+    // epoch 3 semantics: the SAME bodies arrive again two epochs later
+    // under new ids — history (not watermark state) must drop them
+    java.nio.file.Files.write(src.resolve("f2.csv"),
+      "doc_id,body\n7,ee ff\n".getBytes("UTF-8"))
+    runOnce()
+    java.nio.file.Files.write(src.resolve("f3.csv"),
+      "doc_id,body\n8,aa bb\n9,ee ff\n".getBytes("UTF-8"))
+    runOnce()
+    val landed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 7L))
+    assert(spark.read.parquet(keys).count() == 3) // one key per landed doc
+  }
 }
