@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap from the key's previous event is ≥ `gapMinutes`. The BATCH
+    * twin of the streaming `session_window` tier — same one-shuffle
+    * shape as any window chain (hash by key, sort by ts), emitting
+    * (key, session_start=min ts, session_end=max ts, n_events). At
+    * 100 TB this is one hash exchange of the event rows — the same cost
+    * class as win_running_total — with no state store needed because
+    * history is bounded by the partition sort. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    // exact-microsecond gap test (sub-second precision must not truncate)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev)
+        >= gapMinutes * 60L * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__sid", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__sid")
+  }
+
   private val FreqPattern = "^(\\d*)\\s*([A-Za-z]+)$".r
 
   /** Fixed-width window duration string for a pandas alias, or None for

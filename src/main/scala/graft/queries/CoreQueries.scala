@@ -38,6 +38,12 @@ object CoreQueries extends QueryPack {
           StableRound.round6(avg("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // §2.4 batch sessionization — the gaps-and-islands twin of the
+    // streaming session window (30-min gap per user), one hash shuffle
+    "agg_sessionize" -> ((s, d) =>
+      graft.ops.TimeSeries.sessionize(Tables.events(s, d), "user_id",
+        "ts", gapMinutes = 30)),
+
     // §2.4 agg_resample_mean — the reference's frequency stat
     // (H resample grouped by a key, datapump.py:294) over events.
     "agg_resample_mean" -> ((s, d) =>
@@ -133,6 +139,26 @@ object CoreQueries extends QueryPack {
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
         |  CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value, count(*) AS n
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    // gaps-and-islands with the same ≥-gap break rule as the Spark window
+    "agg_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "dedupe_keep_last" ->
       """SELECT event_id, user_id, event_type, value FROM (

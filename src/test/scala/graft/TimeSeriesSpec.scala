@@ -69,4 +69,23 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.resampleMean(frame(), "dt", "5Q", Seq("sensor"), Seq("v"))
     }
   }
+
+  test("sessionize: >=gap breaks, exact-gap breaks, per-key isolation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")), // 20 min: same session
+      (1L, ts("2024-01-01 10:50:00")), // exactly 30 min: NEW session
+      (1L, ts("2024-01-01 12:00:00")), // new session
+      (2L, ts("2024-01-01 10:05:00"))  // other key: own session
+    ).toDF("user_id", "ts")
+    val got = TimeSeries.sessionize(ev, "user_id", "ts", 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 2L),
+      (1L, "2024-01-01 10:50:00.0", "2024-01-01 10:50:00.0", 1L),
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L),
+      (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
+  }
 }
