@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,8 +18,11 @@ object Joins {
     *  - `forward`: the right row with the smallest `rightTs >= leftTs`;
     *  - `nearest`: whichever of the two is closest in absolute time
     *    (exact-distance ties prefer backward).
-    * Exact-instant matches count in every direction (pandas
-    * allow_exact_matches=True). Ties on the chosen instant break by the
+    * Exact-instant matches count in every direction by default (pandas
+    * allow_exact_matches=True; pass `allowExactMatches = false` for the
+    * strict variant). `toleranceMicros` mirrors pandas `tolerance`: a
+    * match farther than the bound (per direction, before the nearest
+    * choice) nulls out. Ties on the chosen instant break by the
     * greatest `rightTieBreak`. Right value columns come back prefixed
     * `asof_`; left rows with no candidate get nulls.
     *
@@ -37,7 +40,9 @@ object Joins {
       leftTs: String, rightTs: String,
       rightTieBreak: String,
       rightValueCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
     val l2 = left
@@ -63,29 +68,53 @@ object Joins {
 
     // backward: right rows sort BEFORE left at the same instant
     // (side 0 < 1), so "rightTs <= leftTs" is inclusive; among right
-    // ties, tie asc makes last() pick the max tie-break.
+    // ties, tie asc makes last() pick the max tie-break. With
+    // allowExactMatches=false (pandas semantics) the side sort FLIPS, so
+    // same-instant right rows land after the left row — outside its
+    // preceding frame — and the match becomes strictly-before.
     val wB = Window.partitionBy(col(leftKey))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(col("__ts").asc,
+        if (allowExactMatches) col("__side").asc else col("__side").desc,
+        col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward: left rows sort BEFORE right at the same instant
     // (side desc: 1 < 0 reversed), so "rightTs >= leftTs" is inclusive;
     // tie desc makes first() pick the max tie-break at the nearest
-    // instant.
+    // instant. Exact-match exclusion flips the side sort symmetrically.
     val wF = Window.partitionBy(col(leftKey))
-      .orderBy(col("__ts").asc, col("__side").desc, col("__tie").desc)
+      .orderBy(col("__ts").asc,
+        if (allowExactMatches) col("__side").desc else col("__side").asc,
+        col("__tie").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    // pandas `tolerance`: a picked match is kept only when its event-time
+    // distance is within the bound — applied per DIRECTION before the
+    // nearest choice, so nearest picks the closest IN-TOLERANCE candidate
+    def gate(pick: Column, dist: Column): Column = toleranceMicros match {
+      case Some(t) => F.when(pick.isNotNull && dist <= F.lit(t), pick)
+      case None => pick
+    }
+    def bDist(p: Column) = F.unix_micros(col("__ts")) -
+      F.unix_micros(p.getField("__rts_v"))
+    def fDist(p: Column) = F.unix_micros(p.getField("__rts_v")) -
+      F.unix_micros(col("__ts"))
 
     val withPick = direction match {
       case "backward" =>
-        u.withColumn("__pick",
-          F.last(carryStruct, ignoreNulls = true).over(wB))
+        u.withColumn("__p0", F.last(carryStruct, ignoreNulls = true).over(wB))
+          .withColumn("__pick", gate(col("__p0"), bDist(col("__p0"))))
+          .drop("__p0")
       case "forward" =>
-        u.withColumn("__pick",
-          F.first(carryStruct, ignoreNulls = true).over(wF))
+        u.withColumn("__p0", F.first(carryStruct, ignoreNulls = true).over(wF))
+          .withColumn("__pick", gate(col("__p0"), fDist(col("__p0"))))
+          .drop("__p0")
       case "nearest" =>
         val both = u
-          .withColumn("__b", F.last(carryStruct, ignoreNulls = true).over(wB))
-          .withColumn("__f", F.first(carryStruct, ignoreNulls = true).over(wF))
+          .withColumn("__b0", F.last(carryStruct, ignoreNulls = true).over(wB))
+          .withColumn("__f0", F.first(carryStruct, ignoreNulls = true).over(wF))
+          .withColumn("__b", gate(col("__b0"), bDist(col("__b0"))))
+          .withColumn("__f", gate(col("__f0"), fDist(col("__f0"))))
+          .drop("__b0", "__f0")
         // exact-microsecond distances (timestamps carry sub-second
         // precision; truncating to seconds would flip near-ties)
         val useB = col("__f").isNull ||

@@ -81,6 +81,43 @@ object RelationalQueries extends QueryPack {
         direction = "forward")
         .select("event_id", "user_id", "asof_o_orderkey", "asof_o_totalprice")),
 
+    // merge_asof tolerance: the backward match must lie within 8400 days
+    // of the event or it nulls out (pandas tolerance=Timedelta('8400D');
+    // sized to SPLIT the corpus — events are Jan-2024, per-user latest
+    // orders span 1995-2001, so the bound keeps users with recent-enough
+    // history and nulls the rest, making the gate non-vacuous both ways)
+    "join_asof_tolerance" -> ((s, d) =>
+      Joins.asOfJoin(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        toleranceMicros = Some(8400L * 86400L * 1000000L))
+        .select("event_id", "user_id", "asof_o_orderkey",
+          "asof_o_totalprice")),
+
+    // merge_asof allow_exact_matches=False, demonstrated where strictness
+    // is LOAD-BEARING: a self as-of joining every order to the same
+    // customer's PREVIOUS order. Non-strict would match each order to
+    // itself at distance 0; the strict rule excludes the same instant —
+    // itself AND same-day sibling orders — so each row carries the
+    // latest strictly-earlier order (first order per customer: nulls)
+    "join_asof_strict" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Joins.asOfJoin(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"), o,
+        leftKey = "o_custkey", rightKey = "o_custkey",
+        leftTs = "o_orderdate", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        allowExactMatches = false)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_o_orderkey").as("prev_orderkey"),
+          col("asof_o_totalprice").as("prev_totalprice"))
+    }),
+
     // merge_asof direction='nearest': closest order in absolute time,
     // exact-distance ties prefer backward; distances compared at full
     // microsecond precision on both engines
@@ -564,6 +601,33 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    // LEFT JOIN (unlike plain join_asof's inner): out-of-tolerance
+    // events must emit with nulls, not disappear
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 725760000000000)
+        |WHERE rn = 1""".stripMargin,
+
+    "join_asof_strict" ->
+      """SELECT o_orderkey, o_custkey, prev_orderkey, prev_totalprice
+        |FROM (
+        |  SELECT a.o_orderkey, a.o_custkey,
+        |    b.o_orderkey AS prev_orderkey,
+        |    b.o_totalprice AS prev_totalprice,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+        |  FROM orders a LEFT JOIN orders b
+        |    ON b.o_custkey = a.o_custkey
+        |   AND b.o_orderdate < a.o_orderdate)
         |WHERE rn = 1""".stripMargin,
 
     // abs distance in exact microseconds; equal-distance ties prefer the

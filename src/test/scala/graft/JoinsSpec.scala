@@ -67,6 +67,37 @@ class JoinsSpec extends SparkSpec {
     assert(got.sameElements(Array(9L)))
   }
 
+  test("asOfJoin pandas options: allow_exact_matches=false excludes the " +
+      "same instant; tolerance nulls out-of-bound matches per direction") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // exact right match exists
+      (2L, 10L, ts("2024-01-07 00:00:00"))  // 2 days after latest right
+    ).toDF("id", "key", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (10L, ts("2024-01-05 00:00:00"), 2L, 2.0)
+    ).toDF("rkey", "rts", "rid", "rv")
+    def run(exact: Boolean, tolMicros: Option[Long], dir: String = "backward") =
+      Joins.asOfJoin(left, right, "key", "rkey", "ts", "rts", "rid",
+        Seq("rid"), direction = dir, allowExactMatches = exact,
+        toleranceMicros = tolMicros)
+        .select("id", "asof_rid").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // strict: the 01-05 left row skips the same-instant right, takes 01-01
+    assert(run(exact = false, None) ==
+      Map(1L -> Some(1L), 2L -> Some(2L)))
+    // tolerance 1 day: left row 2 is 2 days past its match -> null;
+    // left row 1 matches at distance 0
+    val day = 86400L * 1000000L
+    assert(run(exact = true, Some(day)) == Map(1L -> Some(2L), 2L -> None))
+    // nearest + tolerance: candidates filtered per side BEFORE the pick —
+    // backward (2 days) out of bound, no forward candidate -> null
+    assert(run(exact = true, Some(day), dir = "nearest")(2L).isEmpty)
+    // strict + nearest: exact-instant candidate excluded, row 1 falls
+    // back to the 01-01 backward candidate (4 days)
+    assert(run(exact = false, None, dir = "nearest")(1L) == Some(1L))
+  }
+
   test("asOfJoin carries the chosen right row ATOMICALLY: a null value " +
       "column stays null, never back-filled from an older right row") {
     val left = Seq((1L, 10L, ts("2024-01-10 00:00:00")))
