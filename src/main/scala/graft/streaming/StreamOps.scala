@@ -292,15 +292,21 @@ object StreamOps {
         val keyPath = new org.apache.hadoop.fs.Path(keyDir)
         val fs = keyPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        // pin the survivors before the two writes (the key-table file
+        // set is already fixed at read time, but the anti-join must not
+        // recompute between them) and RELEASE the cache per batch — a
+        // long-running stream must not accumulate block-manager entries
         val fresh =
           (if (fs.exists(keyPath))
             firstInBatch.join(spark.read.parquet(keyDir),
               Seq("n_len", "n_fp"), "left_anti")
-          else firstInBatch).localCheckpoint()
-        fresh.drop("n_len", "n_fp")
-          .write.mode("append").parquet(outDir)
-        fresh.select("n_len", "n_fp")
-          .write.mode("append").parquet(keyDir)
+          else firstInBatch).persist()
+        try {
+          fresh.drop("n_len", "n_fp")
+            .write.mode("append").parquet(outDir)
+          fresh.select("n_len", "n_fp")
+            .write.mode("append").parquet(keyDir)
+        } finally fresh.unpersist()
       }
       .start()
 
