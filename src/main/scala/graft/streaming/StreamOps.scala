@@ -258,55 +258,131 @@ object StreamOps {
       .drop(s"__r_$keyCol")
   }
 
+  /** Partition ids present under a `__batch_id=`-partitioned root (empty
+    * if the root does not exist yet). Pure FS listing — no data read. */
+  private def batchPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__batch_id="))
+      .map(_.stripPrefix("__batch_id=").toLong).toSeq
+
+  /** One micro-batch of the streaming incremental dedupe — REPLAY-
+    * IDEMPOTENT. foreachBatch gives at-least-once execution: a batch
+    * whose epoch did not commit to the checkpoint is re-run with the
+    * SAME `batchId` and the SAME input rows. Appending (the naive form)
+    * lands the replayed survivors twice; flipping the append order only
+    * trades the duplicate for silent loss. Instead both sinks are
+    * partitioned by `__batch_id` and written with DYNAMIC partition
+    * overwrite, so an attempt — first or replayed — overwrites exactly
+    * its own partition and nothing else:
+    *   - the anti-join reads the key table EXCLUDING the current
+    *     batch's partition (partition-pruned), so a replay whose first
+    *     attempt already wrote its keys recomputes the same survivor
+    *     set rather than seeing its own keys and emptying the batch
+    *     (which would then overwrite good output with nothing);
+    *   - partitions `!= batchId` are immutable at batch start (epoch
+    *     N-1 commits before N runs), so the recomputation is
+    *     deterministic.
+    *
+    * KEY-TABLE COMPACTION (bounded listing cost): each batch adds one
+    * partition to `keyDir`; at steady state the anti-join's file
+    * listing would grow without bound. When more than `compactAfter`
+    * non-current partitions exist, they are folded into a single
+    * GENERATION partition `__batch_id = -(batchId + 2)` (unique per
+    * epoch, never colliding with real batch ids) and the source
+    * partitions are deleted. Crash-safety of the fold: the write is
+    * APPEND (duplicate keys are harmless to an anti-join, lost keys are
+    * not), so a replay that re-folds after a partial source delete can
+    * only re-append a subset that the generation already holds — the
+    * key SET never shrinks. */
+  def incrementalDedupeBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, keyDir: String, outDir: String,
+      compactAfter: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val keyed = batch
+      .withColumn("n_len", length(norm))
+      .withColumn("n_fp", graft.ops.TextOps.fingerprint(norm))
+    val firstInBatch = keyed
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("n_len", "n_fp").orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val keyPath = new org.apache.hadoop.fs.Path(keyDir)
+    val fs = keyPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // compact BEFORE the anti-join: set-preserving, so a replay that
+    // re-runs the fold still anti-joins against the same key set
+    val gen = -(batchId + 2)
+    val foldable = batchPartitionIds(fs, keyPath)
+      .filter(id => id != batchId && id != gen)
+    if (compactAfter > 0 && foldable.size > compactAfter) {
+      spark.read.parquet(keyDir)
+        .filter(col("__batch_id").isin(foldable: _*))
+        .select("n_len", "n_fp").distinct()
+        .withColumn("__batch_id", lit(gen))
+        .write.mode("append").partitionBy("__batch_id").parquet(keyDir)
+      foldable.foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(keyPath,
+          s"__batch_id=$id"), true)
+      }
+    }
+
+    // pin the survivors before the two writes (the anti-join must not
+    // recompute between them) and RELEASE the cache per batch — a
+    // long-running stream must not accumulate block-manager entries
+    // list, don't `exists`: a crash can leave the root with zero
+    // partitions (schema inference would fail), and only partitions
+    // `!= batchId` may gate a replayed batch's survivors
+    val priorKeys = batchPartitionIds(fs, keyPath).filter(_ != batchId)
+    val fresh =
+      (if (priorKeys.nonEmpty)
+        firstInBatch.join(
+          spark.read.parquet(keyDir)
+            .filter(col("__batch_id").isin(priorKeys: _*))
+            .select("n_len", "n_fp"),
+          Seq("n_len", "n_fp"), "left_anti")
+      else firstInBatch).persist()
+    try {
+      fresh.drop("n_len", "n_fp")
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(outDir)
+      fresh.select("n_len", "n_fp")
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(keyDir)
+    } finally fresh.unpersist()
+  }
+
   /** Streaming INCREMENTAL ingestion dedupe — the unbounded-history
     * shape `dropDuplicatesWithinWatermark` cannot express: its state
     * store is watermark-scoped, but "never land the same document
     * twice, ever" needs history that outlives any watermark. Per
     * micro-batch: keep-first within the batch (min `idCol` per key),
-    * anti-join against the PERSISTENT key table, append survivors to
-    * `outDir` and their keys to `keyDir`. Keys are the 16-byte
+    * anti-join against the PERSISTENT key table, land survivors in
+    * `outDir` and their keys in `keyDir`. Keys are the 16-byte
     * (length, fingerprint) projection of the normalized text — the
     * dedupe_incremental convention: at 100 TB the key table is
     * bloom-filterable/broadcastable while document bodies never
-    * shuffle. Exactly-once note: foreachBatch can re-run a batch on
-    * failure; the anti-join against already-appended keys makes the
-    * replay drop its own duplicates (idempotent by construction). */
+    * shuffle. Replay-idempotence and key-table compaction live in
+    * [[incrementalDedupeBatch]] (batchId-partitioned dynamic-overwrite
+    * writes — see its scaladoc for the crash-window analysis). */
   def incrementalDedupeEachBatch(stream: DataFrame, idCol: String,
-      textCol: String, keyDir: String, outDir: String, ckptDir: String)
+      textCol: String, keyDir: String, outDir: String, ckptDir: String,
+      compactAfter: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
-        val keyed = batch
-          .withColumn("n_len", length(norm))
-          .withColumn("n_fp", graft.ops.TextOps.fingerprint(norm))
-        val firstInBatch = keyed
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy("n_len", "n_fp").orderBy(col(idCol))))
-          .filter(col("__rk") === 1).drop("__rk")
-        val keyPath = new org.apache.hadoop.fs.Path(keyDir)
-        val fs = keyPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // pin the survivors before the two writes (the key-table file
-        // set is already fixed at read time, but the anti-join must not
-        // recompute between them) and RELEASE the cache per batch — a
-        // long-running stream must not accumulate block-manager entries
-        val fresh =
-          (if (fs.exists(keyPath))
-            firstInBatch.join(spark.read.parquet(keyDir),
-              Seq("n_len", "n_fp"), "left_anti")
-          else firstInBatch).persist()
-        try {
-          fresh.drop("n_len", "n_fp")
-            .write.mode("append").parquet(outDir)
-          fresh.select("n_len", "n_fp")
-            .write.mode("append").parquet(keyDir)
-        } finally fresh.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupeBatch(batch, batchId, idCol, textCol, keyDir,
+          outDir, compactAfter)
       }
       .start()
 

@@ -299,4 +299,72 @@ class StreamingSpec extends SparkSpec {
     assert(landed == Set(1L, 2L, 7L))
     assert(spark.read.parquet(keys).count() == 3) // one key per landed doc
   }
+
+  test("incremental dedupe batch fn is replay-idempotent across the " +
+      "crash window between the two writes") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_increplay")
+    val keys = base.resolve("keys").toString
+    val out = base.resolve("out").toString
+    val b0 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "body")
+
+    // attempt 1 of batch 0 completes both writes
+    StreamOps.incrementalDedupeBatch(b0, 0L, "doc_id", "body", keys, out)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // replay batch 0 verbatim (epoch never committed): must overwrite
+    // its own partition, not append a second copy
+    StreamOps.incrementalDedupeBatch(b0, 0L, "doc_id", "body", keys, out)
+    assert(spark.read.parquet(out).count() == 2, "full replay duplicated")
+
+    // the VERDICT crash window: attempt wrote outDir but died before the
+    // key write. Simulate by deleting batch 0's key partition, then
+    // replay — the anti-join must not see the batch's own keys (which
+    // would empty the batch and overwrite good output with nothing),
+    // and the replay must still land exactly one copy.
+    val keyPart = java.nio.file.Paths.get(keys, "__batch_id=0")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(keyPart).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    StreamOps.incrementalDedupeBatch(b0, 0L, "doc_id", "body", keys, out)
+    assert(spark.read.parquet(out).count() == 2,
+      "crash-window replay duplicated or lost rows")
+    assert(spark.read.parquet(keys).count() == 2, "key table not restored")
+
+    // and the key table still dedupes the NEXT epoch
+    val b1 = Seq((3L, "aa bb"), (4L, "ee ff")).toDF("doc_id", "body")
+    StreamOps.incrementalDedupeBatch(b1, 1L, "doc_id", "body", keys, out)
+    val landed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 4L))
+  }
+
+  test("incremental dedupe key table stays bounded under many epochs " +
+      "(threshold-triggered compaction) with results unchanged") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_inccompact")
+    val keys = base.resolve("keys").toString
+    val out = base.resolve("out").toString
+    val keyRoot = new org.apache.hadoop.fs.Path(keys)
+    val fs = keyRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partCount: Int =
+      fs.listStatus(keyRoot).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("__batch_id="))
+    // 20 epochs: each lands one fresh doc and retries one seen doc
+    (0 until 20).foreach { i =>
+      val b = Seq((i * 10L, s"fresh doc $i"), (i * 10L + 1, "fresh doc 0"))
+        .toDF("doc_id", "body")
+      StreamOps.incrementalDedupeBatch(b, i.toLong, "doc_id", "body",
+        keys, out, compactAfter = 5)
+      assert(partCount <= 7, // ≤ threshold live parts + generation + current
+        s"key table unbounded: $partCount partitions after epoch $i")
+    }
+    val landed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == (0 until 20).map(_ * 10L).toSet,
+      "compaction changed dedupe results")
+    // key SET is exactly one key per landed doc, duplicates tolerated
+    assert(spark.read.parquet(keys)
+      .select("n_len", "n_fp").distinct().count() == 20)
+  }
 }
