@@ -39,14 +39,31 @@ object CsvIngest {
     * (`datapump.py:442-444`: header, skipinitialspace, na_values='').
     * Schema is inferred, then coarsened (int→long, float→double) and
     * string columns that fully parse as timestamps become timestamps
-    * (all-or-nothing per column, `datapump.py:149-166`). */
+    * (all-or-nothing per column, `datapump.py:149-166`).
+    *
+    * `delimiter`/`quote`/`encoding` mirror pandas `read_csv`'s
+    * `sep`/`quotechar`/`encoding` (defaults identical: comma, double
+    * quote, UTF-8). Null parity with `na_values=''`: BOTH the bare empty
+    * field (`a,,b`) and the quoted empty field (`a,"",b`) read as null —
+    * pandas' default NaN set contains the empty string whichever way it
+    * was quoted, so `emptyValue` is pinned to null-producing behavior
+    * here (CsvIngestSpec locks this corner). */
   def readCsv(spark: SparkSession, path: String,
-      formats: Seq[String] = DefaultFormats): DataFrame = {
+      formats: Seq[String] = DefaultFormats,
+      delimiter: String = ",", quote: String = "\"",
+      encoding: String = "UTF-8"): DataFrame = {
     val raw = spark.read
       .option("header", true)
       .option("ignoreLeadingWhiteSpace", true)
       .option("nullValue", "")
+      // quoted empty ("") must ALSO be null (pandas na_values=''):
+      // Spark's univocity reader routes quoted-empty through emptyValue
+      // (default: empty string), a separate knob from nullValue
+      .option("emptyValue", null: String)
       .option("inferSchema", true)
+      .option("sep", delimiter)
+      .option("quote", quote)
+      .option("encoding", encoding)
       .csv(path)
     inferTypes(raw, formats)
   }

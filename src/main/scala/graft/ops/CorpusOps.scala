@@ -14,6 +14,21 @@ import graft.StableRound
   */
 object CorpusOps {
 
+  /** Gram shuffle key: `xxhash64` of the gram string (8-byte long) when
+    * `hashKeys`, the string itself otherwise. Every gram-keyed exchange
+    * in this file moves ~13 tokens (~80-100 bytes) per row in string
+    * form — at open-web scale that amplifies corpus text ~13× through
+    * the shuffle. Hashing at explode time (map-side, before the
+    * exchange) cuts the key to 8 bytes; every downstream use is
+    * count/min/join-membership, so results are identical up to 64-bit
+    * collisions (~n²/2⁶⁵ — negligible below trillions of DISTINCT
+    * grams, and a collision only merges two gram tallies, never drops a
+    * document). `hashKeys = false` keeps the exact string path; the
+    * string≡hash equivalence is pinned by CorpusOpsSpec on real sf0.001
+    * corpus text. */
+  private def gramKey(gram: Column, hashKeys: Boolean): Column =
+    if (hashKeys) xxhash64(gram) else gram
+
   /** Benchmark decontamination — the published GPT-3/PaLM pattern (Brown
     * et al. 2020, appendix C): flag a training document when it shares any
     * n-token gram (n = 13 there, and here) with an evaluation document.
@@ -24,20 +39,25 @@ object CorpusOps {
     * 100 TB corpus is never shuffled; the only exchange is the per-doc hit
     * aggregation, which moves (doc_id, count) pairs for contaminated docs
     * only. Docs shorter than n tokens have no n-gram and cannot be
-    * flagged, matching the reference rule.
+    * flagged, matching the reference rule. With `hashKeys` (default) the
+    * broadcast set holds 8-byte `xxhash64` keys instead of ~100-byte
+    * 13-gram strings — ~10× more eval grams fit the same broadcast
+    * budget (see [[gramKey]] for the collision analysis).
     *
     * Returns one row per TRAINING doc: (id, n_hit_grams, contaminated).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-      isEval: Column, n: Int = 13): DataFrame = {
+      isEval: Column, n: Int = 13, hashKeys: Boolean = true): DataFrame = {
     val grams = graft.functions.ShingleArray.shingleArray(col(textCol), n)
     val evalGrams = docs.filter(isEval)
-      .select(explode(grams).as("gram")).distinct()
+      .select(explode(grams).as("__g0"))
+      .select(gramKey(col("__g0"), hashKeys).as("gram")).distinct()
     val train = docs.filter(!isEval)
     // grams are distinct per doc (set semantics), so the count is the
     // number of DISTINCT shared grams without a second dedup pass
     val hits = train
-      .select(col(idCol), explode(grams).as("gram"))
+      .select(col(idCol), explode(grams).as("__g0"))
+      .select(col(idCol), gramKey(col("__g0"), hashKeys).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
     train.select(col(idCol))
@@ -64,12 +84,15 @@ object CorpusOps {
     * Shape: the per-row metrics are pure column expressions; the two gram
     * tallies explode the occurrence multiset and aggregate on
     * (doc, gram) — partial aggregation combines map-side, and only
-    * (doc_id, metric) pairs reach the final join. At open-web scale the
-    * gram grouping keys would be (doc_id, hash(gram)) like the dedupe
-    * family; kept as strings here for oracle exactness.
+    * (doc_id, metric) pairs reach the final join. With `hashKeys`
+    * (default) the grouping key is (doc_id, xxhash64(gram)) — 8-byte
+    * longs through the exchange instead of gram strings; the metrics
+    * only ever see per-key COUNTS, so the results are hash-invariant
+    * (see [[gramKey]]; equivalence pinned by CorpusOpsSpec).
     */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
-      top2Max: Double = 0.20, dup5Max: Double = 0.15): DataFrame = {
+      top2Max: Double = 0.20, dup5Max: Double = 0.15,
+      hashKeys: Boolean = true): DataFrame = {
     val ts = split(col(textCol), " ")
     val nTok = size(ts)
     val base = docs.select(col(idCol), nTok.cast("long").as("n_tokens"),
@@ -81,7 +104,8 @@ object CorpusOps {
     def gramCounts(n: Int): DataFrame = docs
       .select(col(idCol), explode(
         graft.functions.ShingleArray.shingleOccurrences(col(textCol), n))
-        .as("gram"))
+        .as("__g0"))
+      .select(col(idCol), gramKey(col("__g0"), hashKeys).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
 
     val top2 = gramCounts(2).groupBy(idCol)
@@ -172,15 +196,18 @@ object CorpusOps {
     * Scale shape: one occurrence explode + a gram-keyed aggregation
     * (map-side combine) to find each gram's minimum owner, then one
     * gram-keyed join back — both exchanges move (gram, id) pairs, never
-    * documents. At open-web scale the join/group key is xxhash64(gram)
-    * (16 bytes) rather than the string; kept as strings here for oracle
-    * exactness (same convention as gopherRepetition). Docs shorter than
-    * n tokens carry zero spans and pass through unflagged. */
+    * documents. With `hashKeys` (default) the join/group key is
+    * xxhash64(gram) — 8-byte longs instead of ~100-byte 13-gram strings
+    * through BOTH exchanges; min-owner and ownership comparison are
+    * hash-invariant (see [[gramKey]]; equivalence pinned by
+    * CorpusOpsSpec). Docs shorter than n tokens carry zero spans and
+    * pass through unflagged. */
   def substringDedupe(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13, hashKeys: Boolean = true): DataFrame = {
     val occ = docs.select(col(idCol), explode(
       graft.functions.ShingleArray.shingleOccurrences(col(textCol), n))
-      .as("gram"))
+      .as("__g0"))
+      .select(col(idCol), gramKey(col("__g0"), hashKeys).as("gram"))
     val owner = occ.groupBy("gram").agg(min(col(idCol)).as("__owner"))
     val agg = occ.join(owner, "gram")
       .groupBy(idCol).agg(
@@ -205,23 +232,31 @@ object CorpusOps {
     * shuffle (gram-keyed, map-side combined — same exchange class as
     * text_tfidf); scoring joins the doc's bigram occurrences against the
     * count relations on the gram key, then reduces to (doc_id, sum, n).
+    * With `hashKeys` (default) both count relations and both scoring
+    * joins key on xxhash64 — the bigram string exists only map-side,
+    * pre-exchange, where the leading word is also extracted and hashed;
+    * the score depends only on per-key counts, so it is hash-invariant
+    * (see [[gramKey]]; equivalence pinned by CorpusOpsSpec).
     * Cross-engine float discipline: each term is StableRound'd to 6
     * decimals and summed as an EXACT decimal, so the only libm call
     * compared across engines is a single per-gram ln() at round-6
     * granularity (the math_funcs precedent), never an
     * accumulation-order-dependent double sum. */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      hashKeys: Boolean = true): DataFrame = {
     val occ = docs.select(col(idCol), explode(
       graft.functions.ShingleArray.shingleOccurrences(col(textCol), 2))
-      .as("g"))
-    val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .as("__g0"))
+      .select(col(idCol), gramKey(col("__g0"), hashKeys).as("g"),
+        gramKey(substring_index(col("__g0"), " ", 1), hashKeys).as("w1"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("__w0"))
+      .select(gramKey(col("__w0"), hashKeys).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = occ.groupBy("g").agg(count(lit(1)).as("cb"))
     val scored = occ
       .join(big, "g")
-      .withColumn("w1", substring_index(col("g"), " ", 1))
-      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .join(uni, "w1")
       .crossJoin(broadcast(vocab))
       .select(col(idCol), StableRound.round6(
         log((col("cu") + col("v")).cast("double")

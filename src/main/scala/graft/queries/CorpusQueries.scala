@@ -46,6 +46,22 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // same closure via the O(log n) large-star/small-star rounds
+    // (Kiveris et al. SoCC'14) — the variant for graphs whose diameter
+    // cannot be argued in advance (min-label is O(diameter)); identical
+    // labels by construction, checked against the SAME recursive-CTE
+    // oracle as dedupe_clusters
+    "dedupe_clusters_star" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedupe.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      Clusters.connectedComponentsStar(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // SEMANTIC cluster dedup: same closure over embedding-cosine pairs —
     // near-dups the text tiers can't see (paraphrases) cluster by
     // embedding geometry; reuses dedupe_embed's pair relation
@@ -247,6 +263,24 @@ object CorpusQueries extends QueryPack {
     // recursive transitive closure over the exact-Jaccard pair relation
     // (identical to the LSH pair set — see dedupe_minhash_lsh's oracle)
     "dedupe_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (
+         |${TextQueries.shingleCte(blocked = false)}
+         |)),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM p
+         |      UNION ALL SELECT d2, d1 FROM p),
+         |r AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+         |)
+         |SELECT v AS doc_id, min(l) AS cluster_id,
+         |  (v = min(l)) AS is_keeper
+         |FROM r GROUP BY v""".stripMargin,
+
+    // the star variant computes the SAME labels (component minima) —
+    // one oracle, two algorithms
+    "dedupe_clusters_star" ->
       s"""WITH RECURSIVE
          |p AS (SELECT d1, d2 FROM (
          |${TextQueries.shingleCte(blocked = false)}

@@ -42,6 +42,30 @@ object IngestQueries extends QueryPack {
         .select("event_id", "ts", "event_type", "value")
     }),
 
+    // non-default CSV dialect: semicolon delimiter, single-quote quoting,
+    // ISO-8859-1 encoding (pandas sep/quotechar/encoding parity). The
+    // fixture embeds the delimiter AND a non-ASCII char in every tag so
+    // a mis-set quote or charset corrupts values and fails the hash —
+    // the whole write→read→infer loop runs in the non-default dialect
+    "scan_csv_delim" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv_delim_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        Tables.events(s, d)
+          .filter(pmod(col("event_id"), lit(7)) === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            concat(col("event_type"), lit(";é")).as("tag"),
+            col("value"))
+          .write.mode("overwrite").option("header", true)
+          .option("sep", ";").option("quote", "'")
+          .option("encoding", "ISO-8859-1")
+          .csv(tmp)
+      }
+      CsvIngest.readCsv(s, s"$tmp/*.csv", delimiter = ";",
+        quote = "'", encoding = "ISO-8859-1")
+        .select("event_id", "ts", "tag", "value")
+    }),
+
     // newest-first processing order with last-write-wins upsert precedence
     // (the reference's quirky-but-real semantics: newest file is processed
     // FIRST, so the oldest file's rows land LAST and win — datapump.py:426)
@@ -220,6 +244,13 @@ object IngestQueries extends QueryPack {
         |    AS event_type,
         |  value
         |FROM events""".stripMargin,
+
+    "scan_csv_delim" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |  event_type || ';é' AS tag,
+        |  value
+        |FROM events WHERE event_id % 7 = 0""".stripMargin,
 
     "scan_order_mtime" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v

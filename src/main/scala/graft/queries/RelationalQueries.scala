@@ -118,6 +118,47 @@ object RelationalQueries extends QueryPack {
           col("asof_o_totalprice").as("prev_totalprice"))
     }),
 
+    // direction × strictness × tolerance MATRIX completion (the gate's
+    // distance sign flips per direction — where bugs hide). Forward +
+    // strict + tolerance: each order matches the earliest strictly-LATER
+    // order of the same customer, nulled when it is more than 200 days
+    // out (typical same-customer gap at this SF is ~220 days, so the
+    // bound splits the corpus and the gate is non-vacuous both ways)
+    "join_asof_forward_tolerance" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Joins.asOfJoin(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"), o,
+        leftKey = "o_custkey", rightKey = "o_custkey",
+        leftTs = "o_orderdate", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        direction = "forward",
+        allowExactMatches = false,
+        toleranceMicros = Some(200L * 86400L * 1000000L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_o_orderkey").as("next_orderkey"),
+          col("asof_o_totalprice").as("next_totalprice"))
+    }),
+
+    // nearest + strict + tolerance: BOTH direction gates are live at
+    // once — the previous and next other-day order compete on absolute
+    // distance, each first gated by its own (sign-flipped) bound
+    "join_asof_nearest_tolerance" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Joins.asOfJoin(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"), o,
+        leftKey = "o_custkey", rightKey = "o_custkey",
+        leftTs = "o_orderdate", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        direction = "nearest",
+        allowExactMatches = false,
+        toleranceMicros = Some(200L * 86400L * 1000000L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_o_orderkey").as("near_orderkey"),
+          col("asof_o_totalprice").as("near_totalprice"))
+    }),
+
     // merge_asof direction='nearest': closest order in absolute time,
     // exact-distance ties prefer backward; distances compared at full
     // microsecond precision on both engines
@@ -628,6 +669,45 @@ object RelationalQueries extends QueryPack {
         |  FROM orders a LEFT JOIN orders b
         |    ON b.o_custkey = a.o_custkey
         |   AND b.o_orderdate < a.o_orderdate)
+        |WHERE rn = 1""".stripMargin,
+
+    // forward gate: strictly-later same-customer order within 200 days
+    // (strict ⇒ same-instant rows excluded: `>` not `>=`)
+    "join_asof_forward_tolerance" ->
+      """SELECT o_orderkey, o_custkey, next_orderkey, next_totalprice
+        |FROM (
+        |  SELECT a.o_orderkey, a.o_custkey,
+        |    b.o_orderkey AS next_orderkey,
+        |    b.o_totalprice AS next_totalprice,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY b.o_orderdate ASC, b.o_orderkey DESC) AS rn
+        |  FROM orders a LEFT JOIN orders b
+        |    ON b.o_custkey = a.o_custkey
+        |   AND b.o_orderdate > a.o_orderdate
+        |   AND epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate)
+        |         <= 17280000000000)
+        |WHERE rn = 1""".stripMargin,
+
+    // both direction gates live: other-instant candidates within 200
+    // days either way, closest abs distance wins, exact-distance ties
+    // prefer backward, then max orderkey
+    "join_asof_nearest_tolerance" ->
+      """SELECT o_orderkey, o_custkey, near_orderkey, near_totalprice
+        |FROM (
+        |  SELECT a.o_orderkey, a.o_custkey,
+        |    b.o_orderkey AS near_orderkey,
+        |    b.o_totalprice AS near_totalprice,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY abs(epoch_us(b.o_orderdate)
+        |          - epoch_us(a.o_orderdate)) ASC,
+        |        CASE WHEN b.o_orderdate <= a.o_orderdate
+        |          THEN 0 ELSE 1 END ASC,
+        |        b.o_orderkey DESC) AS rn
+        |  FROM orders a LEFT JOIN orders b
+        |    ON b.o_custkey = a.o_custkey
+        |   AND b.o_orderdate <> a.o_orderdate
+        |   AND abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate))
+        |         <= 17280000000000)
         |WHERE rn = 1""".stripMargin,
 
     // abs distance in exact microseconds; equal-distance ties prefer the

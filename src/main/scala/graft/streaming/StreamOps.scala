@@ -266,7 +266,9 @@ object StreamOps {
     else fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("__batch_id="))
-      .map(_.stripPrefix("__batch_id=").toLong).toSeq
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("__batch_id=").toLong).toOption)
+      .toSeq
 
   /** One micro-batch of the streaming incremental dedupe — REPLAY-
     * IDEMPOTENT. foreachBatch gives at-least-once execution: a batch
@@ -332,10 +334,10 @@ object StreamOps {
 
     // pin the survivors before the two writes (the anti-join must not
     // recompute between them) and RELEASE the cache per batch — a
-    // long-running stream must not accumulate block-manager entries
-    // list, don't `exists`: a crash can leave the root with zero
-    // partitions (schema inference would fail), and only partitions
-    // `!= batchId` may gate a replayed batch's survivors
+    // long-running stream must not accumulate block-manager entries.
+    // Gate on the partition LIST, not fs.exists: a crash can leave the
+    // root with zero partitions (schema inference would fail), and only
+    // partitions `!= batchId` may gate a replayed batch's survivors
     val priorKeys = batchPartitionIds(fs, keyPath).filter(_ != batchId)
     val fresh =
       (if (priorKeys.nonEmpty)
@@ -371,7 +373,13 @@ object StreamOps {
     * bloom-filterable/broadcastable while document bodies never
     * shuffle. Replay-idempotence and key-table compaction live in
     * [[incrementalDedupeBatch]] (batchId-partitioned dynamic-overwrite
-    * writes — see its scaladoc for the crash-window analysis). */
+    * writes — see its scaladoc for the crash-window analysis).
+    *
+    * NOTE for `outDir` consumers: survivors land under a `__batch_id=N`
+    * partition layout, so reads of `outDir` see one extra long column
+    * `__batch_id` versus the pre-idempotence flat append sink. Drop it
+    * (`.drop("__batch_id")`) if the landing epoch is irrelevant; it is
+    * also the natural incremental-consumption cursor. */
   def incrementalDedupeEachBatch(stream: DataFrame, idCol: String,
       textCol: String, keyDir: String, outDir: String, ckptDir: String,
       compactAfter: Int = 16)

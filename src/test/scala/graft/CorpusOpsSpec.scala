@@ -161,6 +161,33 @@ class SubstringLmSpec extends SparkSpec {
     // common bigrams (count 3) beat never-repeated ones (count 1)
     assert(got(1L)._2.get < got(4L)._2.get)
   }
+
+  test("hashed gram keys (default) produce byte-identical results to the " +
+      "exact string path on real corpus text") {
+    // the scale path shuffles xxhash64(gram) longs instead of gram
+    // strings; every downstream use is count/min/membership, so the
+    // results must be IDENTICAL up to 64-bit collisions — pinned here on
+    // the sf0.001 documents table (500 real docs), not toy fixtures
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    assert(
+      sorted(CorpusOps.substringDedupe(docs, "doc_id", "text")) ==
+      sorted(CorpusOps.substringDedupe(docs, "doc_id", "text",
+        hashKeys = false)))
+    assert(
+      sorted(CorpusOps.lmScore(docs, "doc_id", "text")) ==
+      sorted(CorpusOps.lmScore(docs, "doc_id", "text", hashKeys = false)))
+    assert(
+      sorted(CorpusOps.gopherRepetition(docs, "doc_id", "text")) ==
+      sorted(CorpusOps.gopherRepetition(docs, "doc_id", "text",
+        hashKeys = false)))
+    val isEval = pmod(col("doc_id"), lit(5)) === 0
+    assert(
+      sorted(CorpusOps.decontaminate(docs, "doc_id", "text", isEval)) ==
+      sorted(CorpusOps.decontaminate(docs, "doc_id", "text", isEval,
+        hashKeys = false)))
+  }
 }
 
 class ClustersSpec extends SparkSpec {

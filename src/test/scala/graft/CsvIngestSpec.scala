@@ -50,6 +50,40 @@ class CsvIngestSpec extends SparkSpec {
     assert(df.select("b").collect().map(_.getString(0)).toSet == Set("x", "y"))
   }
 
+  test("na_values='' parity: quoted AND unquoted empty fields both read " +
+      "as null (pandas default NaN set contains '' either way)") {
+    // a: bare empty; b: quoted empty; c: quoted delimiter survives
+    val p = writeCsv("a,b,c\n,\"\",\"x,y\"\n1,\"\",z\n")
+    val df = CsvIngest.readCsv(spark, p)
+    val rows = df.orderBy("c").collect()
+    assert(df.filter(df("b").isNull).count() == 2, "quoted empty -> null")
+    assert(rows(0).isNullAt(0) && rows(0).getString(2) == "x,y")
+    assert(rows(1).getLong(0) == 1L)
+  }
+
+  test("explicit delimiter and quote char (pandas sep=';' quotechar=\"'\")") {
+    val p = writeCsv("a;b;c\n1;'x;y';2024-01-01 10:00:00\n2;plain;\n")
+    val df = CsvIngest.readCsv(spark, p, delimiter = ";", quote = "'")
+    assert(df.schema("a").dataType == LongType)
+    assert(df.schema("c").dataType == TimestampType) // inference intact
+    val byA = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byA(1L).getString(1) == "x;y") // quoted delimiter not split
+    assert(byA(2L).getString(1) == "plain" && byA(2L).isNullAt(2))
+  }
+
+  test("explicit encoding: ISO-8859-1 bytes round-trip (pandas " +
+      "encoding='latin-1')") {
+    val f = Files.createTempFile("graft-csv", ".csv")
+    Files.write(f, "k,s\n1,café\n2,über\n"
+      .getBytes("ISO-8859-1"))
+    // read as UTF-8 those bytes would mojibake/fail; the option must
+    // reach the parser
+    val df = CsvIngest.readCsv(spark, f.toString,
+      encoding = "ISO-8859-1")
+    assert(df.select("s").collect().map(_.getString(0)).toSet ==
+      Set("café", "über"))
+  }
+
   test("listByMtimeDesc orders newest first") {
     val dir = Files.createTempDirectory("graft-mtime")
     Seq(("a.csv", 1000L), ("b.csv", 3000L), ("c.csv", 2000L)).foreach {
