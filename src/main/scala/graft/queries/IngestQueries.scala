@@ -66,6 +66,43 @@ object IngestQueries extends QueryPack {
         .select("event_id", "ts", "tag", "value")
     }),
 
+    // XLSX source — the reference ships openpyxl (requirements.txt:9)
+    // but never grew the reader (datapump.py:442 is CSV-only); this
+    // closes that implied source with a zero-dependency JDK zip+StAX
+    // parser. Fixture: THREE driver-written workbooks (xlsx is a small-
+    // file format; the glob is the parallelism unit), shared-string
+    // text cells, null event_types omitted (sparse refs), timestamps as
+    // ISO strings through the same all-or-nothing inference as CSV
+    "scan_xlsx" -> ((s, d) => {
+      val tmp = s"/tmp/graft_xlsx_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        val dir = Paths.get(tmp)
+        Files.createDirectories(dir)
+        val slice = Tables.events(s, d)
+          .filter(pmod(col("event_id"), lit(13)) === 0)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            when(col("event_type") === "view", lit(null))
+              .otherwise(col("event_type")).as("event_type"),
+            col("value"))
+          .collect() // bounded: the ~1/13 slice; fixture-build only
+        (0 until 3).foreach { part =>
+          val rows = slice.iterator
+            .filter(_.getLong(0) % 3 == part)
+            .map(r => Seq[Any](r.getLong(0), r.getString(1),
+              r.getString(2), r.getDouble(3))).toSeq
+          val out = new java.io.FileOutputStream(
+            dir.resolve(s"part$part.xlsx").toFile)
+          try graft.ingest.XlsxIngest.writeXlsx(
+            Seq("event_id", "ts", "event_type", "value"), rows, out)
+          finally out.close()
+        }
+        Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+      }
+      graft.ingest.XlsxIngest.readXlsx(s, s"$tmp/*.xlsx")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
     // newest-first processing order with last-write-wins upsert precedence
     // (the reference's quirky-but-real semantics: newest file is processed
     // FIRST, so the oldest file's rows land LAST and win — datapump.py:426)
@@ -244,6 +281,14 @@ object IngestQueries extends QueryPack {
         |    AS event_type,
         |  value
         |FROM events""".stripMargin,
+
+    "scan_xlsx" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |  CASE WHEN event_type = 'view' THEN NULL ELSE event_type END
+        |    AS event_type,
+        |  value
+        |FROM events WHERE event_id % 13 = 0""".stripMargin,
 
     "scan_csv_delim" ->
       """SELECT event_id,
