@@ -31,18 +31,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // NAME-SORTED execution: the map's hash order reshuffles whenever an
+    // entry is added, which silently changes every query's predecessor
+    // between rounds — allocation-heavy queries (ImageIO decodes) were
+    // measured 3× slower purely from inherited heap state of a new
+    // neighbor. Sorted order keeps per-query neighborhoods identical
+    // across rounds, so round-over-round deltas measure the query.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
     // pass 1 — untimed warmup (errors ignored; the timed pass reports them)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => System.err.println(s"[warmup] $name failed") }
     }
 
+    // settle the heap between passes: the warmup leaves ~all queries'
+    // garbage resident, and whichever timed query allocates first pays
+    // the collection otherwise (one GC here, not per query)
+    System.gc()
+
     // pass 2 — timed, steady state
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
 
     // locale-pinned plain-decimal rendering: no scientific notation, no
     // locale comma separators — the line must stay machine-parseable JSON

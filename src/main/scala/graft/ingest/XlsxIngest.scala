@@ -18,11 +18,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Scope (documented, honest): first worksheet, header row, shared /
   * inline / formula-cached strings, numeric and boolean cells, sparse
   * rows via cell references (a missing `<c>` is null — openpyxl's
-  * `None`, pandas' NaN). Numeric date SERIALS are surfaced as their
-  * raw numeric strings — mapping them through cell styles is workbook-
-  * cosmetics territory; pipelines that need timestamps carry them as
-  * ISO strings, which flow through the same all-or-nothing inference
-  * as CSV ([[CsvIngest.inferTypes]]).
+  * `None`, pandas' NaN), and DATE SERIALS: numeric cells whose style
+  * resolves to a date/time number format (built-in ids 14–22 / 45–47
+  * or a custom y/m/d/h/s format — openpyxl's `is_date_format` rule)
+  * convert from the 1900 (or `date1904`) serial system to ISO strings,
+  * which then flow through the same all-or-nothing inference as CSV
+  * ([[CsvIngest.inferTypes]]) and come out typed timestamps.
   *
   * Scale shape: xlsx is a zip — NOT splittable — so the unit of
   * parallelism is the FILE, the natural layout for drop-folder
@@ -107,6 +108,8 @@ object XlsxIngest {
     var shared: Vector[String] = Vector.empty
     var sheet: Option[Array[Byte]] = None
     var sheetName: String = null
+    var dateStyles: Set[Int] = Set.empty
+    var date1904 = false
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
@@ -114,6 +117,11 @@ object XlsxIngest {
         val name = e.getName
         if (name == "xl/sharedStrings.xml")
           shared = parseSharedStrings(readAll(zin))
+        else if (name == "xl/styles.xml")
+          dateStyles = parseDateStyles(readAll(zin))
+        else if (name == "xl/workbook.xml")
+          date1904 = new String(readAll(zin), "UTF-8")
+            .contains("date1904=\"1\"")
         else if (name.startsWith("xl/worksheets/sheet") &&
             name.endsWith(".xml") &&
             // first sheet by part number (sheet1.xml < sheet2.xml …)
@@ -125,10 +133,64 @@ object XlsxIngest {
       }
     } finally zin.close()
     sheet match {
-      case Some(b) => parseSheet(b, shared)
+      case Some(b) => parseSheet(b, shared, dateStyles, date1904)
       case _ => throw new IllegalArgumentException(
         "xlsx has no worksheet part")
     }
+  }
+
+  /** 0-based `cellXfs` indexes whose number format is a DATE/TIME format
+    * — built-in ids 14–22 and 45–47, or a custom `numFmt` whose code
+    * contains a date token outside quoted literals (openpyxl's
+    * `is_date_format` rule, simplified to the y/m/d/h/s alphabet). */
+  private def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
+    val builtinDate = (14 to 22).toSet ++ (45 to 47)
+    var customDate = Set.empty[Int]
+    val xfs = Vector.newBuilder[Int]
+    val r = staxReader(bytes)
+    var inCellXfs = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "cellXfs" => inCellXfs = true
+              case "numFmt" =>
+                val id = Option(r.getAttributeValue(null, "numFmtId"))
+                  .flatMap(_.toIntOption)
+                val code = Option(r.getAttributeValue(null, "formatCode"))
+                  .getOrElse("")
+                val noQuotes = code.replaceAll("\"[^\"]*\"", "")
+                  .replaceAll("\\[[^\\]]*\\]", "") // strip [Red] etc.
+                if (id.isDefined && noQuotes.exists("ymdhsYMDHS".contains(_)))
+                  customDate += id.get
+              case "xf" if inCellXfs =>
+                xfs += Option(r.getAttributeValue(null, "numFmtId"))
+                  .flatMap(_.toIntOption).getOrElse(0)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT
+              if r.getLocalName == "cellXfs" => inCellXfs = false
+          case _ =>
+        }
+      }
+    } finally r.close()
+    xfs.result().zipWithIndex.collect {
+      case (fmt, i) if builtinDate(fmt) || customDate(fmt) => i
+    }.toSet
+  }
+
+  /** Excel serial → ISO instant string. Serial day 25569 (1900 system)
+    * / 24107 (1904 system) = 1970-01-01; the fraction is time-of-day.
+    * Rounded to the nearest second — serials are binary doubles, so a
+    * wall-clock second stored as a serial carries ~µs float noise. */
+  private def serialToIso(serial: Double, date1904: Boolean): String = {
+    val epochDay = if (date1904) 24107L else 25569L
+    val secs = Math.round((serial - epochDay) * 86400.0)
+    java.time.LocalDateTime.ofEpochSecond(secs, 0,
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   private def ordinal(part: String): Int =
@@ -189,12 +251,14 @@ object XlsxIngest {
     * string, `b` = boolean (0/1 → false/true), default = numeric raw.
     * The `r` ref ("B3") places values at their true column so gaps
     * read back as null. */
-  private def parseSheet(bytes: Array[Byte],
-      shared: Vector[String]): Seq[Seq[Option[String]]] = {
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String],
+      dateStyles: Set[Int] = Set.empty,
+      date1904: Boolean = false): Seq[Seq[Option[String]]] = {
     val rows = ArrayBuffer.empty[Seq[Option[String]]]
     val r = staxReader(bytes)
     var row: ArrayBuffer[Option[String]] = null
     var cellType = ""; var cellCol = -1; var nextCol = 0
+    var cellStyle = -1
     var inV = false; var inIsT = false
     val sb = new java.lang.StringBuilder
     def put(col: Int, v: Option[String]): Unit = {
@@ -206,6 +270,11 @@ object XlsxIngest {
       val v = cellType match {
         case "s" => raw.trim.toIntOption.flatMap(shared.lift)
         case "b" => Some(if (raw.trim == "1") "true" else "false")
+        case "" | "n" if dateStyles(cellStyle) =>
+          // date-styled numeric: serial → ISO (falls through raw when
+          // the value is not numeric, e.g. a cached formula error)
+          raw.trim.toDoubleOption.map(serialToIso(_, date1904))
+            .orElse(Some(raw))
         case _ => Some(raw) // inlineStr/str/n and untyped numerics
       }
       // an empty untyped <c> with no <v> is an absent cell, not ""
@@ -225,6 +294,8 @@ object XlsxIngest {
                 nextCol = cellCol + 1
                 cellType = Option(r.getAttributeValue(null, "t"))
                   .getOrElse("")
+                cellStyle = Option(r.getAttributeValue(null, "s"))
+                  .flatMap(_.toIntOption).getOrElse(-1)
                 sb.setLength(0)
               case "v" if cellCol >= 0 => inV = true
               case "t" if cellCol >= 0 && cellType == "inlineStr" =>
@@ -286,10 +357,18 @@ object XlsxIngest {
     val sheet = new StringBuilder
     sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    def dateCell(ref: String, epochSec: Long): String = {
+      val serial = epochSec / 86400.0 + 25569.0
+      s"""<c r="$ref" s="1"><v>$serial</v></c>""" // style 1 = numFmt 22
+    }
     def cell(ref: String, v: Any): String = v match {
       case null | None => ""
       case Some(x) => cell(ref, x)
       case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case t: java.sql.Timestamp => dateCell(ref, t.getTime / 1000)
+      case t: java.time.Instant => dateCell(ref, t.getEpochSecond)
+      case t: java.time.LocalDateTime =>
+        dateCell(ref, t.toEpochSecond(java.time.ZoneOffset.UTC))
       case n @ (_: Int | _: Long | _: Double | _: Float | _: Short |
           _: Byte | _: BigDecimal) => s"""<c r="$ref"><v>$n</v></c>"""
       case s => s"""<c r="$ref" t="s"><v>${sstId(s.toString)}</v></c>"""
@@ -318,6 +397,7 @@ object XlsxIngest {
       """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
       """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
       """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+      """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
       """</Types>"""
     val rootRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -333,7 +413,15 @@ object XlsxIngest {
       """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
       """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
       """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+      """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
       """</Relationships>"""
+    // style index 1 → built-in numFmt 22 ("m/d/yy h:mm") — the date
+    // style the reader resolves; index 0 stays the default General
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>""" +
+      """</styleSheet>"""
 
     val z = new ZipOutputStream(out)
     def part(name: String, content: String): Unit = {
@@ -347,6 +435,7 @@ object XlsxIngest {
       part("xl/workbook.xml", workbook)
       part("xl/_rels/workbook.xml.rels", wbRels)
       part("xl/sharedStrings.xml", sstXml.toString)
+      part("xl/styles.xml", styles)
       part("xl/worksheets/sheet1.xml", sheet.toString)
     } finally z.close()
   }

@@ -99,6 +99,34 @@ object Clusters {
     * edge set unchanged over a full round (exact set equality via EXCEPT,
     * not a hash). Lineage is truncated per round (localCheckpoint), same
     * as min-label. */
+  /** Auto-selecting closure — the documented switch criterion
+    * ([[connectedComponentsStar]] scaladoc) executed by the engine
+    * instead of the caller: run min-label for `probeRounds` rounds (the
+    * near-clique fast path — dedup pair graphs converge here); if the
+    * fixpoint has not arrived, the diameter assumption was wrong, so
+    * fall back to the O(log n) star rounds from scratch. The probe is
+    * bounded and cheap (one (id,label) shuffle per round), so the
+    * worst-case overpay on an adversarial graph is `probeRounds` light
+    * joins — while a mis-chosen min-label on a long-chain graph costs
+    * O(diameter) rounds, unboundedly worse. Convergence detection
+    * reuses min-label's monotone label-sum. */
+  def connectedComponentsAuto(vertices: DataFrame, edges: DataFrame,
+      probeRounds: Int = 4, maxIter: Int = 40): DataFrame = {
+    val fast = connectedComponents(vertices, edges, probeRounds)
+    // one more propagation round changes no label iff converged; the
+    // probe run warns on maxIter exit, which is exactly the signal —
+    // re-derive it cheaply: converged ⇔ a (probeRounds+1)-round run has
+    // the same label sum. Cheaper: recompute one round here.
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val prop = sym.join(fast, sym("src") === fast("id"))
+      .select(sym("dst").as("id"), col("label"))
+    val next = fast.union(prop).groupBy("id").agg(min("label").as("label"))
+    val changed = fast.as("a").join(next.as("b"), "id")
+      .filter(col("a.label") =!= col("b.label")).limit(1).count() > 0
+    if (!changed) fast else connectedComponentsStar(vertices, edges, maxIter)
+  }
+
   def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window

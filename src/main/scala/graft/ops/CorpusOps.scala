@@ -220,6 +220,45 @@ object CorpusOps {
         (coalesce(col("n_dup_grams"), lit(0L)) > 0).as("has_dup_span"))
   }
 
+  /** Pre-training SEQUENCE PACKING — the step between a curated corpus
+    * and a training run: documents are laid out into one contiguous
+    * token stream per group (language/domain) in deterministic id
+    * order, and each document is assigned to the fixed-budget training
+    * sequence (bin) where its first token lands:
+    * `bin_id = floor(start_offset / budget)` with
+    * `start_offset = cumsum(n_tokens) - n_tokens`. This is the
+    * streaming concat-then-chunk layout (GPT-style packing: documents
+    * concatenated with separators, chunked every `budget` tokens) —
+    * NOT bin-repacking first-fit-decreasing, which is
+    * order-destroying, unstable under appends, and needs a driver-side
+    * solver; the contiguous layout is what production pretraining
+    * loaders actually consume, and it is exactly reproducible by any
+    * engine with a running sum.
+    *
+    * Scale shape: one column projection for token counts, ONE window
+    * shuffle partitioned by the group column ordered by id — the same
+    * exchange class as win_running_total; no driver state, no
+    * iteration. Per-group streams are the natural 100 TB layout
+    * (domains partition independently; a skewed mega-domain salts the
+    * same way any window op does — or pre-splits on a coarse id range,
+    * since offsets within a range are recoverable by adding the
+    * range's token total).
+    *
+    * Returns one row per doc: (id, group, n_tokens, start_offset,
+    * bin_id). */
+  def packSequences(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budgetTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col(textCol), " ", -1)).cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(groupCol), nTok.as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset") / budgetTokens.toLong))
+  }
+
   /** N-gram language-model quality score — the CCNet/KenLM filtering
     * signal (Wenzek et al. 2020) re-expressed as a corpus-trained bigram
     * model with add-one smoothing: each document scores the mean negative

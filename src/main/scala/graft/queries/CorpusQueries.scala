@@ -153,6 +153,14 @@ object CorpusQueries extends QueryPack {
       a1.crossJoin(a2).crossJoin(a3)
     }),
 
+    // pre-training sequence packing: per-language contiguous token
+    // stream in doc_id order, each doc assigned to the fixed-budget
+    // training sequence where its first token lands (concat-then-chunk,
+    // the layout pretraining loaders consume) — one window shuffle
+    "pipeline_pack_tokens" -> ((s, d) =>
+      CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "lang",
+        "text", budgetTokens = 2048)),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -277,6 +285,21 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // running-sum layout is engine-neutral integer math: start offset =
+    // cumsum − own count, bin = integer division by the budget
+    "pipeline_pack_tokens" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
+        |FROM c""".stripMargin,
 
     // the star variant computes the SAME labels (component minima) —
     // one oracle, two algorithms

@@ -162,6 +162,26 @@ class SubstringLmSpec extends SparkSpec {
     assert(got(1L)._2.get < got(4L)._2.get)
   }
 
+  test("packSequences: concat-then-chunk layout — offsets, bin " +
+      "boundaries, over-budget docs, independent groups") {
+    val docs = Seq(
+      (1L, "en", seqText(0, 4)),   // bin 0 @ offset 0
+      (2L, "en", seqText(0, 5)),   // bin 0 @ offset 4
+      (3L, "en", seqText(0, 3)),   // offset 9 -> still bin 0 (first token rule)
+      (4L, "en", seqText(0, 12)),  // longer than the budget: bin 1, spans 2
+      (10L, "fr", seqText(0, 7))   // other group restarts at offset 0
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.packSequences(docs, "doc_id", "lang", "text",
+      budgetTokens = 10)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((5L, 4L, 0L)))
+    assert(got(3L) == ((3L, 9L, 0L)))
+    assert(got(4L) == ((12L, 12L, 1L)))
+    assert(got(10L) == ((7L, 0L, 0L)))
+  }
+
   test("hashed gram keys (default) produce byte-identical results to the " +
       "exact string path on real corpus text") {
     // the scale path shuffles xxhash64(gram) longs instead of gram
@@ -244,6 +264,27 @@ class ClustersSpec extends SparkSpec {
     val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 5L), (6L, 5L),
       (10L, 11L), (11L, 10L), (12L, 12L), (14L, 13L), (15L, 13L))
     assert(star(vs, es) == cc(vs, es))
+  }
+
+  test("auto variant: near-clique graphs take the min-label fast path, " +
+      "long chains fall back to star — labels correct either way") {
+    // near-clique: pairs + triangles, diameter <= 2 -- converges inside
+    // the probe; long chain: diameter 50 >> probeRounds -- must fall
+    // back (probe alone would return split labels)
+    val cliqueV = (1L to 9L).toSeq
+    val cliqueE = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L), (8L, 9L))
+    val got1 = Clusters.connectedComponentsAuto(
+      cliqueV.toDF("id"), cliqueE.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    val n = 50L
+    val got2 = Clusters.connectedComponentsAuto(
+      (1L to n).toDF("id"),
+      (1L until n).map(i => (i, i + 1)).toDF("src", "dst"),
+      probeRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2.size == n && got2.values.toSet == Set(1L))
   }
 
   test("star variant: 1000-link chain converges in O(log n) rounds") {

@@ -93,6 +93,56 @@ class XlsxIngestSpec extends SparkSpec {
     assert(rows(2) == Seq(Some("7"), None, Some("9")))
   }
 
+  test("date serials: date-styled numeric cells convert via styles.xml " +
+      "(writer emits numFmt 22; reader resolves builtin + custom formats)") {
+    import sqlImplicits._
+    val dir = Files.createTempDirectory("graft-xlsx-dates")
+    val ts = java.sql.Timestamp.valueOf("2024-03-15 13:45:30")
+    writeFixture(dir, "d.xlsx", Seq("k", "when", "plain"),
+      Seq(Seq(1L, ts, 42.5),
+        Seq(2L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 7.25)))
+    // raw parse: serials already ISO strings (style-resolved)...
+    val rows = XlsxIngest.parseRows(Files.readAllBytes(dir.resolve("d.xlsx")))
+    assert(rows(1)(1).contains("2024-03-15 13:45:30"))
+    assert(rows(2)(1).contains("2024-01-01 00:00:00"))
+    // ...while the UNSTYLED numeric column stays numeric
+    assert(rows(1)(2).contains("42.5"))
+    // full read: the ISO strings infer to a typed timestamp column
+    val df = XlsxIngest.readXlsx(spark, s"$dir/*.xlsx")
+    assert(df.schema("when").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = df.as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(_._1)
+    assert(got(0)._2 == ts && got(1)._3 == 7.25)
+  }
+
+  test("date1904 workbooks shift the serial epoch") {
+    // same serial value means a 1462-day later instant under 1904;
+    // hand-build: workbook.xml carries date1904="1", style 1 = fmt 22
+    val serial = 25569.5 // 1900 system: 1970-01-01 12:00; 1904: +1462d
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>""" +
+        s"""<row r="2"><c r="A2" s="1"><v>$serial</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val styles = """<?xml version="1.0"?><styleSheet><cellXfs count="2">""" +
+      """<xf numFmtId="0"/><xf numFmtId="22"/></cellXfs></styleSheet>"""
+    val wb = """<?xml version="1.0"?><workbook>""" +
+      """<workbookPr date1904="1"/><sheets/></workbook>"""
+    val buf = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(buf)
+    def part(n: String, c: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    part("xl/workbook.xml", wb)
+    part("xl/styles.xml", styles)
+    part("xl/worksheets/sheet1.xml", sheet)
+    z.close()
+    val rows = XlsxIngest.parseRows(buf.toByteArray)
+    assert(rows(1)(0).contains("1974-01-02 12:00:00"))
+  }
+
   test("colIndex decodes multi-letter refs") {
     assert(XlsxIngest.colIndex("A1") == 0)
     assert(XlsxIngest.colIndex("Z9") == 25)
