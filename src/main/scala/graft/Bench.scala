@@ -14,6 +14,18 @@ import org.apache.spark.sql.SparkSession
   * re-runnable by construction (fixtures are mtime-cached, memory-sink
   * names are counter-fresh, Derby upserts are idempotent).
   *
+  * Materialization is a NOOP-SINK WRITE, not count(): under count() the
+  * optimizer eliminates unique-key LEFT joins (count-preserving) and
+  * prunes every projection, so map-only queries and join-back shapes
+  * (dedupe_substring, text_lm_score, the scalar_* family) were timing a
+  * row count of the source, not the operator — dedupe_substring's
+  * "0.13 s" executed zero gram work (discovered round 6 when a shuffle-
+  * bytes probe read 59 bytes where megabytes were expected). The noop
+  * sink evaluates every output column and discards it — the honest cost
+  * of producing the result. Rounds ≤5 numbers carry the count() bias
+  * for those shapes; totals jump at round 6 for honesty, not regression
+  * (PLANS.md §16).
+  *
   * stdout discipline: the JSON line is the ONLY stdout output and the last
   * thing printed (driver parsers take the tail); anything human-facing
   * goes to stderr. The line is also persisted to `bench_out.json`.
@@ -39,9 +51,12 @@ object Bench {
     // across rounds, so round-over-round deltas measure the query.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // pass 1 — untimed warmup (errors ignored; the timed pass reports them)
     ordered.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      try materialize(fn(spark, sfDir))
       catch { case _: Throwable => System.err.println(s"[warmup] $name failed") }
     }
 
@@ -53,7 +68,7 @@ object Bench {
     // pass 2 — timed, steady state
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
 

@@ -19,9 +19,12 @@ object CsvIngest {
     "dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
 
   /** Ordered-fallback multi-format parse (the dateparser loop,
-    * `datapump.py:439-444`, minus its fuzzy tier — SURVEY §2.8). */
+    * `datapump.py:439-444`, minus its fuzzy tier — SURVEY §2.8). Each
+    * attempt is shape-gated (`Timestamps.guardedTryTs`): a failed
+    * `try_to_timestamp` is exception-based control flow, ~100× a regex
+    * miss, and inference runs this chain over every string column. */
   def parseTs(c: Column, formats: Seq[String] = DefaultFormats): Column =
-    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+    coalesce(formats.map(f => graft.ops.Timestamps.guardedTryTs(c, f)): _*)
 
   /** Files matching a glob, newest mtime first — the reference's
     * processing order (`datapump.py:426`). Listing happens on the driver

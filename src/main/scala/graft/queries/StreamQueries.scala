@@ -193,6 +193,23 @@ object StreamQueries extends QueryPack {
     // unbounded-history shape dropDuplicatesWithinWatermark cannot
     // express — see StreamOps.incrementalDedupeEachBatch. Oracle is the
     // exact literal expectation.
+    // streaming SEQUENCE PACKING — continuous corpus packing with ONE
+    // LONG of state per group (the next write offset); history is never
+    // re-packed. One AvailableNow pass over the static corpus must
+    // reproduce the batch concat-then-chunk layout exactly (the oracle
+    // is the same running-sum SQL as pipeline_pack_tokens); multi-epoch
+    // offset continuation is pinned by StreamingSpec.
+    "stream_pack_tokens" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = s.read.parquet(s"$d/documents.parquet")
+      StreamOps.runToMemory(
+        StreamOps.packSequencesStream(
+          StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
+            batch.schema),
+          "doc_id", "lang", "text", budgetTokens = 2048),
+        outputMode = "append")
+    }),
+
     "stream_incremental_dedupe" -> ((s, d) => {
       val base = Paths.get("/tmp/graft_incdedup_fixture")
       if (Files.exists(base)) {
@@ -302,6 +319,22 @@ object StreamQueries extends QueryPack {
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
         |FROM (VALUES (1, 10.5), (2, 20.5), (3, 30.5)) AS t(k, v)"""
         .stripMargin,
+
+    // one AvailableNow pass over the static corpus = the batch layout
+    // (single batch ⇒ in-batch id sort is the global sort) — the SAME
+    // running-sum oracle as pipeline_pack_tokens
+    "stream_pack_tokens" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
+        |FROM c""".stripMargin,
 
     // expected: run-1 docs land; run-2's cross-run dup (3) and
     // intra-batch dup (5) are dropped, fresh doc 4 lands

@@ -394,6 +394,51 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SEQUENCE PACKING — the incremental twin of
+    * `CorpusOps.packSequences`: continuous ingestion keeps APPENDING to
+    * each group's contiguous token stream (concat-then-chunk layout)
+    * without ever re-packing history — the property a training-data
+    * service needs, and one no window function can express (the offset
+    * must survive across micro-batches).
+    *
+    * State = ONE LONG per group (the next write offset) — the minimal
+    * possible state store; it never grows with document count, only
+    * with group cardinality (domains/languages: bounded). Within a
+    * micro-batch each group's docs pack in id order (deterministic);
+    * across batches they pack in ARRIVAL order starting at the saved
+    * offset — by design: re-sorting against history would mean
+    * re-packing it. A single AvailableNow pass over a static corpus
+    * therefore reproduces the batch layout exactly (one batch ⇒ the
+    * in-batch id sort IS the global sort — the oracle checks this);
+    * multi-epoch continuation is pinned by StreamingSpec.
+    *
+    * The per-group-per-batch `toSeq` is bounded by the micro-batch,
+    * not the corpus. NoTimeout: group keyspace is bounded by design. */
+  def packSequencesStream(docs: DataFrame, idCol: String,
+      groupCol: String, textCol: String,
+      budgetTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budget = budgetTokens.toLong
+    docs.select(col(idCol).cast("long").as("__id"),
+        col(groupCol).cast("string").as("__g"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (g, rows, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val o = off; off += n; (id, g, n, o, o / budget)
+          }
+          state.update(off)
+          out.iterator
+      }
+      .toDF(idCol, groupCol, "n_tokens", "start_offset", "bin_id")
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

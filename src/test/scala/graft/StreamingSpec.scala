@@ -79,6 +79,38 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 20L)))
   }
 
+  test("packSequencesStream continues offsets across micro-batches " +
+      "without re-packing history") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val packed = StreamOps.packSequencesStream(
+      in.toDF().toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text", budgetTokens = 10)
+    val q = packed.writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    // batch 1: en stream takes 4 + 5 = 9 tokens; fr takes 7
+    in.addData((1L, "en", "a b c d"), (2L, "en", "a b c d e"),
+      (10L, "fr", "a b c d e f g"))
+    q.processAllAvailable()
+    // batch 2: en continues at offset 9 (bin 0 — first-token rule),
+    // then 12 → bin 1; fr continues at 7; out-of-order id 3 arrives
+    // AFTER 4 was packed in no batch — both are batch-2, so in-batch
+    // id order applies (3 before 4)
+    in.addData((4L, "en", "x y z w"), (3L, "en", "p q r"),
+      (11L, "fr", "h i j k"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pack_out")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((5L, 4L, 0L)))
+    assert(got(10L) == ((7L, 0L, 0L)))
+    assert(got(3L) == ((3L, 9L, 0L)))   // batch 2, packed before id 4
+    assert(got(4L) == ((4L, 12L, 1L)))  // crosses into bin 1
+    assert(got(11L) == ((4L, 7L, 0L)))  // fr offset carried over
+  }
+
   test("sessionizeWithTimeout closes sessions on watermark passage and " +
       "evicts their state") {
     implicit val sq = spark.sqlContext
