@@ -161,6 +161,62 @@ object Multimodal {
 
   case class Resized(doc_id: Long, payload: Array[Byte], n_bytes: Long)
 
+  case class DHash(doc_id: Long, is_image: Boolean,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Image PERCEPTUAL HASH (difference hash) — the image twin of the
+    * text near-dup fingerprints: decode, reduce to integer luma
+    * (`(299r + 587g + 114b) / 1000`, integer division — the BT.601
+    * weights without float drift), and set bit `y·8+x` when
+    * `luma(x+1, y) > luma(x, y)` over the top-left 9×8 luma window.
+    * Near-identical images (re-encodes, light edits) agree on most
+    * bits; bucketing or banded hamming joins on the hash give image
+    * near-dup dedup with the same shuffle shape as `dedupe_simhash`.
+    * Production pipelines resize to 9×8 first so the window IS the
+    * image; the fixture corpus is already thumbnail-sized, and the
+    * resize composes from [[resizeImage]] when needed.
+    *
+    * The 64 bits come back as two NON-NEGATIVE 32-bit halves
+    * (`dhash_hi` = bits 32–63, `dhash_lo` = bits 0–31): an engine-
+    * neutral layout — no two's-complement edge at bit 63 for the SQL
+    * oracle to reproduce. Non-image payloads: `is_image = false`,
+    * zero hash (grouped apart by the flag). */
+  def dHash(spark: SparkSession, bin: DataFrame): Dataset[DHash] = {
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[BinRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            DHash(r.doc_id, is_image = false, 0L, 0L)
+          else {
+            def luma(x: Int, y: Int): Int = {
+              val rgb = img.getRGB(x, y)
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+            }
+            var hi = 0L; var lo = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (luma(x + 1, y) > luma(x, y)) {
+                  val b = y * 8 + x
+                  if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            DHash(r.doc_id, is_image = true, hi, lo)
+          }
+        }
+      }
+  }
+
   /** Frame-sampling fan-out: split the payload into fixed-width frames and
     * fingerprint each — the dataflow shape of video frame extraction
     * (explode multiplies rows; downstream repartitions by (doc, frame)). */

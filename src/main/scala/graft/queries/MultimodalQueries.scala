@@ -29,6 +29,23 @@ object MultimodalQueries extends QueryPack {
         .toDF().select("doc_id", "is_image", "width", "height",
           "sum_r", "sum_g", "sum_b")),
 
+    // image PERCEPTUAL-HASH dedup: real ImageIO decode → integer-luma
+    // difference hash (bit y·8+x set when luma(x+1,y) > luma(x,y)) →
+    // hash-bucket group count — the image twin of the text fingerprint
+    // dedup family. The gradient fixture's luma is closed-form in
+    // doc_id, so the oracle predicts all 64 bits without a codec; the
+    // hash comes back as two non-negative 32-bit halves (no
+    // two's-complement edge for the SQL side)
+    "mm_image_dhash" -> ((s, d) => {
+      val h = Multimodal.dHash(s,
+        Multimodal.imageFixture(s, Tables.documents(s, d), "doc_id",
+          w = 16, h = 16, constant = false)).toDF()
+      val counts = h.groupBy("dhash_hi", "dhash_lo")
+        .agg(count(lit(1)).as("n_same_hash"))
+      h.join(counts, Seq("dhash_hi", "dhash_lo"))
+        .select("doc_id", "dhash_hi", "dhash_lo", "n_same_hash")
+    }),
+
     // non-image payloads take the deterministic fallback branch of the
     // SAME operator (is_image=false, head-byte sum) — the mixed-corpus
     // totality contract, oracle-checked
@@ -132,6 +149,34 @@ object MultimodalQueries extends QueryPack {
         |  CAST(list_sum(list_transform(range(0, 256),
         |    i -> (doc_id * 13 + i * 5) % 239)) AS BIGINT) AS sum_b
         |FROM documents""".stripMargin,
+
+    // same closed-form pixels, reduced to integer luma
+    // (299r+587g+114b)//1000; list L is 1-based (L[i+1] = luma of
+    // 0-based pixel i); bit b compares pixel (b//8)*16+(b%8) with its
+    // right neighbor
+    "mm_image_dhash" ->
+      """WITH lum AS (
+        |  SELECT doc_id, list_transform(range(0, 256), i ->
+        |    (299 * ((doc_id + i) % 251)
+        |     + 587 * ((doc_id * 7 + i * 3) % 251)
+        |     + 114 * ((doc_id * 13 + i * 5) % 239)) // 1000) AS L
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN L[(b // 8) * 16 + (b % 8) + 2]
+        |                 > L[(b // 8) * 16 + (b % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END))
+        |      AS BIGINT) AS dhash_hi,
+        |    CAST(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN L[(b // 8) * 16 + (b % 8) + 2]
+        |                 > L[(b // 8) * 16 + (b % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+        |      AS BIGINT) AS dhash_lo
+        |  FROM lum)
+        |SELECT doc_id, dhash_hi, dhash_lo,
+        |  count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same_hash
+        |FROM h""".stripMargin,
 
     // CAST(list_sum AS BIGINT): DuckDB's list_sum returns HUGEINT, which
     // pandas renders as float ("696.0") vs Spark's BIGINT ("696")

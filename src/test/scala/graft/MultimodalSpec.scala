@@ -57,6 +57,37 @@ class MultimodalSpec extends SparkSpec {
     assert(res.n_bytes == 5L && new String(res.payload, "UTF-8") == "hello")
   }
 
+  test("dHash: identical under lossless re-encode, differs across images, " +
+      "fallback for non-images and too-small images") {
+    // the near-dup property the hash exists for: PNG→decode→PNG
+    // re-encode is pixel-identical, so the hash must be EQUAL
+    val png = Multimodal.syntheticPng(42L, 16, 16, constant = false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val reenc = bos.toByteArray
+    assert(!java.util.Arrays.equals(png, reenc) ||
+      png.length == reenc.length) // bytes may differ; pixels cannot
+    val bin = Seq((1L, png), (2L, reenc),
+      (3L, Multimodal.syntheticPng(43L, 16, 16, constant = false)),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, Multimodal.syntheticPng(42L, 4, 4, constant = false)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.dHash(spark, bin).collect()
+      .map(h => h.doc_id -> ((h.is_image, h.dhash_hi, h.dhash_lo))).toMap
+    assert(got(1L) == got(2L), "re-encode must hash identically")
+    assert(got(1L)._1 && got(3L)._1)
+    assert((got(1L)._2, got(1L)._3) != ((got(3L)._2, got(3L)._3)),
+      "different gradients must differ")
+    assert(got(4L) == ((false, 0L, 0L)))
+    assert(got(5L) == ((false, 0L, 0L)), "below the 9x8 window: fallback")
+    // halves are non-negative 32-bit values (engine-neutral layout)
+    got.values.foreach { case (_, hi, lo) =>
+      assert(hi >= 0 && hi <= 0xffffffffL && lo >= 0 && lo <= 0xffffffffL)
+    }
+  }
+
   test("decodeAudio parses real PCM16-LE bytes: hand-built waveform, " +
       "negative samples, odd trailing byte ignored") {
     // hand-assemble -300, 5, 32767, -32768 as little-endian int16 plus a
