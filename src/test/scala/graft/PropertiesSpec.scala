@@ -68,6 +68,38 @@ class PropertiesSpec extends SparkSpec {
     assert(ids() == ids()) // per-row seeded Bernoulli — replay-identical
   }
 
+  test("property: packSequences offsets are exact prefix sums — " +
+      "contiguous per group, no gaps, no overlap") {
+    val docsGen: Gen[List[(Long, String, Int)]] =
+      Gen.listOfN(40, for {
+        g <- Gen.oneOf("en", "fr", "de")
+        n <- Gen.choose(1, 30) // tokens per doc
+      } yield (g, n)).map(_.zipWithIndex.map { case ((g, n), i) =>
+        (i.toLong, g, n) })
+    cases(docsGen, 3).foreach { docs =>
+      val df = docs.map { case (id, g, n) =>
+        (id, g, (1 to n).map("w" + _).mkString(" ")) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.ops.CorpusOps
+        .packSequences(df, "doc_id", "lang", "text", budgetTokens = 16)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        val byId = rows.sortBy(_._1)
+        // each doc starts exactly where the previous one ended
+        byId.foldLeft(0L) { case (expect, (_, _, n, off, bin)) =>
+          assert(off == expect, "offset must be the running prefix sum")
+          assert(bin == off / 16, "bin = first-token chunk")
+          off + n
+        }
+      }
+      // n_tokens faithful to the text
+      got.foreach { case (id, _, n, _, _) =>
+        assert(n == docs.find(_._1 == id).get._3.toLong)
+      }
+    }
+  }
+
   test("property: ts format/parse round-trips across the 4 formats") {
     val fmts = graft.ingest.CsvIngest.DefaultFormats
     val tsGen = Gen.choose(0L, 4102444800L).map(_ * 1000L) // whole seconds
