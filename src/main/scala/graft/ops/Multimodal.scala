@@ -231,6 +231,38 @@ object Multimodal {
       .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
         TextOps.fingerprint(col("frame")).as("frame_fp"))
 
+  /** Image near-dup PAIRS by dHash hamming distance ≤ `maxHamming` —
+    * the same 16-bit chunk banding as `TextDedupe.simhashPairs`
+    * (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least one of the four
+    * 16-bit chunks equal, so candidate generation is EXACT for the
+    * default bound, never all-pairs). Takes [[dHash]] output; only
+    * (id, hash, chunk) rows shuffle — never image bytes. */
+  def dHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = hashes.filter(col("is_image"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        posexplode(array(
+          shiftrightunsigned(col("dhash_hi"), 16),
+          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("dhash_lo"), 16),
+          col("dhash_lo").bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("chunk_idx", "chunk")))
+      .repartition(col("chunk_idx"), col("chunk"))
+    val a = chunked.select(col("doc_id").as("d1"),
+      col("dhash_hi").as("h1"), col("dhash_lo").as("l1"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("d2"),
+      col("dhash_hi").as("h2"), col("dhash_lo").as("l2"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+          bit_count(col("l1").bitwiseXOR(col("l2"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class AudioStats(doc_id: Long, n_samples: Long, sum_amp: Long,
       sum_sq: Long, peak: Int)
 

@@ -46,6 +46,20 @@ object MultimodalQueries extends QueryPack {
         .select("doc_id", "dhash_hi", "dhash_lo", "n_same_hash")
     }),
 
+    // image near-dup PAIRS: banded hamming join over the dhash (16-bit
+    // chunk pigeonhole — exact for hamming ≤ 3, never all-pairs); only
+    // (id, hash, chunk) rows shuffle, never image bytes. Oracle is the
+    // brute-force closed-form pair join. The gradient corpus is
+    // adversarially hash-DENSE (every image near-dups thousands:
+    // 4.2M pairs at sf0.1), so the entry runs a 1-in-10 slice — the
+    // banding plan is identical, the pair count stays representative
+    "mm_image_neardup" -> ((s, d) =>
+      Multimodal.dHashPairs(
+        Multimodal.dHash(s,
+          Multimodal.imageFixture(s,
+            Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", w = 16, h = 16, constant = false)).toDF())),
+
     // non-image payloads take the deterministic fallback branch of the
     // SAME operator (is_image=false, head-byte sum) — the mixed-corpus
     // totality contract, oracle-checked
@@ -177,6 +191,35 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id, dhash_hi, dhash_lo,
         |  count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same_hash
         |FROM h""".stripMargin,
+
+    // brute-force pair join over the same closed-form hashes (oracle-SF
+    // tractable; the engine side bands instead)
+    "mm_image_neardup" ->
+      """WITH lum AS (
+        |  SELECT doc_id, list_transform(range(0, 256), i ->
+        |    (299 * ((doc_id + i) % 251)
+        |     + 587 * ((doc_id * 7 + i * 3) % 251)
+        |     + 114 * ((doc_id * 13 + i * 5) % 239)) // 1000) AS L
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN L[(b // 8) * 16 + (b % 8) + 2]
+        |                 > L[(b // 8) * 16 + (b % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END))
+        |      AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN L[(b // 8) * 16 + (b % 8) + 2]
+        |                 > L[(b // 8) * 16 + (b % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+        |      AS BIGINT) AS lo
+        |  FROM lum)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |       + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |""".stripMargin,
 
     // CAST(list_sum AS BIGINT): DuckDB's list_sum returns HUGEINT, which
     // pandas renders as float ("696.0") vs Spark's BIGINT ("696")

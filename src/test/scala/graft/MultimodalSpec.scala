@@ -88,6 +88,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHashPairs: banding finds every pair at the hamming bound and " +
+      "excludes beyond it; non-images never pair") {
+    // base hash; 3 bits flipped across DIFFERENT chunks (still found —
+    // pigeonhole leaves chunk 0 equal); 4 bits spread over all 4 chunks
+    // (correctly excluded: distance 4 > bound 3)
+    val base = (0xABCDL, 0x1234L)
+    val flip3 = (base._1 ^ (1L << 16) ^ 1L, base._2 ^ 1L)   // hi chunks 0,1 + lo chunk 1
+    val flip4 = (base._1 ^ (1L << 16) ^ 1L, base._2 ^ (1L << 16) ^ 1L)
+    val hashes = Seq(
+      (1L, true, base._1, base._2),
+      (2L, true, flip3._1, flip3._2),
+      (3L, true, flip4._1, flip4._2),
+      (4L, false, base._1, base._2)) // same hash but not an image
+      .toDF("doc_id", "is_image", "dhash_hi", "dhash_lo")
+    val got = Multimodal.dHashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 3L)), "distance-3 pair must be found")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "non-image excluded")
+    assert(!got.contains((1L, 3L, 4L)) &&
+      !got.exists(p => p._1 == 1L && p._2 == 3L), "distance 4 excluded")
+  }
+
   test("decodeAudio parses real PCM16-LE bytes: hand-built waveform, " +
       "negative samples, odd trailing byte ignored") {
     // hand-assemble -300, 5, 32767, -32768 as little-endian int16 plus a
