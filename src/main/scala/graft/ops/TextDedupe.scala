@@ -162,47 +162,62 @@ object TextDedupe {
     * safe. r=2 admits more random band collisions than r=4; they cost one
     * exact verification each and are filtered, which is the right trade
     * until the candidate set itself dominates (then raise r AND k). */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+  /** The banded LSH index relation: one (id, band, band_sig) row per
+    * band per doc (docs under 3 tokens have no shingle and no rows).
+    * Band signatures come from ONE nested let-bound expression: shingle
+    * hashes and the k-minhash signature are each evaluated once per
+    * row. Shared by the self-join pair path ([[minhashLshPairs]]) and
+    * the streaming incremental near-dup key table
+    * (`StreamOps.neardupDedupeBatch`), so the two tiers cannot drift. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 16): DataFrame = {
     val r = k / bands
-    // band signatures in ONE nested let-bound expression: shingle hashes
-    // and the k-minhash signature are each evaluated once per row
     val bandArr = let1(minhashSignature(col(textCol), k), sig =>
       transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
           (0 until r).map(j => element_at(sig, bnd * r + j + 1)): _*))))
-    // repartition on the join keys: the exchange materializes the banded
-    // rows ONCE and ReusedExchange shares them across both self-join
-    // sides (otherwise each side re-evaluates the signature expression),
-    // and the join itself needs no further shuffle.
-    val banded = docs
-      .filter(size(split(col(textCol), " ")) >= 3)
+    docs.filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol),
         posexplode(bandArr).as(Seq("band", "band_sig")))
-      .repartition(col("band"), col("band_sig"))
-    // candidates carry only ids through the self-join; texts join back
-    // after dedup so band-bucket fan-out never multiplies text payloads
-    val a = banded.select(col(idCol).as("d1"), col("band"), col("band_sig"))
-    val b = banded.select(col(idCol).as("d2"), col("band"), col("band_sig"))
-    val cand = a.join(b, Seq("band", "band_sig"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // exact verification on candidates only, against a once-per-doc
-    // shingle-set table. Deliberately NOT repartition-materialized: the
-    // candidate set is small, AQE broadcasts it into the sh side, and the
-    // shingle arrays are never shuffled — measured 1s faster at sf0.1
-    // than forcing a ReusedExchange of the arrays.
-    val sh = docs.select(col(idCol),
-      shingles(col(textCol)).as("sharr"))
+  }
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs against a
+    * once-per-doc shingle-set table per side — candidates carry only
+    * ids; texts join back AFTER candidate dedup so band-bucket fan-out
+    * never multiplies text payloads. Deliberately NOT repartition-
+    * materialized: the candidate set is small, AQE broadcasts it into
+    * the shingle side, and the shingle arrays are never shuffled. */
+  def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(col(idCol), shingles(col(textCol)).as("sharr"))
     val verified = cand
-      .join(sh.toDF("d1", "sh1"), "d1")
-      .join(sh.toDF("d2", "sh2"), "d2")
+      .join(sh(left).toDF("d1", "sh1"), "d1")
+      .join(sh(right).toDF("d2", "sh2"), "d2")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     verified.select(col("d1"), col("d2"),
         StableRound.round4(
           inter / (size(col("sh1")) + size(col("sh2")) - inter))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+    // repartition on the join keys: the exchange materializes the banded
+    // rows ONCE and ReusedExchange shares them across both self-join
+    // sides (otherwise each side re-evaluates the signature expression),
+    // and the join itself needs no further shuffle.
+    val banded = bandRows(docs, idCol, textCol, k, bands)
+      .repartition(col("band"), col("band_sig"))
+    val a = banded.select(col(idCol).as("d1"), col("band"), col("band_sig"))
+    val b = banded.select(col(idCol).as("d2"), col("band"), col("band_sig"))
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // measured 1s faster at sf0.1 than forcing a ReusedExchange of the
+    // shingle arrays — see verifyJaccard's scaladoc
+    verifyJaccard(cand, docs, docs, idCol, textCol, threshold)
   }
 
   // ---- SimHash --------------------------------------------------------

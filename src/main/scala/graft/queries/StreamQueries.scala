@@ -210,6 +210,30 @@ object StreamQueries extends QueryPack {
         outputMode = "append")
     }),
 
+    // streaming incremental NEAR-DUP dedupe — the MinHash tier of
+    // stream_incremental_dedupe: a doc never lands when its verified
+    // Jaccard against anything already landed (or a lower-id
+    // batch-mate) reaches 0.5. One AvailableNow batch over the static
+    // corpus ⇒ survivors = docs with no lower-id near-dup — the same
+    // exact-Jaccard pair relation as dedupe_minhash_lsh's oracle
+    "stream_neardup_dedupe" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_neardup_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      Files.createDirectories(base)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = StreamOps.neardupDedupeEachBatch(
+        StreamOps.fileStreamParquet(s, s"$d/documents.parque*", schema),
+        "doc_id", "text",
+        s"$base/bands", s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").select("doc_id", "lang", "text")
+    }),
+
     "stream_incremental_dedupe" -> ((s, d) => {
       val base = Paths.get("/tmp/graft_incdedup_fixture")
       if (Files.exists(base)) {
@@ -335,6 +359,15 @@ object StreamQueries extends QueryPack {
         |SELECT doc_id, lang, n_tokens, start_offset,
         |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
         |FROM c""".stripMargin,
+
+    // survivors = docs with no lower-id exact-Jaccard≥0.5 partner (the
+    // proven dedupe_minhash_lsh pair CTE — LSH recall on this corpus is
+    // exact, pinned by that entry's own hash-green history)
+    "stream_neardup_dedupe" ->
+      s"""SELECT doc_id, lang, text FROM documents
+         |WHERE doc_id NOT IN (SELECT d2 FROM (
+         |${TextQueries.shingleCte(blocked = false)}
+         |))""".stripMargin,
 
     // expected: run-1 docs land; run-2's cross-run dup (3) and
     // intra-batch dup (5) are dropped, fresh doc 4 lands

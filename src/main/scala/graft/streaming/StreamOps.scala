@@ -394,6 +394,125 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of the streaming NEAR-DUP dedupe — the MinHash
+    * tier of [[incrementalDedupeBatch]] (which gates on exact
+    * normalized-text keys; this gates on verified Jaccard ≥
+    * `threshold`). Per batch:
+    *
+    *   1. band the batch (`TextDedupe.bandRows` — the SAME banding as
+    *      `dedupe_minhash_lsh`, so the tiers cannot drift);
+    *   2. candidates = band-bucket matches WITHIN the batch
+    *      (lower id gates higher — all-prior convention) plus matches
+    *      against the PERSISTENT band table (only LANDED docs gate
+    *      across batches — a dropped doc's bands never land);
+    *   3. exact-Jaccard verification joins candidate texts back: the
+    *      batch side from the batch, the history side from `outDir`
+    *      pruned to candidate ids (the id-pushed rerank pattern — band
+    *      buckets bound the history reads, never a corpus scan);
+    *   4. survivors land in `outDir`, their band rows in `bandDir`,
+    *      both `__batch_id`-partitioned with dynamic overwrite — the
+    *      replay-idempotence construction of [[incrementalDedupeBatch]]
+    *      (see its scaladoc for the crash-window analysis); the band
+    *      table folds into a generation partition past `compactAfter`
+    *      (same set-preserving append-then-delete fold).
+    *
+    * Scale shape: band rows are (id, 2×long) — the corpus never
+    * shuffles; history text is read only for verified band-candidates.
+    * Docs under 3 tokens carry no shingle, hence no bands: they always
+    * land (matching the batch tier). */
+  def neardupDedupeBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, bandDir: String, outDir: String,
+      threshold: Double = 0.5, compactAfter: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val bandPath = new org.apache.hadoop.fs.Path(bandDir)
+    val fs = bandPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val bands = graft.ops.TextDedupe.bandRows(batch, idCol, textCol)
+      .persist() // feeds intra-batch self-join, history join, and landing
+
+    try {
+      // intra-batch: lower id gates higher (all-prior, deterministic)
+      val a = bands.select(col(idCol).as("d1"), col("band"), col("band_sig"))
+      val b = bands.select(col(idCol).as("d2"), col("band"), col("band_sig"))
+      val candIntra = a.join(b, Seq("band", "band_sig"))
+        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+      val droppedIntra = graft.ops.TextDedupe
+        .verifyJaccard(candIntra, batch, batch, idCol, textCol, threshold)
+        .select(col("d2").as(idCol))
+
+      // history: fold old partitions first (set-preserving, replay-safe)
+      val gen = -(batchId + 2)
+      val foldable = batchPartitionIds(fs, bandPath)
+        .filter(id => id != batchId && id != gen)
+      if (compactAfter > 0 && foldable.size > compactAfter) {
+        spark.read.parquet(bandDir)
+          .filter(col("__batch_id").isin(foldable: _*))
+          .select(idCol, "band", "band_sig").distinct()
+          .withColumn("__batch_id", lit(gen))
+          .write.mode("append").partitionBy("__batch_id").parquet(bandDir)
+        foldable.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(bandPath,
+            s"__batch_id=$id"), true)
+        }
+      }
+      val priorParts = batchPartitionIds(fs, bandPath).filter(_ != batchId)
+      val droppedHist = if (priorParts.isEmpty) droppedIntra.limit(0)
+      else {
+        val prior = spark.read.parquet(bandDir)
+          .filter(col("__batch_id").isin(priorParts: _*))
+          .select(col(idCol).as("d1"), col("band"), col("band_sig"))
+        val candHist = bands
+          .select(col(idCol).as("d2"), col("band"), col("band_sig"))
+          .join(prior, Seq("band", "band_sig"))
+          .select("d1", "d2").distinct()
+        val histDocs = spark.read.parquet(outDir)
+          .select(col(idCol), col(textCol))
+          .join(candHist.select(col("d1").as(idCol)).distinct(), idCol)
+        graft.ops.TextDedupe.verifyJaccard(
+            candHist, histDocs, batch, idCol, textCol, threshold)
+          .select(col("d2").as(idCol))
+      }
+
+      val survivors = batch
+        .join(droppedIntra.union(droppedHist).distinct(),
+          Seq(idCol), "left_anti")
+        .persist() // pin before the two idempotent writes
+      try {
+        survivors
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+        graft.ops.TextDedupe.bandRows(survivors, idCol, textCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(bandDir)
+      } finally survivors.unpersist()
+    } finally bands.unpersist()
+  }
+
+  /** Streaming incremental NEAR-DUP dedupe: never land a document whose
+    * verified Jaccard against anything already landed (or a lower-id
+    * batch-mate) reaches the threshold — unbounded history, beyond any
+    * watermark, same contract shape as [[incrementalDedupeEachBatch]]
+    * but on the MinHash-LSH near-dup relation instead of exact keys.
+    * `outDir` consumers: survivors carry a `__batch_id` partition
+    * column (drop it if the landing epoch is irrelevant). */
+  def neardupDedupeEachBatch(stream: DataFrame, idCol: String,
+      textCol: String, bandDir: String, outDir: String, ckptDir: String,
+      threshold: Double = 0.5, compactAfter: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        neardupDedupeBatch(batch, batchId, idCol, textCol, bandDir,
+          outDir, threshold, compactAfter)
+      }
+      .start()
+
   /** Streaming SEQUENCE PACKING — the incremental twin of
     * `CorpusOps.packSequences`: continuous ingestion keeps APPENDING to
     * each group's contiguous token stream (concat-then-chunk layout)

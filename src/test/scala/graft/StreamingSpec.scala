@@ -294,6 +294,55 @@ class StreamingSpec extends SparkSpec {
     assert(moved, "source file was not archived after a subsequent batch")
   }
 
+  test("near-dup streaming dedupe: history gates near-COPIES (not just " +
+      "exact) across epochs; dropped docs never gate; tiny docs land") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val bands = base.resolve("bands").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = StreamOps.withStatePartitions(spark, 4) {
+        StreamOps.neardupDedupeEachBatch(
+          StreamOps.fileStreamCsv(spark, s"$src/*.csv", schema),
+          "doc_id", "body", bands, out, ckpt)
+      }
+      q.awaitTermination()
+    }
+    // 20 tokens; "nearCopy" differs in ONE trailing token — 3-shingle
+    // Jaccard 15/21 ≈ 0.714 ≥ 0.5; "far" shares no shingle
+    val baseDoc = (1 to 20).map("w" + _).mkString(" ")
+    val nearCopy = (1 to 19).map("w" + _).mkString(" ") + " zz"
+    val far = (1 to 20).map("q" + _).mkString(" ")
+    java.nio.file.Files.write(src.resolve("f1.csv"),
+      s"doc_id,body\n1,$baseDoc\n2,$far\n".getBytes("UTF-8"))
+    runOnce()
+    // epoch 2: 5 near-dups landed doc 1 (dropped); 6 is fresh (lands);
+    // 7 near-dups 6 in-batch (dropped: lower id gates); 8 is tiny (no
+    // shingle — must land)
+    val fresh = (1 to 20).map("x" + _).mkString(" ")
+    val freshNear = (1 to 19).map("x" + _).mkString(" ") + " yy"
+    java.nio.file.Files.write(src.resolve("f2.csv"),
+      s"doc_id,body\n5,$nearCopy\n6,$fresh\n7,$freshNear\n8,hi there\n"
+        .getBytes("UTF-8"))
+    runOnce()
+    // epoch 3: 9 near-dups the DROPPED doc 7's text — doc 7 never
+    // landed, so only landed doc 6 gates; 9 still near-dups 6 → dropped.
+    // 10 near-dups dropped doc 5's SOURCE (doc 1, landed) → dropped.
+    java.nio.file.Files.write(src.resolve("f3.csv"),
+      s"doc_id,body\n9,$freshNear\n10,$baseDoc\n".getBytes("UTF-8"))
+    runOnce()
+    val landed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 6L, 8L))
+  }
+
   test("incremental dedupe: key table persists across epochs and an " +
       "identical re-arrival lands nothing") {
     import graft.streaming.StreamOps
