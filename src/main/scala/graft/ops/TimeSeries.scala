@@ -101,4 +101,45 @@ object TimeSeries {
       groupCols: Seq[String], valueCols: Seq[String]): DataFrame =
     resampleAgg(df, tsCol, freq, groupCols,
       valueCols.map(c => avg(col(c)).as(c)))
+
+  /** Dense-grid resample with FORWARD FILL — pandas
+    * `resample(freq).mean().ffill()`. Closes the one documented deviation
+    * of [[resampleAgg]] (empty buckets between a group's min and max are
+    * not emitted): every bucket on the per-group grid is emitted, gaps
+    * carry the most recent real bucket's value, and `was_gap` marks
+    * filled rows (the sparse-record sink can drop them; a training
+    * pipeline can weight them).
+    *
+    * Shape (fixed-width frequencies only — a dense calendar grid is
+    * ill-defined under variable-width buckets): one input-sized shuffle
+    * for the bucket aggregation, then everything downstream is GRID-
+    * sized (groups × buckets), not input-sized — the per-group bounds
+    * agg is a rollup of the already-aggregated buckets, the grid itself
+    * is a map-side `sequence`/`explode` of one row per group, and the
+    * left join + fill window shuffle grid rows only. At 100 TB of
+    * events the grid is bounded by (#groups × time-range/freq)
+    * regardless of event volume, so the fill stages cost what a report
+    * costs, not what a scan costs. The fill window's frame is
+    * unbounded-preceding but `last(_, ignoreNulls)` keeps O(1) state
+    * per row — no full-frame rescan. */
+  def resampleFfill(df: DataFrame, tsCol: String, freq: String,
+      groupCols: Seq[String], agg: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dur = parse(freq) match {
+      case Left(d) => d
+      case Right(u) => throw new IllegalArgumentException(
+        s"resampleFfill needs a fixed-width frequency, got calendar '$u'")
+    }
+    val gcols = groupCols.map(col)
+    val bucketed = resampleAgg(df, tsCol, freq, groupCols, Seq(agg.as(outCol)))
+    val bounds = bucketed.groupBy(gcols: _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val grid = bounds.select(gcols :+ explode(sequence(col("__lo"),
+      col("__hi"), expr(s"INTERVAL $dur"))).as(tsCol): _*)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, groupCols :+ tsCol, "left")
+      .withColumn("was_gap", col(outCol).isNull)
+      .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))
+  }
 }

@@ -73,6 +73,16 @@ object CoreQueries extends QueryPack {
               count(lit(1)).as("n")))
         .withColumnRenamed("o_orderdate", "month_start")),
 
+    // §2.4 dense-grid resample + FORWARD FILL — pandas
+    // resample('H').mean().ffill(): every hourly bucket on the per-group
+    // grid is emitted, gaps carry the last real mean, was_gap marks them.
+    // Closes the documented "empty buckets not emitted" deviation of
+    // agg_resample_mean; everything past the bucket agg is grid-sized.
+    "agg_resample_ffill" -> ((s, d) =>
+      TimeSeries.resampleFfill(Tables.events(s, d), "ts", "H",
+          Seq("event_type"), StableRound.round6(avg("value")), "value")
+        .withColumnRenamed("ts", "bucket_start")),
+
     // §2.6 dedupe_keep_last / dedupe_keep_first — order-sensitive PK dedupe;
     // event_id is the arrival order (file order proxy in the test corpus).
     "dedupe_keep_last" -> ((s, d) =>
@@ -139,6 +149,26 @@ object CoreQueries extends QueryPack {
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
         |  CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value, count(*) AS n
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    // dense grid via generate_series; fill = last_value IGNORE NULLS over
+    // the same running frame as the Spark `last(_, ignoreNulls)` window
+    "agg_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |    CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL 1 HOUR)) AS bucket_start
+        |  FROM b GROUP BY event_type)
+        |SELECT g.event_type, g.bucket_start,
+        |  last_value(b.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (b.v IS NULL) AS was_gap
+        |FROM g LEFT JOIN b
+        |  ON g.event_type = b.event_type AND g.bucket_start = b.bucket_start""".stripMargin,
 
     // gaps-and-islands with the same ≥-gap break rule as the Spark window
     "agg_sessionize" ->

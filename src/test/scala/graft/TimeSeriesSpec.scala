@@ -70,6 +70,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resampleFfill: dense per-group grid, gaps carry last real mean") {
+    val got = TimeSeries.resampleFfill(frame(), "dt", "H", Seq("sensor"),
+        avg($"v"), "v")
+      .as[(String, Timestamp, Double, Boolean)].collect().toSet
+    // s1 has no gap (10:00, 11:00 contiguous); s2 spans 10:00 Jan 1 →
+    // 00:00 Mar 15: every hour between is emitted, all carrying 100.0
+    val s2Hours = (ts("2024-01-01 10:00:00").getTime to
+      ts("2024-03-15 00:00:00").getTime by 3600000L).map(new Timestamp(_))
+    assert(s2Hours.length == 1767) // (31+29+14)*24 - 10 + 1, leap year
+    val expected =
+      Set(("s1", ts("2024-01-01 10:00:00"), 15.0, false),
+          ("s1", ts("2024-01-01 11:00:00"), 30.0, false)) ++
+      s2Hours.map { h =>
+        val gap = h != ts("2024-01-01 10:00:00") &&
+          h != ts("2024-03-15 00:00:00")
+        ("s2", h, if (h.before(ts("2024-03-15 00:00:00"))) 100.0
+                  else 200.0, gap)
+      }
+    assert(got == expected)
+  }
+
+  test("resampleFfill rejects calendar frequencies") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleFfill(frame(), "dt", "M", Seq("sensor"),
+        avg($"v"), "v")
+    }
+  }
+
   test("sessionize: >=gap breaks, exact-gap breaks, per-key isolation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
