@@ -102,6 +102,42 @@ object TimeSeries {
     resampleAgg(df, tsCol, freq, groupCols,
       valueCols.map(c => avg(col(c)).as(c)))
 
+  /** Ordered event-funnel per key: stage k's first instant is the min
+    * event time of stage k's type AT OR AFTER stage k-1's first instant
+    * (strictly ordered progress — a purchase before the first qualifying
+    * click does not count). Emits one row per key with `first_<stage>`
+    * timestamps (null once the funnel stalls) and `depth` = number of
+    * stages reached.
+    *
+    * Shape: a chain of whole-partition window mins over ONE hash
+    * exchange on the key — no ordering clause, so no sort; each stage's
+    * gate reads the previous stage's materialized column; the final
+    * per-key collapse reuses the same partitioning. At 100 TB this is
+    * the cost class of a single groupBy(key): no joins, no repeated
+    * scans, state O(#stages) per row. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(keyCol)
+    val outCols = stages.map(st => s"first_$st")
+    val staged = stages.zipWithIndex.foldLeft(df) {
+      case (acc, (st, i)) =>
+        val gate = if (i == 0) col(typeCol) === st
+          else col(typeCol) === st && col(tsCol) >= col(outCols(i - 1))
+        acc.withColumn(outCols(i), min(when(gate, col(tsCol))).over(w))
+    }
+    // wrap forward so the OUTERMOST when tests the deepest stage (every
+    // reached stage implies all shallower ones are non-null)
+    val depth = outCols.zipWithIndex.foldLeft(lit(0)) {
+      case (els, (c, i)) => when(col(c).isNotNull, lit(i + 1)).otherwise(els)
+    }
+    staged.groupBy(col(keyCol))
+      .agg(min(outCols.head).as(outCols.head),
+        outCols.tail.map(c => min(c).as(c)): _*)
+      .withColumn("depth", depth)
+  }
+
   /** Dense-grid resample with FORWARD FILL — pandas
     * `resample(freq).mean().ffill()`. Closes the one documented deviation
     * of [[resampleAgg]] (empty buckets between a group's min and max are

@@ -83,6 +83,18 @@ object CoreQueries extends QueryPack {
           Seq("event_type"), StableRound.round6(avg("value")), "value")
         .withColumnRenamed("ts", "bucket_start")),
 
+    // §2.4 ordered event-funnel (view → click-after-view →
+    // purchase-after-that-click), per user. The stage gates are ORDERED
+    // mins — stage k's first instant must be ≥ stage k-1's — computed as
+    // a chain of whole-partition window mins over ONE hash exchange on
+    // user_id (no ordering ⇒ no sort; the three window operators and the
+    // final per-user collapse all reuse the same partitioning). depth is
+    // the funnel progress (0–3). At 100 TB this is the cost class of one
+    // groupBy(user) — no joins, no driver loop.
+    "agg_funnel" -> ((s, d) =>
+      TimeSeries.funnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
     // §2.6 dedupe_keep_last / dedupe_keep_first — order-sensitive PK dedupe;
     // event_id is the arrival order (file order proxy in the test corpus).
     "dedupe_keep_last" -> ((s, d) =>
@@ -189,6 +201,33 @@ object CoreQueries extends QueryPack {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // same ordered-min chain via grouped conditional aggregation
+    "agg_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        |  FROM events GROUP BY user_id),
+        |u2 AS (
+        |  SELECT e.user_id, u1.first_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= u1.first_view
+        |        THEN e.ts END) AS first_click
+        |  FROM events e JOIN u1 USING (user_id)
+        |  GROUP BY e.user_id, u1.first_view),
+        |u3 AS (
+        |  SELECT e.user_id, u2.first_view, u2.first_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u2.first_click
+        |        THEN e.ts END) AS first_purchase
+        |  FROM events e JOIN u2 USING (user_id)
+        |  GROUP BY e.user_id, u2.first_view, u2.first_click)
+        |SELECT user_id,
+        |  CAST(first_view AS TIMESTAMP) AS first_view,
+        |  CAST(first_click AS TIMESTAMP) AS first_click,
+        |  CAST(first_purchase AS TIMESTAMP) AS first_purchase,
+        |  CASE WHEN first_purchase IS NOT NULL THEN 3
+        |       WHEN first_click IS NOT NULL THEN 2
+        |       WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM u3""".stripMargin,
 
     "dedupe_keep_last" ->
       """SELECT event_id, user_id, event_type, value FROM (

@@ -98,6 +98,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: ordered stage gates, stalls, ties, and full conversion") {
+    val ev = Seq(
+      // u1: full conversion in order
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u2: purchase BEFORE the first qualifying click — must not count
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:30:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "click"),
+      // u3: click before any view — funnel never starts past stage 0
+      (3L, ts("2024-01-01 09:00:00"), "click"),
+      // u4: simultaneous view+click (>= gate admits the tie)
+      (4L, ts("2024-01-01 09:00:00"), "view"),
+      (4L, ts("2024-01-01 09:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull,
+        Option(r.getTimestamp(3)).map(_.toString).orNull,
+        r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 09:00:00.0", "2024-01-01 10:00:00.0",
+        "2024-01-01 11:00:00.0", 3),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 10:00:00.0", null, 2),
+      (3L, null, null, null, 0),
+      (4L, "2024-01-01 09:00:00.0", "2024-01-01 09:00:00.0", null, 2)))
+  }
+
   test("sessionize: >=gap breaks, exact-gap breaks, per-key isolation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
