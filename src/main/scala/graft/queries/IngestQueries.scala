@@ -271,6 +271,71 @@ object IngestQueries extends QueryPack {
           (col("o_totalprice") + 1000.0).as("o_totalprice"))
       SinkOps.logicalUpsert(existing, incoming, Seq("o_orderkey"))
     }),
+
+    // §2.1 CDC changelog apply: collapse an I/U/D change stream onto the
+    // orders snapshot — latest change per key wins by (ts, seq). Branches
+    // exercised: same-instant seq tie-break (%3: two U at ts=2, seq 2
+    // wins), update-then-delete (%15: U@2 then D@3 → gone), delete-then-
+    // resurrect (%11: D@1 then U@4 → survives with the U image; %55 keys
+    // see D@3 vs U@4 → U wins), brand-new insert (%7 offset keys),
+    // untouched snapshot keys pass through.
+    "sink_cdc_apply" -> ((s, d) => {
+      val snap = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def chg(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+          cust: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+          op: String, ts: Long, seq: Long) =
+        snap.filter(pred).select(key.as("o_orderkey"), cust.as("o_custkey"),
+          price.as("o_totalprice"), lit(op).as("op"),
+          lit(ts).as("ts"), lit(seq).as("seq"))
+      val k = col("o_orderkey")
+      val nullC = lit(null).cast("bigint")
+      val nullP = lit(null).cast("double")
+      val changes =
+        chg(k % 3 === 0, k, col("o_custkey"),
+          col("o_totalprice") + 100.0, "U", 2L, 1L)
+        .unionByName(chg(k % 3 === 0, k, col("o_custkey"),
+          col("o_totalprice") + 200.0, "U", 2L, 2L))
+        .unionByName(chg(k % 5 === 0, k, nullC, nullP, "D", 3L, 1L))
+        .unionByName(chg(k % 11 === 0, k, nullC, nullP, "D", 1L, 1L))
+        .unionByName(chg(k % 11 === 0, k, col("o_custkey"),
+          col("o_totalprice") + 500.0, "U", 4L, 1L))
+        .unionByName(chg(k % 7 === 0, k + 2000000L, col("o_custkey"),
+          lit(1.0), "I", 2L, 1L))
+      SinkOps.cdcApply(snap, changes, Seq("o_orderkey"), Seq("ts", "seq"))
+    }),
+
+    // §2.1 SCD TYPE-2 dimension merge: apply a customer-segment update
+    // batch to a versioned dim, keeping history. The scenario exercises
+    // every branch: %5 keys carry a pre-existing CLOSED version (must
+    // pass through untouched), %3==0 keys change segment (current
+    // version closes + new version born), %3==1 keys re-send their
+    // current segment (change detection: NO new version), %7 keys
+    // arrive offset by +1000000 (unseen: first open version).
+    "sink_scd2" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val eff = lit("2025-06-01 00:00:00").cast("timestamp")
+      val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          lit(true).as("is_current"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"),
+            concat(lit("OLD-"), col("c_mktsegment")).as("c_mktsegment"),
+            lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+            lit("2024-01-01 00:00:00").cast("timestamp").as("valid_to"),
+            lit(false).as("is_current")))
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("-v2")).as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 1)
+          .select("c_custkey", "c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment")))
+      SinkOps.scd2Merge(dim, updates, Seq("c_custkey"),
+        Seq("c_mktsegment"), eff)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -358,5 +423,85 @@ object IngestQueries extends QueryPack {
         |UNION ALL
         |SELECT * FROM old
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)""".stripMargin,
+
+    // same changelog, collapsed with the identical window + branch unions
+    "sink_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+        |    'U' AS op, 2 AS ts, 1 AS seq FROM snap WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 200.0, 'U', 2, 2
+        |  FROM snap WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |    'D', 3, 1 FROM snap WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |    'D', 1, 1 FROM snap WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 500.0, 'U', 4, 1
+        |  FROM snap WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, o_custkey, 1.0, 'I', 2, 1
+        |  FROM snap WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY ts DESC, seq DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT s.* FROM snap s
+        |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM latest
+        |WHERE op <> 'D'""".stripMargin,
+
+    // same scenario, merge spelled as explicit branch unions; IS DISTINCT
+    // FROM mirrors the Spark null-safe change test
+    "sink_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'OLD-' || c_mktsegment,
+        |    TIMESTAMP '2023-01-01', TIMESTAMP '2024-01-01', false
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment || '-v2' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW' FROM customer
+        |  WHERE c_custkey % 7 = 0),
+        |cur AS (SELECT * FROM dim WHERE is_current),
+        |chg AS (
+        |  SELECT u.c_custkey, u.c_mktsegment FROM upd u
+        |  JOIN cur c ON u.c_custkey = c.c_custkey
+        |  WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+        |brand_new AS (
+        |  SELECT u.c_custkey, u.c_mktsegment FROM upd u
+        |  WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim))
+        |SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+        |FROM dim WHERE NOT is_current
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, valid_from,
+        |  CAST(NULL AS TIMESTAMP), true
+        |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+        |  TIMESTAMP '2025-06-01', false
+        |FROM cur c JOIN chg ON c.c_custkey = chg.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, TIMESTAMP '2025-06-01',
+        |  CAST(NULL AS TIMESTAMP), true
+        |FROM chg
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, TIMESTAMP '2025-06-01',
+        |  CAST(NULL AS TIMESTAMP), true
+        |FROM brand_new""".stripMargin,
   )
 }
