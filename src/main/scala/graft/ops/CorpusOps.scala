@@ -309,4 +309,48 @@ object CorpusOps {
         StableRound.round6(col("s").cast("double") / col("n_bigrams"))
           .as("nll_per_bigram"))
   }
+
+  /** Deterministic seeded global shuffle + shard assignment — the
+    * training-export layout step: a corpus is dealt into `numShards`
+    * shard files in a reproducible pseudo-random order so every epoch
+    * (and every re-run) streams the same permutation.
+    *
+    * Each doc gets a sort key from a two-round LCG scramble of
+    * (id, seed) mod p = 1e9+7; shard = key mod numShards. Both rounds
+    * are multiplications by 48271 (invertible mod p), so for ids < p the
+    * key map is INJECTIVE — a true permutation, no ties, no collisions
+    * to break. xxhash64 would be the production scramble at 100 TB;
+    * the LCG is chosen because any engine can recompute it in SQL
+    * (the oracle does), and a seeded 64-bit permutation is exactly as
+    * shuffled as a training loader needs.
+    *
+    * Scale shape: assignment is MAP-ONLY (two fused multiplies per
+    * row — no rand(), no zipWithIndex, no global sort, no window). The
+    * only exchange anywhere is the shard repartition the write itself
+    * requires, and [[writeShuffled]] sorts within partitions so each
+    * shard file is internally key-ordered: a loader reading shard files
+    * sequentially sees the permutation without ever materializing a
+    * global position column. */
+  def shuffleShard(docs: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    val p = 1000000007L
+    val r1 = pmod(pmod(col(idCol), lit(p)) * 48271L + lit(seed), lit(p))
+    val key = pmod(r1 * 48271L + lit(seed), lit(p))
+    docs.withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(key, lit(numShards.toLong)).cast("int"))
+  }
+
+  /** Land the [[shuffleShard]] layout: one parquet directory per shard
+    * (`shard=K/`), rows inside each file ascending by `shuffle_key`.
+    * `repartition(shard)` gives each task whole shards; the sort leads
+    * with `shard` so it satisfies the partitioned writer's required
+    * ordering as a prefix — otherwise FileFormatWriter inserts its own
+    * (unstable) sort on the partition column and the key order inside
+    * each file is lost. */
+  def writeShuffled(docs: DataFrame, idCol: String, seed: Long,
+      numShards: Int, outDir: String): Unit =
+    shuffleShard(docs, idCol, seed, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "shuffle_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -161,6 +161,16 @@ object CorpusQueries extends QueryPack {
       CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "lang",
         "text", budgetTokens = 2048)),
 
+    // training-export shuffle: deterministic seeded permutation + shard
+    // assignment (map-only — the only shuffle in the real write path is
+    // the shard repartition the write itself needs). Injective for
+    // ids < 1e9+7, so the key column doubles as the permutation proof:
+    // the oracle recomputes the scramble arithmetic in SQL.
+    "pipeline_shuffle_shard" -> ((s, d) =>
+      CorpusOps.shuffleShard(Tables.documents(s, d), "doc_id",
+          seed = 7L, numShards = 8)
+        .select("doc_id", "shuffle_key", "shard")),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -285,6 +295,18 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // same two-round LCG scramble, spelled in SQL (doc_id ≥ 0, so % ≡
+    // the Spark pmod here)
+    "pipeline_shuffle_shard" ->
+      """WITH r AS (SELECT doc_id,
+        |    ((doc_id % 1000000007) * 48271 + 7) % 1000000007 AS r1
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    (r1 * 48271 + 7) % 1000000007 AS shuffle_key FROM r)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(shuffle_key % 8 AS INTEGER) AS shard
+        |FROM k""".stripMargin,
 
     // running-sum layout is engine-neutral integer math: start offset =
     // cumsum − own count, bin = integer division by the budget

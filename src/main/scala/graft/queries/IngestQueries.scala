@@ -272,6 +272,20 @@ object IngestQueries extends QueryPack {
       SinkOps.logicalUpsert(existing, incoming, Seq("o_orderkey"))
     }),
 
+    // §2.1 scan_orc: parquet → ORC → filtered read-back. ORC is Spark's
+    // second built-in columnar format; the whole write→read→push-down
+    // pipeline is under test (the oracle reads the parquet source). The
+    // fixture is content-keyed like the CSV round-trips.
+    "scan_orc" -> ((s, d) => {
+      val tmp = s"/tmp/graft_orc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      if (!Fixtures.exists(s, tmp))
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate")
+          .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).filter(col("o_totalprice") > 50000.0)
+    }),
+
     // §2.1 CDC changelog apply: collapse an I/U/D change stream onto the
     // orders snapshot — latest change per key wins by (ts, seq). Branches
     // exercised: same-instant seq tie-break (%3: two U at ts=2, seq 2
@@ -423,6 +437,11 @@ object IngestQueries extends QueryPack {
         |UNION ALL
         |SELECT * FROM old
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)""".stripMargin,
+
+    // the ORC round-trip must reproduce the parquet source exactly
+    "scan_orc" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_totalprice > 50000.0""".stripMargin,
 
     // same changelog, collapsed with the identical window + branch unions
     "sink_cdc_apply" ->

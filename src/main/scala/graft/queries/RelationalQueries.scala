@@ -286,6 +286,28 @@ object RelationalQueries extends QueryPack {
             .orderBy(col("o_totalprice"), col("o_orderkey"))))
           .as("pct_rank"))),
 
+    // cumulative distribution + deterministic first_value — the
+    // remaining analytic-window family members (ordering includes the
+    // unique key so both are tie-free across engines)
+    "win_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        StableRound.round6(cume_dist().over(w)).as("cdist"),
+        first("o_orderkey").over(w).as("cheapest_key"))
+    }),
+
+    // full CUBE with the grouping_id bitmask — distinguishes "NULL
+    // because rolled up" from a genuinely NULL group value, which the
+    // rollup entry cannot
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
     // HLL sketch cardinality — the estimate itself can never hash-match a
     // different engine, so the ERROR BOUND is emitted as data: the oracle
     // selects the exact twin + `true`, making the entry fully hash-checkable
@@ -561,6 +583,22 @@ object RelationalQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "win_cume_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(CAST(cume_dist() OVER w AS DECIMAL(27,12)), 6)
+        |    AS DOUBLE) AS cdist,
+        |  first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "agg_pivot" ->
       """SELECT month(o_orderdate) AS m,

@@ -125,6 +125,21 @@ object ScalarQueries extends QueryPack {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // URL decomposition — the log-ingest scalar family (host / path /
+    // one query parameter). URLs are synthesized from event columns so
+    // the oracle can rebuild every component with string concatenation
+    // instead of re-implementing a URL parser.
+    "scalar_url" -> ((s, d) => {
+      val url = concat(lit("https://data.example.com/"), col("event_type"),
+        lit("/"), col("event_id"), lit("?user="), col("user_id"),
+        lit("&v=2"))
+      Tables.events(s, d).select(
+        col("event_id"), url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("user")).as("user_param"))
+    }),
+
     "array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -226,6 +241,15 @@ object ScalarQueries extends QueryPack {
       """SELECT event_id,
         |  TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
         |    AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "scalar_url" ->
+      """SELECT event_id,
+        |  'https://data.example.com/' || event_type || '/' || event_id
+        |    || '?user=' || user_id || '&v=2' AS url,
+        |  'data.example.com' AS host,
+        |  '/' || event_type || '/' || event_id AS path,
+        |  CAST(user_id AS VARCHAR) AS user_param
         |FROM events""".stripMargin,
 
     "array_funcs" ->

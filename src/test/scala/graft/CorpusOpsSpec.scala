@@ -287,6 +287,49 @@ class ClustersSpec extends SparkSpec {
     assert(got2.size == n && got2.values.toSet == Set(1L))
   }
 
+  test("shuffleShard: injective permutation, deterministic, shard = key mod n") {
+    import graft.ops.CorpusOps
+    val docs = (0L until 2000L).toDF("doc_id")
+    val a = CorpusOps.shuffleShard(docs, "doc_id", seed = 7L, numShards = 8)
+      .as[(Long, Long, Int)].collect()
+    // injective: 2000 ids -> 2000 distinct keys (true permutation)
+    assert(a.map(_._2).distinct.length == 2000)
+    assert(a.forall { case (_, k, s) => s == (k % 8).toInt && s >= 0 })
+    // deterministic: same seed reproduces, different seed permutes
+    val b = CorpusOps.shuffleShard(docs, "doc_id", 7L, 8)
+      .as[(Long, Long, Int)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    val c = CorpusOps.shuffleShard(docs, "doc_id", 8L, 8)
+      .as[(Long, Long, Int)].collect()
+    assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
+    // the scramble actually shuffles: key order != id order
+    assert(a.sortBy(_._2).map(_._1).take(20).toSeq
+      != a.map(_._1).sorted.take(20).toSeq)
+  }
+
+  test("writeShuffled: every shard file is internally key-ordered") {
+    import graft.ops.CorpusOps
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shuf").toString
+    CorpusOps.writeShuffled((0L until 500L).toDF("doc_id"),
+      "doc_id", seed = 3L, numShards = 4, out)
+    // read each shard directory's files individually: rows inside each
+    // file must already be ascending by shuffle_key as written
+    val root = new java.io.File(out)
+    val shardDirs = root.listFiles.filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      sd.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val keys = spark.read.parquet(f.getAbsolutePath)
+          .select("shuffle_key").as[Long].collect()
+        assert(keys.sameElements(keys.sorted), s"unsorted file in $sd")
+        total += keys.length
+      }
+    }
+    assert(total == 500L)
+  }
+
   test("star variant: 1000-link chain converges in O(log n) rounds") {
     // the adversarial worst case for min-label (needs 1000 rounds =
     // O(diameter)); large-star/small-star must close it within 16 rounds
