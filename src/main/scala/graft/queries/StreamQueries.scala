@@ -234,6 +234,55 @@ object StreamQueries extends QueryPack {
       s.read.parquet(s"$base/out").select("doc_id", "lang", "text")
     }),
 
+    // streaming CDC apply: an I/U/D change stream maintains a keyed
+    // snapshot table in the JDBC sink — per batch, collapse to the
+    // latest change per key, then idempotent PK upsert + PK delete
+    // (replay-safe with no partition machinery). The scenario covers
+    // update-then-delete (%12: U@1 then D@2 → gone), delete-then-
+    // resurrect (%36: D@2 then U@3 → back with the U image), plain
+    // updates, inserts of unseen keys, and untouched pass-through.
+    "stream_cdc_apply" -> ((s, d) => {
+      val snap = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val nullC = lit(null).cast("bigint")
+      val nullP = lit(null).cast("double")
+      def chg(pred: org.apache.spark.sql.Column,
+          key: org.apache.spark.sql.Column, cust: org.apache.spark.sql.Column,
+          price: org.apache.spark.sql.Column, op: String, ts: Long) =
+        snap.filter(pred).select(key.as("o_orderkey"),
+          cust.as("o_custkey"), price.as("o_totalprice"),
+          lit(op).as("op"), lit(ts).as("ts"))
+      val changes =
+        chg(k % 4 === 0, k, col("o_custkey"),
+          col("o_totalprice") + 50.0, "U", 1L)
+        .unionByName(chg(k % 6 === 0, k, nullC, nullP, "D", 2L))
+        .unionByName(chg(k % 9 === 0, k, col("o_custkey"),
+          col("o_totalprice") + 70.0, "U", 3L))
+        .unionByName(chg(k % 10 === 0, k + 3000000L, col("o_custkey"),
+          lit(2.0), "I", 1L))
+      val tmp = s"/tmp/graft_cdc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      if (!Fixtures.exists(s, tmp))
+        changes.write.mode("overwrite").parquet(tmp)
+      val sink = graft.sink.JdbcSink("jdbc:derby:memory:streamcdc;create=true")
+      // fresh state every invocation: the stream starts from a fresh
+      // checkpoint and replays the whole log, so the table must start
+      // from the snapshot (a previous run may have applied deletes)
+      sink.ensureTable("st_cdc", snap.schema, Seq("o_orderkey"))
+      sink.truncate("st_cdc")
+      sink.upsert(snap, "st_cdc", Seq("o_orderkey"))
+      val q = StreamOps.cdcApplyEachBatch(
+        StreamOps.fileStreamParquet(s, tmp, changes.schema),
+        sink, "st_cdc", Seq("o_orderkey"), Seq("ts"))
+      q.awaitTermination()
+      // cross-batch ordering only equals the global latest-per-key pick
+      // if the bounded log drains in one batch — assert, don't assume
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"stream_cdc_apply oracle requires a single-batch drain, saw $dataBatches")
+      sink.readBack(s, "st_cdc")
+    }),
+
     "stream_incremental_dedupe" -> ((s, d) => {
       val base = Paths.get("/tmp/graft_incdedup_fixture")
       if (Files.exists(base)) {
@@ -293,6 +342,33 @@ object StreamQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the accumulated table equals the batch CDC collapse of the same log
+    "stream_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 50.0 AS o_totalprice,
+        |    'U' AS op, 1 AS ts FROM snap WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |    'D', 2 FROM snap WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 70.0, 'U', 3
+        |  FROM snap WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, o_custkey, 2.0, 'I', 1
+        |  FROM snap WHERE o_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT s.* FROM snap s
+        |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM latest
+        |WHERE op <> 'D'""".stripMargin,
+
     "stream_window_tumbling" ->
       """SELECT event_type,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,

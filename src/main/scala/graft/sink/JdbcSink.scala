@@ -194,6 +194,42 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     }
   }
 
+  /** Delete by primary key — the D half of a CDC apply. `df` needs only
+    * the PK columns; extra columns are ignored. Batched like [[upsert]],
+    * one connection per partition. Deleting an absent key is a no-op, so
+    * replayed micro-batches stay idempotent. */
+  def delete(df: DataFrame, table: String, pk: Seq[String],
+      batchSize: Int = 500): Unit = {
+    val cols = df.schema.fieldNames
+    val pkIdx = pk.map(cols.indexOf(_)).toArray
+    require(!pkIdx.contains(-1), s"pk $pk not in ${cols.mkString(",")}")
+    val sql = s"""DELETE FROM "$table" WHERE """ +
+      pk.map(c => s""""$c" = ?""").mkString(" AND ")
+    val self = this
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val c = self.connect()
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(sql)
+          var n = 0
+          rows.foreach { row =>
+            var j = 0
+            while (j < pkIdx.length) {
+              ps.setObject(j + 1, coerce(row.get(pkIdx(j)))); j += 1
+            }
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          c.commit()
+          ps.close()
+        } finally c.close()
+      }
+    }
+  }
+
   /** Read the accumulated table back (the reference re-downloads the whole
     * resource over HTTP for stats, `datapump.py:375-376`; here it's a
     * parallel JDBC scan). */

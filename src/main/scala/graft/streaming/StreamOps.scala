@@ -558,6 +558,47 @@ object StreamOps {
       .toDF(idCol, groupCol, "n_tokens", "start_offset", "bin_id")
   }
 
+  /** Per-micro-batch CDC apply — stream_cdc_apply: maintain a keyed
+    * snapshot table under an I/U/D change stream. Each batch is
+    * collapsed to its LATEST change per key (by `orderCols` desc —
+    * the same pick as [[graft.sink.SinkOps.cdcApply]]), then upserts
+    * land via the PK upsert and deletes via PK delete. Sequential
+    * batches compose to the global latest-change-wins state whenever
+    * the change order respects arrival order (a CDC log's contract);
+    * foreachBatch replays re-apply the SAME collapsed image — upsert
+    * and delete-by-PK are both idempotent, so at-least-once execution
+    * converges to the committed state with no __batch_id machinery.
+    *
+    * Scale shape: per batch, one window shuffle over the CHANGE BATCH
+    * only (normally tiny) — the accumulated snapshot is never read,
+    * rewritten, or shuffled; the sink applies point writes. */
+  def cdcApplyEachBatch(stream: DataFrame, sink: JdbcSink, table: String,
+      pk: Seq[String], orderCols: Seq[String], opCol: String = "op",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .drop(orderCols: _*)
+          .persist()
+        try {
+          val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
+          sink.ensureTable(table, upserts.schema, pk)
+          sink.upsert(upserts, table, pk)
+          sink.delete(latest.filter(col(opCol) === "D")
+            .select(pk.head, pk.tail: _*), table, pk)
+        } finally latest.unpersist()
+      }
+      .start()
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

@@ -173,6 +173,52 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == Set((1L, "b"), (2L, "z")))
   }
 
+  test("cdcApplyEachBatch: sequential epochs compose — update, delete, " +
+      "resurrect across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType)))
+    val sink = JdbcSink("jdbc:derby:memory:streamcdcspec;create=true")
+    // persistent checkpoint: each epoch processes ONLY its new file, so
+    // the assertions prove sequential composition of per-batch applies
+    // (not a global single-batch collapse)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-cdc-ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamOps.cdcApplyEachBatch(
+        StreamOps.fileStreamCsv(spark, s"$dir/*.csv", schema),
+        sink, "st_cdc_spec", Seq("k"), Seq("ts"),
+        checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    def state: Set[(Long, String)] =
+      sink.readBack(spark, "st_cdc_spec").select("k", "v")
+        .as[(Long, String)].collect().toSet
+    // epoch 1: insert 1,2,3; intra-batch latest-wins on k=1
+    java.nio.file.Files.write(dir.resolve("one.csv"),
+      "k,v,op,ts\n1,a0,I,1\n1,a1,U,2\n2,b,I,1\n3,c,I,1\n".getBytes)
+    runOnce()
+    assert(state == Set((1L, "a1"), (2L, "b"), (3L, "c")))
+    // epoch 2: delete 2, update 3 — applies to the ACCUMULATED state
+    java.nio.file.Files.write(dir.resolve("two.csv"),
+      "k,v,op,ts\n2,,D,3\n3,c2,U,3\n".getBytes)
+    runOnce()
+    assert(state == Set((1L, "a1"), (3L, "c2")))
+    // epoch 3: resurrect 2 — delete history must not block re-insert;
+    // in-batch delete-then-insert on k=3 collapses to the later insert
+    java.nio.file.Files.write(dir.resolve("three.csv"),
+      "k,v,op,ts\n2,b2,I,4\n3,,D,4\n3,c3,I,5\n".getBytes)
+    runOnce()
+    assert(state == Set((1L, "a1"), (2L, "b2"), (3L, "c3")))
+  }
+
   test("stream-stream interval join matches across micro-batches and " +
       "emits each match exactly once") {
     implicit val sq = spark.sqlContext
