@@ -286,6 +286,28 @@ object IngestQueries extends QueryPack {
       s.read.orc(tmp).filter(col("o_totalprice") > 50000.0)
     }),
 
+    // §2.1 dynamic partition overwrite — the idempotent-backfill
+    // primitive: rewrite ONLY the partitions present in the incoming
+    // frame (status 'F' gets corrected prices), leaving sibling
+    // partitions untouched. Re-running converges to the same layout
+    // (the correction derives from the source, not the layout), which
+    // is what makes partition-scoped backfills safe to retry at 100 TB.
+    "sink_overwrite_dynamic" -> ((s, d) => {
+      val tmp = s"/tmp/graft_dynow_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      if (!Fixtures.exists(s, tmp))
+        base.write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(tmp)
+      base.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // §2.1 CDC changelog apply: collapse an I/U/D change stream onto the
     // orders snapshot — latest change per key wins by (ts, seq). Branches
     // exercised: same-instant seq tie-break (%3: two U at ts=2, seq 2
@@ -437,6 +459,14 @@ object IngestQueries extends QueryPack {
         |UNION ALL
         |SELECT * FROM old
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)""".stripMargin,
+
+    // F rows corrected, sibling partitions byte-identical to the source
+    "sink_overwrite_dynamic" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders""".stripMargin,
 
     // the ORC round-trip must reproduce the parquet source exactly
     "scan_orc" ->

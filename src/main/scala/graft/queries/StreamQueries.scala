@@ -238,11 +238,16 @@ object StreamQueries extends QueryPack {
     // snapshot table in the JDBC sink — per batch, collapse to the
     // latest change per key, then idempotent PK upsert + PK delete
     // (replay-safe with no partition machinery). The scenario covers
-    // update-then-delete (%12: U@1 then D@2 → gone), delete-then-
-    // resurrect (%36: D@2 then U@3 → back with the U image), plain
-    // updates, inserts of unseen keys, and untouched pass-through.
+    // update-then-delete (%60: U@1 then D@2 → gone unless also %9),
+    // delete-then-resurrect (%45: D@2 then U@3 → back with the U
+    // image), plain updates, inserts of unseen keys, and untouched
+    // pass-through.
     "stream_cdc_apply" -> ((s, d) => {
+      // snapshot = every third order key: the JDBC preload is bench
+      // setup, not the operator under test — the CDC apply itself only
+      // ever touches the (small) change log
       val snap = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val k = col("o_orderkey")
       val nullC = lit(null).cast("bigint")
@@ -254,12 +259,12 @@ object StreamQueries extends QueryPack {
           cust.as("o_custkey"), price.as("o_totalprice"),
           lit(op).as("op"), lit(ts).as("ts"))
       val changes =
-        chg(k % 4 === 0, k, col("o_custkey"),
+        chg(k % 12 === 0, k, col("o_custkey"),
           col("o_totalprice") + 50.0, "U", 1L)
-        .unionByName(chg(k % 6 === 0, k, nullC, nullP, "D", 2L))
+        .unionByName(chg(k % 15 === 0, k, nullC, nullP, "D", 2L))
         .unionByName(chg(k % 9 === 0, k, col("o_custkey"),
           col("o_totalprice") + 70.0, "U", 3L))
-        .unionByName(chg(k % 10 === 0, k + 3000000L, col("o_custkey"),
+        .unionByName(chg(k % 30 === 0, k + 3000000L, col("o_custkey"),
           lit(2.0), "I", 1L))
       val tmp = s"/tmp/graft_cdc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp))
@@ -267,10 +272,11 @@ object StreamQueries extends QueryPack {
       val sink = graft.sink.JdbcSink("jdbc:derby:memory:streamcdc;create=true")
       // fresh state every invocation: the stream starts from a fresh
       // checkpoint and replays the whole log, so the table must start
-      // from the snapshot (a previous run may have applied deletes)
+      // from the snapshot (a previous run may have applied deletes);
+      // plain INSERT — the table was just truncated
       sink.ensureTable("st_cdc", snap.schema, Seq("o_orderkey"))
       sink.truncate("st_cdc")
-      sink.upsert(snap, "st_cdc", Seq("o_orderkey"))
+      sink.insert(snap, "st_cdc")
       val q = StreamOps.cdcApplyEachBatch(
         StreamOps.fileStreamParquet(s, tmp, changes.schema),
         sink, "st_cdc", Seq("o_orderkey"), Seq("ts"))
@@ -345,19 +351,20 @@ object StreamQueries extends QueryPack {
     // the accumulated table equals the batch CDC collapse of the same log
     "stream_cdc_apply" ->
       """WITH snap AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
         |chg AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 50.0 AS o_totalprice,
-        |    'U' AS op, 1 AS ts FROM snap WHERE o_orderkey % 4 = 0
+        |    'U' AS op, 1 AS ts FROM snap WHERE o_orderkey % 12 = 0
         |  UNION ALL
         |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-        |    'D', 2 FROM snap WHERE o_orderkey % 6 = 0
+        |    'D', 2 FROM snap WHERE o_orderkey % 15 = 0
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey, o_totalprice + 70.0, 'U', 3
         |  FROM snap WHERE o_orderkey % 9 = 0
         |  UNION ALL
         |  SELECT o_orderkey + 3000000, o_custkey, 2.0, 'I', 1
-        |  FROM snap WHERE o_orderkey % 10 = 0),
+        |  FROM snap WHERE o_orderkey % 30 = 0),
         |latest AS (
         |  SELECT * FROM (
         |    SELECT *, row_number() OVER (

@@ -194,6 +194,44 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     }
   }
 
+  /** Plain batched INSERT — for loading into a table KNOWN empty of the
+    * incoming keys (a fresh snapshot preload after [[truncate]]). Half
+    * the statements of the Derby two-phase [[upsert]]; PK conflicts are
+    * NOT handled (that is upsert's job). */
+  def insert(df: DataFrame, table: String, batchSize: Int = 500): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val types = schema.fields.map(f => jdbcType(f.dataType))
+    val sql = s"""INSERT INTO "$table" (${cols.map(c => s""""$c"""").mkString(", ")}) """ +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val self = this
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val c = self.connect()
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(sql)
+          var n = 0
+          rows.foreach { row =>
+            var i = 0
+            while (i < cols.length) {
+              val v = row.get(i)
+              if (v == null) ps.setNull(i + 1, types(i))
+              else ps.setObject(i + 1, coerce(v))
+              i += 1
+            }
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          c.commit()
+          ps.close()
+        } finally c.close()
+      }
+    }
+  }
+
   /** Delete by primary key — the D half of a CDC apply. `df` needs only
     * the PK columns; extra columns are ignored. Batched like [[upsert]],
     * one connection per partition. Deleting an absent key is a no-op, so
