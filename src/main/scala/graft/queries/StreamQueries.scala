@@ -289,6 +289,53 @@ object StreamQueries extends QueryPack {
       sink.readBack(s, "st_cdc")
     }),
 
+    // streaming SCD2: the sink_scd2 scenario driven through the
+    // liveness-split dimension store (append-only closed log +
+    // generation-swapped current set) — same seed dim, same update
+    // batch, same effective ts, so the assembled dimension must equal
+    // the batch merge exactly (the oracle IS sink_scd2's).
+    "stream_scd2" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_scd2_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val dimDir = base.resolve("dim").toString
+      val srcDir = base.resolve("src").toString
+      val c = Tables.customer(s, d)
+      // seed: open versions as generation -1, pre-existing closed
+      // versions as closed batch -1 (the layout a previous stream run
+      // would have left)
+      c.select(col("c_custkey"), col("c_mktsegment"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          lit(true).as("is_current"))
+        .write.parquet(s"$dimDir/current/__gen=-1")
+      c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          concat(lit("OLD-"), col("c_mktsegment")).as("c_mktsegment"),
+          lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_to"),
+          lit(false).as("is_current"))
+        .write.parquet(s"$dimDir/closed/__batch_id=-1")
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("-v2")).as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 1)
+          .select("c_custkey", "c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment")))
+      updates.write.parquet(srcDir)
+      val q = StreamOps.scd2EachBatch(
+        StreamOps.fileStreamParquet(s, srcDir, updates.schema),
+        Seq("c_custkey"), Seq("c_mktsegment"), dimDir,
+        _ => lit("2025-06-01 00:00:00").cast("timestamp"))
+      q.awaitTermination()
+      StreamOps.scd2Dim(s, dimDir)
+    }),
+
     "stream_incremental_dedupe" -> ((s, d) => {
       val base = Paths.get("/tmp/graft_incdedup_fixture")
       if (Files.exists(base)) {
@@ -348,6 +395,9 @@ object StreamQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // single-batch stream ≡ one batch merge: the oracle IS sink_scd2's
+    "stream_scd2" -> IngestQueries.oracle("sink_scd2"),
+
     // the accumulated table equals the batch CDC collapse of the same log
     "stream_cdc_apply" ->
       """WITH snap AS (

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -260,15 +260,19 @@ object StreamOps {
 
   /** Partition ids present under a `__batch_id=`-partitioned root (empty
     * if the root does not exist yet). Pure FS listing — no data read. */
-  private def batchPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[Long] =
+  private def prefixedIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, prefix: String): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(_.startsWith("__batch_id="))
+      .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(
-        n.stripPrefix("__batch_id=").toLong).toOption)
+        n.stripPrefix(prefix).toLong).toOption)
       .toSeq
+
+  private def batchPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    prefixedIds(fs, root, "__batch_id=")
 
   /** One micro-batch of the streaming incremental dedupe — REPLAY-
     * IDEMPOTENT. foreachBatch gives at-least-once execution: a batch
@@ -597,6 +601,97 @@ object StreamOps {
         } finally latest.unpersist()
       }
       .start()
+  }
+
+  /** Streaming SCD TYPE-2 dimension maintenance — stream_scd2: an
+    * attribute-update stream keeps a versioned dimension current with
+    * full history, applying [[graft.sink.SinkOps.scd2Merge]] per
+    * micro-batch. The dimension is stored SPLIT BY LIVENESS, which is
+    * what makes the per-batch cost independent of history size:
+    *
+    *   - `dimDir/closed/` — closed versions, an APPEND-ONLY log
+    *     partitioned by `__batch_id` and written with dynamic partition
+    *     overwrite: a replayed batch rewrites exactly its own partition
+    *     (the incremental-dedupe construction). Closed versions are
+    *     immutable, so they are never read back by the merge at all.
+    *   - `dimDir/current/__gen=N/` — the open versions as of batch N, a
+    *     GENERATION SWAP: batch N reads the newest generation older
+    *     than N, writes generation N, then retires everything older
+    *     than the one it read. A replay of batch N still finds its
+    *     input generation (it is only deleted once batch N+1 — which
+    *     proves N committed — runs) and overwrite-rewrites gen N
+    *     deterministically.
+    *
+    * Per batch the merge touches ONLY open versions (one row per live
+    * key) + the update batch — never the closed log, never the stream
+    * history. At 100 TB of accumulated history the batch cost is
+    * |live keys| + |batch|, and the closed log is append-only cold
+    * storage. Precondition: at most one update row per key per
+    * micro-batch (pre-collapse with a cdcApply-style latest-pick if the
+    * source can emit more).
+    *
+    * `effectiveTsFor(batchId)` stamps each batch's version boundaries —
+    * deterministic per batch id, so replays mint identical rows. */
+  def scd2EachBatch(updates: DataFrame, keyCols: Seq[String],
+      trackedCols: Seq[String], dimDir: String,
+      effectiveTsFor: Long => Column,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = updates.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val curRoot = new org.apache.hadoop.fs.Path(s"$dimDir/current")
+        val fs = curRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val gens = prefixedIds(fs, curRoot, "__gen=")
+        val readGen = gens.filter(_ < batchId).maxOption
+        val current = readGen match {
+          case Some(g) => spark.read.parquet(s"$dimDir/current/__gen=$g")
+          case None =>
+            batch.select((keyCols ++ trackedCols).map(col): _*).limit(0)
+              .withColumn("valid_from", lit(null).cast("timestamp"))
+              .withColumn("valid_to", lit(null).cast("timestamp"))
+              .withColumn("is_current", lit(true))
+        }
+        val merged = graft.sink.SinkOps.scd2Merge(current,
+          batch.select((keyCols ++ trackedCols).map(col): _*),
+          keyCols, trackedCols, effectiveTsFor(batchId)).persist()
+        try {
+          // current held only open rows, so !is_current == closed NOW
+          merged.filter(!col("is_current"))
+            .withColumn("__batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(s"$dimDir/closed")
+          merged.filter(col("is_current"))
+            .write.mode("overwrite")
+            .parquet(s"$dimDir/current/__gen=$batchId")
+          gens.filter(g => g < batchId && !readGen.contains(g))
+            .foreach { g =>
+              fs.delete(new org.apache.hadoop.fs.Path(curRoot,
+                s"__gen=$g"), true)
+            }
+        } finally merged.unpersist()
+      }
+      .start()
+  }
+
+  /** Assemble the [[scd2EachBatch]] dimension: newest current
+    * generation ∪ all closed partitions (empty-safe on both sides). */
+  def scd2Dim(spark: SparkSession, dimDir: String): DataFrame = {
+    val curRoot = new org.apache.hadoop.fs.Path(s"$dimDir/current")
+    val closedRoot = new org.apache.hadoop.fs.Path(s"$dimDir/closed")
+    val fs = curRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = prefixedIds(fs, curRoot, "__gen=").maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"no current generation under $dimDir/current"))
+    val current = spark.read.parquet(s"$dimDir/current/__gen=$gen")
+    if (batchPartitionIds(fs, closedRoot).nonEmpty)
+      current.unionByName(
+        spark.read.parquet(s"$dimDir/closed").drop("__batch_id"))
+    else current
   }
 
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is

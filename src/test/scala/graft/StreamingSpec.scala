@@ -219,6 +219,63 @@ class StreamingSpec extends SparkSpec {
     assert(state == Set((1L, "a1"), (2L, "b2"), (3L, "c3")))
   }
 
+  test("scd2EachBatch: epochs mint versions in order, re-sends are " +
+      "no-ops, generations retire") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-scd2")
+    val dimDir = base.resolve("dim").toString
+    val srcDir = base.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("attr",
+        org.apache.spark.sql.types.StringType)))
+    def ts(epoch: Long) = java.sql.Timestamp.valueOf(s"2025-0$epoch-01 00:00:00")
+    def runOnce(): Unit = {
+      val q = StreamOps.scd2EachBatch(
+        StreamOps.fileStreamCsv(spark, s"$srcDir/*.csv", schema),
+        Seq("k"), Seq("attr"), dimDir,
+        b => org.apache.spark.sql.functions.lit(ts(b + 1)),
+        checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    def dim: Set[(Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)] =
+      StreamOps.scd2Dim(spark, dimDir)
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean)].collect().toSet
+    // epoch 0 (eff ts 2025-01): first sighting of keys 1 and 2
+    java.nio.file.Files.write(srcDir.resolve("one.csv"),
+      "k,attr\n1,a\n2,b\n".getBytes)
+    runOnce()
+    assert(dim == Set(
+      (1L, "a", ts(1), None, true), (2L, "b", ts(1), None, true)))
+    // epoch 1 (eff ts 2025-02): key 1 changes, key 2 re-sends (no-op)
+    java.nio.file.Files.write(srcDir.resolve("two.csv"),
+      "k,attr\n1,a2\n2,b\n".getBytes)
+    runOnce()
+    assert(dim == Set(
+      (1L, "a", ts(1), Some(ts(2)), false),
+      (1L, "a2", ts(2), None, true),
+      (2L, "b", ts(1), None, true)))
+    // epoch 2 (eff ts 2025-03): key 1 changes AGAIN, key 3 is new —
+    // two closed versions of key 1 now coexist in the history
+    java.nio.file.Files.write(srcDir.resolve("three.csv"),
+      "k,attr\n1,a3\n3,c\n".getBytes)
+    runOnce()
+    assert(dim == Set(
+      (1L, "a", ts(1), Some(ts(2)), false),
+      (1L, "a2", ts(2), Some(ts(3)), false),
+      (1L, "a3", ts(3), None, true),
+      (2L, "b", ts(1), None, true),
+      (3L, "c", ts(3), None, true)))
+    // generation hygiene: at most two generations remain (read + written)
+    val gens = new java.io.File(s"$dimDir/current").listFiles()
+      .filter(_.getName.startsWith("__gen=")).map(_.getName).toSeq
+    assert(gens.length <= 2 && gens.contains("__gen=2"), gens.toString)
+  }
+
   test("stream-stream interval join matches across micro-batches and " +
       "emits each match exactly once") {
     implicit val sq = spark.sqlContext
