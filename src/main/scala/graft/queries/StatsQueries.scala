@@ -40,6 +40,23 @@ object StatsQueries extends QueryPack {
           .as("covar_qty_price"))
     }),
 
+    // fixed-width histogram — the describe-adjacent distribution sketch.
+    // Literal bounds make bucketing a MAP-ONLY projection (no min/max
+    // pre-pass); the shuffle moves ≤ #buckets rows after map-side
+    // partial aggregation. The (x−lo)/w arithmetic is the same
+    // straight-line IEEE double sequence in both engines.
+    "agg_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice"),
+          floor((col("l_extendedprice") - 900.0) / 5000.0)
+            .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+    }),
+
     // describe over a TIMESTAMP column — the reference's
     // datetime_is_numeric=True semantics (datapump.py:331-336): mean/
     // min/max are meaningful on the time axis. The mean uses EXACT
@@ -59,6 +76,14 @@ object StatsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "agg_describe" -> {
       val cs = descCols
       def row(label: String, f: String => String) =

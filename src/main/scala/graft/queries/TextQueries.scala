@@ -89,6 +89,23 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // top-5 trigrams per language by DOCUMENT frequency — the corpus
+    // vocabulary report. Reuses the dedupe tier's codegen'd shingle
+    // kernel (per-doc distinct grams ⇒ count(*) = doc frequency). The
+    // doc-frequency agg is map-side combined; the final per-lang top-k
+    // window sees only (lang, gram, df) rows — the bounded vocabulary,
+    // never the corpus.
+    "text_ngram_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.TextDedupe.shingleIndex(
+          Tables.documents(s, d), "doc_id", "text", carryCols = Seq("lang"))
+        .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("df").desc, col("shingle"))))
+        .filter(col("rk") <= 5)
+        .select("lang", "shingle", "df", "rk")
+    }),
+
     // PII redaction — the pre-training scrub pass. The corpus carries no
     // real PII, so deterministic synthetic PII (an email + phone derived
     // from doc_id) is injected first; the scrub must find and redact
@@ -319,6 +336,21 @@ object TextQueries extends QueryPack {
         |SELECT tf.doc_id, tf.token,
         |  round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+
+    // same slice arithmetic as the decontamination 13-gram CTE, n=3
+    "text_ngram_topk" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |         list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+        |       FROM tok, unnest(range(1, len(ts) - 1)) AS t(i)
+        |       WHERE len(ts) >= 3),
+        |dfreq AS (SELECT lang, g AS shingle, count(*) AS df
+        |          FROM sh GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY lang ORDER BY df DESC, shingle) AS rk
+        |      FROM dfreq)
+        |SELECT lang, shingle, df, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "text_lang_id" ->
       """SELECT doc_id,
