@@ -40,6 +40,24 @@ object StatsQueries extends QueryPack {
           .as("covar_qty_price"))
     }),
 
+    // per-group min-max feature scaling — the normalization primitive:
+    // one agg pass to |groups| stat rows, joined back (Catalyst
+    // broadcasts the stats side when it fits, shuffle-join on the group
+    // key otherwise — both co-partition with the agg). Single-point
+    // groups (max == min) scale to null, not 0/0.
+    "agg_minmax_scale" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy("l_partkey")
+        .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      li.select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .join(stats, "l_partkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          when(col("mx") > col("mn"), graft.StableRound.round6(
+            (col("l_extendedprice") - col("mn")) / (col("mx") - col("mn"))))
+            .as("scaled"))
+    }),
+
     // fixed-width histogram — the describe-adjacent distribution sketch.
     // Literal bounds make bucketing a MAP-ONLY projection (no min/max
     // pre-pass); the shuffle moves ≤ #buckets rows after map-side
@@ -76,6 +94,16 @@ object StatsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_minmax_scale" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CASE WHEN mx > mn THEN
+        |    ${graft.StableRound.sql6("(l_extendedprice - mn) / (mx - mn)")}
+        |  END AS scaled
+        |FROM lineitem
+        |JOIN (SELECT l_partkey, min(l_extendedprice) AS mn,
+        |        max(l_extendedprice) AS mx
+        |      FROM lineitem GROUP BY 1) USING (l_partkey)""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
         |    AS bucket,

@@ -89,6 +89,30 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // per-language token-distribution Shannon entropy — the diversity /
+    // degeneracy signal (a collapsed crawl slice shows as an entropy
+    // drop). H = ln N − (Σ c·ln c)/N over token counts c. The Σ term
+    // follows the lm_score recipe: each ln is boundary-stabilized to 6
+    // decimals and the products are summed as EXACT DECIMAL, so the
+    // aggregate is summation-order-independent across engines. Two agg
+    // exchanges, both map-side combined; nothing holds the vocabulary.
+    "text_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_vocab"),
+          sum((col("c") * graft.StableRound.round6(log(col("c").cast("double")))
+            .cast(DecimalType(27, 6))).cast(DecimalType(38, 6))).as("s"))
+        .select(col("lang"), col("n_tokens"), col("n_vocab"),
+          graft.StableRound.round6(
+            graft.StableRound.round6(log(col("n_tokens").cast("double")))
+              - col("s").cast("double") / col("n_tokens"))
+            .as("entropy"))
+    }),
+
     // top-5 trigrams per language by DOCUMENT frequency — the corpus
     // vocabulary report. Reuses the dedupe tier's codegen'd shingle
     // kernel (per-doc distinct grams ⇒ count(*) = doc frequency). The
@@ -336,6 +360,22 @@ object TextQueries extends QueryPack {
         |SELECT tf.doc_id, tf.token,
         |  round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+
+    // per-term stabilized ln + exact-decimal Σ, the lm_score recipe
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |cnt AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT lang,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_vocab,
+        |    sum(c * CAST(${graft.StableRound.sql6("ln(c)")}
+        |      AS DECIMAL(27,6))) AS s
+        |  FROM cnt GROUP BY 1)
+        |SELECT lang, n_tokens, n_vocab,
+        |  ${graft.StableRound.sql6(
+             s"${graft.StableRound.sql6("ln(n_tokens)")} - CAST(s AS DOUBLE) / n_tokens")} AS entropy
+        |FROM agg""".stripMargin,
 
     // same slice arithmetic as the decontamination 13-gram CTE, n=3
     "text_ngram_topk" ->

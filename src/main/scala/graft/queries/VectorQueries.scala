@@ -55,6 +55,22 @@ object VectorQueries extends QueryPack {
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))),
 
+    // per-label embedding centroids — the cluster-summary primitive
+    // (k-means step / class prototypes). Two-level agg: posexplode →
+    // (label, dim) partial means (map-side combined; |labels|·|dims|
+    // keys), then a tiny per-label reduce to the centroid norm. Means
+    // are boundary-stabilized (round6 via DECIMAL) BEFORE the norm so
+    // both engines square identical inputs.
+    "vec_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(graft.StableRound.round6(avg(col("v").cast("double"))).as("c"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          graft.StableRound.round6(sqrt(sum(col("c") * col("c"))))
+            .as("centroid_norm"))),
+
     // ANN scale path: sign-LSH bucketed candidates + exact rerank, run on
     // the PLANTED corpus (true neighbors at cos ≈ 0.9996 — see
     // [[plantedCorpus]]) so recall is a testable claim, not vacuous.
@@ -354,6 +370,17 @@ object VectorQueries extends QueryPack {
       |    sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "vec_centroids" ->
+      s"""WITH e AS (SELECT label, i - 1 AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (SELECT label, pos,
+        |    ${graft.StableRound.sql6("avg(v)")} AS c
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_dims,
+        |  ${graft.StableRound.sql6("sqrt(sum(c * c))")} AS centroid_norm
+        |FROM c GROUP BY label""".stripMargin,
+
     "vec_ann_lsh" -> lshOracleSql,
     "vec_ann_lsh_pruned" -> lshOracleSql,
     "vec_ann_batch" -> lshBatchOracleSql,
