@@ -48,6 +48,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  private val cdcGen: Gen[List[(Int, String, String, Long)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0, 6)
+      op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.alphaLowerStr.map(_.take(4))
+    } yield (k, v, op)).map(_.zipWithIndex
+      .map { case ((k, v, op), i) => (k, v, op, i.toLong) }) // ts = arrival
+
+  test("property: CDC apply composes — split-by-time apply equals " +
+      "whole-log apply") {
+    cases(cdcGen, 5).foreach { chg =>
+      val snap = Seq((0, "s0"), (1, "s1"), (2, "s2")).toDF("k", "v")
+      def df(xs: List[(Int, String, String, Long)]) =
+        xs.toDF("k", "v", "op", "ts")
+      // any time boundary respects per-key order, so sequential batches
+      // must compose to the single global latest-pick
+      val (first, second) = chg.partition(_._4 < chg.size / 2)
+      val sequential = SinkOps.cdcApply(
+        SinkOps.cdcApply(snap, df(first), Seq("k"), Seq("ts")),
+        df(second), Seq("k"), Seq("ts"))
+      val whole = SinkOps.cdcApply(snap, df(chg), Seq("k"), Seq("ts"))
+      assert(sequential.collect().toSet == whole.collect().toSet)
+    }
+  }
+
   test("property: pivot cells conserve the per-group totals") {
     val d = "/root/testdata/sf0.001"
     val piv = SparkEntry.queries("agg_pivot")(spark, d)
