@@ -171,6 +171,19 @@ object CorpusQueries extends QueryPack {
           seed = 7L, numShards = 8)
         .select("doc_id", "shuffle_key", "shard")),
 
+    // deterministic fixed-size uniform sample: BOTTOM-K by the seeded
+    // permutation key — the mergeable one-pass form of reservoir
+    // sampling (each partition keeps its k smallest, the driver merges;
+    // TakeOrderedAndProject — no shuffle of the corpus, no rand()).
+    // Injectivity of the scramble (ids < 1e9+7) makes the sample
+    // tie-free and identical on every engine.
+    "sample_bottomk" -> ((s, d) =>
+      CorpusOps.shuffleShard(Tables.documents(s, d), "doc_id",
+          seed = 13L, numShards = 1)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key")
+        .limit(100)),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -295,6 +308,15 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    "sample_bottomk" ->
+      """WITH r AS (SELECT doc_id,
+        |    ((doc_id % 1000000007) * 48271 + 13) % 1000000007 AS r1
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    (r1 * 48271 + 13) % 1000000007 AS shuffle_key FROM r)
+        |SELECT doc_id, shuffle_key FROM k
+        |ORDER BY shuffle_key LIMIT 100""".stripMargin,
 
     // same two-round LCG scramble, spelled in SQL (doc_id ≥ 0, so % ≡
     // the Spark pmod here)
