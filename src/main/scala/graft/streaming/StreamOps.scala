@@ -646,7 +646,11 @@ object StreamOps {
         val curRoot = new org.apache.hadoop.fs.Path(s"$dimDir/current")
         val fs = curRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val gens = prefixedIds(fs, curRoot, "__gen=")
-        val readGen = gens.filter(_ < batchId).maxOption
+        // read the newest COMMITTED predecessor: a partial generation
+        // (crash mid-write, no _SUCCESS) must be invisible to the merge
+        val readGen = gens.filter(g => g < batchId &&
+          fs.exists(new org.apache.hadoop.fs.Path(curRoot,
+            s"__gen=$g/_SUCCESS"))).maxOption
         val current = readGen match {
           case Some(g) => spark.read.parquet(s"$dimDir/current/__gen=$g")
           case None =>
@@ -678,15 +682,22 @@ object StreamOps {
       .start()
   }
 
-  /** Assemble the [[scd2EachBatch]] dimension: newest current
-    * generation ∪ all closed partitions (empty-safe on both sides). */
+  /** Assemble the [[scd2EachBatch]] dimension: newest COMMITTED current
+    * generation ∪ all closed partitions (empty-safe on both sides). A
+    * crash can leave a partially-written newest generation (files but
+    * no _SUCCESS, and the epoch never committed) — readers must fall
+    * back to the newest generation whose write completed, which the
+    * replay will be reading too. */
   def scd2Dim(spark: SparkSession, dimDir: String): DataFrame = {
     val curRoot = new org.apache.hadoop.fs.Path(s"$dimDir/current")
     val closedRoot = new org.apache.hadoop.fs.Path(s"$dimDir/closed")
     val fs = curRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = prefixedIds(fs, curRoot, "__gen=").maxOption
+    val gen = prefixedIds(fs, curRoot, "__gen=")
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        curRoot, s"__gen=$g/_SUCCESS")))
+      .maxOption
       .getOrElse(throw new IllegalStateException(
-        s"no current generation under $dimDir/current"))
+        s"no committed current generation under $dimDir/current"))
     val current = spark.read.parquet(s"$dimDir/current/__gen=$gen")
     if (batchPartitionIds(fs, closedRoot).nonEmpty)
       current.unionByName(

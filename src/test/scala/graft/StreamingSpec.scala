@@ -274,6 +274,18 @@ class StreamingSpec extends SparkSpec {
     val gens = new java.io.File(s"$dimDir/current").listFiles()
       .filter(_.getName.startsWith("__gen=")).map(_.getName).toSeq
     assert(gens.length <= 2 && gens.contains("__gen=2"), gens.toString)
+    // a partially-written newer generation (crash mid-write: files, no
+    // _SUCCESS) must be invisible to readers — state is unchanged
+    val partial = java.nio.file.Paths.get(s"$dimDir/current/__gen=99")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(dim == Set(
+      (1L, "a", ts(1), Some(ts(2)), false),
+      (1L, "a2", ts(2), Some(ts(3)), false),
+      (1L, "a3", ts(3), None, true),
+      (2L, "b", ts(1), None, true),
+      (3L, "c", ts(3), None, true)))
   }
 
   test("stream-stream interval join matches across micro-batches and " +
