@@ -171,6 +171,20 @@ object CorpusQueries extends QueryPack {
           seed = 7L, numShards = 8)
         .select("doc_id", "shuffle_key", "shard")),
 
+    // curate → pack, end to end: the packed training layout of exactly
+    // the curation survivors (curate's verdict already folds in the
+    // exact-dup rule). The keep set joins back as a semi-join —
+    // broadcast at this SF, co-partitioned at scale — and packing adds
+    // its one running-sum window; nothing else shuffles.
+    "pipeline_train_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.ops.TextOps.curate(docs, "doc_id", "text",
+          minTokens = 20, maxTokens = 90, minQuality = 0.58)
+        .filter(col("keep")).select("doc_id")
+      CorpusOps.packSequences(docs.join(kept, "doc_id"),
+        "doc_id", "lang", "text", budgetTokens = 2048)
+    }),
+
     // deterministic fixed-size uniform sample: BOTTOM-K by the seeded
     // permutation key — the mergeable one-pass form of reservoir
     // sampling (each partition keeps its k smallest, the driver merges;
@@ -308,6 +322,25 @@ object CorpusQueries extends QueryPack {
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  (v = min(l)) AS is_keeper
          |FROM r GROUP BY v""".stripMargin,
+
+    // curate verdict CTE (TextQueries' single SQL rendering of the rule
+    // chain) + the pack layout over its keep set
+    "pipeline_train_export" ->
+      (TextQueries.curateCteSql + """,
+        |sel AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  JOIN (SELECT doc_id FROM c WHERE keep) k USING (doc_id)),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_offset
+        |  FROM sel)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
+        |FROM packed""".stripMargin),
 
     "sample_bottomk" ->
       """WITH r AS (SELECT doc_id,

@@ -204,7 +204,7 @@ object TextQueries extends QueryPack {
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
     * shared by the per-doc verdict oracle and the one-pass report
     * oracle, so the rule chain exists in exactly one SQL rendering. */
-  private def curateCteSql: String =
+  private[queries] def curateCteSql: String =
     """WITH t AS (
       |  SELECT doc_id, text,
       |    len(string_split(text, ' ')) AS ntok,
