@@ -21,20 +21,80 @@ object Stats {
     if (exact) expr(s"percentile(cast($c as double), $pcts)")
     else expr(s"approx_percentile(cast($c as double), $pcts, 10000)")
 
+  /** EXACT linear-interpolated quantiles (the `percentile` /
+    * `quantile_cont` definition: value at 0-based rank (n−1)·p, linear
+    * between neighbors) computed by DISTRIBUTED VALUE COUNTING instead
+    * of the buffering `percentile` aggregate:
+    *
+    *   melt → groupBy (col, value) count [map-side combined — the big
+    *   win: the exchange carries the compressed value DOMAIN, not rows]
+    *   → per-column cumulative rank window over distinct values
+    *   → each value covers ranks [lo, hi); the k=⌊(n−1)p⌋ and k+1
+    *     covering values join against a broadcast (col, p, k) target
+    *     relation and interpolate.
+    *
+    * `percentile` buffers every raw value into one merging reducer per
+    * column — at 100 TB that reducer IS the job. Here nothing ever
+    * holds raw rows: the shuffled relation is (col, distinct value,
+    * count), and the only per-column serial step is a sort of the
+    * distinct-value domain. Equality with `percentile` to the compared
+    * 6 decimals holds because both implement the same rank formula and
+    * the interpolation arithmetic is the same straight-line IEEE ops —
+    * verified by the unchanged agg_describe oracle at all three SFs.
+    * Returns one row: `${c}__p25/p50/p75` per input column. */
+  def exactQuantilesByCounting(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melted = df.selectExpr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+        ") AS (cn, v)")
+      .filter(col("v").isNotNull)
+    val counts = melted.groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cn").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt"))
+    val psDf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      ps.toDF("p")
+    }
+    val targets = melted.groupBy("cn").agg(count(lit(1)).as("n"))
+      .crossJoin(psDf)
+      .select(col("cn"), col("p"),
+        floor((col("n") - 1).cast("double") * col("p")).cast("long").as("k"),
+        ((col("n") - 1).cast("double") * col("p")
+          - floor((col("n") - 1).cast("double") * col("p"))).as("frac"))
+    val q = cum.join(broadcast(targets), Seq("cn"))
+      .filter(col("lo") <= col("k") + 1 && col("hi") > col("k"))
+      .groupBy("cn", "p", "frac")
+      .agg(
+        max(when(col("lo") <= col("k") && col("hi") > col("k"), col("v")))
+          .as("vk"),
+        max(when(col("lo") <= col("k") + 1 && col("hi") > col("k") + 1,
+          col("v"))).as("vk1"))
+      .select(col("cn"), col("p"),
+        (col("vk") + (coalesce(col("vk1"), col("vk")) - col("vk"))
+          * col("frac")).as("q"))
+    val cells: Seq[Column] = for (c <- cols; p <- ps) yield
+      max(when(col("cn") === c && col("p") === p, col("q")))
+        .as(s"${c}__p${(p * 100).toInt}")
+    q.groupBy().agg(cells.head, cells.tail: _*)
+  }
+
   /** pandas-describe-shaped stat table over numeric columns: one string
     * `stat` column + one double column per input column, rows
     * count/mean/std/min/25%/50%/75%/max (reference `datapump.py:331-336`).
     *
-    * One distributed aggregation pass computes every cell (partial aggs +
-    * single shuffle), then `stack` pivots the single row into stat rows —
-    * no driver-side collect. With `exact=true` (default) quantiles are
-    * exact `percentile` (linearly interpolated, matching pandas and DuckDB
-    * `quantile_cont`) — the oracle-parity mode, which buffers each
-    * column's values. `exact=false` is the 100 TB mode: `approx_percentile`
-    * (accuracy 10000 ⇒ rank error ≤ 1e-4·n) is bounded-memory and
-    * mergeable, so the aggregation never holds a column in RAM
-    * (SURVEY §7 hard part 3).
-    */
+    * One distributed aggregation pass computes the moment/extreme cells
+    * (partial aggs + single shuffle); quantiles come from
+    * [[exactQuantilesByCounting]] with `exact=true` (default — exact to
+    * the `quantile_cont` definition WITHOUT buffering raw columns) or
+    * from mergeable `approx_percentile` sketches with `exact=false`
+    * (rank error ≤ 1e-4·n). Either way nothing holds a raw column in
+    * RAM, and `stack` pivots the single row into stat rows — no
+    * driver-side collect (SURVEY §7 hard part 3). */
   def describe(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
@@ -42,20 +102,32 @@ object Stats {
         count(col(c)).cast("double").as(s"${c}__count"),
         StableRound.round6(avg(col(c))).as(s"${c}__mean"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        // ONE percentile aggregate per column for all three quantiles:
-        // each percentile call buffers the column's values independently,
-        // so the array form cuts the dominant sort/merge cost 3×
-        pctExpr(c, "array(0.25, 0.5, 0.75)", exact).as(s"${c}__pq"),
-        max(col(c)).cast("double").as(s"${c}__max"))
+        min(col(c)).cast("double").as(s"${c}__min")) ++
+      // approx mode keeps the mergeable sketch inside the same agg row;
+      // exact mode gets its quantiles from the counting relation below
+      (if (exact) Nil
+       else Seq(pctExpr(c, "array(0.25, 0.5, 0.75)", exact)
+         .as(s"${c}__pq"))) :+
+        max(col(c)).cast("double").as(s"${c}__max")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val oneBase = df.agg(aggs.head, aggs.tail: _*)
+    val withQ =
+      if (exact) oneBase.crossJoin(exactQuantilesByCounting(df, cols))
+      else oneBase.select(cols.flatMap { c =>
+        Seq(col(s"${c}__count"), col(s"${c}__mean"), col(s"${c}__std"),
+          col(s"${c}__min"),
+          element_at(col(s"${c}__pq"), 1).as(s"${c}__p25"),
+          element_at(col(s"${c}__pq"), 2).as(s"${c}__p50"),
+          element_at(col(s"${c}__pq"), 3).as(s"${c}__p75"),
+          col(s"${c}__max"))
+      }: _*)
+    val one = withQ
       .select(cols.flatMap { c =>
         Seq(col(s"${c}__count"), col(s"${c}__mean"), col(s"${c}__std"),
           col(s"${c}__min"),
-          round(element_at(col(s"${c}__pq"), 1), 6).as(s"${c}__p25"),
-          round(element_at(col(s"${c}__pq"), 2), 6).as(s"${c}__p50"),
-          round(element_at(col(s"${c}__pq"), 3), 6).as(s"${c}__p75"),
+          round(col(s"${c}__p25"), 6).as(s"${c}__p25"),
+          round(col(s"${c}__p50"), 6).as(s"${c}__p50"),
+          round(col(s"${c}__p75"), 6).as(s"${c}__p75"),
           col(s"${c}__max"))
       }: _*)
     val statLabels = Seq(
@@ -102,11 +174,15 @@ object Stats {
 
     val aggs: Seq[Column] = cols.flatMap { c =>
       val base = Seq(count(col(c)).as(s"${c}__count"))
-      if (numCols.contains(c)) base ++ Seq(
+      if (numCols.contains(c)) base ++ (Seq(
         StableRound.round6(avg(col(c))).as(s"${c}__mean"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        pctExpr(c, "array(0.25, 0.5, 0.75)", exact).as(s"${c}__pq"),
+        min(col(c)).cast("double").as(s"${c}__min")) ++
+        // exact quantiles come from the counting relation (see
+        // exactQuantilesByCounting); approx keeps the mergeable sketch
+        (if (exact) Nil
+         else Seq(pctExpr(c, "array(0.25, 0.5, 0.75)", exact)
+           .as(s"${c}__pq"))) :+
         max(col(c)).cast("double").as(s"${c}__max"))
       else if (tsCols.contains(c)) base ++ Seq(
         expr(s"timestamp_seconds(sum(unix_seconds(cast($c as timestamp)))" +
@@ -117,7 +193,11 @@ object Stats {
         base :+ count_distinct(col(c)).as(s"${c}__unique")
       else base
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one0 = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (exact && numCols.nonEmpty)
+        one0.crossJoin(exactQuantilesByCounting(df, numCols))
+      else one0
 
     // string modes: long format, one scan for all string columns; both
     // frames are single-row so the crossJoin is trivially broadcast
@@ -162,10 +242,15 @@ object Stats {
           else if (isTs) tsStr(col(s"${c}__min_ts")) else nullStr
         case "25%" | "50%" | "75%" =>
           if (isNum) {
-            val idx = stat match {
-              case "25%" => 1; case "50%" => 2; case _ => 3
+            val suffix = stat match {
+              case "25%" => "p25"; case "50%" => "p50"; case _ => "p75"
             }
-            decStr(round(element_at(col(s"${c}__pq"), idx), 6))
+            val q =
+              if (exact) col(s"${c}__$suffix")
+              else element_at(col(s"${c}__pq"), stat match {
+                case "25%" => 1; case "50%" => 2; case _ => 3
+              })
+            decStr(round(q, 6))
           } else nullStr
         case "max" =>
           if (isNum) decStr(col(s"${c}__max"))
