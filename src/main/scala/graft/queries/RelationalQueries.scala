@@ -407,18 +407,23 @@ object RelationalQueries extends QueryPack {
     // percentile buffers every value; the sketch is bounded-memory and
     // mergeable). Scalar projection (array columns crash the driver's
     // pandas row-sort), error bound emitted as data like agg_approx_distinct.
-    "agg_approx_quantile" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-            .as("apq"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("epq"))
+    "agg_approx_quantile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      // exact twin via the counting relation (never buffers the raw
+      // column — see Stats.exactQuantilesByCounting), sketch alongside
+      li.agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("apq"))
+        .crossJoin(graft.ops.Stats.exactQuantilesByCounting(
+          li, Seq("l_extendedprice"), Seq(0.5, 0.95)))
         .select(
-          round(element_at(col("epq"), 1), 6).as("exact_p50"),
-          round(element_at(col("epq"), 2), 6).as("exact_p95"),
-          (abs(element_at(col("apq"), 1) - element_at(col("epq"), 1)) /
-            element_at(col("epq"), 1) <= 0.01).as("p50_within_1pct"),
-          (abs(element_at(col("apq"), 2) - element_at(col("epq"), 2)) /
-            element_at(col("epq"), 2) <= 0.01).as("p95_within_1pct"))),
+          round(col("l_extendedprice__p50"), 6).as("exact_p50"),
+          round(col("l_extendedprice__p95"), 6).as("exact_p95"),
+          (abs(element_at(col("apq"), 1) - col("l_extendedprice__p50")) /
+            col("l_extendedprice__p50") <= 0.01).as("p50_within_1pct"),
+          (abs(element_at(col("apq"), 2) - col("l_extendedprice__p95")) /
+            col("l_extendedprice__p95") <= 0.01).as("p95_within_1pct"))
+    }),
 
     // Bucketed co-located join — the 100 TB join layout story: both sides
     // are LANDED bucketed (+ sorted) on the join key via bucketBy/
