@@ -93,4 +93,35 @@ class StatsSpec extends SparkSpec {
     val got = Stats.modeAll(df, Seq("a", "b")).collect()
     assert(got.length == 1)
   }
+
+  test("exactQuantilesByCounting equals the percentile aggregate") {
+    import org.apache.spark.sql.functions._
+    // duplicates, skew, and a null — the counting path must reproduce
+    // percentile()'s linear interpolation exactly
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (4.0, 20.0), (8.0, 30.0),
+      (8.0, null), (9.5, 40.0)).toDF("a", "b")
+    val got = Stats.exactQuantilesByCounting(df, Seq("a", "b")).collect()(0)
+    val exp = df.agg(
+      expr("percentile(a, array(0.25, 0.5, 0.75))"),
+      expr("percentile(b, array(0.25, 0.5, 0.75))")).collect()(0)
+    val expA = exp.getSeq[Double](0)
+    val expB = exp.getSeq[Double](1)
+    assert(got.getDouble(0) == expA(0) && got.getDouble(1) == expA(1) &&
+      got.getDouble(2) == expA(2))
+    assert(got.getDouble(3) == expB(0) && got.getDouble(4) == expB(1) &&
+      got.getDouble(5) == expB(2))
+  }
+
+  test("exactQuantilesByCounting: single row and all-equal columns") {
+    import org.apache.spark.sql.functions._
+    val one = Seq((7.0)).toDF("a")
+    val g1 = Stats.exactQuantilesByCounting(one, Seq("a")).collect()(0)
+    assert(g1.getDouble(0) == 7.0 && g1.getDouble(1) == 7.0 &&
+      g1.getDouble(2) == 7.0)
+    val eq = Seq(3.0, 3.0, 3.0, 3.0).toDF("a")
+    val g2 = Stats.exactQuantilesByCounting(eq, Seq("a")).collect()(0)
+    assert(g2.getDouble(0) == 3.0 && g2.getDouble(1) == 3.0 &&
+      g2.getDouble(2) == 3.0)
+  }
 }
