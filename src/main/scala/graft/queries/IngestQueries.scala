@@ -286,6 +286,26 @@ object IngestQueries extends QueryPack {
       s.read.orc(tmp).filter(col("o_totalprice") > 50000.0)
     }),
 
+    // §2.1 scan_avro: parquet → per-partition Avro container files →
+    // read-back (avro-core directly; the offline build has no
+    // spark-avro). File = read-parallelism unit, like xlsx; the writer
+    // never produces the single-giant-file layout that would need
+    // block splitting.
+    "scan_avro" -> ((s, d) => {
+      val tmp = s"/tmp/graft_avro_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        graft.ingest.AvroIngest.writeAvro(
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"), tmp)
+        // writeAvro lands raw part files; stamp the fixture complete
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .create(p, true).close()
+      }
+      graft.ingest.AvroIngest.readAvro(s, s"$tmp/part-*.avro")
+        .filter(col("o_totalprice") > 50000.0)
+    }),
+
     // §2.1 dynamic partition overwrite — the idempotent-backfill
     // primitive: rewrite ONLY the partitions present in the incoming
     // frame (status 'F' gets corrected prices), leaving sibling
@@ -467,6 +487,11 @@ object IngestQueries extends QueryPack {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders""".stripMargin,
+
+    // the Avro round-trip must reproduce the parquet source exactly
+    "scan_avro" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_totalprice > 50000.0""".stripMargin,
 
     // the ORC round-trip must reproduce the parquet source exactly
     "scan_orc" ->
