@@ -331,6 +331,19 @@ object VectorOps {
       vectors.withColumn("cell", ivfCell(col(vecCol), centroids))
         .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
     }
+    ivfQueryLayout(spark, layoutDir, idCol, vecCol,
+      query, queryVecCol, k, centroids, nProbe)
+  }
+
+  /** Answer a query from an EXISTING cell-partitioned IVF layout —
+    * whatever wrote it (the batch ensure above, or the streaming
+    * incremental ingest). Probe selection is driver-side math over the
+    * centroid table; the scan reads only the probed cells' partitions
+    * (PartitionFilters). */
+  def ivfQueryLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
     val corpus = spark.read.parquet(layoutDir)
     val qScored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct((-dot(col(queryVecCol), typedlit(c.toSeq))).as("neg"),

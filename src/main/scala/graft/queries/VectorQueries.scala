@@ -179,6 +179,34 @@ object VectorQueries extends QueryPack {
           s"/tmp/graft_ivf_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
+
+    // STREAMING vector ingest: the planted corpus arrives as a stream,
+    // each micro-batch map-only cell-assigned and landed replay-exact
+    // under cell=K/__batch_id=N — the incremental build of the
+    // vec_ann_ivf_pruned layout. The SAME query path then answers the
+    // planted query from the streamed layout, so the oracle (exact
+    // top-10 by construction) pins that incremental ingest loses
+    // nothing vs the batch landing.
+    "stream_vec_ingest" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/tmp/graft_vecstream_fixture")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val (corpus, query) = plantedCorpus(s, d)
+      val centroids = VectorOps.ivfTrain(corpus, "embedding", 16)
+      val src = s"$base/src"
+      val layout = s"$base/layout"
+      corpus.write.parquet(src)
+      val q = graft.streaming.StreamOps.vecIngestEachBatch(
+        graft.streaming.StreamOps.fileStreamParquet(s, src, corpus.schema),
+        "embedding", centroids, layout)
+      q.awaitTermination()
+      val ann = VectorOps.ivfQueryLayout(s, layout, "vec_id", "embedding",
+        query, "embedding", k = 10, centroids, nProbe = 4)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
+    }),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -386,6 +414,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_batch" -> lshBatchOracleSql,
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
+    "stream_vec_ingest" -> exactPlantedOracleSql,
     "vec_ann_pq" -> exactPlantedOracleSql,
     "vec_ann_ivfpq" -> exactPlantedOracleSql,
 

@@ -705,6 +705,38 @@ object StreamOps {
     else current
   }
 
+  /** Streaming vector ingest into a cell-partitioned IVF layout —
+    * stream_vec_ingest: each micro-batch of embeddings is assigned to
+    * its nearest coarse centroid (map-only — [[graft.ops.VectorOps.ivfCell]]
+    * is a codegen-able projection, no shuffle) and appended under
+    * `cell=K/__batch_id=N/`, written with dynamic partition overwrite so
+    * a replayed batch rewrites exactly its own (cell, batch) partitions.
+    * The ANN index stays queryable throughout: probes read every landed
+    * batch under `cell=K/` via partition pruning, so query cost is
+    * unchanged by how many increments built the layout. Centroids are
+    * FROZEN at stream start (the IVF contract — retraining means
+    * re-landing); the batch tier's `ivfQueryLayout` answers queries from
+    * the layout either tier wrote. */
+  def vecIngestEachBatch(stream: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], layoutDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("cell",
+            graft.ops.VectorOps.ivfCell(col(vecCol), centroids))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "__batch_id").parquet(layoutDir)
+      }
+      .start()
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

@@ -288,6 +288,47 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", ts(3), None, true)))
   }
 
+  test("vecIngestEachBatch: epochs accumulate cells; the layout query " +
+      "sees every increment") {
+    import graft.ops.VectorOps
+    val base = java.nio.file.Files.createTempDirectory("graft-vecingest")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val layout = s"$base/layout"
+    val ckpt = s"$base/ckpt"
+    // two fixed centroids on the x/y axes: vectors sort into cell 0 or 1
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def runOnce(): Unit = {
+      val q = StreamOps.vecIngestEachBatch(
+        StreamOps.fileStreamParquet(spark, s"$src/*", schema),
+        "embedding", centroids, layout, checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    def landed: Map[Long, Int] =
+      spark.read.parquet(layout).select("vec_id", "cell")
+        .as[(Long, Int)].collect().toMap
+    Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$src/b1")
+    runOnce()
+    assert(landed == Map(1L -> 0, 2L -> 1))
+    // epoch 2: only the new batch is processed, old partitions untouched
+    Seq((3L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$src/b2")
+    runOnce()
+    assert(landed == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // query path reads the accumulated layout (both epochs) pruned
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = VectorOps.ivfQueryLayout(spark, layout, "vec_id",
+      "embedding", q.select("embedding"), "embedding", k = 2,
+      centroids, nProbe = 1)
+    assert(top.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("stream-stream interval join matches across micro-batches and " +
       "emits each match exactly once") {
     implicit val sq = spark.sqlContext
