@@ -73,6 +73,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  private val scd2BatchGen: Gen[List[(Long, Option[String])]] =
+    Gen.listOfN(8, for {
+      k <- Gen.choose(0L, 4L)
+      v <- Gen.option(Gen.oneOf("a", "b", "c"))
+    } yield (k, v)).map(_.distinctBy(_._1)) // one update per key per batch
+
+  test("property: SCD2 invariants survive random sequential merges") {
+    val effTs = (1 to 3).map(i =>
+      java.sql.Timestamp.valueOf(s"2025-0$i-01 00:00:00"))
+    cases(Gen.listOfN(3, scd2BatchGen), 5).foreach { batches =>
+      var dim = spark.emptyDataset[(Long, Option[String],
+          java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+        .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      batches.zip(effTs).foreach { case (b, ts) =>
+        if (b.nonEmpty)
+          dim = SinkOps.scd2Merge(dim, b.toDF("k", "attr"), Seq("k"),
+            Seq("attr"), org.apache.spark.sql.functions.lit(ts))
+      }
+      val rows = dim.as[(Long, Option[String], java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)].collect()
+      rows.groupBy(_._1).foreach { case (k, vs) =>
+        // exactly one open version per key, and it is the newest
+        val open = vs.filter(_._5)
+        assert(open.length == 1, s"key $k open versions: ${open.length}")
+        assert(open.head._4.isEmpty, s"key $k open version has valid_to")
+        assert(open.head._3 == vs.map(_._3).max,
+          s"key $k open version is not the newest")
+        // closed versions chain: each valid_to equals the next
+        // version's valid_from — no gaps, no overlaps
+        val sorted = vs.sortBy(_._3.getTime)
+        sorted.sliding(2).foreach {
+          case Array(prev, next) =>
+            assert(!prev._5 && prev._4.contains(next._3),
+              s"key $k: broken version chain at ${prev._3}")
+          case _ =>
+        }
+        // no duplicate version starts
+        assert(vs.map(_._3).distinct.length == vs.length)
+      }
+    }
+  }
+
   test("property: pivot cells conserve the per-group totals") {
     val d = "/root/testdata/sf0.001"
     val piv = SparkEntry.queries("agg_pivot")(spark, d)
