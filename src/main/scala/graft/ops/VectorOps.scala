@@ -602,6 +602,35 @@ object VectorOps {
     PqIndexModel(centroids, codebooks)
   }
 
+  /** Train-only: both quantizers from ONE shared sample scan, no landing
+    * — the streaming ingest tier needs the model before any row lands.
+    * Same sample/seed contract as [[pqLayoutEnsure]], so a layout built
+    * incrementally with this model is code-identical to the batch one. */
+  def pqTrainModel(vectors: DataFrame, vecCol: String, nCentroids: Int = 0,
+      m: Int = 8, kCent: Int = 16, sampleN: Int = 4096,
+      seed: Long = 42L): PqIndexModel = {
+    val sample = sampleUnitVectors(vectors, vecCol, sampleN, seed)
+    val centroids =
+      if (nCentroids > 0) ivfTrainOnSample(sample, nCentroids, seed = seed)
+      else Array.empty[Array[Float]]
+    PqIndexModel(centroids, pqTrainOnSample(sample, m, kCent, seed = seed))
+  }
+
+  /** Map-only encode with a FROZEN model: (id, vec, codes[, cell]) — the
+    * projection the batch landing and the streaming incremental ingest
+    * share (normalization let-bound: one unit vector per row, not per
+    * subspace). */
+  def pqEncodeRows(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqIndexModel): DataFrame = {
+    val unit = let1(norm(col(vecCol)), nrm =>
+      transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
+    val encoded = vectors.select(col(idCol), col(vecCol))
+      .withColumn("codes", let1(unit, u => pqEncode(u, model.codebooks)))
+    if (model.centroids.nonEmpty)
+      encoded.withColumn("cell", ivfCell(col(vecCol), model.centroids))
+    else encoded
+  }
+
   /** Idempotently build the persisted PQ index: train both quantizers on
     * ONE shared sample scan, encode the corpus in a single map-only pass
     * (the normalization is let-bound so the unit vector is computed once
@@ -617,25 +646,20 @@ object VectorOps {
       s"${modelDir(layoutDir)}/_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(success)) return loadModel(spark, modelDir(layoutDir))
-    val sample = sampleUnitVectors(vectors, vecCol, sampleN, seed)
-    val centroids =
-      if (nCentroids > 0) ivfTrainOnSample(sample, nCentroids, seed = seed)
-      else Array.empty[Array[Float]]
-    val codebooks = pqTrainOnSample(sample, m, kCent, seed = seed)
-    val unit = let1(norm(col(vecCol)), nrm =>
-      transform(col(vecCol), x => (x.cast("double") / nrm).cast("float")))
-    val encoded = vectors.select(col(idCol), col(vecCol))
-      .withColumn("codes", let1(unit, u => pqEncode(u, codebooks)))
+    val model = pqTrainModel(vectors, vecCol, nCentroids, m, kCent,
+      sampleN, seed)
+    val encoded = pqEncodeRows(vectors, idCol, vecCol, model)
     // sortWithinPartitions(id): tight per-row-group id min/max stats, so
     // the rerank stage's pushed id-IN filter skips row groups instead of
-    // scanning every float page (no extra shuffle — sort is per-partition)
-    if (centroids.nonEmpty)
-      encoded.withColumn("cell", ivfCell(col(vecCol), centroids))
-        .sortWithinPartitions(col(idCol))
+    // scanning every float page (no extra shuffle — sort is per-partition).
+    // The IVF branch leads with the partition column: otherwise the
+    // partitioned writer inserts its own (unstable) cell sort and the id
+    // order inside each file is lost (the writeShuffled lesson).
+    if (model.centroids.nonEmpty)
+      encoded.sortWithinPartitions(col("cell"), col(idCol))
         .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
     else encoded.sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(layoutDir)
-    val model = PqIndexModel(centroids, codebooks)
     saveModel(spark, modelDir(layoutDir), model)
     model
   }

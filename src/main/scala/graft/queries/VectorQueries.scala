@@ -180,6 +180,36 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // STREAMING PQ ingest: the compressed-index twin of
+    // stream_vec_ingest — batches are encoded against the FROZEN
+    // quantizers (trained up front with the batch tier's exact
+    // sample/seed contract) and landed replay-exact; the persisted-PQ
+    // query path answers from the accumulated layout with ADC over
+    // (id, codes) + bounded exact rerank, and must reproduce the exact
+    // top-10 on the planted corpus.
+    "stream_pq_ingest" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/tmp/graft_pqstream_fixture")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val (corpus, query) = plantedCorpus(s, d)
+      val model = VectorOps.pqTrainModel(corpus, "embedding",
+        nCentroids = 16)
+      val src = s"$base/src"
+      val layout = s"$base/layout"
+      corpus.write.parquet(src)
+      val q = graft.streaming.StreamOps.pqIngestEachBatch(
+        graft.streaming.StreamOps.fileStreamParquet(s, src, corpus.schema),
+        "vec_id", "embedding", model, layout)
+      q.awaitTermination()
+      val ann = VectorOps.pqCosineTopKFromLayout(s, layout, model,
+        "vec_id", "embedding", query, "embedding", k = 10)
+      annotateRecall(ann, exactTop10(corpus, query), k = 10,
+        minRecall = 0.9)
+    }),
+
     // STREAMING vector ingest: the planted corpus arrives as a stream,
     // each micro-batch map-only cell-assigned and landed replay-exact
     // under cell=K/__batch_id=N — the incremental build of the
@@ -415,6 +445,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
     "stream_vec_ingest" -> exactPlantedOracleSql,
+    "stream_pq_ingest" -> exactPlantedOracleSql,
     "vec_ann_pq" -> exactPlantedOracleSql,
     "vec_ann_ivfpq" -> exactPlantedOracleSql,
 

@@ -737,6 +737,41 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming PQ-encode ingest — stream_pq_ingest: micro-batches of
+    * embeddings are encoded against a FROZEN quantizer model
+    * ([[graft.ops.VectorOps.pqEncodeRows]] — map-only, no shuffle) and
+    * landed replay-exact under `[cell=K/]__batch_id=N` with dynamic
+    * partition overwrite, extending the persisted PQ layout
+    * incrementally. Per-batch sort leads with the partition columns so
+    * the id order (rerank row-group skipping) survives the partitioned
+    * writer. The batch tier's `pqCosineTopKFromLayout` answers queries
+    * from the accumulated layout unchanged — ADC still reads only
+    * (id, codes), probes still prune cell partitions. */
+  def pqIngestEachBatch(stream: DataFrame, idCol: String, vecCol: String,
+      model: graft.ops.VectorOps.PqIndexModel, layoutDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val encoded = graft.ops.VectorOps
+          .pqEncodeRows(batch, idCol, vecCol, model)
+          .withColumn("__batch_id", lit(batchId))
+        val (parts, sorted) =
+          if (model.centroids.nonEmpty)
+            (Seq("cell", "__batch_id"),
+              Seq(col("cell"), col("__batch_id"), col(idCol)))
+          else (Seq("__batch_id"), Seq(col("__batch_id"), col(idCol)))
+        encoded.sortWithinPartitions(sorted: _*)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(layoutDir)
+      }
+      .start()
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay
