@@ -133,4 +133,28 @@ object Joins {
     out.filter(col("__side") === 1)
       .drop("__ts", "__side", "__tie", "__rts_v", "__pick")
   }
+
+  /** Point-in-time (temporal) join: enrich each fact with the dimension
+    * VERSION valid at the fact's timestamp — `ts ∈ [valid_from,
+    * valid_to)`, half-open so a version boundary instant belongs to the
+    * NEW version, `valid_to IS NULL` = still open (exactly the interval
+    * contract [[graft.sink.SinkOps.scd2Merge]] maintains, so this is
+    * the read side of the SCD2 tier). LEFT join: facts with no valid
+    * version (unknown key, or ts before the first version) survive with
+    * nulls.
+    *
+    * Shape: the EQUI key keeps this a hash/sort-merge join — the
+    * interval predicates ride along as the join residual, evaluated per
+    * key-matched pair, so cost is |facts| + Σ_k |facts_k|·|versions_k|
+    * with the per-key version count bounded (dimension history), never
+    * the |facts|×|dim| range-join blow-up. One exchange class on the
+    * key; none if facts and dim are co-bucketed. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, tsCol: String,
+      fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(tsCol) >= dim(fromCol) &&
+        (dim(toCol).isNull || facts(tsCol) < dim(toCol)),
+      "left")
 }

@@ -286,6 +286,31 @@ object RelationalQueries extends QueryPack {
             .orderBy(col("o_totalprice"), col("o_orderkey"))))
           .as("pct_rank"))),
 
+    // point-in-time join — the read side of the SCD2 tier: each event
+    // is enriched with the customer-segment VERSION valid at its
+    // timestamp. The version boundary (2024-01-15) splits the event
+    // month, so both versions of the %2 keys are exercised, half-open
+    // boundary semantics included; odd keys have one open version and
+    // out-of-range user ids survive as nulls (left join).
+    "join_temporal" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val boundary = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dim = c.select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          when(col("c_custkey") % 2 === 0, boundary)
+            .otherwise(lit(null).cast("timestamp")).as("valid_to"))
+        .unionByName(c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit("-v2")).as("seg"),
+            boundary.as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to")))
+      graft.ops.Joins.temporalJoin(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          dim, "user_id", "c_custkey", "ts")
+        .select("event_id", "user_id", "seg", "valid_from")
+    }),
+
     // cumulative distribution + deterministic first_value — the
     // remaining analytic-window family members (ordering includes the
     // unique key so both are tie-free across engines)
@@ -588,6 +613,22 @@ object RelationalQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "join_temporal" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    TIMESTAMP '2023-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '2024-01-15'
+        |    END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '-v2',
+        |    TIMESTAMP '2024-01-15', CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT e.event_id, e.user_id, d.seg, d.valid_from
+        |FROM events e LEFT JOIN dim d
+        |  ON e.user_id = d.c_custkey AND e.ts >= d.valid_from
+        | AND (d.valid_to IS NULL OR e.ts < d.valid_to)""".stripMargin,
 
     "win_cume_dist" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -144,4 +144,26 @@ class JoinsSpec extends SparkSpec {
     assert(near(3L) == Some(101L)) // only backward exists
     assert(near(4L) == Some(100L)) // 2d == 2d tie -> backward
   }
+
+  test("temporal join: half-open versions, open tail, unmatched facts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00"), Some(ts("2024-01-15 00:00:00"))),
+      (1L, "v2", ts("2024-01-15 00:00:00"), None),
+      (2L, "only", ts("2024-01-10 00:00:00"), None))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, ts("2024-01-14 23:59:59")), // inside v1
+      (11L, 1L, ts("2024-01-15 00:00:00")), // boundary instant -> v2
+      (12L, 1L, ts("2023-12-31 00:00:00")), // before first version
+      (13L, 2L, ts("2024-02-01 00:00:00")), // open tail
+      (14L, 9L, ts("2024-01-20 00:00:00"))) // unknown key
+      .toDF("event_id", "k", "ts")
+    val got = graft.ops.Joins
+      .temporalJoin(facts, dim, "k", "k", "ts")
+      .select(col("event_id"), col("seg"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(10L -> Some("v1"), 11L -> Some("v2"),
+      12L -> None, 13L -> Some("only"), 14L -> None))
+  }
 }
