@@ -422,9 +422,18 @@ object VectorOps {
 
   /** PQ-encode a NORMALIZED vector column: per subspace, the id of the
     * L2-nearest codebook centroid — an array of `m` small ints (the
-    * byte-code column an index stores instead of floats). Map-only
-    * column expression: argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2). */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    * byte-code column an index stores instead of floats). Map-only:
+    * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2). Production form is the
+    * codegen'd expression (graft.functions.PqEncode) — encode is the
+    * ingest hot path of the persisted/streaming PQ tiers, and the
+    * composed form's lambda bodies evaluate interpreted inside the HOF.
+    * VectorOpsSpec pins exact equality between the two. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    graft.functions.PqEncode.pqEncode(vec, codebooks)
+
+  /** Composed-Column twin of [[pqEncode]] (the spec's equality
+    * reference). */
+  def pqEncodeComposed(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val codes = (0 until m).map { mi =>

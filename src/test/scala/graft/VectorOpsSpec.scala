@@ -167,6 +167,23 @@ class VectorOpsSpec extends SparkSpec {
       "ADC candidate scan must not touch the float vector column")
   }
 
+  test("codegen'd PqEncode equals the composed-Column encoder exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = VectorOps.pqTrainModel(emb, "embedding", nCentroids = 0)
+    // normalized inputs, like both encode call sites produce
+    val unit = transform(col("embedding"),
+      x => (x.cast("double") / sqrt(graft.functions.FloatVecDot.dot(
+        col("embedding"), col("embedding")))).cast("float"))
+    val both = emb.select(col("vec_id"),
+      VectorOps.pqEncode(unit, model.codebooks).as("fast"),
+      VectorOps.pqEncodeComposed(unit, model.codebooks).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    // and the fast path produces m codes in [0, k)
+    val row = both.select("fast").head().getSeq[Int](0)
+    assert(row.length == 8 && row.forall(c => c >= 0 && c < 16))
+  }
+
   test("quantizeInt8: symmetric scale, half-up rounding, zero-vector safe") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.0f, 0.25f)),
