@@ -140,7 +140,14 @@ object TextDedupe {
     * Base shingle hash is xxhash64 (codegen'd); permutation i is
     * (a_i·h + b_i) mod p with deterministic seeds. The shingle-hash array
     * is let-bound so it's computed once per row, not once per permutation. */
-  def minhashSignature(text: Column, k: Int = 32): Column = {
+  def minhashSignature(text: Column, k: Int = 32): Column =
+    graft.functions.MinHashSig.minhashSig(
+      transform(shingles(text), s => pmod(xxhash64(s), lit(Prime))), k, Prime)
+
+  /** Composed-Column twin of [[minhashSignature]] (the spec's equality
+    * reference — the k·n permutation loop evaluated through interpreted
+    * HOF lambdas). */
+  def minhashSignatureComposed(text: Column, k: Int = 32): Column = {
     val hsExpr = transform(shingles(text), s => pmod(xxhash64(s), lit(Prime)))
     val seedsA = array((0 until k).map(i => lit(2L * i + 1)): _*)
     val seedsB = array((0 until k).map(i => lit(1013904223L * (i + 1) % Prime)): _*)

@@ -116,4 +116,19 @@ class TextDedupeSpec extends SparkSpec {
     val pairs = TextDedupe.ngramJaccardPairs(tiny, "doc_id", "text", 0.1, None)
     assert(pairs.count() == 0)
   }
+
+  test("codegen MinHashSig equals the composed HOF signature on real " +
+      "corpus text (incl. empty-shingle null)") {
+    import org.apache.spark.sql.functions.{col, not}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "one two")).toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      TextDedupe.minhashSignature(col("text")).as("fast"),
+      TextDedupe.minhashSignatureComposed(col("text")).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    // the short doc has no shingles -> null signature on both paths
+    assert(both.filter(col("doc_id") === 900001L)
+      .filter(col("fast").isNull && col("slow").isNull).count() == 1)
+  }
 }
