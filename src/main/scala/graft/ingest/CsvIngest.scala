@@ -54,7 +54,8 @@ object CsvIngest {
   def readCsv(spark: SparkSession, path: String,
       formats: Seq[String] = DefaultFormats,
       delimiter: String = ",", quote: String = "\"",
-      encoding: String = "UTF-8"): DataFrame = {
+      encoding: String = "UTF-8",
+      multiLine: Boolean = false): DataFrame = {
     val raw = spark.read
       .option("header", true)
       .option("ignoreLeadingWhiteSpace", true)
@@ -67,6 +68,13 @@ object CsvIngest {
       .option("sep", delimiter)
       .option("quote", quote)
       .option("encoding", encoding)
+      // quoted embedded newlines (pandas reads them by default; Spark
+      // needs the flag). SCALE TRADEOFF, documented: multiLine makes a
+      // CSV file non-splittable (a record can straddle any line break),
+      // so parallelism degrades to the FILE level — same unit as the
+      // xlsx/avro readers, fine for drop-folder many-file layouts, wrong
+      // for one giant file. Default off: line-splittable fast path.
+      .option("multiLine", multiLine)
       .csv(path)
     inferTypes(raw, formats)
   }

@@ -66,6 +66,24 @@ object IngestQueries extends QueryPack {
         .select("event_id", "ts", "tag", "value")
     }),
 
+    // CSV with QUOTED EMBEDDED NEWLINES (pandas reads these by default;
+    // Spark needs multiLine=true, which costs file-level parallelism —
+    // see readCsv). Every space in the source text becomes a newline,
+    // so each record spans many physical lines and the quoted-field
+    // reassembly is what's under test end-to-end.
+    "scan_csv_multiline" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv_ml_fixture/${Fixtures.key(s, s"$d/documents.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(col("doc_id"),
+            translate(col("text"), " ", "\n").as("body"))
+          .write.mode("overwrite").option("header", true).csv(tmp)
+      }
+      CsvIngest.readCsv(s, s"$tmp/*.csv", multiLine = true)
+        .select("doc_id", "body")
+    }),
+
     // XLSX source — the reference ships openpyxl (requirements.txt:9)
     // but never grew the reader (datapump.py:442 is CSV-only); this
     // closes that implied source with a zero-dependency JDK zip+StAX
@@ -422,6 +440,11 @@ object IngestQueries extends QueryPack {
       """SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v
         |FROM (VALUES (1, 10.5), (2, 20.5), (3, 33.5)) AS t(k, v)"""
         .stripMargin,
+
+    // the quoted-newline round trip must reproduce the rewritten text
+    "scan_csv_multiline" ->
+      """SELECT doc_id, replace(text, ' ', chr(10)) AS body
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
 
     "scan_partition_prune" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
