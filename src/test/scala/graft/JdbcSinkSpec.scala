@@ -29,6 +29,24 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back == Set((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("insert + delete-by-PK: absent-key delete is a no-op") {
+    val sink = freshSink("del")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    sink.ensureTable("t_del", df.schema, Seq("k"))
+    sink.insert(df, "t_del")
+    assert(sink.recordCount("t_del") == 3)
+    // delete rows may carry extra columns; only the PK is used, and
+    // deleting a key that is not there must not fail
+    sink.delete(Seq((2L, "ignored"), (9L, "absent")).toDF("k", "s"),
+      "t_del", Seq("k"))
+    val back = sink.readBack(spark, "t_del").as[(Long, String)]
+      .collect().toSet
+    assert(back == Set((1L, "a"), (3L, "c")))
+    // idempotent: re-deleting converges
+    sink.delete(Seq(Tuple1(2L)).toDF("k"), "t_del", Seq("k"))
+    assert(sink.recordCount("t_del") == 2)
+  }
+
   test("nulls and timestamps survive the sink boundary") {
     val sink = freshSink("nt")
     val ts = java.sql.Timestamp.valueOf("2024-06-01 12:30:00")
