@@ -635,7 +635,8 @@ object StreamOps {
   def scd2EachBatch(updates: DataFrame, keyCols: Seq[String],
       trackedCols: Seq[String], dimDir: String,
       effectiveTsFor: Long => Column,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      compactAfter: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = updates.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -677,6 +678,33 @@ object StreamOps {
               fs.delete(new org.apache.hadoop.fs.Path(curRoot,
                 s"__gen=$g"), true)
             }
+          // CLOSED-LOG COMPACTION (bounded listing cost — the key-table
+          // construction): one partition lands per closing batch; past
+          // `compactAfter` non-current partitions they are APPENDED into
+          // the epoch's generation partition __batch_id = -(batchId+2)
+          // and the sources deleted. Append is the crash-safe half
+          // (a replayed fold after a partial delete can only re-append
+          // rows the generation already holds — the row SET never
+          // shrinks); the read side ([[scd2Dim]]) takes distinct() on
+          // closed rows, which removes exactly those replay artifacts
+          // (closed versions are unique per (key, valid_from) in correct
+          // operation).
+          val closedRoot = new org.apache.hadoop.fs.Path(s"$dimDir/closed")
+          val gen = -(batchId + 2)
+          val foldable = batchPartitionIds(fs, closedRoot)
+            .filter(id => id != batchId && id != gen)
+          if (compactAfter > 0 && foldable.size > compactAfter) {
+            spark.read.parquet(s"$dimDir/closed")
+              .filter(col("__batch_id").isin(foldable: _*))
+              .drop("__batch_id")
+              .withColumn("__batch_id", lit(gen))
+              .write.mode("append").partitionBy("__batch_id")
+              .parquet(s"$dimDir/closed")
+            foldable.foreach { id =>
+              fs.delete(new org.apache.hadoop.fs.Path(closedRoot,
+                s"__batch_id=$id"), true)
+            }
+          }
         } finally merged.unpersist()
       }
       .start()
@@ -701,7 +729,13 @@ object StreamOps {
     val current = spark.read.parquet(s"$dimDir/current/__gen=$gen")
     if (batchPartitionIds(fs, closedRoot).nonEmpty)
       current.unionByName(
-        spark.read.parquet(s"$dimDir/closed").drop("__batch_id"))
+        // distinct(): a replayed closed-log fold may have re-appended
+        // rows its generation already held (see the compaction note in
+        // scd2EachBatch); closed versions are unique per
+        // (key, valid_from) in correct operation, so this removes
+        // exactly those replay artifacts
+        spark.read.parquet(s"$dimDir/closed").drop("__batch_id")
+          .distinct())
     else current
   }
 

@@ -288,6 +288,56 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", ts(3), None, true)))
   }
 
+  test("scd2 closed-log compaction folds partitions; replay re-append " +
+      "is invisible (distinct)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2-fold")
+    val dimDir = base.resolve("dim").toString
+    val srcDir = base.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("attr",
+        org.apache.spark.sql.types.StringType)))
+    def ts(e: Long) = java.sql.Timestamp.valueOf(s"2025-0$e-01 00:00:00")
+    def runOnce(): Unit = {
+      val q = StreamOps.scd2EachBatch(
+        StreamOps.fileStreamCsv(spark, s"$srcDir/*.csv", schema),
+        Seq("k"), Seq("attr"), dimDir,
+        b => org.apache.spark.sql.functions.lit(ts(b + 1)),
+        checkpoint = Some(ckpt), compactAfter = 1)
+      q.awaitTermination()
+    }
+    def dim = StreamOps.scd2Dim(spark, dimDir)
+      .as[(Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)].collect().toSet
+    // four epochs, each changing key 1 -> each closes one version
+    (0 to 3).foreach { e =>
+      java.nio.file.Files.write(srcDir.resolve(s"f$e.csv"),
+        s"k,attr\n1,v$e\n".getBytes)
+      runOnce()
+    }
+    val expect = Set(
+      (1L, "v0", ts(1), Some(ts(2)), false),
+      (1L, "v1", ts(2), Some(ts(3)), false),
+      (1L, "v2", ts(3), Some(ts(4)), false),
+      (1L, "v3", ts(4), None, true))
+    assert(dim == expect)
+    // compaction bounded the closed listing: <= compactAfter + current
+    // batch + generation = 3 partitions (4 closing epochs happened)
+    val parts = new java.io.File(s"$dimDir/closed").listFiles()
+      .filter(_.getName.startsWith("__batch_id=")).map(_.getName)
+    assert(parts.length <= 3, parts.mkString(","))
+    assert(parts.exists(_.startsWith("__batch_id=-")), "no generation")
+    // simulate a replayed fold's double-append: duplicate one closed row
+    val genName = parts.find(_.startsWith("__batch_id=-")).get
+    val one = spark.read
+      .parquet(s"$dimDir/closed/$genName").limit(1)
+    one.write.mode("append").parquet(s"$dimDir/closed/$genName")
+    assert(dim == expect) // distinct() hides the artifact
+  }
+
   test("vecIngestEachBatch: epochs accumulate cells; the layout query " +
       "sees every increment") {
     import graft.ops.VectorOps
