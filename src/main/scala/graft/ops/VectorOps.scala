@@ -335,6 +335,33 @@ object VectorOps {
       query, queryVecCol, k, centroids, nProbe)
   }
 
+  /** Maintenance compaction for an incrementally-built layout
+    * (`cell=K/__batch_id=N` from the streaming ingests): rewrite to the
+    * batch tier's flat `cell=K` shape — one listing entry per cell
+    * instead of one per (cell, batch) — sorted by id within partitions
+    * for rerank row-group stats. OFFLINE op by contract: run between
+    * streams, not under a live writer (the swap is write-new /
+    * delete-old / rename, the standard index-rebuild window — unlike
+    * the per-batch folds this needs no replay story because no epoch is
+    * in flight). Readers see either the old or the new complete layout:
+    * the rename is the commit point. */
+  def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, idCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(layoutDir + "__compact_tmp")
+    val hasCell = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("cell="))
+    val df = spark.read.parquet(layoutDir).drop("__batch_id")
+    if (hasCell)
+      df.sortWithinPartitions(col("cell"), col(idCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    else df.sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(root, true)
+    require(fs.rename(tmp, root), s"rename $tmp -> $root failed")
+  }
+
   /** Answer a query from an EXISTING cell-partitioned IVF layout —
     * whatever wrote it (the batch ensure above, or the streaming
     * incremental ingest). Probe selection is driver-side math over the

@@ -377,6 +377,20 @@ class StreamingSpec extends SparkSpec {
       "embedding", q.select("embedding"), "embedding", k = 2,
       centroids, nProbe = 1)
     assert(top.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    // offline maintenance compaction: flatten cell=K/__batch_id=N to the
+    // batch tier's cell=K shape — same rows, same query results
+    VectorOps.compactIvfLayout(spark, layout, "vec_id")
+    val cellDirs = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.forall(_.startsWith("cell=")), cellDirs.mkString(","))
+    assert(cellDirs.flatMap(c => new java.io.File(s"$layout/$c")
+      .listFiles().map(_.getName))
+      .forall(n => !n.startsWith("__batch_id=")))
+    assert(landed == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    val top2 = VectorOps.ivfQueryLayout(spark, layout, "vec_id",
+      "embedding", q.select("embedding"), "embedding", k = 2,
+      centroids, nProbe = 1)
+    assert(top2.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
   test("stream-stream interval join matches across micro-batches and " +
