@@ -89,6 +89,39 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // edit-distance scalar tier — the fuzzy-matching primitive (title /
+    // name matching). Distance to the reversed head is a deterministic
+    // self-contained exercise of the function; norm_sim is the usual
+    // 1 − d/max(len) similarity.
+    "scalar_fuzzy_distance" -> ((s, d) => {
+      val head = substring(col("text"), 1, 30)
+      Tables.documents(s, d).select(col("doc_id"),
+        levenshtein(head, reverse(head)).as("lev_rev"),
+        graft.StableRound.round6(lit(1.0) -
+          levenshtein(head, reverse(head)).cast("double") /
+            greatest(length(head), lit(1)))
+          .as("norm_sim"))
+    }),
+
+    // fuzzy near-pairs on document HEADS: same-language blocking +
+    // length gate, exact levenshtein verification — the short-string
+    // (title/name) fuzzy-join regime, where within-block quadratic
+    // verification is the honest cost model and BLOCKING is the scale
+    // lever (lang here; add sorted-neighborhood or q-gram prefixes for
+    // open-domain strings). Distance ≤ 5 over 40-char heads.
+    "dedupe_fuzzy_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val a = docs.toDF("d1", "lang", "h1")
+      val b = docs.toDF("d2", "lang2", "h2")
+      a.join(b, col("lang") === col("lang2") && col("d1") < col("d2") &&
+          abs(length(col("h1")) - length(col("h2"))) <= 5)
+        .withColumn("lev", levenshtein(col("h1"), col("h2")))
+        .filter(col("lev") <= 5)
+        .select("d1", "d2", "lev")
+    }),
+
     // per-language token-distribution Shannon entropy — the diversity /
     // degeneracy signal (a collapsed crawl slice shows as an entropy
     // drop). H = ln N − (Σ c·ln c)/N over token counts c. The Σ term
@@ -360,6 +393,26 @@ object TextQueries extends QueryPack {
         |SELECT tf.doc_id, tf.token,
         |  round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+
+    "scalar_fuzzy_distance" ->
+      s"""SELECT doc_id,
+        |  levenshtein(substring(text, 1, 30),
+        |    reverse(substring(text, 1, 30))) AS lev_rev,
+        |  ${graft.StableRound.sql6(
+           "1.0 - levenshtein(substring(text, 1, 30), " +
+           "reverse(substring(text, 1, 30))) / " +
+           "greatest(length(substring(text, 1, 30)), 1)")} AS norm_sim
+        |FROM documents""".stripMargin,
+
+    "dedupe_fuzzy_pairs" ->
+      """WITH h AS (SELECT doc_id, lang, substring(text, 1, 40) AS head
+        |           FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS lev
+        |FROM h a JOIN h b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(length(a.head) - length(b.head)) <= 5
+        |WHERE levenshtein(a.head, b.head) <= 5""".stripMargin,
 
     // per-term stabilized ln + exact-decimal Σ, the lm_score recipe
     "text_entropy" ->
