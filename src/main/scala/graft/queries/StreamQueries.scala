@@ -289,6 +289,33 @@ object StreamQueries extends QueryPack {
       sink.readBack(s, "st_cdc")
     }),
 
+    // streaming as-of enrichment: the join_asof scenario (events
+    // enriched with each user's latest order at-or-before the event)
+    // driven through per-batch as-of joins against the static orders
+    // table — exact under any batch split, so the oracle IS
+    // join_asof's.
+    "stream_asof_enrich" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_asofstream_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val outDir = base.resolve("out").toString
+      val q = StreamOps.asofEnrichEachBatch(
+        eventsStream(s, d).select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        outDir = outDir)
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "asof_o_orderkey",
+          "asof_o_totalprice")
+    }),
+
     // streaming SCD2: the sink_scd2 scenario driven through the
     // liveness-split dimension store (append-only closed log +
     // generation-swapped current set) — same seed dim, same update
@@ -397,6 +424,9 @@ object StreamQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     // single-batch stream ≡ one batch merge: the oracle IS sink_scd2's
     "stream_scd2" -> IngestQueries.oracle("sink_scd2"),
+
+    // exact under any batch split ⇒ the oracle IS join_asof's
+    "stream_asof_enrich" -> RelationalQueries.oracle("join_asof"),
 
     // the accumulated table equals the batch CDC collapse of the same log
     "stream_cdc_apply" ->

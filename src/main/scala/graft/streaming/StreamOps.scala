@@ -806,6 +806,36 @@ object StreamOps {
       .start()
   }
 
+  /** Per-batch AS-OF ENRICHMENT against a STATIC right side —
+    * stream_asof_enrich: each micro-batch of facts is as-of joined
+    * ([[graft.ops.Joins.asOfJoin]] — the one-shuffle union trick) to an
+    * immutable reference table and landed under `__batch_id=N` with
+    * dynamic partition overwrite. Correct under ANY batch split because
+    * a left row's match depends only on itself and the static right —
+    * no cross-batch state at all — and replay-idempotent by the
+    * partition-overwrite construction. (A CHANGING right side is the
+    * temporal-join problem: pair the stream with the SCD2 dim store and
+    * [[graft.ops.Joins.temporalJoin]] instead.) */
+  def asofEnrichEachBatch(stream: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      rightTieBreak: String, rightValueCols: Seq[String], outDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Joins.asOfJoin(batch, right, leftKey, rightKey,
+            leftTs, rightTs, rightTieBreak, rightValueCols)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

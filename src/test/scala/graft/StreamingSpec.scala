@@ -288,6 +288,48 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", ts(3), None, true)))
   }
 
+  test("asofEnrichEachBatch: two epochs union to the batch as-of join") {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-stream")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val right = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 100L, 1.5),
+      (1L, ts("2024-01-20 00:00:00"), 101L, 2.5),
+      (2L, ts("2024-01-10 00:00:00"), 200L, 3.5))
+      .toDF("k", "rts", "o_id", "o_val")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Unit = {
+      val q = StreamOps.asofEnrichEachBatch(
+        StreamOps.fileStreamCsv(spark, s"$src/*.csv", schema),
+        right, "k", "k", "ts", "rts", "o_id", Seq("o_id", "o_val"),
+        out, checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    // epoch 1: one event between the two k=1 orders; epoch 2: one after
+    // both, one with no match at all
+    java.nio.file.Files.write(src.resolve("one.csv"),
+      "event_id,k,ts\n10,1,2024-01-10 00:00:00\n".getBytes)
+    runOnce()
+    java.nio.file.Files.write(src.resolve("two.csv"),
+      ("event_id,k,ts\n11,1,2024-01-25 00:00:00\n" +
+        "12,9,2024-01-25 00:00:00\n").getBytes)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "asof_o_id", "asof_o_val")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      (10L, Some(100L), Some(1.5)),   // epoch 1: latest order <= ts
+      (11L, Some(101L), Some(2.5)),   // epoch 2: picks the later order
+      (12L, None, None)))             // unknown key -> nulls
+  }
+
   test("scd2 closed-log compaction folds partitions; replay re-append " +
       "is invisible (distinct)") {
     val base = java.nio.file.Files.createTempDirectory("graft-scd2-fold")
