@@ -286,6 +286,25 @@ object RelationalQueries extends QueryPack {
             .orderBy(col("o_totalprice"), col("o_orderkey"))))
           .as("pct_rank"))),
 
+    // quantity-weighted average price per flag — Σw·x/Σw recombines
+    // exactly under partial aggregation (never avg-of-avgs); one
+    // map-side-combined exchange
+    "agg_weighted_avg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        StableRound.round6(
+          sum(col("l_quantity") * col("l_extendedprice"))
+            / sum(col("l_quantity"))).as("wavg_price"),
+        round(sum("l_quantity"), 2).as("total_qty"))),
+
+    // each order's share of its customer's total spend — the
+    // ratio-to-report window (one exchange, partial-agg'd sum frame)
+    "win_share_of_total" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        StableRound.round6(col("o_totalprice") /
+          sum("o_totalprice").over(Window.partitionBy("o_custkey")))
+          .as("share"))),
+
     // point-in-time join — the read side of the SCD2 tier: each event
     // is enriched with the customer-segment VERSION valid at its
     // timestamp. The version boundary (2024-01-15) splits the event
@@ -613,6 +632,21 @@ object RelationalQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "agg_weighted_avg" ->
+      s"""SELECT l_returnflag,
+        |  ${graft.StableRound.sql6(
+           "sum(l_quantity * l_extendedprice) / sum(l_quantity)")}
+        |    AS wavg_price,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "win_share_of_total" ->
+      s"""SELECT o_orderkey, o_custkey,
+        |  ${graft.StableRound.sql6(
+           "o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey)")}
+        |    AS share
+        |FROM orders""".stripMargin,
 
     "join_temporal" ->
       """WITH dim AS (
