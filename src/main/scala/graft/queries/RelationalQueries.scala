@@ -352,6 +352,58 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    // frame-explicit last_value/nth_value — the default-frame trap made
+    // visible: with ORDER BY, the default frame ends at CURRENT ROW, so
+    // last_value degenerates to the row itself. The frame here is pinned
+    // to the whole partition (UNBOUNDED..UNBOUNDED) in both engines, and
+    // the ordering includes the unique key so all three are tie-free.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        first("o_totalprice").over(w).as("cheapest_price"),
+        last("o_totalprice").over(w).as("priciest_price"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    }),
+
+    // null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): a nullable
+    // derived key (value band, with one band nullified) joined to a
+    // broadcast dim that carries a NULL-keyed row — the null-safe
+    // semantics route the "unknown" rows to their own bucket instead of
+    // silently dropping them (what a plain equi-join would do). Broadcast
+    // hash join supports <=> directly, so this stays shuffle-free on the
+    // fact side.
+    "join_null_safe" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        (Option(0L), "b_low"), (Option(1L), "b_mid"),
+        (Option.empty[Long], "b_unknown"),
+        (Option(3L), "b_high"), (Option(4L), "b_top"))
+        .toDF("band_key_d", "bucket")
+      val band = floor(col("value") / 100)
+      Tables.events(s, d)
+        .withColumn("band_key", when(band === 2L, lit(null)).otherwise(band))
+        .join(broadcast(dim), col("band_key") <=> col("band_key_d"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          StableRound.round6(avg("value")).as("avg_value"))
+    }),
+
+    // argmax/argmin (max_by/min_by): which event carried each type's
+    // extreme value. `value` has 2-decimal ties, so the selector is a
+    // composite key monotone in (value, event_id) — value*1e10 ≈ 5e12
+    // keeps integer adds exact in a double (ulp ≪ 1), making the pick
+    // tie-free and identical across engines.
+    "agg_argmax" -> ((s, d) => {
+      val sel = col("value") * lit(1e10) + col("event_id")
+      Tables.events(s, d).groupBy("event_type").agg(
+        max_by(col("event_id"), sel).as("max_event_id"),
+        min_by(col("event_id"), sel).as("min_event_id"),
+        round(max("value"), 2).as("max_value"))
+    }),
+
     // HLL sketch cardinality — the estimate itself can never hash-match a
     // different engine, so the ERROR BOUND is emitted as data: the oracle
     // selects the exact twin + `true`, making the entry fully hash-checkable
@@ -679,6 +731,37 @@ object RelationalQueries extends QueryPack {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  first_value(o_totalprice) OVER w AS cheapest_price,
+        |  last_value(o_totalprice) OVER w AS priciest_price,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "join_null_safe" ->
+      s"""WITH ev AS (
+        |  SELECT value,
+        |    nullif(CAST(floor(value / 100) AS BIGINT), 2) AS band_key
+        |  FROM events),
+        |dim(band_key_d, bucket) AS (VALUES
+        |  (0, 'b_low'), (1, 'b_mid'), (NULL, 'b_unknown'),
+        |  (3, 'b_high'), (4, 'b_top'))
+        |SELECT bucket, count(*) AS n,
+        |  ${graft.StableRound.sql6("avg(value)")} AS avg_value
+        |FROM ev JOIN dim ON ev.band_key IS NOT DISTINCT FROM dim.band_key_d
+        |GROUP BY bucket""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT event_type,
+        |  arg_max(event_id, value * 1e10 + event_id) AS max_event_id,
+        |  arg_min(event_id, value * 1e10 + event_id) AS min_event_id,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_pivot" ->
       """SELECT month(o_orderdate) AS m,
