@@ -198,6 +198,26 @@ object CorpusQueries extends QueryPack {
         .orderBy("shuffle_key")
         .limit(100)),
 
+    // WEIGHT-BIASED deterministic sample: rank by scrambled-uniform /
+    // weight and keep the bottom-k, so heavier documents (n_chars) are
+    // proportionally more likely to survive — the sampling shape used
+    // to bias a training mix toward long documents without a full sort
+    // of the corpus (TakeOrderedAndProject: per-partition top-k, driver
+    // merge of k·partitions rows). The key is one IEEE division of two
+    // exactly-representable integers, so the ranking — and therefore
+    // the sample — is identical on every engine; ties (equal ratios)
+    // break on doc_id.
+    "sample_weighted" -> ((s, d) =>
+      CorpusOps.shuffleShard(Tables.documents(s, d), "doc_id",
+          seed = 29L, numShards = 1)
+        .select(col("doc_id"), col("n_chars"),
+          (col("shuffle_key").cast("double") / col("n_chars"))
+            .as("__wkey"))
+        .orderBy(col("__wkey"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"),
+          graft.StableRound.round6(col("__wkey")).as("wkey"))),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -350,6 +370,20 @@ object CorpusQueries extends QueryPack {
         |    (r1 * 48271 + 13) % 1000000007 AS shuffle_key FROM r)
         |SELECT doc_id, shuffle_key FROM k
         |ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    // same LCG scramble (seed 29) ranked by key/weight — the ORDER BY
+    // uses the exact double; only the emitted column is rounded
+    "sample_weighted" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ((doc_id % 1000000007) * 48271 + 29) % 1000000007 AS r1
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |    (r1 * 48271 + 29) % 1000000007 AS sk FROM r),
+        |w AS (SELECT doc_id, n_chars,
+        |    sk / CAST(n_chars AS DOUBLE) AS wk FROM k)
+        |SELECT doc_id, n_chars,
+        |  CAST(round(CAST(wk AS DECIMAL(27,12)), 6) AS DOUBLE) AS wkey
+        |FROM w ORDER BY wk, doc_id LIMIT 100""".stripMargin,
 
     // same two-round LCG scramble, spelled in SQL (doc_id ≥ 0, so % ≡
     // the Spark pmod here)

@@ -75,6 +75,43 @@ object StatsQueries extends QueryPack {
           max("l_extendedprice").as("hi"))
     }),
 
+    // data-quality gate report — the pipeline pre-flight every landing
+    // job needs: each rule a (rule, n_violations, pass) row. All five
+    // scalar rules ride ONE scan of orders (map-side partial sums → a
+    // 1-row frame, then a stack/melt — never a scan per rule); the
+    // referential rule is the one genuine join (left-anti against
+    // customer, broadcastable when the dim fits). At 100 TB the report
+    // costs one pass over the fact table + one key-projected anti-join,
+    // regardless of how many scalar rules are stacked. The weekend rule
+    // exists to be non-vacuous on this corpus (it fires), so the report
+    // carries both pass=true and pass=false rows.
+    "dq_checks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      def v(pred: org.apache.spark.sql.Column) =
+        sum(when(pred, 1L).otherwise(0L))
+      val scalarViol = o.agg(
+        v(col("o_orderkey").isNull).as("v_pk"),
+        v(col("o_totalprice") <= 0).as("v_price"),
+        v(!col("o_orderdate").between("1992-01-01", "2003-12-31"))
+          .as("v_date"),
+        v(!col("o_orderstatus").isin("F", "O", "P")).as("v_status"),
+        v(expr("weekday(o_orderdate)") >= 5).as("v_weekend"))
+      val refViol = o.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_ref"))
+      scalarViol.crossJoin(refViol).selectExpr(
+        """stack(6,
+          |  'o_orderkey_not_null',          v_pk,
+          |  'o_totalprice_positive',        v_price,
+          |  'o_orderdate_in_range',         v_date,
+          |  'o_orderstatus_domain',         v_status,
+          |  'no_weekend_orders',            v_weekend,
+          |  'o_custkey_references_customer', v_ref
+          |) AS (rule, n_violations)""".stripMargin)
+        .withColumn("pass", col("n_violations") === 0L)
+    }),
+
     // describe over a TIMESTAMP column — the reference's
     // datetime_is_numeric=True semantics (datapump.py:331-336): mean/
     // min/max are meaningful on the time axis. The mean uses EXACT
@@ -94,6 +131,28 @@ object StatsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH a AS (SELECT
+        |    count(*) FILTER (o_orderkey IS NULL) AS v_pk,
+        |    count(*) FILTER (o_totalprice <= 0) AS v_price,
+        |    count(*) FILTER (o_orderdate NOT BETWEEN TIMESTAMP '1992-01-01'
+        |      AND TIMESTAMP '2003-12-31') AS v_date,
+        |    count(*) FILTER (o_orderstatus NOT IN ('F','O','P')) AS v_status,
+        |    count(*) FILTER (isodow(o_orderdate) - 1 >= 5) AS v_weekend
+        |  FROM orders),
+        |r AS (SELECT count(*) AS v_ref FROM orders o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |m(rule, n_violations) AS (
+        |  SELECT 'o_orderkey_not_null', v_pk FROM a UNION ALL
+        |  SELECT 'o_totalprice_positive', v_price FROM a UNION ALL
+        |  SELECT 'o_orderdate_in_range', v_date FROM a UNION ALL
+        |  SELECT 'o_orderstatus_domain', v_status FROM a UNION ALL
+        |  SELECT 'no_weekend_orders', v_weekend FROM a UNION ALL
+        |  SELECT 'o_custkey_references_customer', v_ref FROM r)
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM m"""
+        .stripMargin,
+
     "agg_minmax_scale" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey,
         |  CASE WHEN mx > mn THEN
