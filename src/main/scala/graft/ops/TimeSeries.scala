@@ -178,4 +178,54 @@ object TimeSeries {
       .withColumn("was_gap", col(outCol).isNull)
       .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))
   }
+
+  /** [[resampleFfill]]'s sibling with pandas `interpolate()` gap
+    * semantics: interior gaps are filled LINEARLY between the
+    * surrounding known buckets, trailing gaps hold the last known value,
+    * leading gaps stay null (pandas limit_direction='forward' default).
+    *
+    * Same grid-sized cost shape as ffill. The two fill windows (backward
+    * last-known, forward first-known) share one partitioning AND one
+    * ascending sort, so Catalyst stacks them on a single exchange+sort —
+    * no second shuffle for the forward pass. The interpolation itself is
+    * a straight-line IEEE sequence (µs-long deltas → one division, one
+    * multiply, one add), identical on any engine; at a known bucket the
+    * fraction is exactly 0 so the bucket's own value is reproduced
+    * bit-for-bit. */
+  def resampleInterp(df: DataFrame, tsCol: String, freq: String,
+      groupCols: Seq[String], agg: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dur = parse(freq) match {
+      case Left(d) => d
+      case Right(u) => throw new IllegalArgumentException(
+        s"resampleInterp needs a fixed-width frequency, got calendar '$u'")
+    }
+    val gcols = groupCols.map(col)
+    val bucketed = resampleAgg(df, tsCol, freq, groupCols, Seq(agg.as(outCol)))
+    val bounds = bucketed.groupBy(gcols: _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val grid = bounds.select(gcols :+ explode(sequence(col("__lo"),
+      col("__hi"), expr(s"INTERVAL $dur"))).as(tsCol): _*)
+    val back = Window.partitionBy(gcols: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(gcols: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownTs = when(col(outCol).isNotNull, col(tsCol))
+    val t = unix_micros(col(tsCol))
+    val pt = unix_micros(col("__pt"))
+    val nt = unix_micros(col("__nt"))
+    grid.join(bucketed, groupCols :+ tsCol, "left")
+      .withColumn("was_gap", col(outCol).isNull)
+      .withColumn("__pv", last(col(outCol), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(knownTs, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(outCol), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(knownTs, ignoreNulls = true).over(fwd))
+      .withColumn(outCol,
+        when(col("__pt").isNull, lit(null).cast("double"))
+          .when(col("__nt").isNull || col("__nt") === col("__pt"),
+            col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((t - pt) / (nt - pt).cast("double"))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
 }

@@ -83,6 +83,17 @@ object CoreQueries extends QueryPack {
           Seq("event_type"), StableRound.round6(avg("value")), "value")
         .withColumnRenamed("ts", "bucket_start")),
 
+    // pandas interpolate() parity on the resample grid: interior gaps
+    // linear between surrounding known buckets, trailing gaps hold,
+    // leading gaps stay null (see TimeSeries.resampleInterp for why the
+    // arithmetic is engine-exact). 15-minute buckets, not hourly: the
+    // hourly grid has zero gaps at sf0.1, and a fill op whose fill path
+    // never runs proves nothing — 15T leaves real gaps at every SF.
+    "agg_resample_interp" -> ((s, d) =>
+      TimeSeries.resampleInterp(Tables.events(s, d), "ts", "15T",
+          Seq("event_type"), StableRound.round6(avg("value")), "value")
+        .withColumnRenamed("ts", "bucket_start")),
+
     // §2.4 ordered event-funnel (view → click-after-view →
     // purchase-after-that-click), per user. The stage gates are ORDERED
     // mins — stage k's first instant must be ≥ stage k-1's — computed as
@@ -181,6 +192,49 @@ object CoreQueries extends QueryPack {
         |  (b.v IS NULL) AS was_gap
         |FROM g LEFT JOIN b
         |  ON g.event_type = b.event_type AND g.bucket_start = b.bucket_start""".stripMargin,
+
+    // same grid construction as the ffill oracle (time_bucket's 15-min
+    // boundaries coincide with Spark window()'s epoch alignment — both
+    // origins are whole hours) + backward/forward known-value windows;
+    // the CASE mirrors TimeSeries.resampleInterp exactly
+    "agg_resample_interp" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |      AS bucket_start,
+        |    CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL 15 MINUTE)) AS bucket_start
+        |  FROM b GROUP BY event_type),
+        |j AS (
+        |  SELECT g.event_type, g.bucket_start, b.v, (b.v IS NULL) AS was_gap
+        |  FROM g LEFT JOIN b
+        |    ON g.event_type = b.event_type AND g.bucket_start = b.bucket_start),
+        |f AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket_start END
+        |      IGNORE NULLS) OVER back AS pt,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket_start END
+        |      IGNORE NULLS) OVER fwd AS nt
+        |  FROM j
+        |  WINDOW back AS (PARTITION BY event_type ORDER BY bucket_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY event_type ORDER BY bucket_start
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket_start,
+        |  CASE WHEN pt IS NULL THEN NULL
+        |       WHEN nt IS NULL OR nt = pt THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         ((epoch_us(bucket_start) - epoch_us(pt))
+        |          / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |  END AS value,
+        |  was_gap
+        |FROM f""".stripMargin,
 
     // gaps-and-islands with the same ≥-gap break rule as the Spark window
     "agg_sessionize" ->

@@ -98,6 +98,55 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterp: interior linear, known buckets exact, edge rules") {
+    // s3: known at 10:00 (10.0) and 13:00 (40.0); 11:00 → 20, 12:00 → 30.
+    // The grid spans min..max known bucket, so leading/trailing gap rules
+    // need a null-mean bucket to show: s4's 11:00 value is NULL (avg of
+    // no non-null values is impossible here, so instead s4 pins only the
+    // trailing-hold shape via a single known bucket — grid == that bucket)
+    val f = Seq(
+      ("s3", ts("2024-01-01 10:30:00"), Some(10.0)),
+      ("s3", ts("2024-01-01 13:15:00"), Some(40.0)),
+      // s4: bucket 10:00 has only a NULL value → the bucket EXISTS on
+      // the grid with v=null (leading gap); 11:00 and 13:00 known
+      ("s4", ts("2024-01-01 10:10:00"), None),
+      ("s4", ts("2024-01-01 11:20:00"), Some(8.0)),
+      ("s4", ts("2024-01-01 13:40:00"), Some(16.0))
+    ).toDF("sensor", "dt", "v")
+    val got = TimeSeries.resampleInterp(f, "dt", "H", Seq("sensor"),
+        avg($"v"), "v")
+      .as[(String, Timestamp, Option[Double], Boolean)].collect().toSet
+    assert(got == Set(
+      ("s3", ts("2024-01-01 10:00:00"), Some(10.0), false),
+      ("s3", ts("2024-01-01 11:00:00"), Some(20.0), true),
+      ("s3", ts("2024-01-01 12:00:00"), Some(30.0), true),
+      ("s3", ts("2024-01-01 13:00:00"), Some(40.0), false),
+      // leading bucket exists but has no known value before it → null
+      ("s4", ts("2024-01-01 10:00:00"), None, true),
+      ("s4", ts("2024-01-01 11:00:00"), Some(8.0), false),
+      ("s4", ts("2024-01-01 12:00:00"), Some(12.0), true),
+      ("s4", ts("2024-01-01 13:00:00"), Some(16.0), false)))
+  }
+
+  test("resampleInterp: trailing gaps hold the last known value") {
+    // known at 10:00 and 12:00, a NULL-mean bucket at 14:00 extends the
+    // grid past the last KNOWN bucket → 13:00/14:00 hold 30.0
+    val f = Seq(
+      ("s5", ts("2024-01-01 10:00:00"), Some(10.0)),
+      ("s5", ts("2024-01-01 12:00:00"), Some(30.0)),
+      ("s5", ts("2024-01-01 14:00:00"), None)
+    ).toDF("sensor", "dt", "v")
+    val got = TimeSeries.resampleInterp(f, "dt", "H", Seq("sensor"),
+        avg($"v"), "v")
+      .as[(String, Timestamp, Option[Double], Boolean)].collect().toSet
+    assert(got == Set(
+      ("s5", ts("2024-01-01 10:00:00"), Some(10.0), false),
+      ("s5", ts("2024-01-01 11:00:00"), Some(20.0), true),
+      ("s5", ts("2024-01-01 12:00:00"), Some(30.0), false),
+      ("s5", ts("2024-01-01 13:00:00"), Some(30.0), true),
+      ("s5", ts("2024-01-01 14:00:00"), Some(30.0), true)))
+  }
+
   test("funnel: ordered stage gates, stalls, ties, and full conversion") {
     val ev = Seq(
       // u1: full conversion in order
