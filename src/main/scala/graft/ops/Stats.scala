@@ -28,39 +28,72 @@ object Stats {
     *
     *   melt → groupBy (col, value) count [map-side combined — the big
     *   win: the exchange carries the compressed value DOMAIN, not rows]
-    *   → per-column cumulative rank window over distinct values
+    *   → TWO-LEVEL cumulative rank: each column's value range is cut
+    *     into ≤1024 equi-width buckets; bucket TOTALS get a cumulative
+    *     window over ≤1024 rows per column (trivially serial), local
+    *     cumsums within each (col, bucket) run in parallel, and
+    *     global rank = bucket offset + local rank.
     *   → each value covers ranks [lo, hi); the k=⌊(n−1)p⌋ and k+1
     *     covering values join against a broadcast (col, p, k) target
     *     relation and interpolate.
     *
     * `percentile` buffers every raw value into one merging reducer per
-    * column — at 100 TB that reducer IS the job. Here nothing ever
-    * holds raw rows: the shuffled relation is (col, distinct value,
-    * count), and the only per-column serial step is a sort of the
-    * distinct-value domain. Equality with `percentile` to the compared
-    * 6 decimals holds because both implement the same rank formula and
-    * the interpolation arithmetic is the same straight-line IEEE ops —
-    * verified by the unchanged agg_describe oracle at all three SFs.
+    * column — at 100 TB that reducer IS the job. A one-level
+    * `Window.partitionBy(col)` cumsum fixes the buffering but not the
+    * serialism: for a CONTINUOUS column, |distinct| ≈ |rows|, so the
+    * per-column window sort is O(rows) in ONE task — measured 3-4 s of
+    * this op's sf0.1 cost, and at 100 TB that task is the job. The
+    * two-level form bounds every serial step by the bucket count: the
+    * only single-task sorts are over ≤1024 bucket-total rows per
+    * column. Equi-width buckets can skew (a point-mass distribution
+    * lands in few buckets), but the within-bucket stage stays correct —
+    * skew costs parallelism, never exactness. Equality with
+    * `percentile` to the compared 6 decimals holds because both
+    * implement the same rank formula and the interpolation arithmetic
+    * is the same straight-line IEEE ops — verified by the unchanged
+    * agg_describe oracle at all three SFs.
     * Returns one row: `${c}__p25/p50/p75` per input column. */
   def exactQuantilesByCounting(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val B = 1024
     val melted = df.selectExpr(s"stack(${cols.size}, " +
         cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
         ") AS (cn, v)")
       .filter(col("v").isNotNull)
     val counts = melted.groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("cn").orderBy("v")
+    // per-column bounds/total from the already-compressed counts
+    // relation (tiny), broadcast back for bucketing
+    val stats = counts.groupBy("cn").agg(
+      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n"))
+    val bucketed = counts.join(broadcast(stats), Seq("cn"))
+      .withColumn("b",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("v") - col("mn"))
+            / ((col("mx") - col("mn")) / B)).cast("long"), lit(B - 1L))))
+      .drop("mn", "mx", "n")
+    // level 1: bucket totals → per-bucket global offsets (≤B rows per
+    // column through the serial window)
+    val offsets = bucketed.groupBy("cn", "b").agg(sum("cnt").as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(
+          Window.partitionBy("cn").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cn", "b", "off")
+    // level 2: local cumsum inside each (cn, b) partition — parallel
+    val wLoc = Window.partitionBy("cn", "b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("hi", sum(col("cnt")).over(w))
+    val cum = bucketed
+      .withColumn("local_hi", sum(col("cnt")).over(wLoc))
+      .join(broadcast(offsets), Seq("cn", "b"))
+      .withColumn("hi", col("off") + col("local_hi"))
       .withColumn("lo", col("hi") - col("cnt"))
     val psDf = {
       val spark = df.sparkSession
       import spark.implicits._
       ps.toDF("p")
     }
-    val targets = melted.groupBy("cn").agg(count(lit(1)).as("n"))
+    val targets = stats.select("cn", "n")
       .crossJoin(psDf)
       .select(col("cn"), col("p"),
         floor((col("n") - 1).cast("double") * col("p")).cast("long").as("k"),
