@@ -162,6 +162,36 @@ object IngestQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // §2.1 DYNAMIC partition pruning — static pruning's runtime sibling:
+    // which partitions to read is decided by a DIM-side predicate
+    // ("reprocess Mondays" against a calendar dim), so no literal date
+    // filter exists for the planner to push into the fact scan. Spark
+    // broadcasts the filtered dim and injects a dynamicpruning#N
+    // subquery into the scan's PartitionFilters (DppSpec pins it in the
+    // executed plan, reusing the join's broadcast — the probe costs no
+    // extra scan). At 100 TB the fact scan opens the 5 Monday
+    // directories, not all 30. Note the dim filter must be a SELECTIVE
+    // predicate (a comparison) — Spark's PartitionPruning rule ignores
+    // dims whose only filter is isnotnull (an agg/limit dim, say), a
+    // planner contract this entry deliberately stays inside.
+    "join_partition_prune" -> ((s, d) => {
+      val tmp = s"/tmp/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        Tables.events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+      }
+      val fact = s.read.parquet(tmp)
+      val mondays = s.sql(
+          "SELECT event_date, weekday(event_date) AS dow FROM (SELECT " +
+          "explode(sequence(DATE'2024-01-01', DATE'2024-12-31')) " +
+          "AS event_date)")
+        .filter(col("dow") === 0)
+      fact.join(broadcast(mondays), Seq("event_date"))
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // JSONL source — the dominant LLM-training-data interchange format.
     // Row-level quarantine (the reference moves WHOLE failing files to
     // problems/, datapump.py:648 — at scale one bad line must not dump a
@@ -450,6 +480,12 @@ object IngestQueries extends QueryPack {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type""".stripMargin,
+
+    "join_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
+        |GROUP BY 1""".stripMargin,
 
     // literal oracle pins Spark's PERMISSIVE semantics: unparseable
     // field / short row / extra token ⇒ quarantine; all-null and
