@@ -400,6 +400,54 @@ object StreamQueries extends QueryPack {
       s.read.parquet(outDir).select("doc_id", "body")
     }),
 
+    // streaming data-quality gate: two checkpointed micro-batches land
+    // per-batch (rule, n_violations) report partitions; the read side
+    // sums across batches, which must equal the batch-free computation
+    // over everything ever ingested (pinned by the literal oracle —
+    // three failing rules, one passing). Batch 1's bad timestamp proves
+    // the accumulation is really per-batch, not a rescan.
+    "stream_dq_checks" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_streamdq_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val src = base.resolve("src"); Files.createDirectories(src)
+      val outDir = base.resolve("report").toString
+      val ckpt = base.resolve("ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts_str",
+          org.apache.spark.sql.types.StringType)))
+      val rules = Seq(
+        "k_not_null" -> col("k").isNull,
+        "v_nonneg" -> (col("v") < 0),
+        "ts_parses" ->
+          (expr("try_to_timestamp(ts_str)").isNull && col("ts_str").isNotNull),
+        "v_under_1000" -> (col("v") >= 1000))
+      def runOnce(): Unit =
+        StreamOps.dqReportEachBatch(
+          StreamOps.fileStreamCsv(s, s"$src/*.csv", schema),
+          rules, outDir, Some(ckpt)).awaitTermination()
+      // batch 0: one null key, one negative value
+      Files.write(src.resolve("b0.csv"),
+        "k,v,ts_str\n1,1.5,2024-01-01 10:00:00\n,2.0,2024-01-01 11:00:00\n2,-5.0,2024-01-01 12:00:00\n"
+          .getBytes("UTF-8"))
+      runOnce()
+      // batch 1: one unparseable timestamp
+      Files.write(src.resolve("b1.csv"),
+        "k,v,ts_str\n3,4.0,not-a-timestamp\n4,0.5,2024-01-02 09:00:00\n"
+          .getBytes("UTF-8"))
+      runOnce()
+      s.read.parquet(outDir)
+        .groupBy("rule").agg(sum("n_violations").as("n_violations"))
+        .withColumn("pass", col("n_violations") === 0L)
+    }),
+
     // CSV file stream with a deterministic runtime fixture; oracle is a
     // literal VALUES table. Exercises schema-pinned streaming CSV ingest.
     "stream_ingest_files" -> ((s, d) => {
@@ -538,6 +586,12 @@ object StreamQueries extends QueryPack {
       """SELECT CAST(id AS BIGINT) AS doc_id, body
         |FROM (VALUES (1, 'alpha one'), (2, 'beta two'),
         |             (4, 'gamma three')) AS t(id, body)""".stripMargin,
+
+    "stream_dq_checks" ->
+      """SELECT rule, CAST(n AS BIGINT) AS n_violations, n = 0 AS pass
+        |FROM (VALUES ('k_not_null', 1), ('v_nonneg', 1),
+        |             ('ts_parses', 1), ('v_under_1000', 0))
+        |  AS t(rule, n)""".stripMargin,
 
     "stream_dedupe" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -836,6 +836,52 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming data-quality gate — stream_dq_checks. Each micro-batch
+    * computes all rule-violation counts in ONE pass (a single 1-row
+    * aggregate, map-side combined, melted to (rule, n_violations) rows)
+    * and lands them under its own `__batch_id` partition with dynamic
+    * overwrite — the same replay-idempotence construction as the
+    * incremental-dedupe sinks: a re-run batch overwrites exactly its
+    * own report partition. Readers get the corpus-lifetime report with
+    * `groupBy(rule).sum(n_violations)` — per-row rules sum across
+    * batches, so the accumulated report equals the batch-free
+    * computation over all input ever seen. `rules` maps rule name →
+    * VIOLATION predicate (true = row violates). */
+  def dqReportEachBatch(stream: DataFrame, rules: Seq[(String, Column)],
+      outDir: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dqReportBatch(batch, rules, outDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dqReportEachBatch]] — public so the replay
+    * contract is directly testable: calling this twice with the same
+    * `batchId` overwrites the same partition, leaving the summed report
+    * unchanged (StreamingSpec pins it). */
+  def dqReportBatch(batch: DataFrame, rules: Seq[(String, Column)],
+      outDir: String, batchId: Long): Unit = {
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      // coalesce: an empty batch must report 0, not null
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"v$i")
+    }
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', v$i" }.mkString(", ")
+    batch.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(outDir)
+  }
+
   /** Per-micro-batch JDBC upsert — stream_upsert_sink. The batch is
     * PK-deduped (keep the max of `orderCol` per key within the batch)
     * before hitting the sink, so replays and intra-batch dupes stay

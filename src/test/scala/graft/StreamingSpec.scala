@@ -710,4 +710,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(keys)
       .select("n_len", "n_fp").distinct().count() == 20)
   }
+
+  test("dq report batch fn is replay-idempotent (same batchId " +
+      "overwrites its own partition)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dq_replay").toString
+    val out = s"$base/report"
+    val rules = Seq(
+      "k_not_null" -> col("k").isNull,
+      "v_nonneg" -> (col("v") < 0.0))
+    val b0 = Seq((Option(1L), 1.0), (Option.empty[Long], -2.0))
+      .toDF("k", "v")
+    val b1 = Seq((Option(3L), -4.0)).toDF("k", "v")
+    StreamOps.dqReportBatch(b0, rules, out, 0L)
+    StreamOps.dqReportBatch(b1, rules, out, 1L)
+    def report = spark.read.parquet(out)
+      .groupBy("rule").agg(sum("n_violations").as("n"))
+      .as[(String, Long)].collect().toMap
+    val first = report
+    assert(first == Map("k_not_null" -> 1L, "v_nonneg" -> 2L))
+    // replay batch 1 (crash-recovery rerun): the report must not double
+    StreamOps.dqReportBatch(b1, rules, out, 1L)
+    assert(report == first, "replayed batch inflated the dq report")
+    // an EMPTY replacement batch still lands zeros, not nulls
+    StreamOps.dqReportBatch(b1.limit(0), rules, out, 2L)
+    assert(report == first)
+  }
 }
