@@ -329,4 +329,49 @@ object Stats {
     ranked.groupBy("row_idx").pivot("c", cols).agg(first("v"))
       .select((Seq("row_idx") ++ cols).map(col): _*)
   }
+
+  /** Population skewness and EXCESS kurtosis per group, from EXACT
+    * integer power sums — the describe-family third/fourth moments done
+    * cross-engine-deterministically.
+    *
+    * Why not `skewness()`/`kurtosis()`: (a) engines disagree on the
+    * definition (sample-bias-corrected vs population), and (b) any
+    * double power SUM depends on summation order, which no distributed
+    * engine pins. Both problems vanish by summing powers of the value
+    * in integer CENTS (2-decimal money ×`scale`): decimal(38,0) sums
+    * are exact and order-free (one ordinary partial-agg shuffle —
+    * nothing buffers), the exact sums convert to the same doubles on
+    * any engine, and from there the moment formula is a fixed
+    * straight-line IEEE sequence (no `pow` — libm pow is NOT
+    * correctly-rounded and differs across runtimes; sqrt and ×/÷ are).
+    * The oracle mirrors the formula token-for-token on HUGEINT sums.
+    * Fourth powers cap at ~1e31·rows, far under decimal(38,0)'s 1e38 —
+    * callers own that bound for their value domain. */
+  def skewKurtExact(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, scale: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df
+      .withColumn("__c",
+        round(col(valueCol) * scale).cast(DecimalType(20, 0)))
+      .withColumn("__c2", col("__c") * col("__c"))
+    val g = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__c")).cast("double").as("s1"),
+      sum(col("__c2")).cast("double").as("s2"),
+      sum(col("__c2") * col("__c")).cast("double").as("s3"),
+      sum(col("__c2") * col("__c2")).cast("double").as("s4"))
+    val mu = col("s1") / col("n")
+    val r2 = col("s2") / col("n")
+    val r3 = col("s3") / col("n")
+    val r4 = col("s4") / col("n")
+    // association mirrors the oracle SQL exactly: 3*mu*r2 = (3*mu)*r2
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    g.select(groupCols.map(col) ++ Seq(
+      col("n").cast("long").as("n"),
+      StableRound.round6(m3 / (sqrt(m2) * m2)).as("skew"),
+      StableRound.round6(m4 / (m2 * m2) - lit(3.0)).as("kurt_excess")): _*)
+  }
 }

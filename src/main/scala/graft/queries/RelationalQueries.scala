@@ -55,6 +55,35 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), StableRound.round6(avg("value")).as("avg_value"))
     }),
 
+    // BANDED range self-join via bin replication — the scale rewrite for
+    // an inequality-ONLY join (how many other orders are priced within
+    // ±100?): with no equi key, Catalyst can only nested-loop a pure
+    // range predicate (quadratic at 100 TB). Binning the band width and
+    // exploding each probe row into its 3 candidate bins turns it into
+    // an ordinary equi shuffle join with 3× replication of one side —
+    // candidates are only same-or-adjacent-bin pairs, and the exact
+    // band predicate re-filters inside the join. Arithmetic is integer
+    // CENTS (2-decimal money ×100), so the band boundary is exact on
+    // every engine — a double `abs(b−a) <= 100` and the oracle's
+    // `BETWEEN a−100 AND a+100` can disagree at the boundary under
+    // rounding, integers cannot. Left join keeps zero-neighbor orders.
+    "join_range_binned" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val binned = o.withColumn("bin", expr("cents div 10000"))
+      val probe = binned.withColumn("bin",
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+      val near = probe.as("a").join(binned.as("b"),
+          col("a.bin") === col("b.bin") &&
+          abs(col("b.cents") - col("a.cents")) <= 10000L &&
+          col("a.o_orderkey") =!= col("b.o_orderkey"))
+        .groupBy(col("a.o_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_near"))
+      o.select("o_orderkey").join(near, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    }),
+
     // as-of join: each event enriched with the user's latest order at or
     // before the event time (one-shuffle union+last implementation).
     "join_asof" -> ((s, d) =>
@@ -731,6 +760,18 @@ object RelationalQueries extends QueryPack {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // the oracle runs the straight inequality join (DuckDB plans its
+    // IEJoin over the integer band) — same pairs as the binned rewrite
+    "join_range_binned" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT a.o_orderkey, count(b.o_orderkey) AS n_near
+        |FROM o a LEFT JOIN o b
+        |  ON b.cents BETWEEN a.cents - 10000 AND a.cents + 10000
+        | AND b.o_orderkey <> a.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "win_first_last" ->
       """SELECT o_orderkey, o_orderstatus,

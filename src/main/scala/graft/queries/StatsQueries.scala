@@ -75,6 +75,14 @@ object StatsQueries extends QueryPack {
           max("l_extendedprice").as("hi"))
     }),
 
+    // third/fourth moments (population skewness + excess kurtosis) per
+    // group — see Stats.skewKurtExact for why the built-in skewness()/
+    // kurtosis() can never hash-match another engine and how exact
+    // integer power sums fix it
+    "agg_skew_kurt" -> ((s, d) =>
+      Stats.skewKurtExact(Tables.lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice")),
+
     // data-quality gate report — the pipeline pre-flight every landing
     // job needs: each rule a (rule, n_violations, pass) row. All five
     // scalar rules ride ONE scan of orders (map-side partial sums → a
@@ -131,6 +139,34 @@ object StatsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // HUGEINT power sums = Spark's decimal(38,0) sums, exactly; the
+    // moment formula below mirrors Stats.skewKurtExact token-for-token
+    // (same association, sqrt(m2)*m2 instead of pow)
+    "agg_skew_kurt" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(c) AS DOUBLE) AS s1,
+        |    CAST(sum(c*c) AS DOUBLE) AS s2,
+        |    CAST(sum((c*c)*c) AS DOUBLE) AS s3,
+        |    CAST(sum((c*c)*(c*c)) AS DOUBLE) AS s4
+        |  FROM b GROUP BY l_returnflag),
+        |r AS (SELECT l_returnflag, n,
+        |    s1/n AS mu, s2/n AS r2, s3/n AS r3, s4/n AS r4 FROM s),
+        |m AS (SELECT l_returnflag, n,
+        |    r2 - mu*mu AS m2,
+        |    r3 - 3.0*mu*r2 + 2.0*mu*mu*mu AS m3,
+        |    r4 - 4.0*mu*r3 + 6.0*mu*mu*r2 - 3.0*mu*mu*mu*mu AS m4
+        |  FROM r)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(m3 / (sqrt(m2) * m2) AS DECIMAL(27,12)), 6)
+        |    AS DOUBLE) AS skew,
+        |  CAST(round(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(27,12)), 6)
+        |    AS DOUBLE) AS kurt_excess
+        |FROM m""".stripMargin,
+
     "dq_checks" ->
       """WITH a AS (SELECT
         |    count(*) FILTER (o_orderkey IS NULL) AS v_pk,
