@@ -105,9 +105,14 @@ object TextOps {
     * different texts is vanishingly rare, and the engine-neutral
     * fingerprint makes the grouping reproducible in any oracle
     * engine). */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, maxTokens: Int, minQuality: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The STATELESS prefix of the curate rule chain (lang → length →
+    * quality) — every rule a pure per-row expression, so it runs
+    * unchanged on a streaming DataFrame. The duplicate rule is the one
+    * stateful member (a corpus-wide window) and is layered on by
+    * [[curate]]; streaming callers compose the incremental-dedupe key
+    * table upstream instead. */
+  def curateStatelessReason(textCol: String, minTokens: Int,
+      maxTokens: Int, minQuality: Double): Column = {
     val ts = tokens(col(textCol))
     val nTok = size(ts).cast("double")
     val stopArr = array(Seq("a", "the").map(lit): _*)
@@ -116,7 +121,6 @@ object TextOps {
         (lit(1.0) - size(filter(ts, t => array_contains(stopArr, t)))
           .cast("double") / nTok) * 0.3 +
         size(array_distinct(ts)).cast("double") / nTok * 0.3)
-    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     // same decision chain as langId (inlined: curate emits one row per
     // doc, so the rule must be an expression, not a joined frame)
     val pred = when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh")
@@ -127,13 +131,21 @@ object TextOps {
       .when(col(textCol).rlike("(^| )(der|die|das|und)( |$)"), "de")
       .when(col(textCol).rlike("(^| )(le|la|et|les)( |$)"), "fr")
       .otherwise("und")
-    val keeper = min(col(idCol))
-      .over(Window.partitionBy(length(norm), fingerprint(norm)))
-    val reason = when(pred === "und", "lang")
+    when(pred === "und", "lang")
       .when(size(ts) < minTokens, "too_short")
       .when(size(ts) > maxTokens, "too_long")
       .when(quality < minQuality, "quality")
-      .when(col(idCol) =!= keeper, "duplicate")
+  }
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxTokens: Int, minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val keeper = min(col(idCol))
+      .over(Window.partitionBy(length(norm), fingerprint(norm)))
+    val reason =
+      curateStatelessReason(textCol, minTokens, maxTokens, minQuality)
+        .when(col(idCol) =!= keeper, "duplicate")
     docs.select(col(idCol), reason.as("reject_reason"),
       reason.isNull.as("keep"))
   }

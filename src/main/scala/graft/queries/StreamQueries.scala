@@ -210,6 +210,27 @@ object StreamQueries extends QueryPack {
         outputMode = "append")
     }),
 
+    // the composed streaming corpus job: stateless curation (lang →
+    // length → quality — every rule a per-row expression, so the SAME
+    // chain as batch curate minus its corpus-window duplicate rule,
+    // which streaming composes via the incremental-dedupe tier instead)
+    // feeding continuous sequence packing whose offsets carry across
+    // micro-batches. Filter-then-state composes cleanly because the
+    // curation is a plain predicate on the streaming frame.
+    "stream_curate_pack" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = s.read.parquet(s"$d/documents.parquet")
+      val kept = StreamOps.fileStreamParquet(
+          s, s"$d/documents.parque*", batch.schema)
+        .filter(graft.ops.TextOps.curateStatelessReason(
+          "text", minTokens = 20, maxTokens = 90, minQuality = 0.58)
+          .isNull)
+      StreamOps.runToMemory(
+        StreamOps.packSequencesStream(
+          kept, "doc_id", "lang", "text", budgetTokens = 2048),
+        outputMode = "append")
+    }),
+
     // streaming incremental NEAR-DUP dedupe — the MinHash tier of
     // stream_incremental_dedupe: a doc never lands when its verified
     // Jaccard against anything already landed (or a lower-id
@@ -570,6 +591,25 @@ object StreamQueries extends QueryPack {
         |SELECT doc_id, lang, n_tokens, start_offset,
         |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
         |FROM c""".stripMargin,
+
+    // stateless-curate (withDup=false twin of the curate CTE) survivors
+    // through the same running-sum pack layout
+    "stream_curate_pack" ->
+      (TextQueries.curateCteSql(withDup = false) + """,
+        |sel AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  JOIN (SELECT doc_id FROM c WHERE keep) k USING (doc_id)),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_offset
+        |  FROM sel)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
+        |FROM packed""".stripMargin),
 
     // survivors = docs with no lower-id exact-Jaccard≥0.5 partner (the
     // proven dedupe_minhash_lsh pair CTE — LSH recall on this corpus is

@@ -243,8 +243,15 @@ object TextQueries extends QueryPack {
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
     * shared by the per-doc verdict oracle and the one-pass report
     * oracle, so the rule chain exists in exactly one SQL rendering. */
-  private[queries] def curateCteSql: String =
-    """WITH t AS (
+  private[queries] def curateCteSql: String = curateCteSql(true)
+
+  /** `withDup = false` drops the corpus-wide keeper window and the
+    * duplicate rule — the STATELESS rule chain, mirroring
+    * TextOps.curateStatelessReason for the streaming twin's oracle. */
+  private[queries] def curateCteSql(withDup: Boolean): String = {
+    val dupRule = if (withDup) """
+      |       WHEN doc_id <> keeper THEN 'duplicate'""" else ""
+    ("""WITH t AS (
       |  SELECT doc_id, text,
       |    len(string_split(text, ' ')) AS ntok,
       |    CAST(round(CAST(
@@ -263,7 +270,7 @@ object TextQueries extends QueryPack {
       |      WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
       |      WHEN regexp_matches(text, '(^| )(der|die|das|und)( |$)') THEN 'de'
       |      WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
-      |      ELSE 'und' END AS pred,
+      |      ELSE 'und' END AS pred""" + (if (withDup) """,
       |    min(doc_id) OVER (PARTITION BY
       |      length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
       |      list_reduce(
@@ -271,20 +278,19 @@ object TextQueries extends QueryPack {
       |          list_transform(string_split(
       |            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ''),
       |            c -> CAST(unicode(c) AS BIGINT))),
-      |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS keeper
+      |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS keeper""" else "") + """
       |  FROM documents),
       |c AS (SELECT doc_id, text,
       |  CASE WHEN pred = 'und' THEN 'lang'
       |       WHEN ntok < 20 THEN 'too_short'
       |       WHEN ntok > 90 THEN 'too_long'
-      |       WHEN q < 0.58 THEN 'quality'
-      |       WHEN doc_id <> keeper THEN 'duplicate' END AS reject_reason,
+      |       WHEN q < 0.58 THEN 'quality'""" + dupRule + """ END AS reject_reason,
       |  (CASE WHEN pred = 'und' THEN 'lang'
       |       WHEN ntok < 20 THEN 'too_short'
       |       WHEN ntok > 90 THEN 'too_long'
-      |       WHEN q < 0.58 THEN 'quality'
-      |       WHEN doc_id <> keeper THEN 'duplicate' END) IS NULL AS keep
-      |FROM t)""".stripMargin
+      |       WHEN q < 0.58 THEN 'quality'""" + dupRule + """ END) IS NULL AS keep
+      |FROM t)""").stripMargin
+  }
 
   /** tokenHash60 in DuckDB: the same two polynomial folds, combined
     * identically; all intermediates < 2^36 so no overflow either side. */
