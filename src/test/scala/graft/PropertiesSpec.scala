@@ -167,6 +167,74 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: exact-moment skewness is 0 on symmetric data, " +
+      "sign-flips under reflection") {
+    // symmetric multiset around m ⇒ m3 = 0 EXACTLY (integer sums), so
+    // skew = 0.0 with no tolerance needed — the whole point of exact
+    // power sums
+    val symGen = Gen.listOfN(12, Gen.choose(1, 5000)).map(_.flatMap(d =>
+      List(100000 + d, 100000 - d)))
+    cases(symGen, 4).foreach { cents =>
+      val df = cents.map(c => ("g", c / 100.0)).toDF("g", "v")
+      val row = graft.ops.Stats.skewKurtExact(df, Seq("g"), "v")
+        .select("skew").as[Double].collect()(0)
+      assert(row == 0.0, s"symmetric data skew = $row, want exact 0")
+    }
+    // reflection v -> 2m - v negates skewness exactly
+    val asymGen = Gen.listOfN(20, Gen.choose(1, 200000))
+    cases(asymGen, 4).foreach { cents =>
+      val df = cents.map(c => ("g", c / 100.0)).toDF("g", "v")
+      val refl = cents.map(c => ("g", (400000 - c) / 100.0)).toDF("g", "v")
+      def skew(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Stats.skewKurtExact(d, Seq("g"), "v")
+          .select("skew").as[Double].collect()(0)
+      assert(skew(df) == -skew(refl), "reflection must negate skewness")
+    }
+  }
+
+  test("property: resampleInterp on a gap-free series returns the " +
+      "bucket means unchanged") {
+    val gen = Gen.listOfN(30, Gen.choose(0.0, 100.0))
+    cases(gen, 4).foreach { vs =>
+      // one value per consecutive hour: grid == buckets, zero gaps
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("s", new java.sql.Timestamp(1704067200000L + i * 3600000L), v) }
+      val df = rows.toDF("g", "dt", "v")
+      val got = graft.ops.TimeSeries
+        .resampleInterp(df, "dt", "H", Seq("g"), avg($"v"), "v")
+        .select("dt", "v", "was_gap")
+        .as[(java.sql.Timestamp, Double, Boolean)].collect()
+      assert(got.forall(!_._3), "no gaps expected")
+      val byTs = got.map(r => (r._1.getTime, r._2)).toMap
+      rows.foreach { case (_, ts, v) =>
+        assert(byTs(ts.getTime) == v, "known buckets must pass through")
+      }
+    }
+  }
+
+  test("property: binned band join equals brute force") {
+    val gen = Gen.listOfN(40, Gen.choose(0L, 3000L))
+    cases(gen, 4).foreach { cs =>
+      val rows = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      val df = rows.toDF("id", "cents")
+      val band = 500L
+      val binned = df.withColumn("bin", expr(s"cents div $band"))
+      val probe = binned.withColumn("bin",
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+      val got = probe.as("a").join(binned.as("b"),
+          col("a.bin") === col("b.bin") &&
+          abs(col("b.cents") - col("a.cents")) <= band &&
+          col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val brute = rows.map { case (i, c) =>
+        i -> rows.count { case (j, c2) =>
+          j != i && math.abs(c2 - c) <= band }.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == brute, "bin replication must find exactly the band pairs")
+    }
+  }
+
   test("property: ts format/parse round-trips across the 4 formats") {
     val fmts = graft.ingest.CsvIngest.DefaultFormats
     val tsGen = Gen.choose(0L, 4102444800L).map(_ * 1000L) // whole seconds
