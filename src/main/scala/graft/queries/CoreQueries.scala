@@ -94,6 +94,44 @@ object CoreQueries extends QueryPack {
           Seq("event_type"), StableRound.round6(avg("value")), "value")
         .withColumnRenamed("ts", "bucket_start")),
 
+    // OHLC downsampling (pandas resample().ohlc()): open/close are the
+    // bucket's first/last value by event time — picked via max_by/min_by
+    // over an integer composite key ((ts − epoch)·1e6 + event_id stays
+    // under 2^63 and is EXACT, so the pick is tie-free and identical on
+    // every engine even when two events share a timestamp). One
+    // map-side-combined aggregation; at 100 TB this is the same cost
+    // class as agg_resample_mean.
+    "agg_resample_ohlc" -> ((s, d) => {
+      val key = (unix_micros(col("ts")) -
+        unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) *
+        lit(1000000L) + col("event_id")
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("bucket_start"))
+        .agg(
+          min_by(col("value"), key).as("open"),
+          round(max("value"), 2).as("high"),
+          round(min("value"), 2).as("low"),
+          max_by(col("value"), key).as("close"))
+    }),
+
+    // cohort retention matrix — the user-lifecycle report: users
+    // grouped by first-seen DAY (cohort; day-granular because this
+    // corpus is one month — week cohorts degenerate to a single row),
+    // counted distinct per weeks-since-cohort offset. Two aggregations,
+    // both on user_id partitioning: the first-seen min reuses the same
+    // hash exchange the distinct-count needs — no extra shuffle for the
+    // cohort tag.
+    "agg_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          expr("datediff(day, cohort_day) div 7").as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+    }),
+
     // §2.4 ordered event-funnel (view → click-after-view →
     // purchase-after-that-click), per user. The stage gates are ORDERED
     // mins — stage k's first instant must be ≥ stage k-1's — computed as
@@ -192,6 +230,32 @@ object CoreQueries extends QueryPack {
         |  (b.v IS NULL) AS was_gap
         |FROM g LEFT JOIN b
         |  ON g.event_type = b.event_type AND g.bucket_start = b.bucket_start""".stripMargin,
+
+    // same integer composite key picks open/close; arg_min/arg_max are
+    // DuckDB's min_by/max_by
+    "agg_resample_ohlc" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+        |  arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(TIMESTAMP '2024-01-01')) * 1000000 + event_id)
+        |    AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(TIMESTAMP '2024-01-01')) * 1000000 + event_id)
+        |    AS close
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // same grid construction as the ffill oracle (time_bucket's 15-min
     // boundaries coincide with Spark window()'s epoch alignment — both
