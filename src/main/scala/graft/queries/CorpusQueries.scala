@@ -218,6 +218,38 @@ object CorpusQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"),
           graft.StableRound.round6(col("__wkey")).as("wkey"))),
 
+    // the BLOOM tier of incremental dedup — the documented scale path
+    // of dedupe_incremental made code: the landed corpus's key table is
+    // folded into a ~9-bits/key bloom filter (1% fpp; mergeable
+    // distributed aggregate, broadcast once), incoming rows probe it
+    // map-side, and ONLY probe-positives reach the exact verification
+    // join. No false negatives ⇒ negatives are definitively new, and
+    // the exact semi-join confirms the positives — so the output is
+    // IDENTICAL to the exact tier (same oracle), while the join input
+    // shrinks from |incoming| to |dupes| + 1%·|fresh|. At 100 TB the
+    // filter is ~1 GB per billion landed keys (executor-resident) vs a
+    // key table that must shuffle or broadcast whole.
+    "dedupe_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      // injective (len, fp) combine: fp < 1e9+7 < the 1e9+9 multiplier
+      val key = (length(norm).cast("long") * lit(1000000009L) +
+        graft.ops.TextOps.fingerprint(norm))
+      val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(key.as("k"))
+      val bf = existing.stat.bloomFilter("k",
+        expectedNumItems = math.max(existing.count(), 1000L), fpp = 0.01)
+      val bfBc = s.sparkContext.broadcast(bf)
+      val might = udf((k: Long) => bfBc.value.mightContainLong(k))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), key.as("k"))
+      val dupIds = incoming.filter(might(col("k")))
+        .join(existing.distinct(), Seq("k"), "left_semi")
+        .select(col("doc_id"), lit(true).as("__dup"))
+      incoming.select("doc_id").join(dupIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__dup").isNull.as("is_new"))
+    }),
+
     // INCREMENTAL dedup — the steady-state ingestion shape: an incoming
     // batch is checked against the ALREADY-LANDED corpus without
     // re-deduping history. The existing side is reduced to 16-byte
@@ -574,6 +606,18 @@ object CorpusQueries extends QueryPack {
     // the oracle dedupes on the normalized TEXT itself; the Spark side
     // groups on its 16-byte (length, fingerprint) proxy — same grouping
     // in every realizable case (the dedupe_exact convention)
+    // bloom tier: no false negatives + exact confirmation of positives
+    // => same result as the exact tier, same oracle
+    "dedupe_incremental_bloom" ->
+      """WITH i AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |e AS (SELECT DISTINCT
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT i.doc_id, e.nrm IS NULL AS is_new
+        |FROM i LEFT JOIN e ON i.nrm = e.nrm""".stripMargin,
+
     "dedupe_incremental" ->
       """WITH i AS (SELECT doc_id,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm
