@@ -330,6 +330,114 @@ object Stats {
       .select((Seq("row_idx") ++ cols).map(col): _*)
   }
 
+  /** Per-GROUP exact quantiles — [[exactQuantilesByCounting]]'s grouped
+    * sibling (one value column, quantiles per group key instead of one
+    * global row). Same two-level rank construction, with every
+    * partitioning extended by the group key: the counts exchange
+    * carries (group, value) domains, bucket-total windows are ≤1024
+    * rows per group, within-bucket cumsums parallelize across
+    * (group, bucket), and the target relation (|groups|·|ps| rows)
+    * broadcasts. Returns one row per group with `p<pct>` columns. */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val B = 1024
+    val g = groupCols.map(col)
+    val vals = df.select(g :+ col(valueCol).cast("double").as("v"): _*)
+      .filter(col("v").isNotNull)
+    val counts = vals.groupBy(g :+ col("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy(g: _*).agg(
+      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n"))
+    val bucketed = counts.join(broadcast(stats), groupCols)
+      .withColumn("b",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("v") - col("mn"))
+            / ((col("mx") - col("mn")) / B)).cast("long"), lit(B - 1L))))
+      .drop("mn", "mx", "n")
+    val offsets = bucketed.groupBy(g :+ col("b"): _*)
+      .agg(sum("cnt").as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(
+          Window.partitionBy(g: _*).orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(g :+ col("b") :+ col("off"): _*)
+    val wLoc = Window.partitionBy(g :+ col("b"): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .withColumn("local_hi", sum(col("cnt")).over(wLoc))
+      .join(broadcast(offsets), groupCols :+ "b")
+      .withColumn("hi", col("off") + col("local_hi"))
+      .withColumn("lo", col("hi") - col("cnt"))
+    val psDf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      ps.toDF("p")
+    }
+    val targets = stats.select(g :+ col("n"): _*)
+      .crossJoin(psDf)
+      .select(g ++ Seq(col("p"),
+        floor((col("n") - 1).cast("double") * col("p")).cast("long")
+          .as("k"),
+        ((col("n") - 1).cast("double") * col("p")
+          - floor((col("n") - 1).cast("double") * col("p")))
+          .as("frac")): _*)
+    val q = cum.join(broadcast(targets), groupCols)
+      .filter(col("lo") <= col("k") + 1 && col("hi") > col("k"))
+      .groupBy(g ++ Seq(col("p"), col("frac")): _*)
+      .agg(
+        max(when(col("lo") <= col("k") && col("hi") > col("k"), col("v")))
+          .as("vk"),
+        max(when(col("lo") <= col("k") + 1 && col("hi") > col("k") + 1,
+          col("v"))).as("vk1"))
+      .select(g ++ Seq(col("p"),
+        (col("vk") + (coalesce(col("vk1"), col("vk")) - col("vk"))
+          * col("frac")).as("q")): _*)
+    val cells: Seq[Column] = ps.map(p =>
+      max(when(col("p") === p, col("q"))).as(s"p${(p * 100).toInt}"))
+    q.groupBy(g: _*).agg(cells.head, cells.tail: _*)
+  }
+
+  /** Welch two-sample t report from EXACT integer power sums — the
+    * A/B-test primitive, cross-engine-deterministic by the same
+    * construction as [[skewKurtExact]]: cent-scaled sums/sum-of-squares
+    * are exact and order-free (one conditional-aggregation pass over
+    * the fact table — both arms in one scan), the formula from there is
+    * straight-line IEEE (sqrt and ×/÷ only; the Welch–Satterthwaite dof
+    * squares by multiplication, never pow). */
+  def welchTTest(df: DataFrame, armCol: String, armA: String,
+      armB: String, valueCol: String, scale: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = round(col(valueCol) * scale).cast(DecimalType(20, 0))
+    def s1(arm: String) =
+      sum(when(col(armCol) === arm, c)).cast("double")
+    def s2(arm: String) =
+      sum(when(col(armCol) === arm, c * c)).cast("double")
+    def n(arm: String) =
+      count(when(col(armCol) === arm, lit(1))).cast("double")
+    val agg = df.agg(
+      n(armA).as("n1"), s1(armA).as("a1"), s2(armA).as("b1"),
+      n(armB).as("n2"), s1(armB).as("a2"), s2(armB).as("b2"))
+    val m1 = col("a1") / col("n1") / scale
+    val m2 = col("a2") / col("n2") / scale
+    // sample variance from raw moments, in original units (cents²/scale²)
+    val v1 = (col("b1") - col("a1") * col("a1") / col("n1"))
+      ./(col("n1") - 1.0) / scale / scale
+    val v2 = (col("b2") - col("a2") * col("a2") / col("n2"))
+      ./(col("n2") - 1.0) / scale / scale
+    val se1 = v1 / col("n1")
+    val se2 = v2 / col("n2")
+    val t = (m1 - m2) / sqrt(se1 + se2)
+    val dof = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1") - 1.0) + se2 * se2 / (col("n2") - 1.0))
+    agg.select(
+      col("n1").cast("long").as("n_a"),
+      col("n2").cast("long").as("n_b"),
+      StableRound.round6(m1).as("mean_a"),
+      StableRound.round6(m2).as("mean_b"),
+      StableRound.round6(t).as("t_stat"),
+      StableRound.round6(dof).as("dof"))
+  }
+
   /** Population skewness and EXCESS kurtosis per group, from EXACT
     * integer power sums — the describe-family third/fourth moments done
     * cross-engine-deterministically.

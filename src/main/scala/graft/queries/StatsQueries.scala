@@ -75,6 +75,24 @@ object StatsQueries extends QueryPack {
           max("l_extendedprice").as("hi"))
     }),
 
+    // per-GROUP exact quantiles — the groupBy().quantile() everyday op,
+    // via the grouped two-level counting relation (no buffering
+    // percentile, no per-group serial domain sort; Stats.groupedQuantiles)
+    "agg_quantiles_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Stats.groupedQuantiles(Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.5, 0.95))
+        .select(col("l_returnflag"),
+          graft.StableRound.round6(col("p50")).as("p50"),
+          graft.StableRound.round6(col("p95")).as("p95"))
+    }),
+
+    // Welch two-sample t report (A/B primitive) from exact cent power
+    // sums — see Stats.welchTTest for the determinism construction
+    "agg_ab_ttest" -> ((s, d) =>
+      Stats.welchTTest(Tables.events(s, d), "event_type",
+        "purchase", "view", "value")),
+
     // third/fourth moments (population skewness + excess kurtosis) per
     // group — see Stats.skewKurtExact for why the built-in skewness()/
     // kurtosis() can never hash-match another engine and how exact
@@ -139,6 +157,47 @@ object StatsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_quantiles_grouped" ->
+      s"""SELECT l_returnflag,
+        |  ${graft.StableRound.sql6("quantile_cont(l_extendedprice, 0.5)")}
+        |    AS p50,
+        |  ${graft.StableRound.sql6("quantile_cont(l_extendedprice, 0.95)")}
+        |    AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Stats.welchTTest token-for-token (HUGEINT = decimal sums,
+    // same association, sqrt/mul only)
+    "agg_ab_ttest" ->
+      s"""WITH a AS (SELECT
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS n1,
+        |    CAST(sum(CAST(round(value*100) AS HUGEINT))
+        |      FILTER (event_type = 'purchase') AS DOUBLE) AS a1,
+        |    CAST(sum(CAST(round(value*100) AS HUGEINT)
+        |        * CAST(round(value*100) AS HUGEINT))
+        |      FILTER (event_type = 'purchase') AS DOUBLE) AS b1,
+        |    CAST(count(*) FILTER (event_type = 'view') AS DOUBLE) AS n2,
+        |    CAST(sum(CAST(round(value*100) AS HUGEINT))
+        |      FILTER (event_type = 'view') AS DOUBLE) AS a2,
+        |    CAST(sum(CAST(round(value*100) AS HUGEINT)
+        |        * CAST(round(value*100) AS HUGEINT))
+        |      FILTER (event_type = 'view') AS DOUBLE) AS b2
+        |  FROM events),
+        |m AS (SELECT n1, n2,
+        |    a1/n1/100 AS m1, a2/n2/100 AS m2,
+        |    (b1 - a1*a1/n1)/(n1 - 1.0)/100/100 AS v1,
+        |    (b2 - a2*a2/n2)/(n2 - 1.0)/100/100 AS v2
+        |  FROM a),
+        |e AS (SELECT n1, n2, m1, m2, v1/n1 AS se1, v2/n2 AS se2 FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  ${graft.StableRound.sql6("m1")} AS mean_a,
+        |  ${graft.StableRound.sql6("m2")} AS mean_b,
+        |  ${graft.StableRound.sql6("(m1 - m2) / sqrt(se1 + se2)")}
+        |    AS t_stat,
+        |  ${graft.StableRound.sql6(
+           "(se1 + se2) * (se1 + se2) / (se1*se1/(n1 - 1.0) + se2*se2/(n2 - 1.0))")}
+        |    AS dof
+        |FROM e""".stripMargin,
+
     // HUGEINT power sums = Spark's decimal(38,0) sums, exactly; the
     // moment formula below mirrors Stats.skewKurtExact token-for-token
     // (same association, sqrt(m2)*m2 instead of pow)

@@ -113,6 +113,26 @@ class StatsSpec extends SparkSpec {
       got.getDouble(5) == expB(2))
   }
 
+  test("groupedQuantiles equals percentile() per group") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 95.0),
+      ("b", 5.0), ("b", null), ("b", 7.5),
+      ("c", 42.0) // single-row group
+    ).toDF("g", "v")
+    val got = Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .orderBy("g").collect()
+    val exp = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.5, 0.95))").as("q"))
+      .orderBy("g").collect()
+    exp.zip(got).foreach { case (e, g) =>
+      val qs = e.getSeq[Double](1)
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getDouble(1) == qs(0), s"p50 ${g.getDouble(1)} != ${qs(0)}")
+      assert(g.getDouble(2) == qs(1), s"p95 ${g.getDouble(2)} != ${qs(1)}")
+    }
+  }
+
   test("exactQuantilesByCounting: single row and all-equal columns") {
     import org.apache.spark.sql.functions._
     val one = Seq((7.0)).toDF("a")
