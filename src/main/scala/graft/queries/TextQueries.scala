@@ -223,6 +223,54 @@ object TextQueries extends QueryPack {
         "doc_id", "text", threshold = 0.5, blockCol = Some("lang"),
         broadcastDfreq = true)),
 
+    // threshold-tuning report: the near-dup pair relation histogrammed
+    // by jaccard band — the number every dedupe rollout decision reads
+    // ("how many more pairs does dropping the threshold 0.1 admit?").
+    // Reuses the prefix-filtered pair join; the banding is a map-only
+    // projection of the (already round-4) jaccard, mirrored exactly.
+    "dedupe_threshold_report" -> ((s, d) =>
+      TextDedupe.ngramJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", threshold = 0.5, blockCol = Some("lang"),
+          broadcastDfreq = true)
+        .groupBy((floor(col("jaccard") * 10) / 10).as("j_band"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // collocation mining: top-20 bigrams by pointwise mutual
+    // information (min support 5). All counts are exact integers; the
+    // PMI argument is one division of two exact sub-2^53 long products,
+    // and the single ln is compared at round-6 granularity (the
+    // math_funcs/lm_score precedent) — so the ranking is engine-exact,
+    // ties broken on the gram string.
+    "text_cooccurrence_pmi" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ts"))
+      val bg = tok.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ts)-1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))
+          .as("g"))
+      val cb = bg.groupBy("g").agg(count(lit(1)).as("cb"))
+      val cu = tok.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val n1 = tok.select(explode(col("ts")).as("w"))
+        .agg(count(lit(1)).as("n1"))
+      val n2 = bg.agg(count(lit(1)).as("n2"))
+      cb.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("g"), " ")(0))
+        .withColumn("w2", split(col("g"), " ")(1))
+        .join(cu.withColumnRenamed("w", "w1")
+          .withColumnRenamed("cu", "cu1"), "w1")
+        .join(cu.withColumnRenamed("w", "w2")
+          .withColumnRenamed("cu", "cu2"), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("g"), col("cb"),
+          graft.StableRound.round6(log(
+            (col("cb") * col("n1") * col("n1")) /
+            (col("n2") * col("cu1") * col("cu2")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("g"))
+        .limit(20)
+    }),
+
     // MinHash+LSH candidates verified exactly — matches the global exact
     // oracle because recall at s>=0.95 with b=8,r=4 is 1-3e-8 (see op doc)
     "dedupe_minhash_lsh" -> ((s, d) =>
@@ -491,6 +539,35 @@ object TextQueries extends QueryPack {
         .stripMargin,
 
     "dedupe_near_ngram" -> shingleCte(blocked = true),
+
+    "dedupe_threshold_report" ->
+      s"""SELECT floor(jaccard * 10) / 10 AS j_band, count(*) AS n_pairs
+         |FROM (
+         |${shingleCte(blocked = true)}
+         |) GROUP BY 1""".stripMargin,
+
+    // same exact integer products and single round-6 ln; DuckDB's
+    // string_split mirrors the token stream
+    "text_cooccurrence_pmi" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |bg AS (SELECT ts[i] || ' ' || ts[i+1] AS g
+         |       FROM tok, unnest(range(1, len(ts))) AS t(i)
+         |       WHERE len(ts) >= 2),
+         |cb AS (SELECT g, count(*) AS cb FROM bg GROUP BY g),
+         |cu AS (SELECT w, count(*) AS cu FROM (
+         |         SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+         |n1 AS (SELECT count(*) AS n1 FROM (SELECT unnest(ts) FROM tok)),
+         |n2 AS (SELECT count(*) AS n2 FROM bg),
+         |p AS (SELECT g, cb,
+         |    ${graft.StableRound.sql6(
+              "ln((cb * n1 * n1) / (n2 * cu1.cu * cu2.cu))")} AS pmi
+         |  FROM cb
+         |  JOIN cu cu1 ON cu1.w = split_part(cb.g, ' ', 1)
+         |  JOIN cu cu2 ON cu2.w = split_part(cb.g, ' ', 2)
+         |  CROSS JOIN n1 CROSS JOIN n2
+         |  WHERE cb.cb >= 5)
+         |SELECT g, cb, pmi FROM p
+         |ORDER BY pmi DESC, g LIMIT 20""".stripMargin,
 
     "dedupe_minhash_lsh" -> shingleCte(blocked = false),
     "dedupe_simhash" -> simhashSql,
