@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{StableRound, Tables}
 import graft.ops.{Dedupe, TimeSeries}
 
@@ -132,6 +133,50 @@ object CoreQueries extends QueryPack {
         .agg(count_distinct(col("user_id")).as("n_active"))
     }),
 
+    // gaps-and-islands: per-user consecutive-day activity streaks. The
+    // classic rewrite — day minus row_number() is CONSTANT within a
+    // consecutive run — turns streak detection into a group-by, no
+    // self-join, no recursive anything. Cost at 100 TB: one distinct on
+    // (user, day) (map-side combined — the raw event fan-in collapses
+    // before the exchange), one window sort per user, and the two
+    // roll-ups ride the user_id partitioning. All-integer output.
+    "win_gaps_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id").agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+    }),
+
+    // truncated EWMA (α = 1/2, 8 taps) per user over arrival order — the
+    // trend-smoothing primitive. Dyadic α makes every weight 2^-k EXACT:
+    // numerator and denominator are integer sums in cents·2^7, the only
+    // float ops are the final two divisions (single IEEE ops on the same
+    // operands in any engine ⇒ bit-identical). All 8 lags share ONE
+    // window spec ⇒ one exchange + one sort, k columns wide, same cost
+    // class as win_lag_delta regardless of tap count.
+    "agg_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val terms = (0 to 7).map { k =>
+        val lk = if (k == 0) col("c") else lag(col("c"), k).over(w)
+        (when(lk.isNotNull, lk * (1L << (7 - k))).otherwise(0L),
+          when(lk.isNotNull, lit(1L << (7 - k))).otherwise(0L))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      ev.select(col("user_id"), col("event_id"),
+        StableRound.round6(
+          num.cast("double") / den.cast("double") / 100.0).as("ewma"))
+    }),
+
     // §2.4 ordered event-funnel (view → click-after-view →
     // purchase-after-that-click), per user. The stage gates are ORDERED
     // mins — stage k's first instant must be ≥ stage k-1's — computed as
@@ -256,6 +301,46 @@ object CoreQueries extends QueryPack {
         |  count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "win_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days),
+        |s AS (SELECT user_id, anchor, count(*) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, max(len) AS longest_streak
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // numerator/denominator mirror the Spark lag chain term-for-term;
+    // the two divisions are the only float ops (deterministic IEEE)
+    "agg_ewma" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, event_id, c AS c0,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |    lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+        |    lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+        |    lag(c, 7) OVER w AS c7
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CAST(round(CAST(
+        |    CAST(c0*128 + coalesce(c1*64, 0) + coalesce(c2*32, 0)
+        |      + coalesce(c3*16, 0) + coalesce(c4*8, 0)
+        |      + coalesce(c5*4, 0) + coalesce(c6*2, 0)
+        |      + coalesce(c7, 0) AS DOUBLE)
+        |    / CAST(128 + (CASE WHEN c1 IS NULL THEN 0 ELSE 64 END)
+        |      + (CASE WHEN c2 IS NULL THEN 0 ELSE 32 END)
+        |      + (CASE WHEN c3 IS NULL THEN 0 ELSE 16 END)
+        |      + (CASE WHEN c4 IS NULL THEN 0 ELSE 8 END)
+        |      + (CASE WHEN c5 IS NULL THEN 0 ELSE 4 END)
+        |      + (CASE WHEN c6 IS NULL THEN 0 ELSE 2 END)
+        |      + (CASE WHEN c7 IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / 100.0 AS DECIMAL(27,12)), 6) AS DOUBLE) AS ewma
+        |FROM l""".stripMargin,
 
     // same grid construction as the ffill oracle (time_bucket's 15-min
     // boundaries coincide with Spark window()'s epoch alignment — both

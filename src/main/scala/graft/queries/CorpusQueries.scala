@@ -198,6 +198,22 @@ object CorpusQueries extends QueryPack {
         .orderBy("shuffle_key")
         .limit(100)),
 
+    // PER-GROUP deterministic fixed-size sample: bottom-20 of the seeded
+    // permutation key within each language — the stratified twin of
+    // sample_bottomk (same LCG, different seed). Spark's WindowGroupLimit
+    // rule turns the rank-filter into a per-partition top-k BEFORE the
+    // exchange, so at 100 TB each map task forwards ≤ k rows per group —
+    // the shuffle moves O(groups·k), never the corpus.
+    "sample_bottomk_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("shuffle_key")
+      CorpusOps.shuffleShard(Tables.documents(s, d), "doc_id",
+          seed = 17L, numShards = 1)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"), col("shuffle_key"), col("rk"))
+    }),
+
     // WEIGHT-BIASED deterministic sample: rank by scrambled-uniform /
     // weight and keep the bottom-k, so heavier documents (n_chars) are
     // proportionally more likely to survive — the sampling shape used
@@ -402,6 +418,17 @@ object CorpusQueries extends QueryPack {
         |    (r1 * 48271 + 13) % 1000000007 AS shuffle_key FROM r)
         |SELECT doc_id, shuffle_key FROM k
         |ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    "sample_bottomk_grouped" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    ((doc_id % 1000000007) * 48271 + 17) % 1000000007 AS r1
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |    (r1 * 48271 + 17) % 1000000007 AS shuffle_key FROM r),
+        |w AS (SELECT lang, doc_id, shuffle_key, row_number() OVER (
+        |    PARTITION BY lang ORDER BY shuffle_key) AS rk FROM k)
+        |SELECT lang, doc_id, shuffle_key, rk FROM w
+        |WHERE rk <= 20""".stripMargin,
 
     // same LCG scramble (seed 29) ranked by key/weight — the ORDER BY
     // uses the exact double; only the emitted column is rounded

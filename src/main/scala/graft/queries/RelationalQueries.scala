@@ -381,6 +381,52 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    // TPC-H Q5-shaped STAR-SCHEMA rollup: region ⊃ nation dims gate both
+    // ends of the fact (customer's nation must equal supplier's), revenue
+    // per nation over one order-year. The scale shape this entry pins:
+    // region/nation broadcast (5/25 rows — explicitly), customer/supplier
+    // sized for Catalyst/AQE to pick broadcast at test SF and shuffle at
+    // 100 TB, and the ONE unavoidable big-big exchange is lineitem⋈orders
+    // on the order key with the date filter pushed into the orders scan.
+    // Revenue is exact integer cents·(100−disc): sums are DECIMAL(38,0)
+    // (long would overflow at ~1e18 — real-scale safe), divided once at
+    // the end.
+    "agg_star_schema" -> ((s, d) => {
+      val rev = (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(rev).cast("double") / 10000.0).as("revenue"))
+    }),
+
+    // hierarchy ROLLUP (status ⊃ priority) with the grouping_id bitmask —
+    // the subtotal-report twin of agg_cube (cube = all 4 grouping sets,
+    // rollup = the 3 prefix sets). Total price is summed in exact integer
+    // cents (the CoreQueries agg idiom) so every subtotal row hashes
+    // identically cross-engine; one shuffle, Spark expands the grouping
+    // sets map-side before the exchange.
+    "agg_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("double") / 100.0).as("total_price"),
+          grouping_id().as("gid"))),
+
     // frame-explicit last_value/nth_value — the default-frame trap made
     // visible: with ORDER BY, the default frame ends at CURRENT ROW, so
     // last_value degenerates to the row itself. The frame here is pinned
@@ -760,6 +806,31 @@ object RelationalQueries extends QueryPack {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_star_schema" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |    (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // the oracle runs the straight inequality join (DuckDB plans its
     // IEJoin over the integer band) — same pairs as the binned rewrite

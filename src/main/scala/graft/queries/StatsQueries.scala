@@ -101,6 +101,31 @@ object StatsQueries extends QueryPack {
       Stats.skewKurtExact(Tables.lineitem(s, d), Seq("l_returnflag"),
         "l_extendedprice")),
 
+    // per-group z-score outlier gate (|value − μ| > 3σ, population σ) —
+    // the anomaly-flagging primitive, made hash-exact by clearing the
+    // denominators: |v−μ|>kσ ⇔ (n·c − S₁)² > k²·(n·S₂ − S₁²) in integer
+    // cents, so NO float mean/stddev ever exists to disagree at a
+    // boundary row. One agg pass to |groups| stat rows joined back
+    // (broadcast at any realistic group count); exact decimal — max
+    // magnitude here ~1e24, far inside DECIMAL(38,0). ~1.8% of rows
+    // fire at every SF (checked), so the gate is non-vacuous.
+    "agg_outlier_zscore" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast(DecimalType(20, 0)))
+      val st = ev.groupBy("event_type").agg(
+        count(lit(1)).cast(DecimalType(20, 0)).as("n"),
+        sum(col("c")).cast(dec).as("s1"),
+        sum(col("c") * col("c")).cast(dec).as("s2"))
+      val lhs = col("n").cast(dec) * col("c").cast(dec) - col("s1")
+      val rhs = col("n").cast(dec) * col("s2") - col("s1") * col("s1")
+      ev.join(st, "event_type")
+        .filter(lhs * lhs > rhs * lit(9))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // data-quality gate report — the pipeline pre-flight every landing
     // job needs: each rule a (rule, n_violations, pass) row. All five
     // scalar rules ride ONE scan of orders (map-side partial sums → a
@@ -225,6 +250,19 @@ object StatsQueries extends QueryPack {
         |  CAST(round(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(27,12)), 6)
         |    AS DOUBLE) AS kurt_excess
         |FROM m""".stripMargin,
+
+    // HUGEINT (128-bit) carries the same exact integers as Spark's
+    // DECIMAL(38,0); the inequality is evaluated with zero float ops
+    "agg_outlier_zscore" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS HUGEINT) AS c FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s1,
+        |    CAST(sum(c*c) AS HUGEINT) AS s2
+        |  FROM b GROUP BY 1)
+        |SELECT event_id, event_type, value
+        |FROM b JOIN s USING (event_type)
+        |WHERE (n*c - s1)*(n*c - s1) > 9*(n*s2 - s1*s1)""".stripMargin,
 
     "dq_checks" ->
       """WITH a AS (SELECT
