@@ -23,6 +23,7 @@ object SparkEntry {
     IngestQueries,
     StreamQueries,
     MultimodalQueries,
+    GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over a co-occurrence graph derived from the fact
+  * table — the relational face of the entity-graph work a training-data
+  * pipeline does (co-purchase affinity, link-graph shape metrics).
+  *
+  * The graph: vertices = parts, undirected edge (u, v) iff u and v ever
+  * appear in the same order (the classic market-basket projection of the
+  * order→part bipartite relation, reference analogue: the groupby
+  * surfaces of `datapump.py:287-327` have no graph tier — this extends
+  * the engine the way SURVEY §2.9 extends dedupe).
+  */
+object GraphQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // triangle count + degree-sum wedge count — the two shape metrics
+    // every link-graph health report starts with. The scale design is
+    // the point: edges are DEGREE-ORIENTED (low (deg,id) → high) before
+    // the wedge self-join, so each vertex's out-degree is bounded by
+    // O(√m) on any graph (arboricity argument) and the wedge
+    // intermediate is O(m^1.5) WORST-case instead of Σdeg² — the
+    // difference between a plan that survives a power-law web graph and
+    // one that dies on its hottest hub. The oracle counts the same
+    // orientation-INVARIANT quantities via the simple id-ordered 3-way
+    // join (fine in a single-node engine, ruinous on a hub at scale).
+    //   - n_paths2 (wedges, Σ deg·(deg−1)/2) comes off the degree table
+    //     map-side — no join.
+    //   - each triangle {a≺b≺c} is counted exactly once: only its
+    //     ≺-minimal vertex has two out-edges into it.
+    "graph_triangle_count" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      // total-order orientation key: (deg, id) packed into one long —
+      // ids are key-space ints (< 2^32), deg < 2^31, no collision
+      val ku = deg.select(col("x").as("u"),
+        (col("deg") * lit(1L << 32) + col("u")).as("ku"))
+      val kv = deg.select(col("x").as("v"),
+        (col("deg") * lit(1L << 32) + col("v")).as("kv"))
+      val oriented = edges.join(ku, "u").join(kv, "v").select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v"))
+          .as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u"))
+          .as("dst"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") &&
+          col("e1.dst") < col("e2.dst"))
+        .select(least(col("e1.dst"), col("e2.dst")).as("u"),
+          greatest(col("e1.dst"), col("e2.dst")).as("v"))
+      val nV = items.select("p").distinct()
+        .agg(count(lit(1)).as("n_vertices"))
+      val nE = edges.agg(count(lit(1)).as("n_edges"))
+      // Σ deg(deg−1) is even; halve AFTER the exact integer sum (a
+      // per-row `/2` would be double division in Spark)
+      val nP = deg.agg(sum(col("deg") * (col("deg") - 1)).as("s"))
+        .select((col("s") / 2).cast("long").as("n_paths2"))
+      val nT = wedges.join(edges, Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
+    }),
+
+    // degree distribution of the same graph — the power-law fingerprint
+    // (how hub-heavy is this corpus?). Two exact aggs riding one
+    // exchange class; output is #distinct-degrees rows, tiny at any SF.
+    "graph_degree_dist" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // id-ordered 3-way join — orientation-invariant counts, so the
+    // simple form must agree exactly with the degree-oriented plan
+    "graph_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |verts AS (SELECT count(DISTINCT p) AS n_vertices FROM items),
+        |en AS (SELECT count(*) AS n_edges FROM e),
+        |p2 AS (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT)
+        |    AS n_paths2 FROM deg),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_vertices, n_edges, n_paths2, n_triangles
+        |FROM verts, en, p2, tri""".stripMargin,
+
+    "graph_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1)
+        |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1"""
+        .stripMargin)
+}

@@ -152,6 +152,33 @@ object TextQueries extends QueryPack {
             .as("entropy"))
     }),
 
+    // lexical-richness report per (lang, source): type-token ratio +
+    // hapax-legomena rate — the crawl-quality signal that catches
+    // template/boilerplate collapse (TTR craters when one page is
+    // cloned across a source). Same two-level agg shape as
+    // text_entropy; the ratios divide two exact counts (single IEEE
+    // division) under the decimal bridge. At open-web scale the
+    // (lang, source, token) key hashes to 8 bytes exactly like the
+    // gram shuffles (count-only downstream ⇒ hash-invariant).
+    "text_ttr" -> ((s, d) => {
+      val perTok = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "source", "w").agg(count(lit(1)).as("c"))
+      perTok.groupBy("lang", "source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("lang"), col("source"), col("n_tokens"),
+          col("n_types"), col("n_hapax"),
+          graft.StableRound.round6(
+            col("n_types").cast("double") / col("n_tokens"))
+            .as("ttr"),
+          graft.StableRound.round6(
+            col("n_hapax").cast("double") / col("n_types"))
+            .as("hapax_rate"))
+    }),
+
     // top-5 trigrams per language by DOCUMENT frequency — the corpus
     // vocabulary report. Reuses the dedupe tier's codegen'd shingle
     // kernel (per-doc distinct grams ⇒ count(*) = doc frequency). The
@@ -489,6 +516,24 @@ object TextQueries extends QueryPack {
         |SELECT lang, n_tokens, n_vocab,
         |  ${graft.StableRound.sql6(
              s"${graft.StableRound.sql6("ln(n_tokens)")} - CAST(s AS DOUBLE) / n_tokens")} AS entropy
+        |FROM agg""".stripMargin,
+
+    "text_ttr" ->
+      s"""WITH tok AS (SELECT lang, source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT lang, source, w, count(*) AS c
+        |  FROM tok GROUP BY 1, 2, 3),
+        |agg AS (SELECT lang, source,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT lang, source, n_tokens, n_types, n_hapax,
+        |  ${graft.StableRound.sql6("CAST(n_types AS DOUBLE) / n_tokens")}
+        |    AS ttr,
+        |  ${graft.StableRound.sql6("CAST(n_hapax AS DOUBLE) / n_types")}
+        |    AS hapax_rate
         |FROM agg""".stripMargin,
 
     // same slice arithmetic as the decontamination 13-gram CTE, n=3

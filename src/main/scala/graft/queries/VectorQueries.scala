@@ -30,6 +30,33 @@ object VectorQueries extends QueryPack {
         "vec_id", "embedding", k = 3)
     }),
 
+    // k-NN CLASSIFICATION (k=5, majority vote): label every 20th vector
+    // from the labeled rest — the label-propagation / auto-labeling
+    // primitive over an embedding column. Brute-force scored (the exact
+    // tier; the ANN layouts are the 100 TB candidate path), but the
+    // OUTPUT is all-integer: votes are counts, the argmax key
+    // n_votes·256 − label is unique per label, so prediction needs no
+    // float comparison to hash-match — cos only orders the top-k, where
+    // ties fall to vec_id as in every vec_* entry.
+    "vec_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val train = emb.filter(col("vec_id") % 20 =!= 0)
+      val nn = VectorOps.cosineTopKBatch(train, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5)
+      val votes = nn
+        .join(train.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+      votes.groupBy("query_id").agg(
+          max_by(col("label"), col("n_votes") * 256 - col("label"))
+            .as("pred_label"),
+          max("n_votes").as("top_votes"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select("query_id", "pred_label", "top_votes", "true_label")
+    }),
+
     "vec_pairwise_join" -> ((s, d) =>
       VectorOps.pairwiseCosine(
         Tables.embeddings(s, d).select("vec_id", "label", "embedding"),
@@ -463,6 +490,28 @@ object VectorQueries extends QueryPack {
         |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q""".stripMargin,
+
+    // same scoring CTE as the topk oracles; votes/argmax are integer
+    "vec_knn_classify" -> (vCte +
+      """,
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm
+        |      FROM n WHERE vec_id % 20 = 0),
+        |t AS (SELECT vec_id, label, e, nrm FROM n WHERE vec_id % 20 <> 0),
+        |scored AS (SELECT q.query_id, t.vec_id, t.label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_dot_product(t.e, q.qe) / (t.nrm * q.qnrm) DESC,
+        |        t.vec_id) AS rk
+        |  FROM t, q),
+        |votes AS (SELECT query_id, label, count(*) AS n_votes
+        |  FROM scored WHERE rk <= 5 GROUP BY 1, 2),
+        |pred AS (SELECT query_id,
+        |    arg_max(label, n_votes * 256 - label) AS pred_label,
+        |    max(n_votes) AS top_votes
+        |  FROM votes GROUP BY 1)
+        |SELECT p.query_id, p.pred_label, p.top_votes,
+        |  emb.label AS true_label
+        |FROM pred p JOIN embeddings emb ON emb.vec_id = p.query_id"""
+        .stripMargin),
 
     "vec_cosine_topk" -> (vCte +
       """,
