@@ -133,6 +133,28 @@ object CoreQueries extends QueryPack {
         .agg(count_distinct(col("user_id")).as("n_active"))
     }),
 
+    // daily growth report: events / active users / NEW users / running
+    // cumulative uniques per day — the dashboard quartet. n_new comes
+    // from the first-seen projection (one groupBy(user) min), so the
+    // cumulative-distinct curve needs no distinct-over-window (which
+    // would buffer user sets); the final running sum orders a
+    // #days-sized frame — the single-partition window is a 30-row
+    // driver-side triviality here and stays bounded by calendar length,
+    // not data, at any scale.
+    "agg_user_growth" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("day").agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_active"))
+      val news = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      daily.join(news, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users",
+          sum("n_new").over(Window.orderBy("day")))
+    }),
+
     // gaps-and-islands: per-user consecutive-day activity streaks. The
     // classic rewrite — day minus row_number() is CONSTANT within a
     // consecutive run — turns streak detection into a group-by, no
@@ -301,6 +323,18 @@ object CoreQueries extends QueryPack {
         |  count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "agg_user_growth" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_active FROM ev GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |news AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1)
+        |SELECT daily.day, n_events, n_active,
+        |  coalesce(n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY daily.day)
+        |    AS BIGINT) AS cum_users
+        |FROM daily LEFT JOIN news ON daily.day = news.day""".stripMargin,
 
     "win_gaps_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -71,6 +71,39 @@ object GraphQueries extends QueryPack {
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
+    // common-neighbors link prediction over the REPEAT-co-purchase graph
+    // (edge support ≥ 2 — single co-occurrence is noise at basket scale,
+    // and the support filter is also the scale lever: it collapses the
+    // hub degrees that make naive wedge joins explode; the sym-join here
+    // runs on a graph whose Σdeg² is ~10⁴, not ~10⁸). Scores every
+    // non-adjacent pair by |common neighbors|, top-20 deterministic via
+    // the (score, u, v) total order. The symmetrized join is the honest
+    // semantics — common-neighbor counting needs ALL middles, so unlike
+    // the triangle entry there is no orientation trick; support-filter
+    // (or hub-cap) first is how this survives a power-law graph.
+    "graph_common_neighbors" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2)
+        .select("u", "v")
+      val sym = g.select(col("u").as("x"), col("v").as("y"))
+        .union(g.select(col("v").as("x"), col("u").as("y")))
+      val cand = sym.as("a")
+        .join(sym.as("b"),
+          col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("u"), col("b.y").as("v"))
+        .agg(count(lit(1)).as("n_common"))
+      cand.join(g, Seq("u", "v"), "left_anti")
+        .orderBy(col("n_common").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     // degree distribution of the same graph — the power-law fingerprint
     // (how hub-heavy is this corpus?). Two exact aggs riding one
     // exchange class; output is #distinct-degrees rows, tiny at any SF.
@@ -108,6 +141,23 @@ object GraphQueries extends QueryPack {
         |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT n_vertices, n_edges, n_paths2, n_triangles
         |FROM verts, en, p2, tri""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u AS x, v AS y FROM g
+        |  UNION ALL SELECT v AS x, u AS y FROM g),
+        |cand AS (SELECT a.y AS u, b.y AS v, count(*) AS n_common
+        |  FROM sym a JOIN sym b ON a.x = b.x AND a.y < b.y
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT cand.u, cand.v, cand.n_common FROM cand
+        |  LEFT JOIN g ON cand.u = g.u AND cand.v = g.v
+        |  WHERE g.u IS NULL)
+        |SELECT u, v, n_common FROM ne
+        |ORDER BY n_common DESC, u, v LIMIT 20""".stripMargin,
 
     "graph_degree_dist" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
