@@ -28,12 +28,24 @@ object Joins {
     *
     * Implementation is the scalable union trick, not join-then-prune:
     * tag both sides, union, and carry right values across with
-    * `last/first(ignoreNulls)` over (key, ts, side) orderings. This is
-    * ONE hash shuffle on the key with linear per-key state — no
+    * `last/first(ignoreNulls)` over (key, ts, side) orderings — no
     * |L_k|×|R_k| pair blow-up when a key has many rows on both sides,
     * which is what kills the naive equi-join-then-rank plan at 100 TB
     * (`nearest` sorts the same partitioning twice, once per direction —
     * still no pair materialization).
+    *
+    * SKEW: the carry window partitions by (key, time CHUNK), not by key
+    * alone, so a hot key (one sensor with years of readings) spreads
+    * across `history-span / chunkMicros` tasks instead of serializing
+    * into one. Cross-chunk matches are restored by a boundary carry:
+    * per (key, chunk) the best boundary candidate (latest right row for
+    * backward, earliest for forward) is aggregated into a tiny table —
+    * one row per key-chunk, never row-sized — the carry-in for each
+    * chunk is a window over THAT table ordered by chunk, and the result
+    * joins back on (key, chunk). A right row in an earlier chunk is
+    * strictly earlier in time than every row of later chunks, so the
+    * within-instant side/tie ordering (exact-match semantics) only ever
+    * resolves inside a single chunk and is unaffected by chunking.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -42,7 +54,9 @@ object Joins {
       rightValueCols: Seq[String],
       direction: String = "backward",
       allowExactMatches: Boolean = true,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      chunkMicros: Long = 86400000000L): DataFrame = {
+    require(chunkMicros > 0, "chunkMicros must be positive")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
     val l2 = left
@@ -57,7 +71,12 @@ object Joins {
         col(rightTs).cast("timestamp").as("__rts_v") +:
         rightValueCols.map(c => col(c).as(s"asof_$c"))): _*)
       .withColumn("__side", lit(0))
+    // chunk = monotone function of ts (floor-div by a positive constant),
+    // so chunk boundaries never split an instant: equal timestamps share
+    // a chunk and the exact-match side ordering stays intra-chunk.
     val u = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__chunk",
+        F.floor(F.unix_micros(col("__ts")) / F.lit(chunkMicros)))
     val valCols = rightValueCols.map(c => s"asof_$c")
     // ONE struct per right row (null for left rows), so the carried pick
     // is row-ATOMIC: a null right value column stays null in the output
@@ -66,13 +85,47 @@ object Joins {
     val carryStruct = F.when(col("__side") === 0,
       F.struct((col("__rts_v") +: valCols.map(col)): _*))
 
+    // Per-(key, chunk) boundary candidates: the right row a LATER chunk
+    // would pick looking backward is this chunk's max-(ts, tie) right
+    // row; an EARLIER chunk looking forward wants min-ts (max tie among
+    // its instant), i.e. max of (-ts, tie). Left rows get a null
+    // ordering struct, which max_by ignores. This table is one row per
+    // key-chunk — the "tiny boundary shuffle".
+    val ordB = F.when(col("__side") === 0,
+      F.struct(F.unix_micros(col("__ts")), col("__tie")))
+    val ordF = F.when(col("__side") === 0,
+      F.struct(-F.unix_micros(col("__ts")), col("__tie")))
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val bounds = u.groupBy(col(leftKey), col("__chunk")).agg(
+      F.max_by(carryStruct, ordB).as("__cb"),
+      F.max_by(carryStruct, ordF).as("__cf"))
+    val wPrev = Window.partitionBy(col(leftKey)).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(leftKey)).orderBy(col("__chunk").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carries = bounds
+      .withColumn("__prevc",
+        if (needB) F.last(col("__cb"), ignoreNulls = true).over(wPrev)
+        else F.lit(null))
+      .withColumn("__nextc",
+        if (needF) F.first(col("__cf"), ignoreNulls = true).over(wNext)
+        else F.lit(null))
+      .select(col(leftKey).as("__ck"), col("__chunk").as("__cc"),
+        col("__prevc"), col("__nextc"))
+    // Null-safe join keys: null-ts rows land in a null chunk group and
+    // null keys form their own group, exactly as the un-chunked window
+    // partitioning treated them.
+    val uj = u.join(carries,
+      col(leftKey) <=> col("__ck") && col("__chunk") <=> col("__cc"), "left")
+
     // backward: right rows sort BEFORE left at the same instant
     // (side 0 < 1), so "rightTs <= leftTs" is inclusive; among right
     // ties, tie asc makes last() pick the max tie-break. With
     // allowExactMatches=false (pandas semantics) the side sort FLIPS, so
     // same-instant right rows land after the left row — outside its
     // preceding frame — and the match becomes strictly-before.
-    val wB = Window.partitionBy(col(leftKey))
+    val wB = Window.partitionBy(col(leftKey), col("__chunk"))
       .orderBy(col("__ts").asc,
         if (allowExactMatches) col("__side").asc else col("__side").desc,
         col("__tie").asc)
@@ -81,7 +134,7 @@ object Joins {
     // (side desc: 1 < 0 reversed), so "rightTs >= leftTs" is inclusive;
     // tie desc makes first() pick the max tie-break at the nearest
     // instant. Exact-match exclusion flips the side sort symmetrically.
-    val wF = Window.partitionBy(col(leftKey))
+    val wF = Window.partitionBy(col(leftKey), col("__chunk"))
       .orderBy(col("__ts").asc,
         if (allowExactMatches) col("__side").desc else col("__side").asc,
         col("__tie").desc)
@@ -99,19 +152,26 @@ object Joins {
     def fDist(p: Column) = F.unix_micros(p.getField("__rts_v")) -
       F.unix_micros(col("__ts"))
 
+    // In-chunk pick wins when present (it is nearer than any carry-in);
+    // an empty in-chunk frame falls back to the cross-chunk boundary
+    // carry, restoring the exact un-chunked semantics.
     val withPick = direction match {
       case "backward" =>
-        u.withColumn("__p0", F.last(carryStruct, ignoreNulls = true).over(wB))
+        uj.withColumn("__p0", F.coalesce(
+            F.last(carryStruct, ignoreNulls = true).over(wB), col("__prevc")))
           .withColumn("__pick", gate(col("__p0"), bDist(col("__p0"))))
           .drop("__p0")
       case "forward" =>
-        u.withColumn("__p0", F.first(carryStruct, ignoreNulls = true).over(wF))
+        uj.withColumn("__p0", F.coalesce(
+            F.first(carryStruct, ignoreNulls = true).over(wF), col("__nextc")))
           .withColumn("__pick", gate(col("__p0"), fDist(col("__p0"))))
           .drop("__p0")
       case "nearest" =>
-        val both = u
-          .withColumn("__b0", F.last(carryStruct, ignoreNulls = true).over(wB))
-          .withColumn("__f0", F.first(carryStruct, ignoreNulls = true).over(wF))
+        val both = uj
+          .withColumn("__b0", F.coalesce(
+            F.last(carryStruct, ignoreNulls = true).over(wB), col("__prevc")))
+          .withColumn("__f0", F.coalesce(
+            F.first(carryStruct, ignoreNulls = true).over(wF), col("__nextc")))
           .withColumn("__b", gate(col("__b0"), bDist(col("__b0"))))
           .withColumn("__f", gate(col("__f0"), fDist(col("__f0"))))
           .drop("__b0", "__f0")
@@ -131,7 +191,8 @@ object Joins {
       acc.withColumn(c, col("__pick").getField(c))
     }
     out.filter(col("__side") === 1)
-      .drop("__ts", "__side", "__tie", "__rts_v", "__pick")
+      .drop("__ts", "__side", "__tie", "__rts_v", "__pick",
+        "__chunk", "__ck", "__cc", "__prevc", "__nextc")
   }
 
   /** Point-in-time (temporal) join: enrich each fact with the dimension

@@ -145,6 +145,70 @@ class JoinsSpec extends SparkSpec {
     assert(near(4L) == Some(100L)) // 2d == 2d tie -> backward
   }
 
+  test("asOfJoin hot key: history spreads across time chunks instead of " +
+      "one task, and cross-chunk boundary carry keeps results exact") {
+    // One key holds 90% of rows spread over ~40 days; with 1-day chunks
+    // the hot key's window work splits into ~40 groups instead of one.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val hour = 3600L * 1000L
+    val leftRows = (0 until 900).map { i =>
+      (i.toLong, 1L, new Timestamp(base + i * hour))
+    } ++ (900 until 1000).map { i =>
+      (i.toLong, 2L, new Timestamp(base + (i - 900) * hour))
+    }
+    // right rows every 7 hours, deliberately sparse so many chunks have
+    // left rows but no in-chunk right row (exercises the boundary carry)
+    val rightRows = (0 until 130).map { j =>
+      (1L, new Timestamp(base + j * 7 * hour), j.toLong, j * 1.0)
+    } ++ Seq((2L, new Timestamp(base + 5 * hour), 1000L, -1.0))
+    val left = leftRows.toDF("id", "key", "ts")
+    val right = rightRows.toDF("rkey", "rts", "rid", "rv")
+
+    // brute-force oracle per direction
+    def brute(dir: String): Map[Long, Option[Long]] =
+      leftRows.map { case (id, k, t) =>
+        val cands = rightRows.filter(_._1 == k)
+        val back = cands.filter(_._2.getTime <= t.getTime)
+          .sortBy(c => (c._2.getTime, c._3)).lastOption
+        val fwd = cands.filter(_._2.getTime >= t.getTime)
+          .sortBy(c => (-c._2.getTime, c._3)).lastOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t.getTime - b._2.getTime <= f._2.getTime - t.getTime)
+                Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        id -> pick.map(_._3)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = Joins.asOfJoin(left, right, "key", "rkey", "ts", "rts",
+        "rid", Seq("rid", "rv"), direction = dir)
+        .select("id", "asof_rid")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toMap
+      assert(got == brute(dir), s"direction=$dir")
+    }
+
+    // Skew evidence: the per-(key, chunk) group that the carry window
+    // partitions by is bounded — the hot key's 900+130 rows split into
+    // ~39 day-chunks, max group ≈ 24+4 rows, never the whole history.
+    val chunked = left.select(col("key"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("chunk"))
+      .unionByName(right.select(col("rkey").as("key"),
+        floor(unix_micros(col("rts")) / lit(86400000000L)).as("chunk")))
+      .groupBy("key", "chunk").count()
+    val hotGroups = chunked.filter(col("key") === 1L)
+    assert(hotGroups.count() >= 35, "hot key must span many chunk groups")
+    val maxGroup = hotGroups.agg(max("count")).as[Long].head()
+    assert(maxGroup <= 40,
+      s"max per-(key,chunk) group must be day-bounded, got $maxGroup")
+  }
+
   test("temporal join: half-open versions, open tail, unmatched facts") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val dim = Seq(
