@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.GraphOps
 
 /** Graph analytics over a co-occurrence graph derived from the fact
   * table — the relational face of the entity-graph work a training-data
@@ -34,10 +35,9 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = items.as("a")
-        .join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
+      // hub-capped pair builder (GraphOps.coOccurrencePairs): bounded
+      // per-task expansion instead of the quadratic per-order self-join
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
         .distinct()
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
@@ -85,10 +85,8 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val g = items.as("a")
-        .join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v")
         .agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2)
         .select("u", "v")
@@ -111,10 +109,7 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = items.as("a")
-        .join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
         .distinct()
       edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("coOccurrencePairs matches the self-join pair set on small baskets") {
+    val items = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 40L),
+      (3L, 50L) // singleton basket -> no pairs
+    ).toDF("o", "p")
+    val got = GraphOps.coOccurrencePairs(items, "o", "p")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L)))
+  }
+
+  test("hub basket: expansion is capped, not quadratic, and the plan is " +
+      "explode-based with no per-basket self-join") {
+    // one pathological 5000-item hub basket + a normal 3-item basket
+    val hub = (0 until 5000).map(i => (99L, i.toLong))
+    val normal = Seq((1L, 1L), (1L, 2L), (1L, 3L))
+    val items = (hub ++ normal).toDF("o", "p")
+    val pairs = GraphOps.coOccurrencePairs(items, "o", "p", cap = 64)
+    // hub contributes C(64,2)=2016 pairs (its 64 smallest ids), never
+    // C(5000,2)=12.5M; the normal basket is exact (C(3,2)=3)
+    assert(pairs.count() == 2016 + 3)
+    // capped hub keeps its 64 SMALLEST item ids: every hub pair has v<=63
+    val hubPairs = pairs.except(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v"))
+    assert(hubPairs.filter(col("v") > 63).count() == 0)
+    // exactness below the cap: the normal basket's pairs survive intact
+    assert(pairs.as[(Long, Long)].collect().toSet
+      .intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))).size == 3)
+    // plan evidence: pairs come from Generate (explode) over a hash-agg
+    // basket table — no join anywhere in the builder
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected explode in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("cap keeps the smallest item ids deterministically") {
+    val items = (0 until 100).reverse.map(i => (7L, i.toLong)).toDF("o", "p")
+    val pairs = GraphOps.coOccurrencePairs(items, "o", "p", cap = 5)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    val want = (for {
+      u <- 0 until 5; v <- (u + 1) until 5
+    } yield (u.toLong, v.toLong)).toSet
+    assert(got == want)
+  }
+}
