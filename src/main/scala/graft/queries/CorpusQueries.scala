@@ -253,9 +253,22 @@ object CorpusQueries extends QueryPack {
         graft.ops.TextOps.fingerprint(norm))
       val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
         .select(key.as("k"))
+      // Size the bloom from scan STATISTICS, not a count() pass — the
+      // count would re-run the normalize+fingerprint projection over all
+      // of history just to pick a capacity, doubling the history cost.
+      // File bytes / 64 over-estimates rows for document-sized records
+      // (over-sizing only widens the filter; fpp degrades gracefully if
+      // ever under-sized), so the filter build stays a single pass.
+      val estRows = docs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(docs.queryExecution.optimizedPlan.stats
+          .sizeInBytes.toLong / 64L)
       val bf = existing.stat.bloomFilter("k",
-        expectedNumItems = math.max(existing.count(), 1000L), fpp = 0.01)
+        expectedNumItems = math.max(estRows, 1000L), fpp = 0.01)
       val bfBc = s.sparkContext.broadcast(bf)
+      // scalar UDF probe: no public built-in probes a broadcast
+      // BloomFilter (might_contain wants a binary-literal aggregate), so
+      // this one filter is codegen-opaque — acceptable off the hot path
       val might = udf((k: Long) => bfBc.value.mightContainLong(k))
       val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), key.as("k"))
