@@ -47,6 +47,12 @@ case class PqEncode(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    // dimension guard: an undersized vector would otherwise read
+    // out-of-bounds UnsafeArrayData memory and yield garbage codes
+    if (x.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: expected vector of ${m * dsub} floats, " +
+          s"got ${x.numElements()}")
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -85,6 +91,11 @@ case class PqEncode(child: Expression,
       val best = ctx.freshName("best")
       val idx = ctx.freshName("idx")
       s"""
+         |if ($x.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: expected vector of ${m * dsub} floats, got "
+         |      + $x.numElements());
+         |}
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.NEGATIVE_INFINITY;

@@ -97,15 +97,14 @@ object CoreQueries extends QueryPack {
 
     // OHLC downsampling (pandas resample().ohlc()): open/close are the
     // bucket's first/last value by event time — picked via max_by/min_by
-    // over an integer composite key ((ts − epoch)·1e6 + event_id stays
-    // under 2^63 and is EXACT, so the pick is tie-free and identical on
-    // every engine even when two events share a timestamp). One
-    // map-side-combined aggregation; at 100 TB this is the same cost
-    // class as agg_resample_mean.
+    // over a (ts, event_id) STRUCT ordering key, tie-free for any time
+    // span (a packed scalar `micros·1e6 + id` overflows Long silently
+    // once the span passes ~106 days; struct comparison has no overflow
+    // to have). The oracle mirrors with DuckDB's ordered first/last
+    // aggregate. One map-side-combined aggregation; at 100 TB this is
+    // the same cost class as agg_resample_mean.
     "agg_resample_ohlc" -> ((s, d) => {
-      val key = (unix_micros(col("ts")) -
-        unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) *
-        lit(1000000L) + col("event_id")
+      val key = struct(col("ts"), col("event_id"))
       Tables.events(s, d)
         .groupBy(col("event_type"),
           date_trunc("day", col("ts")).as("bucket_start"))
@@ -303,14 +302,10 @@ object CoreQueries extends QueryPack {
     "agg_resample_ohlc" ->
       """SELECT event_type,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-        |  arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
-        |    - epoch_us(TIMESTAMP '2024-01-01')) * 1000000 + event_id)
-        |    AS open,
+        |  first(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS open,
         |  round(max(value), 2) AS high,
         |  round(min(value), 2) AS low,
-        |  arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
-        |    - epoch_us(TIMESTAMP '2024-01-01')) * 1000000 + event_id)
-        |    AS close
+        |  last(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS close
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "agg_retention" ->

@@ -273,21 +273,25 @@ object StreamQueries extends QueryPack {
       val k = col("o_orderkey")
       val nullC = lit(null).cast("bigint")
       val nullP = lit(null).cast("double")
+      // seq = deterministic intra-ts tiebreak (changelog position), so
+      // the latest-per-key pick is a TOTAL order even if two same-key
+      // changes ever share a ts — mirrors sink_cdc_apply's orderCols
       def chg(pred: org.apache.spark.sql.Column,
           key: org.apache.spark.sql.Column, cust: org.apache.spark.sql.Column,
-          price: org.apache.spark.sql.Column, op: String, ts: Long) =
+          price: org.apache.spark.sql.Column, op: String, ts: Long,
+          seq: Long) =
         snap.filter(pred).select(key.as("o_orderkey"),
           cust.as("o_custkey"), price.as("o_totalprice"),
-          lit(op).as("op"), lit(ts).as("ts"))
+          lit(op).as("op"), lit(ts).as("ts"), lit(seq).as("seq"))
       val changes =
         chg(k % 12 === 0, k, col("o_custkey"),
-          col("o_totalprice") + 50.0, "U", 1L)
-        .unionByName(chg(k % 15 === 0, k, nullC, nullP, "D", 2L))
+          col("o_totalprice") + 50.0, "U", 1L, 1L)
+        .unionByName(chg(k % 15 === 0, k, nullC, nullP, "D", 2L, 2L))
         .unionByName(chg(k % 9 === 0, k, col("o_custkey"),
-          col("o_totalprice") + 70.0, "U", 3L))
+          col("o_totalprice") + 70.0, "U", 3L, 3L))
         .unionByName(chg(k % 30 === 0, k + 3000000L, col("o_custkey"),
-          lit(2.0), "I", 1L))
-      val tmp = s"/tmp/graft_cdc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+          lit(2.0), "I", 1L, 4L))
+      val tmp = s"/tmp/graft_cdc_fixture_seq/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp))
         changes.write.mode("overwrite").parquet(tmp)
       val sink = graft.sink.JdbcSink("jdbc:derby:memory:streamcdc;create=true")
@@ -313,7 +317,7 @@ object StreamQueries extends QueryPack {
       finally conn.close()
       val q = StreamOps.cdcApplyEachBatch(
         StreamOps.fileStreamParquet(s, tmp, changes.schema),
-        sink, "st_cdc", Seq("o_orderkey"), Seq("ts"))
+        sink, "st_cdc", Seq("o_orderkey"), Seq("ts", "seq"))
       q.awaitTermination()
       // cross-batch ordering only equals the global latest-per-key pick
       // if the bounded log drains in one batch — assert, don't assume

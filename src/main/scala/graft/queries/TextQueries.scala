@@ -290,10 +290,16 @@ object TextQueries extends QueryPack {
         .join(cu.withColumnRenamed("w", "w2")
           .withColumnRenamed("cu", "cu2"), "w2")
         .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        // operands cast to double BEFORE multiplying: the integer product
+        // cb·n1² wraps Long silently past ~3e9 total tokens (and errors
+        // on the DuckDB side); IEEE double products round identically on
+        // both engines, so the ratio stays bit-identical cross-engine
         .select(col("g"), col("cb"),
           graft.StableRound.round6(log(
-            (col("cb") * col("n1") * col("n1")) /
-            (col("n2") * col("cu1") * col("cu2")))).as("pmi"))
+            (col("cb").cast("double") * col("n1").cast("double") *
+              col("n1").cast("double")) /
+            (col("n2").cast("double") * col("cu1").cast("double") *
+              col("cu2").cast("double")))).as("pmi"))
         .orderBy(col("pmi").desc, col("g"))
         .limit(20)
     }),
@@ -605,7 +611,8 @@ object TextQueries extends QueryPack {
          |n2 AS (SELECT count(*) AS n2 FROM bg),
          |p AS (SELECT g, cb,
          |    ${graft.StableRound.sql6(
-              "ln((cb * n1 * n1) / (n2 * cu1.cu * cu2.cu))")} AS pmi
+              "ln((cb::DOUBLE * n1::DOUBLE * n1::DOUBLE) / " +
+              "(n2::DOUBLE * cu1.cu::DOUBLE * cu2.cu::DOUBLE))")} AS pmi
          |  FROM cb
          |  JOIN cu cu1 ON cu1.w = split_part(cb.g, ' ', 1)
          |  JOIN cu cu2 ON cu2.w = split_part(cb.g, ' ', 2)

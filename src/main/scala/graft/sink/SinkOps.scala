@@ -65,16 +65,22 @@ object SinkOps {
     *     NO-OP (change detection — reloading a dimension snapshot daily
     *     must not mint spurious versions);
     *   - an update for an UNSEEN key inserts its first open version;
+    *   - an update for a key whose versions are ALL closed (an
+    *     externally end-dated key with no is_current row) re-opens it:
+    *     a new open version is born, history untouched;
     *   - closed (historical) versions pass through untouched.
     * Null-safe equality (`<=>`) on tracked columns: null → value is a
     * change, null → null is not.
     *
-    * Shape: ONE hash exchange class on the key — the dim outer-joins the
-    * (already small, one-row-per-key) update batch; every branch
-    * (pass-through, close, birth) is a projection of that join, unioned
-    * map-side. No window, no second shuffle: the "current version" is
+    * Shape: one hash exchange CLASS on the key — the dim left-joins the
+    * (already small, one-row-per-key) update batch for pass-through and
+    * closing, and the updates left-join the dim's CURRENT versions (≤1
+    * row per key) for births; both joins share the key partitioning, and
+    * births compare against the current row, not against `valid_from`
+    * nullness, which is what makes the all-closed-key case a birth
+    * instead of silent update loss. No window: the "current version" is
     * found by the is_current flag, not by ordering, so the cost at 100 TB
-    * is one shuffle of the dim — and none of it if both sides are
+    * is one shuffle class of the dim — and none of it if both sides are
     * pre-bucketed on the key. */
   def scd2Merge(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
       trackedCols: Seq[String],
@@ -85,13 +91,13 @@ object SinkOps {
     val u = trackedCols.foldLeft(updates) { (acc, c) =>
       acc.withColumnRenamed(c, s"__u_$c")
     }.withColumn("__u_present", lit(true))
-    val joined = dim.join(u, keyCols, "full_outer")
+    val joined = dim.join(u, keyCols, "left")
     val changed = trackedCols
       .map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
     val hasUpdate = col("__u_present").isNotNull
     // existing versions: closed ones and unchanged/un-updated current
     // ones pass through; a current version hit by a real change closes
-    val fromDim = joined.filter(col("valid_from").isNotNull)
+    val fromDim = joined
       .select(
         (keyCols.map(col) ++ trackedCols.map(col) :+
           col("valid_from") :+
@@ -99,11 +105,17 @@ object SinkOps {
             .otherwise(col("valid_to")).as("valid_to") :+
           when(col("is_current") && hasUpdate && changed, lit(false))
             .otherwise(col("is_current")).as("is_current")): _*)
-    // new versions: one per update that changed its key's current
-    // version, or whose key was never seen
-    val born = joined
-      .filter(hasUpdate &&
-        (col("valid_from").isNull || (col("is_current") && changed)))
+    // new versions: one per update whose key has no CURRENT version
+    // (never seen, or all versions closed) or whose current version
+    // changed — anti-ish left join against the ≤1-per-key current slice
+    val cur = dim.filter(col("is_current"))
+      .select((keyCols.map(col) ++
+        trackedCols.map(c => col(c).as(s"__d_$c")) :+
+        lit(true).as("__d_present")): _*)
+    val changedVsCur = trackedCols
+      .map(c => !(col(s"__u_$c") <=> col(s"__d_$c"))).reduce(_ || _)
+    val born = u.join(cur, keyCols, "left")
+      .filter(col("__d_present").isNull || changedVsCur)
       .select(
         (keyCols.map(col) ++
           trackedCols.map(c => col(s"__u_$c").as(c)) :+

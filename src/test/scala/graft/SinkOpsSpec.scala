@@ -134,6 +134,17 @@ class SinkOpsSpec extends SparkSpec {
       (2L, None, t1, None, true)))
   }
 
+  test("scd2: key with ONLY closed versions is re-opened by an update, " +
+      "not silently dropped") {
+    // externally end-dated key: no is_current row at all
+    val got = scd2(
+      dim((1L, "old", t0, Some(t1), false)),
+      Seq((1L, "back")).toDF("k", "attr"))
+    assert(got == Set(
+      (1L, "old", t0, Some(t1), false),   // history untouched
+      (1L, "back", t2, None, true)))      // update births a new version
+  }
+
   test("scd2: dim key untouched by the update batch passes through open") {
     val got = scd2(
       dim((1L, "a", t1, None, true), (2L, "b", t1, None, true)),
