@@ -797,6 +797,46 @@ object VectorOps {
 
   /** Pairwise cosine-similarity join with optional equality blocking.
     * blockCol None ⇒ full self-join (exact; quadratic — test scale only). */
+  /** IVF-cell-blocked near-duplicate pairs: candidates are generated
+    * ONLY within coarse-quantizer cells, then exact-cosine verified —
+    * the scale path for semantic dedup, replacing label/all-pairs
+    * blocking whose worst block degrades to quadratic. Each vector is
+    * assigned to its `nAssign` nearest cells (multi-probe assignment:
+    * a pair straddling a cell boundary still shares a cell as long as
+    * both rank it among their `nAssign` nearest — this is the recall
+    * knob, spec-pinned to 1.0 recall vs the exact tier on clustered
+    * data). The within-cell self-join keys on the cell id, so the
+    * candidate block size is corpus/nCentroids expected — raise
+    * `nCentroids` ∝ corpus so blocks stay bounded — and the exact
+    * verify keeps precision at 1 regardless of the quantizer.
+    * Duplicate candidates from pairs sharing several cells collapse
+    * with one distinct on the verified output. Output matches
+    * [[pairwiseCosine]] (id1 < id2, round-6 cos_sim) whenever recall
+    * is 1. */
+  def ivfPairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, nAssign: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(vectors, vecCol, nCentroids, seed = seed)
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(vecCol), typedlit(c.toSeq))).as("neg"),
+        lit(i).as("i"))
+    }: _*)
+    val v = withNorm(vectors, vecCol)
+      .withColumn("__cell",
+        explode(transform(slice(sort_array(scored), 1, nAssign),
+          s => s("i"))))
+    val a = v.select(v.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+    val b = v.select(v.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
+    a.join(b, col("a___cell") === col("b___cell") &&
+        col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol").as("id1"), col(s"b_$idCol").as("id2"),
+        (dot(col(s"a_$vecCol"), col(s"b_$vecCol")) /
+          (col("a___norm") * col("b___norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+  }
+
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String]): DataFrame = {
     val v = withNorm(vectors, vecCol)

@@ -76,6 +76,28 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // the SCALE path of semantic dedup: same closure, but candidate
+    // pairs come from IVF-cell blocking (VectorOps.ivfPairwiseCosine)
+    // instead of all-pairs — a giant cluster can no longer degrade
+    // candidate gen to quadratic-in-corpus; the exact-cosine verify
+    // keeps the pair relation identical (oracle = the SAME exact-pair
+    // recursive CTE as dedupe_embed_clusters; recall pinned by spec)
+    "dedupe_embed_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // nAssign=6: at this entry's LOW threshold (0.45 cosine ≈ 63°,
+      // a semantic-similarity band, not near-dup) matching pairs sit
+      // far apart, so each vector probes 6/16 cells for recall 1
+      // (measured 0 missed pairs at all three SFs); at near-dup
+      // thresholds (≥0.9) nAssign 2-3 suffices and blocking tightens
+      val pairs = graft.ops.VectorOps.ivfPairwiseCosine(emb, "vec_id",
+        "embedding", threshold = 0.45, nCentroids = 16, nAssign = 6)
+      Clusters.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // exact substring-span dedup (Lee et al. 2022): a 13-token span is
     // duplicated when it also occurs in a lower-id doc (keep-first);
     // gram-keyed exchanges move (gram, id) pairs, never documents
@@ -301,6 +323,28 @@ object CorpusQueries extends QueryPack {
     }),
   )
 
+  /** Exact embedding-cosine connected components — shared by
+    * dedupe_embed_clusters and the IVF-blocked tier (which must agree
+    * with the exact closure whenever its candidate recall is 1). */
+  private def embedClustersSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT id1, id2 FROM (
+       |${VectorQueries.vCte}
+       |SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+       |)),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |      UNION ALL SELECT id2, id1 FROM p),
+       |r AS (
+       |  SELECT vec_id AS v, vec_id AS l FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+       |)
+       |SELECT v AS vec_id, min(l) AS cluster_id,
+       |  (v = min(l)) AS is_keeper
+       |FROM r GROUP BY v""".stripMargin
+
   /** The decontamination verdict as a full statement (own WITH scope) —
     * shared by the standalone entry and the composed pipeline oracle. */
   private def decontamSql: String =
@@ -503,24 +547,12 @@ object CorpusQueries extends QueryPack {
          |FROM r GROUP BY v""".stripMargin,
 
     // same closure over the embedding-cosine pair relation
-    "dedupe_embed_clusters" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT id1, id2 FROM (
-         |${VectorQueries.vCte}
-         |SELECT a.vec_id AS id1, b.vec_id AS id2
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
-         |)),
-         |e AS (SELECT id1 AS src, id2 AS dst FROM p
-         |      UNION ALL SELECT id2, id1 FROM p),
-         |r AS (
-         |  SELECT vec_id AS v, vec_id AS l FROM embeddings
-         |  UNION
-         |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
-         |)
-         |SELECT v AS vec_id, min(l) AS cluster_id,
-         |  (v = min(l)) AS is_keeper
-         |FROM r GROUP BY v""".stripMargin,
+    "dedupe_embed_clusters" -> embedClustersSql,
+
+    // the IVF-blocked tier must converge to the SAME exact closure
+    // (its candidate blocking is recall-1 on this corpus; exact verify
+    // makes precision structural)
+    "dedupe_embed_ivf" -> embedClustersSql,
 
     // occurrence slicing mirrors ShingleArray.shingleOccurrences (n=13,
     // non-distinct); keep-first ownership = min doc_id per gram

@@ -31,6 +31,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.forall(p => p._1 < p._2)) // each pair exactly once
   }
 
+  test("ivfPairwiseCosine: recall 1 vs the exact tier on clustered data, " +
+      "cell-keyed candidate join (no all-pairs), precision structural") {
+    // four well-separated planted clusters, 30 vectors each, dim 8
+    val rnd = new scala.util.Random(7)
+    val anchors = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      c <- anchors.indices; i <- 0 until 30
+    } yield ((c * 30 + i).toLong,
+      anchors(c).map(x => x + rnd.nextFloat() * 0.2f).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = VectorOps.pairwiseCosine(df, "vec_id", "embedding",
+      threshold = 0.9, blockCol = None)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.ivfPairwiseCosine(df, "vec_id", "embedding",
+      threshold = 0.9, nCentroids = 8, nAssign = 3)
+    val got = ivf.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted clusters must produce exact pairs")
+    assert((exact -- got).isEmpty,
+      s"recall must be 1.0; missed ${(exact -- got).size} of ${exact.size}")
+    // precision is structural (exact verify): no pair below threshold
+    assert(got == exact)
+    // plan evidence: the candidate join keys on the IVF cell, so the
+    // block size is cell-bounded — never an id-only theta join
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("a___cell"), s"expected cell join key in:\n$plan")
+  }
+
   test("annCosineTopK candidates carry exact cosine scores (subset of " +
       "brute force) and find genuinely near duplicates") {
     val d = "/root/testdata/sf0.001"
