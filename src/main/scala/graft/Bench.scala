@@ -26,9 +26,15 @@ import org.apache.spark.sql.SparkSession
   * for those shapes; totals jump at round 6 for honesty, not regression
   * (PLANS.md §16).
   *
-  * stdout discipline: the JSON line is the ONLY stdout output and the last
-  * thing printed (driver parsers take the tail); anything human-facing
-  * goes to stderr. The line is also persisted to `bench_out.json`.
+  * stdout discipline: stdout carries exactly two JSON lines and nothing
+  * else — the FULL per-query line (persisted to `bench_out.json`), then a
+  * COMPACT summary line printed LAST. The driver's tail parser keeps only
+  * the final ~2000 chars of output; at ~200 queries the full line is ~5 KB
+  * and can never sit complete inside that window (BENCH_r05/r07 "parsed":
+  * null), so the compact line — total, sf, the 30 most expensive queries,
+  * and a pointer to `bench_out.json` for the rest — is sized to survive
+  * the window with the sbt trailer included. Anything human-facing goes
+  * to stderr.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,6 +93,13 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => }
     println(line)
+    // compact tail-parseable summary: top 30 queries by cost (~900 chars)
+    val top = results.toSeq.sortBy(-_._2).take(30)
+    val topQs = top.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$topQs,"queries_omitted":${results.size - top.size},""" +
+      s""""queries_file":"bench_out.json","sf":$sf}""")
     spark.stop()
   }
 }

@@ -52,12 +52,25 @@ object Main {
     }
   }
 
-  private def loadProps(path: String): Map[String, String] = {
+  private[graft] def loadProps(path: String): Map[String, String] = {
     val p = new Properties()
     val in = new FileInputStream(path)
     try p.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
-    p.asScala.toMap
+    // INI-dialect compatibility: the reference's own config quotes its
+    // values (`inputdir="./input"`, datapump.ini:1-9) and java
+    // Properties keeps the quotes verbatim — strip ONE matching pair of
+    // surrounding double or single quotes so the reference's config
+    // file works unchanged.
+    p.asScala.toMap.map { case (k, v) =>
+      val t = v.trim
+      val unq =
+        if (t.length >= 2 &&
+            ((t.head == '"' && t.last == '"') ||
+             (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
+        else t
+      k -> unq
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -25,6 +25,27 @@ class MainSpec extends AnyFunSuite {
     assert(conf("inputdir") == "input")
   }
 
+  test("loadProps strips the reference INI dialect's quoted values " +
+      "(datapump.ini works verbatim)") {
+    val f = java.nio.file.Files.createTempFile("graft-ini", ".ini")
+    java.nio.file.Files.writeString(f,
+      """inputdir="./input"
+        |processeddir="./processed"
+        |datecolumn="DateTime"
+        |dateformats="%y-%m-%d %H:%M:%S, %y/%m/%d %H:%M:%S"
+        |apikey='123456789'
+        |verbose=True
+        |""".stripMargin)
+    val props = Main.loadProps(f.toString)
+    assert(props("inputdir") == "./input")       // double quotes stripped
+    assert(props("apikey") == "123456789")       // single quotes stripped
+    assert(props("verbose") == "True")           // bare value untouched
+    assert(props("dateformats").startsWith("%y-")) // inner content intact
+    val conf = Main.resolveConfig(Nil, Map.empty, props)
+    assert(conf("inputdir") == "./input")
+    java.nio.file.Files.delete(f)
+  }
+
   test("dateformats round-trips through the |-separated encoding") {
     val conf = Main.resolveConfig(Nil, Map.empty, Map.empty)
     assert(conf("dateformats").split('|').toSeq ==
