@@ -67,21 +67,54 @@ object RelationalQueries extends QueryPack {
     // every engine — a double `abs(b−a) <= 100` and the oracle's
     // `BETWEEN a−100 AND a+100` can disagree at the boundary under
     // rounding, integers cannot. Left join keeps zero-neighbor orders.
+    // band-neighbor COUNT, pair-free: the output is a count, so it never
+    // needs the pair enumeration the naive bin-replication join does —
+    // that plan's intermediate is quadratic in value DENSITY (measured
+    // 82× over one 10× decade, PLANS.md §19: ~10× rows in every ±100.00
+    // band ⇒ ~100× pairs). Instead build the counting relation
+    // C(v) = #orders with cents ≤ v (two-level cumulative: within-bucket
+    // window + tiny bucket-offset window — the exact-quantile recipe, no
+    // global single-partition sort), then n_near(c) = C(c+10000) −
+    // C(c−10001) − 1 via two floor lookups. The lookups reuse asOfJoin
+    // on the VALUE axis (cents cast to timestamp seconds) with a
+    // constant key — safe precisely because the as-of windows are
+    // value-chunked, so the single key spreads across ~range/86400
+    // tasks instead of serializing. Everything is linear in rows.
     "join_range_binned" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val binned = o.withColumn("bin", expr("cents div 10000"))
-      val probe = binned.withColumn("bin",
-        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
-      val near = probe.as("a").join(binned.as("b"),
-          col("a.bin") === col("b.bin") &&
-          abs(col("b.cents") - col("a.cents")) <= 10000L &&
-          col("a.o_orderkey") =!= col("b.o_orderkey"))
-        .groupBy(col("a.o_orderkey").as("o_orderkey"))
-        .agg(count(lit(1)).as("n_near"))
-      o.select("o_orderkey").join(near, Seq("o_orderkey"), "left")
+      val cnt = o.groupBy("cents").agg(count(lit(1)).as("n"))
+        .withColumn("bkt", expr("cents div 100000"))
+      val wIn = Window.partitionBy("bkt").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // unpartitioned window is over DISTINCT BUCKETS only (range/1000
+      // cents-buckets, bounded regardless of row count)
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = cnt.groupBy("bkt").agg(sum("n").as("bt"))
+        .withColumn("c_off", coalesce(sum("bt").over(wOff), lit(0L)))
+      val cum = cnt.withColumn("c_in", sum("n").over(wIn))
+        .join(off.select("bkt", "c_off"), "bkt")
+        .select(col("cents").as("v"),
+          (col("c_in") + col("c_off")).as("cum"))
+        .withColumn("k", lit(1)).withColumn("vts", col("v").cast("timestamp"))
+      val targets = o.select(col("o_orderkey"), explode(array(
+          struct(lit("hi").as("side"), (col("cents") + 10000L).as("t")),
+          struct(lit("lo").as("side"), (col("cents") - 10001L).as("t"))))
+          .as("x"))
+        .select(col("o_orderkey"), col("x.side").as("side"),
+          col("x.t").cast("timestamp").as("tts"))
+        .withColumn("k", lit(1))
+      val looked = Joins.asOfJoin(targets, cum,
+        leftKey = "k", rightKey = "k", leftTs = "tts", rightTs = "vts",
+        rightTieBreak = "v", rightValueCols = Seq("cum"))
+      looked.groupBy("o_orderkey").agg(
+          max(when(col("side") === "hi",
+            coalesce(col("asof_cum"), lit(0L)))).as("chi"),
+          max(when(col("side") === "lo",
+            coalesce(col("asof_cum"), lit(0L)))).as("clo"))
         .select(col("o_orderkey"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+          (col("chi") - col("clo") - 1).as("n_near"))
     }),
 
     // as-of join: each event enriched with the user's latest order at or
