@@ -120,11 +120,16 @@ object TextQueries extends QueryPack {
         .withColumn("blk", substring(col("head"), 1, 2))
       val a = docs.toDF("d1", "lang", "h1", "blk")
       val b = docs.toDF("d2", "lang2", "h2", "blk2")
+      // banded levenshtein (threshold arg): the verify bails once edit
+      // distance exceeds 5 — O(len·k) per candidate instead of O(len²),
+      // exact for every kept pair (the -1 over-threshold sentinel is
+      // filtered; candidates themselves stay block-quadratic, the
+      // documented semantic cost — PLANS.md §19)
       a.join(b, col("lang") === col("lang2") && col("blk") === col("blk2") &&
           col("d1") < col("d2") &&
           abs(length(col("h1")) - length(col("h2"))) <= 5)
-        .withColumn("lev", levenshtein(col("h1"), col("h2")))
-        .filter(col("lev") <= 5)
+        .withColumn("lev", levenshtein(col("h1"), col("h2"), 5))
+        .filter(col("lev").between(0, 5))
         .select("d1", "d2", "lev")
     }),
 
