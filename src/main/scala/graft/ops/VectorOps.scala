@@ -837,6 +837,42 @@ object VectorOps {
       .distinct()
   }
 
+  /** Cross-set IVF-blocked cosine matches: which `queries` rows have a
+    * `corpus` row at-or-above `threshold` — the candidate engine of
+    * INCREMENTAL semantic dedup (a new batch checked against the landed
+    * corpus without rescoring corpus×corpus). The quantizer trains on
+    * the CORPUS side (the stable distribution); both sides multi-assign
+    * to `nAssign` nearest cells and candidates join per cell, so the
+    * per-batch cost is |batch|·(cell candidates), never |batch|×|corpus|.
+    * Returns distinct (qid, cid, cos_sim) verified pairs. Same recall
+    * contract as [[ivfPairwiseCosine]]: exact whenever both ends of a
+    * matching pair rank a shared cell among their nAssign nearest. */
+  def ivfCosineMatches(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nCentroids: Int = 16, nAssign: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(corpus, vecCol, nCentroids, seed = seed)
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(vecCol), typedlit(c.toSeq))).as("neg"),
+        lit(i).as("i"))
+    }: _*)
+    def withCells(df: DataFrame): DataFrame = withNorm(df, vecCol)
+      .withColumn("__cell",
+        explode(transform(slice(sort_array(scored), 1, nAssign),
+          s => s("i"))))
+    val q = withCells(queries)
+    val c = withCells(corpus)
+    val a = q.select(q.columns.map(x => col(x).as(s"a_$x")).toIndexedSeq: _*)
+    val b = c.select(c.columns.map(x => col(x).as(s"b_$x")).toIndexedSeq: _*)
+    a.join(b, col("a___cell") === col("b___cell"))
+      .select(col(s"a_$idCol").as("qid"), col(s"b_$idCol").as("cid"),
+        (dot(col(s"a_$vecCol"), col(s"b_$vecCol")) /
+          (col("a___norm") * col("b___norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+  }
+
   def pairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String]): DataFrame = {
     val v = withNorm(vectors, vecCol)

@@ -98,6 +98,27 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // INCREMENTAL semantic dedup — the vector twin of dedupe_incremental:
+    // an incoming embedding batch (vec_id%3==0) is checked against the
+    // landed corpus WITHOUT rescoring corpus×corpus. Candidates come
+    // from ivfCosineMatches (quantizer trained on the landed side, both
+    // sides multi-assigned to cells), so per-batch cost is
+    // |batch|·cell-candidates, never |batch|×|corpus|; the exact-cosine
+    // verify makes precision structural and the DuckDB oracle is the
+    // honest quadratic cross join.
+    "dedupe_embed_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val existing = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      val incoming = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val hits = graft.ops.VectorOps.ivfCosineMatches(
+        incoming, existing, "vec_id", "embedding", threshold = 0.45,
+        nCentroids = 16, nAssign = 6)
+        .select(col("qid").as("vec_id")).distinct()
+        .withColumn("__dup", lit(true))
+      incoming.select("vec_id").join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("__dup").isNull.as("is_new"))
+    }),
+
     // exact substring-span dedup (Lee et al. 2022): a 13-token span is
     // duplicated when it also occurs in a lower-id doc (keep-first);
     // gram-keyed exchanges move (gram, id) pairs, never documents
@@ -553,6 +574,17 @@ object CorpusQueries extends QueryPack {
     // (its candidate blocking is recall-1 on this corpus; exact verify
     // makes precision structural)
     "dedupe_embed_ivf" -> embedClustersSql,
+
+    // honest quadratic cross-set oracle for the IVF-blocked incremental
+    // tier (recall-1 blocking => identical verdicts)
+    "dedupe_embed_incremental" ->
+      s"""${VectorQueries.vCte},
+         |inc AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 3 = 0),
+         |ex AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 3 <> 0),
+         |hit AS (SELECT DISTINCT a.vec_id FROM inc a JOIN ex b
+         |  ON list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45)
+         |SELECT i.vec_id, hit.vec_id IS NULL AS is_new
+         |FROM inc i LEFT JOIN hit ON i.vec_id = hit.vec_id""".stripMargin,
 
     // occurrence slicing mirrors ShingleArray.shingleOccurrences (n=13,
     // non-distinct); keep-first ownership = min doc_id per gram

@@ -62,6 +62,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("a___cell"), s"expected cell join key in:\n$plan")
   }
 
+  test("ivfCosineMatches: cross-set matches equal the brute-force cross " +
+      "join on clustered data; corpus is never self-joined") {
+    val rnd = new scala.util.Random(11)
+    val anchors = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong,
+        anchors(i % 3).map(x => x + rnd.nextFloat() * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = mk(0 until 60)
+    val queries = mk(100 until 130)
+    val got = VectorOps.ivfCosineMatches(queries, corpus,
+      "vec_id", "embedding", threshold = 0.9, nCentroids = 6, nAssign = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // brute force cross-set reference
+    val cRows = corpus.as[(Long, Seq[Float])].collect()
+    val qRows = queries.as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val want = (for {
+      (qi, qv) <- qRows; (ci, cv) <- cRows if cos(qv, cv) >= 0.9
+    } yield (qi, ci)).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"missed ${(want -- got).size}, spurious ${(got -- want).size}")
+  }
+
   test("annCosineTopK candidates carry exact cosine scores (subset of " +
       "brute force) and find genuinely near duplicates") {
     val d = "/root/testdata/sf0.001"
