@@ -817,14 +817,7 @@ object VectorOps {
       threshold: Double, nCentroids: Int = 16, nAssign: Int = 3,
       seed: Long = 42L): DataFrame = {
     val centroids = ivfTrain(vectors, vecCol, nCentroids, seed = seed)
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dot(col(vecCol), typedlit(c.toSeq))).as("neg"),
-        lit(i).as("i"))
-    }: _*)
-    val v = withNorm(vectors, vecCol)
-      .withColumn("__cell",
-        explode(transform(slice(sort_array(scored), 1, nAssign),
-          s => s("i"))))
+    val v = multiAssign(withNorm(vectors, vecCol), vecCol, centroids, nAssign)
     val a = v.select(v.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
     val b = v.select(v.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
     a.join(b, col("a___cell") === col("b___cell") &&
@@ -835,6 +828,38 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       .distinct()
+  }
+
+  /** Multi-probe cell assignment: one row per (input row, cell) for the
+    * `nAssign` nearest coarse centroids — the shared candidate-blocking
+    * primitive of [[ivfPairwiseCosine]], [[ivfCosineMatches]] and the
+    * streaming embed dedupe. `slice` tolerates nAssign > #centroids
+    * (tiny quantizers assign to every cell — recall trivially 1). */
+  private[graft] def multiAssign(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], nAssign: Int): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(vecCol), typedlit(c.toSeq))).as("neg"),
+        lit(i).as("i"))
+    }: _*)
+    df.withColumn("__cell",
+      explode(transform(slice(sort_array(scored), 1, nAssign), s => s("i"))))
+  }
+
+  /** Exact-cosine verification of candidate (d1, d2) pairs: keeps pairs
+    * whose cosine meets `threshold`, reading d1 vectors from `left` and
+    * d2 vectors from `right` (id-pruned by the join — candidates bound
+    * the vector reads). */
+  private[graft] def verifyCosine(cand: DataFrame, left: DataFrame,
+      right: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val l = withNorm(left, vecCol).select(col(idCol).as("d1"),
+      col(vecCol).as("__v1"), col("__norm").as("__n1"))
+    val r = withNorm(right, vecCol).select(col(idCol).as("d2"),
+      col(vecCol).as("__v2"), col("__norm").as("__n2"))
+    cand.join(l, "d1").join(r, "d2")
+      .filter(dot(col("__v1"), col("__v2")) /
+        (col("__n1") * col("__n2")) >= threshold)
+      .select("d1", "d2")
   }
 
   /** Cross-set IVF-blocked cosine matches: which `queries` rows have a
@@ -852,14 +877,8 @@ object VectorOps {
       nCentroids: Int = 16, nAssign: Int = 6,
       seed: Long = 42L): DataFrame = {
     val centroids = ivfTrain(corpus, vecCol, nCentroids, seed = seed)
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dot(col(vecCol), typedlit(c.toSeq))).as("neg"),
-        lit(i).as("i"))
-    }: _*)
-    def withCells(df: DataFrame): DataFrame = withNorm(df, vecCol)
-      .withColumn("__cell",
-        explode(transform(slice(sort_array(scored), 1, nAssign),
-          s => s("i"))))
+    def withCells(df: DataFrame): DataFrame =
+      multiAssign(withNorm(df, vecCol), vecCol, centroids, nAssign)
     val q = withCells(queries)
     val c = withCells(corpus)
     val a = q.select(q.columns.map(x => col(x).as(s"a_$x")).toIndexedSeq: _*)

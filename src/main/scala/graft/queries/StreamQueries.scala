@@ -438,6 +438,52 @@ object StreamQueries extends QueryPack {
       s.read.parquet(outDir).select("doc_id", "body")
     }),
 
+    // streaming incremental SEMANTIC dedupe — the vector twin of
+    // stream_incremental_dedupe: run 1 lands two orthogonal embeddings;
+    // run 2's near-dup of a landed vector (cos≈0.98) is dropped against
+    // the PERSISTENT cell table, a fresh orthogonal vector lands, and
+    // an intra-batch near-dup of it (cos≈0.99) is dropped keep-first.
+    // Quantizer trains once on batch 0 and persists, so cell ids are
+    // stable across runs and replays.
+    "stream_embed_dedupe" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_embeddedupe_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val src = base.resolve("src").toString
+      val cellDir = base.resolve("cells").toString
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def runOnce(): Unit = {
+        val q = StreamOps.embedDedupeEachBatch(
+          StreamOps.fileStreamParquet(s, src, schema),
+          "vec_id", "embedding", cellDir, outDir, ckpt,
+          threshold = 0.9, nCentroids = 2, nAssign = 2)
+        q.awaitTermination()
+      }
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("append").parquet(src)
+      runOnce()
+      Seq((3L, Seq(0.98f, 0.199f, 0f, 0f)),   // cos vs landed 1 ≈ 0.98
+          (4L, Seq(0f, 0f, 1f, 0f)),          // fresh — lands
+          (5L, Seq(0f, 0f, 0.99f, 0.141f)))   // cos vs batch-mate 4 ≈ 0.99
+        .toDF("vec_id", "embedding")
+        .write.mode("append").parquet(src)
+      runOnce()
+      s.read.parquet(outDir)
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+    }),
+
     // streaming data-quality gate: two checkpointed micro-batches land
     // per-batch (rule, n_violations) report partitions; the read side
     // sums across batches, which must equal the batch-free computation
@@ -643,6 +689,12 @@ object StreamQueries extends QueryPack {
       """SELECT CAST(id AS BIGINT) AS doc_id, body
         |FROM (VALUES (1, 'alpha one'), (2, 'beta two'),
         |             (4, 'gamma three')) AS t(id, body)""".stripMargin,
+
+    // expected: run-1 embeddings land; run-2's cross-run near-dup (3)
+    // and intra-batch near-dup (5) are dropped, fresh vector 4 lands
+    "stream_embed_dedupe" ->
+      """SELECT CAST(id AS BIGINT) AS vec_id, CAST(4 AS INTEGER) AS n_dims
+        |FROM (VALUES (1), (2), (4)) AS t(id)""".stripMargin,
 
     "stream_dq_checks" ->
       """SELECT rule, CAST(n AS BIGINT) AS n_violations, n = 0 AS pass

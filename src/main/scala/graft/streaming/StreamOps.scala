@@ -517,6 +517,134 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of the streaming incremental SEMANTIC (embedding)
+    * dedupe — the vector tier of [[incrementalDedupeBatch]] /
+    * [[neardupDedupeBatch]], same replay-idempotence construction
+    * (`__batch_id` dynamic partition overwrite on both sinks):
+    *
+    *   1. quantizer STABILITY: centroids train once — on the first
+    *      batch — and persist beside the cell table; later batches (and
+    *      replays) reload them, so cell ids mean the same thing in every
+    *      epoch. A replayed batch 0 retrains deterministically (seeded
+    *      sample, identical input) and idempotently overwrites.
+    *   2. candidates = cell matches WITHIN the batch (lower id gates
+    *      higher — the all-prior convention) plus matches against the
+    *      PERSISTENT (id, cell) table of LANDED vectors;
+    *   3. exact-cosine verification joins candidate vectors back — the
+    *      history side from `outDir` pruned to candidate ids, so cell
+    *      buckets bound the history reads, never a corpus scan;
+    *   4. survivors land in `outDir`, their cell rows in `cellDir`,
+    *      both `__batch_id`-partitioned with dynamic overwrite; the
+    *      cell table folds into a generation partition past
+    *      `compactAfter` (the set-preserving append-then-delete fold).
+    *
+    * Scale shape: cell rows are (id, int) — vectors shuffle only inside
+    * the batch and as id-pruned history reads; per-batch cost is
+    * |batch|·cell-candidates, never |batch|×|corpus|. */
+  def embedDedupeBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cellDir: String, outDir: String,
+      threshold: Double = 0.9, nCentroids: Int = 16, nAssign: Int = 6,
+      compactAfter: Int = 16): Unit = {
+    import graft.ops.VectorOps
+    val spark = batch.sparkSession
+    val cellPath = new org.apache.hadoop.fs.Path(cellDir)
+    val fs = cellPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val centDir = cellDir.stripSuffix("/") + "_centroids"
+    val centroids: Array[Array[Float]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(centDir))) {
+        spark.read.parquet(centDir).orderBy("cell")
+          .select("vec").collect().map(_.getSeq[Float](0).toArray)
+      } else {
+        val sample = VectorOps.sampleUnitVectors(batch, vecCol, 4096, 42L)
+        val cs = VectorOps.ivfTrainOnSample(sample,
+          math.min(nCentroids, sample.length))
+        import spark.implicits._
+        cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cell", "vec")
+          .write.mode("overwrite").parquet(centDir)
+        cs
+      }
+    val cells = VectorOps.multiAssign(batch, vecCol, centroids, nAssign)
+      .select(col(idCol), col("__cell"))
+      .persist() // feeds intra-batch join, history join, and landing
+    try {
+      val a = cells.select(col(idCol).as("d1"), col("__cell"))
+      val b = cells.select(col(idCol).as("d2"), col("__cell"))
+      val candIntra = a.join(b, Seq("__cell"))
+        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+      val droppedIntra = VectorOps.verifyCosine(candIntra, batch, batch,
+        idCol, vecCol, threshold).select(col("d2").as(idCol))
+
+      // fold old cell partitions first (set-preserving, replay-safe)
+      val gen = -(batchId + 2)
+      val foldable = batchPartitionIds(fs, cellPath)
+        .filter(id => id != batchId && id != gen)
+      if (compactAfter > 0 && foldable.size > compactAfter) {
+        spark.read.parquet(cellDir)
+          .filter(col("__batch_id").isin(foldable: _*))
+          .select(idCol, "__cell").distinct()
+          .withColumn("__batch_id", lit(gen))
+          .write.mode("append").partitionBy("__batch_id").parquet(cellDir)
+        foldable.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(cellPath,
+            s"__batch_id=$id"), true)
+        }
+      }
+      val priorParts = batchPartitionIds(fs, cellPath).filter(_ != batchId)
+      val droppedHist = if (priorParts.isEmpty) droppedIntra.limit(0)
+      else {
+        val prior = spark.read.parquet(cellDir)
+          .filter(col("__batch_id").isin(priorParts: _*))
+          .select(col(idCol).as("d1"), col("__cell"))
+        val candHist = cells.select(col(idCol).as("d2"), col("__cell"))
+          .join(prior, Seq("__cell")).select("d1", "d2").distinct()
+        val histVecs = spark.read.parquet(outDir)
+          .select(col(idCol), col(vecCol))
+          .join(candHist.select(col("d1").as(idCol)).distinct(), idCol)
+        VectorOps.verifyCosine(candHist, histVecs, batch,
+          idCol, vecCol, threshold).select(col("d2").as(idCol))
+      }
+
+      val survivors = batch
+        .join(droppedIntra.union(droppedHist).distinct(),
+          Seq(idCol), "left_anti")
+        .persist() // pin before the two idempotent writes
+      try {
+        survivors
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+        VectorOps.multiAssign(survivors, vecCol, centroids, nAssign)
+          .select(col(idCol), col("__cell"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(cellDir)
+      } finally survivors.unpersist()
+    } finally cells.unpersist()
+  }
+
+  /** Streaming incremental SEMANTIC dedupe: never land an embedding
+    * whose verified cosine against anything already landed (or a
+    * lower-id batch member) meets `threshold` — same contract shape as
+    * [[neardupDedupeEachBatch]] on the IVF-cell relation instead of
+    * MinHash bands. */
+  def embedDedupeEachBatch(stream: DataFrame, idCol: String,
+      vecCol: String, cellDir: String, outDir: String, ckptDir: String,
+      threshold: Double = 0.9, nCentroids: Int = 16, nAssign: Int = 6,
+      compactAfter: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embedDedupeBatch(batch, batchId, idCol, vecCol, cellDir,
+          outDir, threshold, nCentroids, nAssign, compactAfter)
+      }
+      .start()
+
   /** Streaming SEQUENCE PACKING — the incremental twin of
     * `CorpusOps.packSequences`: continuous ingestion keeps APPENDING to
     * each group's contiguous token stream (concat-then-chunk layout)

@@ -682,6 +682,39 @@ class StreamingSpec extends SparkSpec {
     assert(landed == Set(1L, 2L, 4L))
   }
 
+  test("embed dedupe batch fn: cross-batch + intra-batch near-dups drop, " +
+      "replay overwrites instead of duplicating, quantizer is stable") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_embreplay")
+    val cells = base.resolve("cells").toString
+    val out = base.resolve("out").toString
+    val b0 = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    StreamOps.embedDedupeBatch(b0, 0L, "vec_id", "embedding", cells, out,
+      threshold = 0.9, nCentroids = 2, nAssign = 2)
+    assert(spark.read.parquet(out).count() == 2)
+    // centroids persisted once beside the cell table
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cells.stripSuffix("/") + "_centroids")))
+
+    // replay batch 0 verbatim: must overwrite its own partition
+    StreamOps.embedDedupeBatch(b0, 0L, "vec_id", "embedding", cells, out,
+      threshold = 0.9, nCentroids = 2, nAssign = 2)
+    assert(spark.read.parquet(out).count() == 2, "replay duplicated")
+
+    // batch 1: near-dup of landed 1 drops, fresh lands, intra-batch
+    // near-dup of the fresh drops (keep-first)
+    val b1 = Seq(
+      (3L, Seq(0.98f, 0.199f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0.99f, 0.141f))).toDF("vec_id", "embedding")
+    StreamOps.embedDedupeBatch(b1, 1L, "vec_id", "embedding", cells, out,
+      threshold = 0.9, nCentroids = 2, nAssign = 2)
+    val landed = spark.read.parquet(out)
+      .select("vec_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 4L))
+  }
+
   test("incremental dedupe key table stays bounded under many epochs " +
       "(threshold-triggered compaction) with results unchanged") {
     import graft.streaming.StreamOps
