@@ -482,4 +482,109 @@ object Stats {
       StableRound.round6(m3 / (sqrt(m2) * m2)).as("skew"),
       StableRound.round6(m4 / (m2 * m2) - lit(3.0)).as("kurt_excess")): _*)
   }
+
+  /** Rolling-median/MAD anomaly flags — the ROBUST twin of the z-score
+    * gate ([[skewKurtExact]]'s sibling `agg_outlier_zscore`): mean/σ
+    * themselves move when the window contains the anomaly, median/MAD
+    * don't (breakdown point 50% vs 0%), which is why monitoring
+    * pipelines flag on the robust score. Per key, over the 25-row
+    * centered window in (ts, id) order: flag rows with
+    * |x − median| > 3 · 1.4826 · MAD (the Gaussian-consistent MAD
+    * scaling), interior rows only (full windows — edge windows have a
+    * different breakdown and every engine pads them differently).
+    *
+    * Exactness: values are integer cents, the window is collected and
+    * sorted as a 25-int array (median = element 13), deviations stay
+    * integer, and the gate is cleared of floats entirely —
+    * 10000·|x − med| > 44478·MAD in int64 (44478 = ⌈3·1.4826·10⁴⌉ —
+    * exact threshold representation, no double compare at the
+    * boundary). Max magnitude ~4.4e4·1e12 cents, far inside int64.
+    *
+    * Scale: one window pass per key partition; the collected frame is
+    * O(w) per row — w=25 ints, trivially in-memory — and keys
+    * parallelize across the cluster. No global sort, no driver state. */
+  def rollingMadOutliers(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, halfWidth: Int = 12): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-halfWidth, halfWidth)
+    val full = 2 * halfWidth + 1
+    val mid = halfWidth + 1 // 1-based middle of a sorted full window
+    val withArr = df
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__arr", collect_list(col("__c")).over(w))
+      .filter(size(col("__arr")) === full)
+      .withColumn("__med",
+        element_at(sort_array(col("__arr")), mid))
+      .withColumn("__mad",
+        element_at(sort_array(transform(col("__arr"),
+          x => abs(x - col("__med")))), mid))
+    withArr
+      .filter(abs(col("__c") - col("__med")) * 10000L >
+        col("__mad") * 44478L)
+      .select(col(idCol), col(keyCol), col(tsCol), col(valueCol),
+        col("__med").as("med_cents"), col("__mad").as("mad_cents"))
+  }
+
+  /** Exact Gini coefficient of a per-key total (spend concentration —
+    * the inequality number every revenue/corpus-balance report carries),
+    * WITHOUT a global single-partition rank window.
+    *
+    * Identity: with x sorted ascending and 1-based ranks i,
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Ties make Σi·xᵢ
+    * order-independent (equal x under any tie permutation), so group by
+    * VALUE v with multiplicity m_v and rank-prefix F_v = #rows < v:
+    * Σi·xᵢ = Σ_v v·(m_v·F_v + m_v(m_v+1)/2).
+    *
+    * F_v comes from the exact-quantile recipe's TWO-LEVEL cumulative
+    * ([[exactQuantilesByCounting]]): ≤1024 equi-width buckets, a serial
+    * window only over the ≤1024 bucket totals, parallel local cumsums
+    * within buckets — every serial step bounded by the bucket count, so
+    * the op survives a 100 TB key domain where a global
+    * `row_number().over(orderBy(...))` serializes the dataset into one
+    * task. All sums are exact decimal; the final ratio is one
+    * straight-line double op mirrored in the oracle. */
+  def giniByCounting(totals: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val B = 1024
+    val dec = DecimalType(38, 0)
+    val g = totals.select(col(valueCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("m"))
+    val bounds = g.agg(min("v").as("mn"), max("v").as("mx"))
+    val bucketed = g.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("v") - col("mn")).cast("double")
+            / ((col("mx") - col("mn")).cast("double") / B)).cast("long"),
+            lit(B - 1L))))
+      .drop("mn", "mx")
+    val offsets = bucketed.groupBy("b").agg(sum("m").as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    val wLoc = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed
+      .withColumn("localF", coalesce(sum(col("m")).over(wLoc), lit(0L)))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("f", col("off") + col("localF"))
+    // Σ i·x per value group, in exact decimal: v·(m·F + m(m+1)/2).
+    // m(m+1) is even so the `div` is exact, and it stays in int64
+    // (m ≤ rows); only the cross products go through decimal.
+    val six = (col("v").cast(dec) *
+      (col("m").cast(dec) * col("f").cast(dec) +
+        expr("m * (m + 1) div 2").cast(dec)))
+    val a = ranked.agg(
+      sum(col("m")).cast(dec).as("n"),
+      sum(col("v").cast(dec) * col("m").cast(dec)).as("sx"),
+      sum(six).as("six"))
+    a.select(
+      col("n").cast("long").as("n_keys"),
+      col("sx").cast("long").as("total_cents"),
+      StableRound.round6(
+        (lit(2.0) * col("six").cast("double")
+          - (col("n").cast("double") + 1.0) * col("sx").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double")))
+        .as("gini"))
+  }
 }

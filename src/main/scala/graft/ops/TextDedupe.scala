@@ -124,6 +124,69 @@ object TextDedupe {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact shingle CONTAINMENT join: ordered pairs (src, dst) with
+    * C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ threshold, src ≠ dst.
+    *
+    * Containment is the doc-in-doc detector Jaccard structurally cannot
+    * be: a 40-token quote pasted into a 400-token article has
+    * J ≈ 0.1 (invisible at any usable Jaccard threshold) but
+    * C(quote→article) ≈ 1.0. Pipelines run it for quote/boilerplate
+    * extraction and asymmetric near-dup (keep the superset, drop the
+    * contained fragment).
+    *
+    * Pruning is the ASYMMETRIC prefix filter: if C(src→dst) ≥ t then
+    * src misses at most |A| − ⌈t·|A|⌉ shingles, so under ANY global
+    * shingle order, one of src's first (|A| − ⌈t·|A|⌉ + 1) shingles is
+    * in dst — index only that prefix on the src side (rarest-first
+    * order, same df trick as [[ngramJaccardPairs]]) but the FULL
+    * inverted index on the dst side (dst's match positions are
+    * unconstrained; this is what makes the filter asymmetric). The only
+    * length filter is |dst| ≥ ⌈t·|src|⌉ (|A∩B| ≤ |B|); no upper bound
+    * exists — a fragment is contained in arbitrarily large docs.
+    * Exact verification on full shingle sets follows, as in the
+    * Jaccard path. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, blockCol: Option[String] = None,
+      broadcastDfreq: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select((col(idCol) +: blockCol.map(col).toSeq :+
+        shingles(col(textCol)).as("sharr")): _*)
+      .filter(size(col("sharr")) > 0)
+      .withColumn("nsh", size(col("sharr")))
+    val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
+      col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
+    val dfreq0 = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastDfreq) broadcast(dfreq0) else dfreq0
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .drop("df", "rk")
+    val aSide = prefix.toDF(prefix.columns.map(c => s"a_$c"): _*)
+    val bSide = ex.toDF(ex.columns.map(c => s"b_$c"): _*)
+    val lenOk = col("b_nsh") >= ceil(col("a_nsh") * threshold)
+    val joinCond = blockCol match {
+      case Some(bc) => col("a_shingle") === col("b_shingle") &&
+        col(s"a_$bc") === col(s"b_$bc") &&
+        col(s"a_$idCol") =!= col(s"b_$idCol") && lenOk
+      case None => col("a_shingle") === col("b_shingle") &&
+        col(s"a_$idCol") =!= col(s"b_$idCol") && lenOk
+    }
+    val cand = aSide.join(bSide, joinCond)
+      .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
+      .distinct()
+    val sh = base.select(col(idCol), col("sharr"))
+    val verified = cand
+      .join(sh.toDF("src", "sh1"), "src")
+      .join(sh.toDF("dst", "sh2"), "dst")
+    verified.select(col("src"), col("dst"),
+        StableRound.round4(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+            / size(col("sh1"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   private val Prime = 2038074743L // large 31-bit prime for permutations

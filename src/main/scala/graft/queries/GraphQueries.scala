@@ -114,6 +114,79 @@ object GraphQueries extends QueryPack {
       edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+    }),
+
+    // PageRank over the repeat-co-purchase graph — centrality the
+    // degree table can't see (a vertex is important if its NEIGHBORS
+    // are). Bit-deterministic fixed-point iteration (int64 ranks scaled
+    // 1e12, floor-div damping — see GraphOps.pagerankFixedPoint); the
+    // oracle unrolls the same 5 rounds as integer CTE stages. Top-20 by
+    // the (rank, id) total order, so the LIMIT cut is unambiguous.
+    "graph_pagerank" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+      GraphOps.pagerankFixedPoint(g, "u", "v", iters = 5)
+        .orderBy(col("rank_fp").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("part_id"), col("rank_fp"))
+    }),
+
+    // connected components of the same graph, labelled by min part id —
+    // the market-segmentation face of the dedupe-cluster closure. Uses
+    // the O(log n) large-star/small-star rounds (no diameter
+    // assumption — a co-purchase chain can be arbitrarily long);
+    // oracle = the recursive-CTE closure, engine-independent because
+    // the component labelling (min id) is canonical.
+    "graph_components" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+      val verts = g.select(col("u").as("id"))
+        .union(g.select(col("v").as("id"))).distinct()
+      graft.ops.Clusters.connectedComponentsStar(verts,
+          g.select(col("u").as("src"), col("v").as("dst")))
+        .select(col("id").as("part_id"), col("label").as("component_id"),
+          (col("id") === col("label")).as("is_rep"))
+    }),
+
+    // association rules over the repeat-co-purchase pairs: support,
+    // directional confidence, lift — the market-basket report
+    // (Agrawal/Srikant's metrics, pair itemsets). Every ratio is exact
+    // ints → one straight-line double op, so the lift ORDER BY is
+    // engine-stable; top-50 under the (lift, u, v) total order.
+    "agg_market_basket" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = items.select("o").distinct()
+        .agg(count(lit(1)).as("n"))
+      val pc = items.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+      val pairs = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        .filter(col("cuv") >= 2)
+      pairs
+        .join(pc.select(col("p").as("u"), col("cp").as("cu")), "u")
+        .join(pc.select(col("p").as("v"), col("cp").as("cv")), "v")
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("cuv"),
+          graft.StableRound.round6(
+            col("cuv").cast("double") / col("n")).as("support"),
+          graft.StableRound.round6(
+            col("cuv").cast("double") / col("cu")).as("conf_uv"),
+          graft.StableRound.round6(
+            col("cuv").cast("double") / col("cv")).as("conf_vu"),
+          graft.StableRound.round6(
+            col("cuv").cast("double") * col("n") / (col("cu") * col("cv")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("u"), col("v"))
+        .limit(50)
     }))
 
   def oracle: Map[String, String] = Map(
@@ -163,5 +236,72 @@ object GraphQueries extends QueryPack {
         |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
         |  GROUP BY 1)
         |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1"""
-        .stripMargin)
+        .stripMargin,
+
+    // the same 5 integer rounds unrolled as CTE stages; `//` in DuckDB
+    // and `div` in Spark are the same floor division on positives
+    "graph_pagerank" -> {
+      val pre =
+        """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |g AS (SELECT a.p AS u, b.p AS v
+          |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (SELECT u AS x, v AS y FROM g
+          |  UNION ALL SELECT v, u FROM g),
+          |deg AS (SELECT x, count(*) AS deg FROM sym GROUP BY 1),
+          |consts AS (SELECT 1000000000000 // count(*) AS r0,
+          |    (15 * (1000000000000 // count(*))) // 100 AS base
+          |  FROM deg),
+          |r0v AS (SELECT x, r0 AS r FROM deg, consts)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0v" else s"r${i - 1}"
+        s""",
+           |c$i AS (SELECT r.x, r.r // d.deg AS c
+           |  FROM $prev r JOIN deg d ON r.x = d.x),
+           |r$i AS (SELECT s.y AS x, base + (85 * sum(c.c)) // 100 AS r
+           |  FROM sym s JOIN c$i c ON s.x = c.x, consts
+           |  GROUP BY s.y, base)""".stripMargin
+      }.mkString
+      pre + rounds +
+        "\nSELECT x AS part_id, r AS rank_fp FROM r5" +
+        "\nORDER BY r DESC, x LIMIT 20"
+    },
+
+    "graph_components" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM g
+        |  UNION ALL SELECT v, u FROM g),
+        |verts AS (SELECT DISTINCT src AS x FROM e),
+        |r AS (SELECT x AS v, x AS l FROM verts
+        |  UNION
+        |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v)
+        |SELECT v AS part_id, min(l) AS component_id,
+        |  (v = min(l)) AS is_rep
+        |FROM r GROUP BY v""".stripMargin,
+
+    "agg_market_basket" -> {
+      def r6(e: String) = graft.StableRound.sql6(e)
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n FROM items),
+        |pc AS (SELECT p, count(*) AS cp FROM items GROUP BY 1),
+        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS cuv
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, cuv,
+        |  ${r6("CAST(cuv AS DOUBLE) / n")} AS support,
+        |  ${r6("CAST(cuv AS DOUBLE) / cu.cp")} AS conf_uv,
+        |  ${r6("CAST(cuv AS DOUBLE) / cv.cp")} AS conf_vu,
+        |  ${r6("CAST(cuv AS DOUBLE) * n / (cu.cp * cv.cp)")} AS lift
+        |FROM pairs
+        |JOIN pc cu ON pairs.u = cu.p
+        |JOIN pc cv ON pairs.v = cv.p, n
+        |ORDER BY ${r6("CAST(cuv AS DOUBLE) * n / (cu.cp * cv.cp)")} DESC,
+        |  u, v LIMIT 50""".stripMargin
+    })
 }

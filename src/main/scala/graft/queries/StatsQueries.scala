@@ -179,6 +179,25 @@ object StatsQueries extends QueryPack {
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
     }),
+
+    // robust rolling anomaly gate: 25-row centered median/MAD per
+    // event_type, flag |x−med| > 3·1.4826·MAD — the breakdown-proof
+    // sibling of agg_outlier_zscore (see Stats.rollingMadOutliers for
+    // the integer-exact gate)
+    "ts_anomaly_mad" -> ((s, d) =>
+      Stats.rollingMadOutliers(Tables.events(s, d), "event_type",
+        "ts", "event_id", "value")),
+
+    // exact Gini of per-customer spend via the two-level counting rank —
+    // the global-sort-free concentration metric
+    "agg_gini" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      Stats.giniByCounting(spend, "cents")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -399,5 +418,43 @@ object StatsQueries extends QueryPack {
         |SELECT coalesce(r1.rw, r2.rw) AS row_idx,
         |  r1.v AS event_type, r2.v AS user_id
         |FROM r1 FULL OUTER JOIN r2 ON r1.rw = r2.rw""".stripMargin,
+
+    // mirrors Stats.rollingMadOutliers: same 25-int sorted-list median,
+    // same integer gate — no float ever exists on either side
+    "ts_anomaly_mad" ->
+      """WITH b AS (SELECT event_id, event_type, ts, value,
+        |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |w AS (SELECT event_id, event_type, ts, value, c,
+        |    list(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS arr
+        |  FROM b),
+        |m AS (SELECT *, list_sort(arr)[13] AS med
+        |  FROM w WHERE len(arr) = 25),
+        |d AS (SELECT *,
+        |    list_sort(list_transform(arr, x -> abs(x - med)))[13] AS mad
+        |  FROM m)
+        |SELECT event_id, event_type, ts, value,
+        |  med AS med_cents, mad AS mad_cents
+        |FROM d WHERE 10000 * abs(c - med) > 44478 * mad""".stripMargin,
+
+    // plain global-rank identity — equivalent to the two-level counting
+    // form because Σi·xᵢ is tie-permutation-invariant
+    "agg_gini" ->
+      s"""WITH s AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS i
+        |  FROM s),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS six
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT)
+        |    AS total_cents,
+        |  ${graft.StableRound.sql6(
+             "(2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) " +
+             "* CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) " +
+             "* CAST(sx AS DOUBLE))")} AS gini
+        |FROM a""".stripMargin,
   )
 }

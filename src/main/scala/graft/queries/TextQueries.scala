@@ -255,6 +255,14 @@ object TextQueries extends QueryPack {
         "doc_id", "text", threshold = 0.5, blockCol = Some("lang"),
         broadcastDfreq = true)),
 
+    // asymmetric containment |A∩B|/|A| ≥ 0.8 — the doc-in-doc detector
+    // (quotes/boilerplate) that Jaccard is blind to; asymmetric prefix
+    // filter, exact verify (TextDedupe.containmentPairs)
+    "dedupe_containment" -> ((s, d) =>
+      TextDedupe.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8, blockCol = Some("lang"),
+        broadcastDfreq = true)),
+
     // threshold-tuning report: the near-dup pair relation histogrammed
     // by jaccard band — the number every dedupe rollout decision reads
     // ("how many more pairs does dropping the threshold 0.1 admit?").
@@ -595,6 +603,27 @@ object TextQueries extends QueryPack {
         .stripMargin,
 
     "dedupe_near_ngram" -> shingleCte(blocked = true),
+
+    // ordered-pair twin of the shingle CTE with the |A| denominator
+    "dedupe_containment" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, s FROM (
+        |  SELECT doc_id, lang,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i))),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT src, dst,
+        |  CAST(round(CAST(inter * 1.0 / s1.nsh AS DECIMAL(27,12)), 4)
+        |    AS DOUBLE) AS containment
+        |FROM pairs p JOIN sizes s1 ON p.src = s1.doc_id
+        |WHERE CAST(round(CAST(inter * 1.0 / s1.nsh AS DECIMAL(27,12)), 4)
+        |    AS DOUBLE) >= 0.8""".stripMargin,
 
     "dedupe_threshold_report" ->
       s"""SELECT floor(jaccard * 10) / 10 AS j_band, count(*) AS n_pairs

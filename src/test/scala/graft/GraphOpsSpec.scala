@@ -50,4 +50,34 @@ class GraphOpsSpec extends SparkSpec {
     } yield (u.toLong, v.toLong)).toSet
     assert(got == want)
   }
+
+  test("pagerankFixedPoint: symmetry, mass conservation, and star-center " +
+      "dominance on hand graphs") {
+    // path a-b-c: ends are symmetric, middle dominates
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r = GraphOps.pagerankFixedPoint(path, "u", "v", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(3L), "symmetric endpoints must tie exactly")
+    assert(r(2L) > r(1L), "path middle must outrank the ends")
+    // floor losses only: total mass within 1e-6 relative of 1.0
+    val total = r.values.sum
+    assert(math.abs(total - 1000000000000L) < 1000000L,
+      s"mass drifted: $total")
+    // star: center collects 0.85 of the leaves' mass
+    val star = (2L to 6L).map(l => (1L, l)).toDF("u", "v")
+    val rs = GraphOps.pagerankFixedPoint(star, "u", "v", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 6L).map(rs).toSet.size == 1, "leaves must tie exactly")
+    assert(rs(1L) > 3 * rs(2L), "star center must dominate")
+  }
+
+  test("pagerankFixedPoint is bit-identical across runs") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val a = GraphOps.pagerankFixedPoint(g, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.pagerankFixedPoint(g, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }

@@ -144,4 +144,55 @@ class StatsSpec extends SparkSpec {
     assert(g2.getDouble(0) == 3.0 && g2.getDouble(1) == 3.0 &&
       g2.getDouble(2) == 3.0)
   }
+
+  test("rollingMadOutliers flags the planted spike, nothing else, and " +
+      "only interior rows") {
+    import java.sql.Timestamp
+    // 40 constant rows + one spike at position 20; key ordering by (ts, id)
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 20) 999.0 else 10.0
+      (i.toLong, "k", Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), v)
+    }
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val got = Stats.rollingMadOutliers(df, "event_type", "ts",
+      "event_id", "value")
+      .select("event_id", "med_cents", "mad_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the spike's own window has median 1000 cents, MAD 0 -> flagged;
+    // every neighbor equals its window median -> never flagged
+    assert(got == Seq((20L, 1000L, 0L)))
+    // edge rows (windows < 25) are excluded even with a spike there
+    val edge = (0 until 15).map { i =>
+      val v = if (i == 2) 999.0 else 10.0
+      (i.toLong, "k", Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), v)
+    }.toDF("event_id", "event_type", "ts", "value")
+    assert(Stats.rollingMadOutliers(edge, "event_type", "ts",
+      "event_id", "value").count() == 0)
+  }
+
+  test("giniByCounting: hand-checked values, all-equal is 0, and the " +
+      "two-level rank equals the direct sorted formula with ties") {
+    // x = 1,2,3,4 -> G = (2*30 - 5*10) / (4*10) = 0.25
+    val df = Seq(1L, 2L, 3L, 4L).toDF("cents")
+    val g = Stats.giniByCounting(df, "cents")
+      .as[(Long, Long, Double)].collect()(0)
+    assert(g == ((4L, 10L, 0.25)))
+    // perfect equality -> 0 (and the mn==mx bucket branch)
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("cents")
+    assert(Stats.giniByCounting(eq, "cents")
+      .as[(Long, Long, Double)].collect()(0)._3 == 0.0)
+    // tied + spread values: compare against the direct Σi·x formula
+    val xs = Seq(3L, 7L, 7L, 7L, 12L, 12L, 40L, 100L, 100L, 250L)
+    val sorted = xs.sorted
+    val n = sorted.size
+    val sx = sorted.sum.toDouble
+    val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }
+      .sum.toDouble
+    val want = BigDecimal((2.0 * six - (n + 1) * sx) / (n * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.giniByCounting(xs.toDF("cents"), "cents")
+      .as[(Long, Long, Double)].collect()(0)
+    assert(got._1 == n.toLong && got._2 == sorted.sum)
+    assert(math.abs(got._3 - want) < 2e-6)
+  }
 }

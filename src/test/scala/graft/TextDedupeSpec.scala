@@ -131,4 +131,25 @@ class TextDedupeSpec extends SparkSpec {
     assert(both.filter(col("doc_id") === 900001L)
       .filter(col("fast").isNull && col("slow").isNull).count() == 1)
   }
+
+  test("containmentPairs: asymmetric doc-in-doc detection Jaccard misses") {
+    val frag = "alpha beta gamma delta epsilon zeta" // 4 shingles
+    val host = frag + " eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau" // frag's shingles all present
+    val cdocs = Seq(
+      (1L, frag),
+      (2L, host),
+      (3L, "totally unrelated words that share no shingle with anything")
+    ).toDF("doc_id", "text")
+    val got = TextDedupe.containmentPairs(cdocs, "doc_id", "text",
+      threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // fragment->host is full containment; host->fragment is far below
+    // threshold (asymmetry is the point); nothing touches doc 3
+    assert(got == Set((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at any usable threshold
+    val j = TextDedupe.ngramJaccardPairs(cdocs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(j == 0)
+  }
 }
