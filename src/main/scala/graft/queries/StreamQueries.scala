@@ -44,6 +44,35 @@ object StreamQueries extends QueryPack {
         .select(col("event_type"), col("window.start").as("win_start"),
           col("n"))),
 
+    // streaming robust-QA report: per (event_type, hour) median/MAD +
+    // anomaly count — the streaming face of ts_anomaly_mad (there a
+    // per-row rolling gate, here the per-window monitoring rollup a
+    // live pipeline dashboards). The windowed agg carries ONLY the
+    // sorted cents array through the state store; lower-median, MAD,
+    // and the 10⁴·|x−med| > 44478·MAD count are batch projections on
+    // the materialized table — all integer ops, so stream/batch parity
+    // is exact (same integer gate as Stats.rollingMadOutliers).
+    "stream_anomaly_mad" -> ((s, d) => {
+      val src = eventsStream(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(src, "ts", "1 hour", Seq("event_type"),
+          Seq(sort_array(collect_list(col("c"))).as("arr"))),
+        outputMode = "complete")
+      agged
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("med",
+          element_at(col("arr"), expr("cast((size(arr) + 1) div 2 as int)")))
+        .withColumn("mad", element_at(
+          sort_array(transform(col("arr"), x => abs(x - col("med")))),
+          expr("cast((size(arr) + 1) div 2 as int)")))
+        .select(col("event_type"), col("window.start").as("bucket_start"),
+          col("n"), col("med").as("med_cents"), col("mad").as("mad_cents"),
+          size(filter(col("arr"),
+            x => abs(x - col("med")) * 10000L > col("mad") * 44478L))
+            .cast("long").as("n_anomalies"))
+    }),
+
     "stream_window_session" -> ((s, d) =>
       StreamOps.runToMemory(
         StreamOps.session(eventsStream(s, d), "ts", "30 minutes",
@@ -593,6 +622,24 @@ object StreamQueries extends QueryPack {
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
         |  count(*) AS n, CAST(round(CAST(avg(value) AS DECIMAL(27,12)), 6) AS DOUBLE) AS avg_value
         |FROM events GROUP BY event_type, bucket_start""".stripMargin,
+
+    // same sorted-list lower-median/MAD integer pipeline as the Spark
+    // projection — stream/batch parity is the assertion
+    "stream_anomaly_mad" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, bucket_start, list_sort(list(c)) AS arr,
+        |    count(*) AS n FROM b GROUP BY 1, 2),
+        |m AS (SELECT *, arr[(n+1)//2] AS med FROM g),
+        |d AS (SELECT *,
+        |    list_sort(list_transform(arr, x -> abs(x - med)))[(n+1)//2]
+        |      AS mad FROM m)
+        |SELECT event_type, bucket_start, n, med AS med_cents,
+        |  mad AS mad_cents,
+        |  len(list_filter(arr, x -> 10000*abs(x - med) > 44478*mad))
+        |    AS n_anomalies
+        |FROM d""".stripMargin,
 
     "stream_join_interval" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
