@@ -342,6 +342,69 @@ object CorpusQueries extends QueryPack {
           Seq("n_len", "n_fp"), "left")
         .select(col("doc_id"), col("hit").isNull.as("is_new"))
     }),
+
+    // duplicate-cluster CANONICALIZATION — the rewrite pass after
+    // clustering: each near-dup cluster elects ONE canonical document
+    // (longest text, ties broken by min doc_id) that the corpus keeps,
+    // and the per-cluster summary drives the rewrite join. The election
+    // is a partial-aggregatable max over struct((n_chars, -doc_id)) —
+    // no window, no per-cluster sort; clusters come from the same
+    // MinHash-LSH closure as dedupe_clusters, so the oracle reuses that
+    // recursive CTE with a row_number pick.
+    "dedupe_canonicalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedupe.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      Clusters.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("d1").as("src"), col("d2").as("dst")))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("id")).as("negid"))).as("pick"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("pick.negid")).as("canonical_id"),
+          col("pick.n_chars").as("canonical_chars"))
+    }),
+
+    // deterministic train/val/test split: the 80/10/10 hash split every
+    // dataset build needs — membership from the engine-neutral
+    // samplingHash (not rand()), so the split is reproducible across
+    // reruns, engines, and cluster sizes, and a doc NEVER migrates
+    // between splits when the corpus grows. Map-only: no shuffle at all.
+    "sample_split_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", CorpusOps.samplingHash(col("doc_id")))
+        .select(col("doc_id"), col("lang"), expr("h div 10000").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))),
+
+    // one-glance DATASET CARD per language: doc/char/token totals,
+    // exact-duplicate rate, and corpus share — the release-report
+    // rollup a training-data build publishes. Two aggregation passes
+    // (per-lang tallies incl. distinct (len, fingerprint) keys — bodies
+    // never shuffle — and a broadcast one-row total); every ratio is
+    // two exact ints through one round6'd division.
+    "pipeline_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perLang = docs
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).as("t_len"), xxhash64(col("text")).as("t_fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("t_len"), col("t_fp")).as("n_distinct"),
+          sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+      val total = perLang.agg(sum("n_docs").as("n_total"))
+      perLang.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"), col("n_distinct"),
+          col("n_tokens"), col("n_chars"),
+          StableRound.round6(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_docs")).as("dup_rate"),
+          StableRound.round6(
+            col("n_docs").cast("double") / col("n_total")).as("corpus_share"))
+    }),
   )
 
   /** Exact embedding-cosine connected components — shared by
@@ -731,5 +794,54 @@ object CorpusQueries extends QueryPack {
         |  FROM documents WHERE doc_id % 3 <> 0)
         |SELECT i.doc_id, e.nrm IS NULL AS is_new
         |FROM i LEFT JOIN e ON i.nrm = e.nrm""".stripMargin,
+
+    // same recursive closure as dedupe_clusters + a row_number election
+    // (n_chars DESC, doc_id) per cluster — tie order matches the
+    // struct-max pick exactly
+    "dedupe_canonicalize" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (
+         |${TextQueries.shingleCte(blocked = false)}
+         |)),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM p
+         |      UNION ALL SELECT d2, d1 FROM p),
+         |r AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+         |),
+         |cl AS (SELECT v AS doc_id, min(l) AS cluster_id FROM r GROUP BY v),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM j),
+         |m AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY 1)
+         |SELECT m.cluster_id, m.n_members, w.doc_id AS canonical_id,
+         |  w.n_chars AS canonical_chars
+         |FROM m JOIN w ON w.cluster_id = m.cluster_id AND w.rk = 1""".stripMargin,
+
+    "sample_split_hash" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    (((doc_id % 1000000007) * 48271 + 12345) % 1000000007
+        |      * 48271 + 12345) % 1000000007 % 1000000 AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, hv // 10000 AS bucket,
+        |  CASE WHEN hv // 10000 < 80 THEN 'train'
+        |       WHEN hv // 10000 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
+         |    count(DISTINCT text) AS n_distinct,
+         |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+         |    sum(n_chars) AS n_chars
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS n_total FROM pl)
+         |SELECT lang, n_docs, n_distinct, n_tokens, n_chars,
+         |  ${StableRound.sql6("1.0 - CAST(n_distinct AS DOUBLE) / n_docs")}
+         |    AS dup_rate,
+         |  ${StableRound.sql6("CAST(n_docs AS DOUBLE) / n_total")}
+         |    AS corpus_share
+         |FROM pl CROSS JOIN t""".stripMargin,
   )
 }

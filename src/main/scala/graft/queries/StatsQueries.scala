@@ -198,6 +198,56 @@ object StatsQueries extends QueryPack {
           .as("cents"))
       Stats.giniByCounting(spend, "cents")
     }),
+
+    // POPULATION STABILITY INDEX per event_type between the first and
+    // second half of the month — the feature-drift monitor a training
+    // pipeline runs between data snapshots. 10 fixed value bins
+    // (5000-cent width, top-clamped), Laplace add-1 smoothing so empty
+    // bins stay defined. Cross-engine exactness via the text_entropy
+    // recipe, fully integer: each ln term is round6'd then lifted to an
+    // exact micro-scaled long (ln args are ≥ 1 so floor(x·1e6 + 0.5) is
+    // lossless); the per-bin contribution is the integer product
+    // w·t6 with w = (cp+1)(nq+B) − (cq+1)(np+B), so the Σ is an exact
+    // long (|Σ| < 6e17 up to ~1e8 events/type; swap to DECIMAL beyond),
+    // order-independent — the common denominator (np+B)(nq+B) divides
+    // once at the end in an identical straight-line double chain on
+    // both engines. Scale shape: one partial-agg pass over events into
+    // |types|·|bins| cells; the dense grid and PSI math run on that
+    // tiny frame.
+    "agg_psi_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val B = 10
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .as("fh"),
+          least(expr("cast(floor(value * 100 + 0.5) as bigint) div 5000"),
+            lit(9L)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("fh"), 1L).otherwise(0L)).as("cq"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val grid = tot.select(col("event_type"), col("np"), col("nq"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("cp", "cq"))
+      def l6(c: org.apache.spark.sql.Column) =
+        floor(graft.StableRound.round6(log(c.cast("double"))) * 1e6 + 0.5)
+          .cast("long")
+      grid
+        .withColumn("w", (col("cp") + 1) * (col("nq") + B)
+          - (col("cq") + 1) * (col("np") + B))
+        .withColumn("t6", l6(col("cp") + 1) - l6(col("np") + B)
+          - l6(col("cq") + 1) + l6(col("nq") + B))
+        .groupBy("event_type")
+        .agg(max("np").as("n_first"), max("nq").as("n_second"),
+          sum(col("w") * col("t6")).as("ssum6"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          graft.StableRound.round6(col("ssum6").cast("double") / 1e6
+            / ((col("n_first") + B) * (col("n_second") + B))
+              .cast("double")).as("psi"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -456,5 +506,37 @@ object StatsQueries extends QueryPack {
              "* CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) " +
              "* CAST(sx AS DOUBLE))")} AS gini
         |FROM a""".stripMargin,
+
+    // same integer-lifted log terms (ln is natural log on both engines;
+    // DuckDB `log` is log10 — never use it here)
+    "agg_psi_drift" -> {
+      def l6(e: String) =
+        s"CAST(floor(${graft.StableRound.sql6(s"ln($e)")} " +
+          "* 1000000 + 0.5) AS BIGINT)"
+      s"""WITH b AS (SELECT event_type,
+         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS fh,
+         |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+         |      AS bin
+         |  FROM events),
+         |c AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS BIGINT) AS cq
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq FROM c GROUP BY 1),
+         |g AS (SELECT t.event_type, t.np, t.nq, r.bin,
+         |    coalesce(c.cp, 0) AS cp, coalesce(c.cq, 0) AS cq
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) r
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = r.bin),
+         |s AS (SELECT event_type, np, nq,
+         |    CAST(sum(((cp+1)*(nq+10) - (cq+1)*(np+10)) *
+         |        (${l6("cp+1")} - ${l6("np+10")}
+         |         - ${l6("cq+1")} + ${l6("nq+10")})) AS BIGINT) AS ssum6
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT event_type, np AS n_first, nq AS n_second,
+         |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0 " +
+               "/ CAST((np+10)*(nq+10) AS DOUBLE)")} AS psi
+         |FROM s""".stripMargin
+    },
   )
 }
