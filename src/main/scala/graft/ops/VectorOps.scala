@@ -913,4 +913,80 @@ object VectorOps {
       .withColumn("cos_sim", round(col("cos"), 6))
       .drop("cos")
   }
+
+  /** Fixed-point integer Lloyd's k-means over an embedding column — the
+    * iterative-training-loop primitive (quantizer/prototype fitting) in
+    * the message-passing form that survives scale: per round, the k·dim
+    * centroid table BROADCASTS to the vectors (never the reverse), the
+    * assignment is a partial-aggregatable min over struct(dist, cid),
+    * and the centroid update is one map-side-combined (cid, pos) sum.
+    * Vectors never leave executors; the only driver state is the k·dim
+    * centroid model (the same bounded-model boundary as the PQ/IVF
+    * quantizers above).
+    *
+    * Determinism across engines (the same fixed-point recipe as
+    * GraphOps.pagerankFixedPoint): coordinates are quantized once to
+    * integer 1e-4 units via the cross-engine half-up `floor(x·1e4 + 0.5)`
+    * (exact — a float's 24-bit mantissa ×1e4 fits a double), distances
+    * are exact integer sums, ties break on centroid id, and the update
+    * is an exact integer floor-division `(Σq − pmod(Σq, n)) div n` —
+    * every round is bit-identical on any engine, so a DuckDB oracle can
+    * replay the rounds as CTE stages. Empty clusters keep their previous
+    * centroid. Seeds = the k lowest-id vectors.
+    *
+    * Returns one row per centroid: (centroid_id, n_members — from the
+    * final assignment —, c_norm2 = Σ cq², c_sum = Σ cq). */
+  def kmeansLloyd(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val vx = vecs.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol),
+          e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
+          .as("x"))
+      .localCheckpoint()
+    var cents: Array[(Long, Array[Long])] = vx.filter(col("vid") < k)
+      .orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cdf = spark.createDataFrame(
+          cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+        .toDF("cid", "c")
+      val assign = vx.crossJoin(broadcast(cdf))
+        .select(col("vid"), col("x"),
+          struct(
+            aggregate(zip_with(col("x"), col("c"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+              .as("dist"),
+            col("cid")).as("dc"))
+        .groupBy("vid")
+        .agg(min(col("dc")).as("dc"), first(col("x")).as("x"))
+        .select(col("vid"), col("dc.cid").as("cid"), col("x"))
+        .localCheckpoint()
+      val upd = assign
+        .select(col("cid"), posexplode(col("x")).as(Seq("pos", "q")))
+        .groupBy("cid", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          expr("(sq - pmod(sq, n)) div n").as("cq"))
+        .collect()
+      val updMap = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      }
+      cents = cents.map { case (cid, old) =>
+        (cid, updMap.getOrElse(cid, old))
+      }
+      lastAssign = assign
+    }
+    val cstats = spark.createDataFrame(
+        cents.toSeq.map { case (cid, c) =>
+          (cid, c.map(v => v * v).sum, c.sum) })
+      .toDF("centroid_id", "c_norm2", "c_sum")
+    cstats.join(
+        lastAssign.groupBy(col("cid").as("centroid_id"))
+          .agg(count(lit(1)).as("n_members")),
+        Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("n_members"))
+      .select("centroid_id", "n_members", "c_norm2", "c_sum")
+  }
 }

@@ -264,6 +264,15 @@ object VectorQueries extends QueryPack {
         query, "embedding", k = 10, centroids, nProbe = 4)
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
+
+    // full Lloyd's k-means training loop (k=8, 3 rounds) in exact
+    // fixed-point integers — every round replayed by the oracle as CTE
+    // stages, so the ENTIRE iterative trajectory (assignments, updates,
+    // empty-cluster carries) is hash-checked, not just a final score.
+    // See VectorOps.kmeansLloyd for the scale/determinism argument.
+    "vec_kmeans_lloyd" -> ((s, d) =>
+      VectorOps.kmeansLloyd(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -550,5 +559,46 @@ object VectorQueries extends QueryPack {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45"""
         .stripMargin),
+
+    // each Lloyd round replayed as CTE stages: assignment = exact
+    // integer argmin (row_number tie-broken on cid), update = exact
+    // integer floor-division, empty clusters carried via LEFT JOIN
+    "vec_kmeans_lloyd" -> {
+      val pre =
+        """WITH v AS (SELECT vec_id, list_transform(embedding,
+          |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+          |    AS x FROM embeddings),
+          |vx AS (SELECT vec_id, generate_subscripts(x, 1) AS pos,
+          |    unnest(x) AS q FROM v),
+          |c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM vx
+          |  WHERE vec_id < 8)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |d$i AS (SELECT vx.vec_id, c.cid,
+           |    sum((vx.q - c.cq) * (vx.q - c.cq)) AS dist
+           |  FROM vx JOIN c${i - 1} c USING (pos) GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, cid) AS rk FROM d$i) WHERE rk = 1),
+           |u$i AS (SELECT a.cid, vx.pos, sum(vx.q) AS sq, count(*) AS n
+           |  FROM vx JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+           |c$i AS (SELECT p.cid, p.pos,
+           |    CASE WHEN u.n IS NULL THEN p.cq
+           |      ELSE (CAST(u.sq AS BIGINT)
+           |        - ((CAST(u.sq AS BIGINT) % u.n) + u.n) % u.n) // u.n
+           |    END AS cq
+           |  FROM c${i - 1} p LEFT JOIN u$i u
+           |    ON u.cid = p.cid AND u.pos = p.pos)""".stripMargin
+      }.mkString
+      pre + rounds +
+        """,
+          |m AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY 1),
+          |cs AS (SELECT cid, sum(cq * cq) AS c_norm2, sum(cq) AS c_sum
+          |  FROM c3 GROUP BY 1)
+          |SELECT cs.cid AS centroid_id,
+          |  CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members,
+          |  CAST(c_norm2 AS BIGINT) AS c_norm2, CAST(c_sum AS BIGINT) AS c_sum
+          |FROM cs LEFT JOIN m USING (cid)""".stripMargin
+    },
   )
 }
