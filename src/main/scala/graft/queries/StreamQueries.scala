@@ -73,6 +73,24 @@ object StreamQueries extends QueryPack {
             .cast("long").as("n_anomalies"))
     }),
 
+    // streaming leaderboard: top-3 events by value per (event_type, hour)
+    // with k-BOUNDED state (StreamOps.statefulTopK — the state store
+    // holds ≤ 3 pairs per key, independent of window row count). Append
+    // mode re-emits the current leaderboard each batch a key appears in;
+    // the rank-r entry is monotone non-decreasing under
+    // struct(cents, -event_id) as the multiset grows, so max-per-rank
+    // collapses multi-batch replays to the final leaderboard exactly.
+    "stream_topk" -> ((s, d) =>
+      StreamOps.runToMemory(
+        StreamOps.statefulTopK(eventsStream(s, d), k = 3),
+        outputMode = "append")
+        .groupBy("event_type", "bucket_start", "rk")
+        .agg(max(struct(col("value_cents"), (-col("event_id")).as("negid")))
+          .as("m"))
+        .select(col("event_type"), col("bucket_start"), col("rk"),
+          col("m.value_cents").as("value_cents"),
+          (-col("m.negid")).as("event_id"))),
+
     "stream_window_session" -> ((s, d) =>
       StreamOps.runToMemory(
         StreamOps.session(eventsStream(s, d), "ts", "30 minutes",
@@ -640,6 +658,19 @@ object StreamQueries extends QueryPack {
         |  len(list_filter(arr, x -> 10000*abs(x - med) > 44478*mad))
         |    AS n_anomalies
         |FROM d""".stripMargin,
+
+    // batch row_number twin of the bounded-state leaderboard; same
+    // (cents DESC, event_id) total order
+    "stream_topk" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+        |    CAST(round(value * 100) AS BIGINT) AS c, event_id
+        |  FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+        |    bucket_start ORDER BY c DESC, event_id) AS rk FROM b)
+        |SELECT event_type, bucket_start, CAST(rk AS INTEGER) AS rk,
+        |  c AS value_cents, event_id
+        |FROM w WHERE rk <= 3""".stripMargin,
 
     "stream_join_interval" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

@@ -179,6 +179,42 @@ object StreamOps {
       .toDF("user_id", "n_events", "max_event_id")
   }
 
+  /** Bounded-state streaming top-k per (event_type, hour bucket): the
+    * state store carries AT MOST k (value_cents, event_id) pairs per key
+    * — the leaderboard primitive whose state does NOT grow with the
+    * window's row count (a collect_list-based top-k would). Each batch
+    * folds its rows into the k-bounded buffer and re-emits the current
+    * leaderboard; ordering is (cents DESC, event_id ASC), a total order,
+    * so ranks are deterministic. Across micro-batches the rank-r entry
+    * is monotone non-decreasing under struct(cents, -event_id) (the
+    * candidate multiset only grows), so a batch-side max-per-rank
+    * projection collapses replayed emissions exactly — see the
+    * stream_topk query. */
+  def statefulTopK(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket_start"),
+        round(col("value") * 100).cast("long").as("c"),
+        col("event_id").cast("long"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long)],
+          (String, java.sql.Timestamp, Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((et, bucket), rows, state: GroupState[List[(Long, Long)]]) =>
+          val incoming = rows.map(r => (r._3, r._4)).toList
+          val buf = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy { case (c, id) => (-c, id) }.take(k)
+          state.update(buf)
+          buf.iterator.zipWithIndex.map { case ((c, id), i) =>
+            (et, bucket, i + 1, c, id)
+          }
+      }
+      .toDF("event_type", "bucket_start", "rk", "value_cents", "event_id")
+  }
+
   /** Custom gap-timeout sessionization via flatMapGroupsWithState +
     * EVENT-TIME TIMEOUT — the state-TTL mechanism: a session's state
     * carries (start, end, count) and registers a timeout at
