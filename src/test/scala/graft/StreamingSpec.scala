@@ -79,6 +79,35 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 20L)))
   }
 
+  test("statefulTopK keeps a k-bounded leaderboard across micro-batches; " +
+      "max-per-rank collapse equals the batch row_number") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val src = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.statefulTopK(src, k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    // batch 1: three events in hour 9, tie on value between ids 3 and 1
+    in.addData((1L, ts(9), "view", 5.00), (3L, ts(9), "view", 5.00),
+      (2L, ts(9), "view", 1.00))
+    q.processAllAvailable()
+    // batch 2: a new max arrives — must displace rank 1, push the
+    // (500, id=1) tie-winner to rank 2, and evict id=3 (state is bounded)
+    in.addData((4L, ts(9), "view", 9.00))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("topk_out")
+      .groupBy("event_type", "bucket_start", "rk")
+      .agg(max(struct(col("value_cents"), (-col("event_id")).as("negid")))
+        .as("m"))
+      .select(col("rk"), col("m.value_cents"), (-col("m.negid")).as("id"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // final leaderboard: rank1 = (900, 4), rank2 = (500, 1) — the tie at
+    // 500 broke to the SMALLER event_id even though id 3 arrived first
+    assert(fin.toSeq == Seq((1, 900L, 4L), (2, 500L, 1L)))
+  }
+
   test("packSequencesStream continues offsets across micro-batches " +
       "without re-packing history") {
     implicit val sq = spark.sqlContext
