@@ -89,6 +89,21 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // KEYWORD EXTRACTION: top-3 tokens per document by tf-idf — the
+    // per-doc salient-terms tagger built on the tfidf relation. Ranking
+    // is (tfidf DESC, token ASC): tfidf is already round6'd (the
+    // cross-engine bridge) and the token tiebreak totalizes the order.
+    // Spark's WindowGroupLimit pushes the rk<=3 filter below the
+    // exchange — each map task forwards ≤3 rows per doc, so at 100 TB
+    // the shuffle carries O(docs·k), not the full (doc, token) relation.
+    "text_keywords_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))))
+        .filter(col("rk") <= 3)
+    }),
+
     // edit-distance scalar tier — the fuzzy-matching primitive (title /
     // name matching). Distance to the reversed head is a deterministic
     // self-contained exercise of the function; norm_sim is the usual
@@ -499,6 +514,21 @@ object TextQueries extends QueryPack {
         |SELECT tf.doc_id, tf.token,
         |  round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+
+    "text_keywords_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |          FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS INTEGER) AS rk FROM sc)
+        |SELECT doc_id, token, tfidf, rk FROM w WHERE rk <= 3""".stripMargin,
 
     "scalar_fuzzy_distance" ->
       s"""SELECT doc_id,

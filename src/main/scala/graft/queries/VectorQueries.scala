@@ -273,6 +273,27 @@ object VectorQueries extends QueryPack {
     "vec_kmeans_lloyd" -> ((s, d) =>
       VectorOps.kmeansLloyd(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 3)),
+
+    // GRAM MATRIX XᵀX over the embedding corpus (upper triangle) — the
+    // distributed half of PCA/covariance: once the d×d Gram is built,
+    // eigen-decomposition is driver-side math on a d² model. Spark-first
+    // shape: the per-row outer product is generated MAP-SIDE by nested
+    // array HOFs (one Generate, no self-join — the naive vx⋈vx on
+    // vec_id would shuffle n·d rows to produce what a projection can),
+    // and the only exchange is the partial-aggregated d(d+1)/2-key sum.
+    // Fixed-point integer cells (same floor(x·1e4+0.5) quantization as
+    // kmeans) make the sums exact and order-independent on any engine.
+    "vec_gram_matrix" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("q", transform(col("embedding"),
+          e => floor(e.cast("double") * 10000d + 0.5d).cast("long")))
+        .select(explode(flatten(transform(col("q"), (xi, i) =>
+          transform(sequence(i, size(col("q")) - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (xi * element_at(col("q"), j + 1)).as("p"))))))
+          .as("cell"))
+        .groupBy(col("cell.i").as("dim_i"), col("cell.j").as("dim_j"))
+        .agg(sum(col("cell.p")).as("gram"))),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -600,5 +621,18 @@ object VectorQueries extends QueryPack {
           |  CAST(c_norm2 AS BIGINT) AS c_norm2, CAST(c_sum AS BIGINT) AS c_sum
           |FROM cs LEFT JOIN m USING (cid)""".stripMargin
     },
+
+    // relational (self-join) twin of the map-side outer-product Generate
+    "vec_gram_matrix" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |    AS x FROM embeddings),
+        |vx AS (SELECT vec_id, generate_subscripts(x, 1) AS pos,
+        |    unnest(x) AS q FROM v)
+        |SELECT CAST(a.pos - 1 AS INTEGER) AS dim_i,
+        |  CAST(b.pos - 1 AS INTEGER) AS dim_j,
+        |  CAST(sum(a.q * b.q) AS BIGINT) AS gram
+        |FROM vx a JOIN vx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
