@@ -102,6 +102,42 @@ object GraphQueries extends QueryPack {
         .limit(20)
     }),
 
+    // LINK PREDICTION scoring: neighborhood Jaccard |N(u)∩N(v)| /
+    // |N(u)∪N(v)| for non-adjacent candidate pairs — common-neighbors'
+    // normalized twin (raw counts favor hubs; Jaccard corrects by
+    // degree). Same wedge-join candidate gen (degree-orientation bounds
+    // it), then two broadcast-size degree joins; the score is one exact
+    // int division (identical correctly-rounded double on both engines)
+    // under round6, and the top-20 cut is total-ordered by
+    // (jaccard, u, v).
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2)
+        .select("u", "v")
+      val sym = g.select(col("u").as("x"), col("v").as("y"))
+        .union(g.select(col("v").as("x"), col("u").as("y")))
+      val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      sym.as("a")
+        .join(sym.as("b"),
+          col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("u"), col("b.y").as("v"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(g, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+        .withColumn("jaccard", graft.StableRound.round6(
+          col("n_common").cast("double")
+            / (col("du") + col("dv") - col("n_common")).cast("double")))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+        .select("u", "v", "n_common", "du", "dv", "jaccard")
+    }),
+
     // degree distribution of the same graph — the power-law fingerprint
     // (how hub-heavy is this corpus?). Two exact aggs riding one
     // exchange class; output is #distinct-degrees rows, tiny at any SF.
@@ -226,6 +262,30 @@ object GraphQueries extends QueryPack {
         |  WHERE g.u IS NULL)
         |SELECT u, v, n_common FROM ne
         |ORDER BY n_common DESC, u, v LIMIT 20""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u AS x, v AS y FROM g
+        |  UNION ALL SELECT v AS x, u AS y FROM g),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |cand AS (SELECT a.y AS u, b.y AS v,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sym a JOIN sym b ON a.x = b.x AND a.y < b.y
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT cand.u, cand.v, cand.n_common FROM cand
+        |  LEFT JOIN g ON cand.u = g.u AND cand.v = g.v
+        |  WHERE g.u IS NULL),
+        |j AS (SELECT ne.u, ne.v, ne.n_common, du.deg AS du, dv.deg AS dv,
+        |    ${graft.StableRound.sql6("CAST(n_common AS DOUBLE) " +
+             "/ CAST(du.deg + dv.deg - n_common AS DOUBLE)")} AS jaccard
+        |  FROM ne JOIN deg du ON du.x = ne.u JOIN deg dv ON dv.x = ne.v)
+        |SELECT u, v, n_common, du, dv, jaccard FROM j
+        |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
 
     "graph_degree_dist" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -248,6 +248,43 @@ object StatsQueries extends QueryPack {
             / ((col("n_first") + B) * (col("n_second") + B))
               .cast("double")).as("psi"))
     }),
+
+    // two-sample KOLMOGOROV-SMIRNOV per event_type between month halves
+    // — PSI's bin-free sibling (sensitive to any CDF gap, not just the
+    // binned mass). FULLY integer: D·np·nq = max over the value domain
+    // of |cumP·nq − cumQ·np|, so no smoothing and no logs; ONE final
+    // double division under round6. Scale shape: counts group on the
+    // bounded cents DOMAIN (≤ 49k distinct values/type regardless of
+    // row count), and the cumulative windows run over that domain —
+    // the same domain-vs-rows trick as the exact-quantile/Gini tier.
+    "agg_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dom = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .as("fh"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c")
+        .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("fh"), 1L).otherwise(0L)).as("cq"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      dom
+        .withColumn("cump", sum("cp").over(w))
+        .withColumn("cumq", sum("cq").over(w))
+        .withColumn("np", sum("cp").over(wAll))
+        .withColumn("nq", sum("cq").over(wAll))
+        .groupBy("event_type")
+        .agg(max("np").as("n_first"), max("nq").as("n_second"),
+          max(abs(col("cump") * col("nq") - col("cumq") * col("np")))
+            .as("d_num"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          col("d_num"),
+          graft.StableRound.round6(col("d_num").cast("double")
+            / (col("n_first") * col("n_second")).cast("double")).as("ks"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -538,5 +575,30 @@ object StatsQueries extends QueryPack {
                "/ CAST((np+10)*(nq+10) AS DOUBLE)")} AS psi
          |FROM s""".stripMargin
     },
+
+    // same integer cross-multiplied CDF gap over the cents domain
+    "agg_ks_drift" ->
+      s"""WITH b AS (SELECT event_type,
+         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS fh,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |dom AS (SELECT event_type, c,
+         |    CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS BIGINT) AS cq
+         |  FROM b GROUP BY 1, 2),
+         |cum AS (SELECT event_type, c, cp, cq,
+         |    CAST(sum(cp) OVER (PARTITION BY event_type ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cump,
+         |    CAST(sum(cq) OVER (PARTITION BY event_type ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cumq,
+         |    CAST(sum(cp) OVER (PARTITION BY event_type) AS BIGINT) AS np,
+         |    CAST(sum(cq) OVER (PARTITION BY event_type) AS BIGINT) AS nq
+         |  FROM dom)
+         |SELECT event_type, max(np) AS n_first, max(nq) AS n_second,
+         |  max(abs(cump * nq - cumq * np)) AS d_num,
+         |  ${graft.StableRound.sql6("CAST(max(abs(cump * nq - cumq * np)) " +
+              "AS DOUBLE) / CAST(max(np) * max(nq) AS DOUBLE)")} AS ks
+         |FROM cum GROUP BY 1""".stripMargin,
   )
 }
