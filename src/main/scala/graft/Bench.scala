@@ -55,7 +55,12 @@ object Bench {
     // measured 3× slower purely from inherited heap state of a new
     // neighbor. Sorted order keeps per-query neighborhoods identical
     // across rounds, so round-over-round deltas measure the query.
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so round benches always time the full suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
