@@ -914,6 +914,71 @@ object VectorOps {
       .drop("cos")
   }
 
+  /** Gram matrix XᵀX (upper triangle) over quantized integer vectors via
+    * a typed [[org.apache.spark.sql.expressions.Aggregator]]: each
+    * partition folds its rows into ONE primitive d(d+1)/2 long buffer
+    * (zero per-cell allocations), partial buffers map-side combine, and
+    * the exchange moves one buffer per partition — a matrix all-reduce,
+    * not a cell stream. Measured vs the explode(flatten(transform))
+    * formulation at sf1 (20k×64): 11.75 s → the Aggregator form, see
+    * PLANS §22a — the struct-per-cell allocation was the entire
+    * super-linear term. Result rows (dim_i, dim_j, gram) are identical
+    * integers either way. */
+  private class GramAgg(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        scala.collection.Seq[Long], Array[Long], Seq[(Int, Int, Long)]] {
+    def zero: Array[Long] = new Array[Long](d * (d + 1) / 2)
+    def reduce(b: Array[Long], x: scala.collection.Seq[Long]): Array[Long] = {
+      val xa = x.toArray
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        val xi = xa(i)
+        var j = i
+        while (j < d) { b(idx) += xi * xa(j); idx += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[(Int, Int, Long)] = {
+      val out = Seq.newBuilder[(Int, Int, Long)]
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { out += ((i, j, b(idx))); idx += 1; j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Int, Int, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Int, Int, Long)]]()
+  }
+
+  /** Distributed upper-triangle Gram matrix of the quantized (integer
+    * 1e-4 units) embedding column: (dim_i, dim_j, gram) rows, exact. */
+  def gramMatrix(vecs: DataFrame, vecCol: String): DataFrame = {
+    val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    val agg = udaf(new GramAgg(d),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[scala.collection.Seq[Long]]())
+    vecs
+      .select(transform(col(vecCol),
+        e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("q"))
+      .agg(agg(col("q")).as("cells"))
+      .select(explode(col("cells")).as("cell"))
+      .select(col("cell._1").as("dim_i"), col("cell._2").as("dim_j"),
+        col("cell._3").as("gram"))
+  }
+
   /** Fixed-point integer Lloyd's k-means over an embedding column — the
     * iterative-training-loop primitive (quantizer/prototype fitting) in
     * the message-passing form that survives scale: per round, the k·dim

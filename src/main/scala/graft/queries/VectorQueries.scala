@@ -277,23 +277,14 @@ object VectorQueries extends QueryPack {
     // GRAM MATRIX XᵀX over the embedding corpus (upper triangle) — the
     // distributed half of PCA/covariance: once the d×d Gram is built,
     // eigen-decomposition is driver-side math on a d² model. Spark-first
-    // shape: the per-row outer product is generated MAP-SIDE by nested
-    // array HOFs (one Generate, no self-join — the naive vx⋈vx on
-    // vec_id would shuffle n·d rows to produce what a projection can),
-    // and the only exchange is the partial-aggregated d(d+1)/2-key sum.
+    // shape: a typed Aggregator folds each partition into ONE primitive
+    // d(d+1)/2 buffer (matrix all-reduce — the exchange moves a buffer
+    // per partition, never cells; see VectorOps.gramMatrix and PLANS
+    // §22a for why this beats the explode-struct formulation 6× at sf1).
     // Fixed-point integer cells (same floor(x·1e4+0.5) quantization as
     // kmeans) make the sums exact and order-independent on any engine.
     "vec_gram_matrix" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .withColumn("q", transform(col("embedding"),
-          e => floor(e.cast("double") * 10000d + 0.5d).cast("long")))
-        .select(explode(flatten(transform(col("q"), (xi, i) =>
-          transform(sequence(i, size(col("q")) - 1), j =>
-            struct(i.as("i"), j.as("j"),
-              (xi * element_at(col("q"), j + 1)).as("p"))))))
-          .as("cell"))
-        .groupBy(col("cell.i").as("dim_i"), col("cell.j").as("dim_j"))
-        .agg(sum(col("cell.p")).as("gram"))),
+      VectorOps.gramMatrix(Tables.embeddings(s, d), "embedding")),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
