@@ -979,6 +979,52 @@ object VectorOps {
         col("cell._3").as("gram"))
   }
 
+  /** Top principal component (uncentered PCA) by fixed-point POWER
+    * ITERATION on the integer Gram matrix, then a distributed projection
+    * scan. The division of labor is the scale argument: the O(n·d²)
+    * Gram build is the [[gramMatrix]] all-reduce (the only pass over
+    * data), the d×d iteration is driver math on a bounded 2·d² model —
+    * exactly where a 64×64 problem belongs — and the scoring pass is
+    * map-only with the eigenvector broadcast as a literal.
+    *
+    * Determinism: every step is integer — the Gram is exact, each
+    * matvec is exact int64 (|x| ≤ d·|G|ₘₐₓ·1e5 — headroom to ~1e12 rows
+    * at this quantization), and the per-round renormalization to 1e5
+    * scale is floor-division (Math.floorDiv here, the pmod formula in
+    * the oracle — identical on negatives). The oracle replays the SAME
+    * rounds as CTE stages, so the iteration trajectory is hash-checked.
+    * Returns the top-k vectors by |projection| with (|score| DESC, id)
+    * total order. */
+  def pcaPowerTop(vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3, k: Int = 20): DataFrame = {
+    val cells = gramMatrix(vecs, vecCol).collect()
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    val G = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val (i, j, g) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      G(i)(j) = g; G(j)(i) = g
+    }
+    var v = Array.fill(d)(100000L)
+    for (_ <- 1 to iters) {
+      val x = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += G(i)(j) * v(j); j += 1 }
+        s
+      }
+      val mb = math.max(1L, Math.floorDiv(x.map(math.abs).max, 100000L))
+      v = x.map(Math.floorDiv(_, mb))
+    }
+    vecs
+      .select(col(idCol),
+        transform(col(vecCol),
+          e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("q"))
+      .select(col(idCol),
+        aggregate(zip_with(col("q"), typedlit(v.toSeq),
+          (a, b) => a * b), lit(0L), (acc, e) => acc + e).as("pc1_score"))
+      .orderBy(abs(col("pc1_score")).desc, col(idCol))
+      .limit(k)
+  }
+
   /** Fixed-point integer Lloyd's k-means over an embedding column — the
     * iterative-training-loop primitive (quantizer/prototype fitting) in
     * the message-passing form that survives scale: per round, the k·dim

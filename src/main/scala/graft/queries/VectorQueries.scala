@@ -285,6 +285,15 @@ object VectorQueries extends QueryPack {
     // kmeans) make the sums exact and order-independent on any engine.
     "vec_gram_matrix" -> ((s, d) =>
       VectorOps.gramMatrix(Tables.embeddings(s, d), "embedding")),
+
+    // top-PC scoring: fixed-point power iteration on the Gram model +
+    // a map-only projection scan — the outlier/diversity-scoring
+    // primitive (which vectors dominate the corpus's principal
+    // direction). The ENTIRE iterative trajectory is integer and the
+    // oracle replays it as CTE matvec rounds — see VectorOps.pcaPowerTop.
+    "vec_pca_power" -> ((s, d) =>
+      VectorOps.pcaPowerTop(Tables.embeddings(s, d), "vec_id", "embedding",
+        iters = 3, k = 20)),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -611,6 +620,43 @@ object VectorQueries extends QueryPack {
           |  CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members,
           |  CAST(c_norm2 AS BIGINT) AS c_norm2, CAST(c_sum AS BIGINT) AS c_sum
           |FROM cs LEFT JOIN m USING (cid)""".stripMargin
+    },
+
+    // the Gram CTE + 3 integer matvec rounds (floor-div renormalization
+    // to 1e5 scale via the pmod formula — identical to Math.floorDiv on
+    // negatives) + the projection scan and (|score| DESC, id) cut
+    "vec_pca_power" -> {
+      val pre =
+        """WITH v AS (SELECT vec_id, list_transform(embedding,
+          |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+          |    AS x FROM embeddings),
+          |vx AS (SELECT vec_id, generate_subscripts(x, 1) AS pos,
+          |    unnest(x) AS q FROM v),
+          |gu AS (SELECT a.pos AS i, b.pos AS j,
+          |    CAST(sum(a.q * b.q) AS BIGINT) AS g
+          |  FROM vx a JOIN vx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+          |  GROUP BY 1, 2),
+          |gf AS (SELECT i, j, g FROM gu
+          |  UNION ALL SELECT j, i, g FROM gu WHERE i < j),
+          |v0 AS (SELECT DISTINCT pos AS i, CAST(100000 AS BIGINT) AS vv
+          |  FROM vx)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s""",
+           |x$r AS (SELECT gf.i, CAST(sum(gf.g * p.vv) AS BIGINT) AS x
+           |  FROM gf JOIN v${r - 1} p ON gf.j = p.i GROUP BY 1),
+           |m$r AS (SELECT greatest(CAST(max(abs(x)) AS BIGINT) // 100000,
+           |    1) AS mb FROM x$r),
+           |v$r AS (SELECT i,
+           |    (x - (((x % mb) + mb) % mb)) // mb AS vv FROM x$r, m$r)"""
+          .stripMargin
+      }.mkString
+      pre + rounds +
+        """,
+          |proj AS (SELECT vx.vec_id,
+          |    CAST(sum(vx.q * v3.vv) AS BIGINT) AS pc1_score
+          |  FROM vx JOIN v3 ON vx.pos = v3.i GROUP BY 1)
+          |SELECT vec_id, pc1_score FROM proj
+          |ORDER BY abs(pc1_score) DESC, vec_id LIMIT 20""".stripMargin
     },
 
     // relational (self-join) twin of the map-side outer-product Generate
