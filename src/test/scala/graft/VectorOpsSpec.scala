@@ -429,3 +429,33 @@ class KMeansLloydSpec extends SparkSpec {
     if (got(1L)._1 == 0L) assert(got(1L)._2 == seed1Norm2)
   }
 }
+
+class PcaPowerSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("pcaPowerTop ranks vectors by |component| along the planted " +
+      "dominant direction") {
+    // dominant variance along dim 0; dims 1-3 carry small noise
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 30L).map { i =>
+      val main = (if (i % 2 == 0) 1f else -1f) * (0.05f + 0.01f * (i % 10))
+      (i, Seq(main, rnd.nextFloat() * 0.01f, rnd.nextFloat() * 0.01f,
+        rnd.nextFloat() * 0.01f))
+    }
+    val got = graft.ops.VectorOps.pcaPowerTop(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      iters = 3, k = 5).collect()
+    assert(got.length == 5)
+    // the top-5 by |pc1_score| must be the 5 largest |dim0| loadings
+    // (ids 8,9,18,19,28,29 carry 0.13/0.14 — top5 = subset of those)
+    val expectTop = rows.sortBy(r => -math.abs(r._2.head)).take(5)
+      .map(_._1).toSet
+    assert(got.map(_.getLong(0)).forall(expectTop.contains))
+    // scores of opposite-sign loadings have opposite signs
+    val scores = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posId = got.map(_.getLong(0)).find(_ % 2 == 0)
+    val negId = got.map(_.getLong(0)).find(_ % 2 == 1)
+    for (p <- posId; n <- negId)
+      assert(scores(p).sign != scores(n).sign)
+  }
+}
