@@ -285,6 +285,43 @@ object StatsQueries extends QueryPack {
           graft.StableRound.round6(col("d_num").cast("double")
             / (col("n_first") * col("n_second")).cast("double")).as("ks"))
     }),
+
+    // CUSUM CHANGE-POINT per event_type: the day k maximizing the
+    // cross-multiplied mean-shift statistic |cumSum_k·N − S·cumN_k|
+    // (≡ N·cumN_k·|mean_{≤k} − mean_total| without any division) — the
+    // third drift face after PSI (binned mass) and KS (value CDF):
+    // WHERE in time the level shifted. Fully integer (range: safe to
+    // ~1e7 rows/type at cent precision; DECIMAL beyond), argmax made
+    // total by max(struct(|D|, −day)). Scale shape: one partial-agg
+    // pass onto (type, day) — ≤31 rows/type — then driver-free tiny
+    // windows.
+    "agg_cusum_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").as("sd"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      daily
+        .withColumn("cums", sum("sd").over(w))
+        .withColumn("cumn", sum("nd").over(w))
+        .withColumn("s_tot", sum("sd").over(wAll))
+        .withColumn("n_tot", sum("nd").over(wAll))
+        .withColumn("dstat",
+          abs(col("cums") * col("n_tot") - col("s_tot") * col("cumn")))
+        .groupBy("event_type")
+        .agg(max("n_tot").as("n_events"), count(lit(1)).as("n_days"),
+          max(struct(col("dstat"),
+            (-unix_seconds(col("day"))).as("negday"))).as("pick"))
+        .select(col("event_type"), col("n_events"), col("n_days"),
+          col("pick.dstat").as("d_max"),
+          timestamp_seconds(-col("pick.negday")).as("cp_day"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -600,5 +637,34 @@ object StatsQueries extends QueryPack {
          |  ${graft.StableRound.sql6("CAST(max(abs(cump * nq - cumq * np)) " +
               "AS DOUBLE) / CAST(max(np) * max(nq) AS DOUBLE)")} AS ks
          |FROM cum GROUP BY 1""".stripMargin,
+
+    // same cross-multiplied CUSUM; the argmax tie-order (|D| DESC,
+    // day ASC) mirrors max(struct(dstat, -unix_seconds(day)))
+    "agg_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    CAST(sum(sd) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cums,
+        |    CAST(sum(nd) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumn,
+        |    CAST(sum(sd) OVER (PARTITION BY event_type) AS BIGINT) AS s_tot,
+        |    CAST(sum(nd) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+        |  FROM daily),
+        |st AS (SELECT event_type, day, n_tot,
+        |    abs(cums * n_tot - s_tot * cumn) AS dstat FROM cum),
+        |pick AS (SELECT event_type, day, n_tot, dstat, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY dstat DESC, day) AS rk
+        |  FROM st),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT p.event_type, p.n_tot AS n_events, nd.n_days,
+        |  p.dstat AS d_max, p.day AS cp_day
+        |FROM pick p JOIN nd USING (event_type) WHERE p.rk = 1""".stripMargin,
   )
 }
