@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import graft.queries.StatsQueries
+
 /** Planted-level-shift test for agg_cusum_changepoint: the integer
   * cross-multiplied CUSUM statistic must place the change point on the
   * last pre-shift day, and a constant series must pick its first day
