@@ -404,6 +404,7 @@ object CorpusQueries extends QueryPack {
             col("n_distinct").cast("double") / col("n_docs")).as("dup_rate"),
           StableRound.round6(
             col("n_docs").cast("double") / col("n_total")).as("corpus_share"))
+        .orderBy("lang")
     }),
   )
 
@@ -830,11 +831,16 @@ object CorpusQueries extends QueryPack {
         |       WHEN hv // 10000 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h""".stripMargin,
 
+    // n_tokens/n_chars: DuckDB sum(BIGINT) returns HUGEINT, which pandas
+    // renders as float64 ("3.0" vs Spark's int64 "3") — value-equal but
+    // format-different, so a stringifying hash fails while a value
+    // compare passes (the r8/r9 driver hash-FAIL). CAST pins BIGINT.
     "pipeline_dataset_card" ->
       s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
          |    count(DISTINCT text) AS n_distinct,
-         |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
-         |    sum(n_chars) AS n_chars
+         |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |      AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
          |  FROM documents GROUP BY 1),
          |t AS (SELECT sum(n_docs) AS n_total FROM pl)
          |SELECT lang, n_docs, n_distinct, n_tokens, n_chars,
@@ -842,6 +848,7 @@ object CorpusQueries extends QueryPack {
          |    AS dup_rate,
          |  ${StableRound.sql6("CAST(n_docs AS DOUBLE) / n_total")}
          |    AS corpus_share
-         |FROM pl CROSS JOIN t""".stripMargin,
+         |FROM pl CROSS JOIN t
+         |ORDER BY lang""".stripMargin,
   )
 }

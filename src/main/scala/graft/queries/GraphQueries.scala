@@ -323,8 +323,13 @@ object GraphQueries extends QueryPack {
            |  FROM sym s JOIN c$i c ON s.x = c.x, consts
            |  GROUP BY s.y, base)""".stripMargin
       }.mkString
+      // CAST: DuckDB's sum(BIGINT) makes r HUGEINT from round 1 on, and
+      // pandas renders HUGEINT as float64 ("5.0e12" vs Spark's int64) —
+      // value-equal, format-different, hash-FAIL on the driver (r8/r9).
+      // Values stay ≤ ~8.5e13 (rank mass conserved at ~1e12), so the
+      // BIGINT cast is lossless.
       pre + rounds +
-        "\nSELECT x AS part_id, r AS rank_fp FROM r5" +
+        "\nSELECT x AS part_id, CAST(r AS BIGINT) AS rank_fp FROM r5" +
         "\nORDER BY r DESC, x LIMIT 20"
     },
 

@@ -52,6 +52,14 @@ for name in sorted(oracle):
     gs = got.sort_values(by=list(got.columns), ignore_index=True)
     es = exp.sort_values(by=list(exp.columns), ignore_index=True)
     diff_cols = []
+    # dtype-class mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64):
+    # values compare equal but a stringifying hash ("3.0" vs "3") fails —
+    # exactly the r8/r9 driver failure mode. Flag it as a local FAIL.
+    for c in gs.columns:
+        ga, ea = str(gs[c].dtype), str(es[c].dtype)
+        if ga != ea and {ga, ea} & {"float64", "float32"} and \
+           ("int" in ga or "int" in ea):
+            diff_cols.append(f"{c}(dtype {ga} vs {ea}: format-hash hazard)")
     for c in gs.columns:
         a, b = gs[c], es[c]
         try:
