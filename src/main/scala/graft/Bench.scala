@@ -45,6 +45,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded AvailableNow runs never need background state snapshots;
+      // the default 60s maintenance thread racing session shutdown is
+      // the RpcEnv exception spew that flooded BENCH_r09's tail
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -98,13 +102,20 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => }
     println(line)
-    // compact tail-parseable summary: top 30 queries by cost (~900 chars)
+    // compact tail-parseable summary: top 30 queries by cost (~900 chars).
+    // Printed AFTER spark.stop(): r9's shutdown spewed state-store
+    // maintenance stack traces that pushed a pre-stop JSON line out of
+    // the driver's ~2000-char tail window ("parsed": null). With stop()
+    // already done, nothing can print after this line but sbt's trailer.
     val top = results.toSeq.sortBy(-_._2).take(30)
     val topQs = top.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$topQs,"queries_omitted":${results.size - top.size},""" +
-      s""""queries_file":"bench_out.json","sf":$sf}""")
-    spark.stop()
+      s""""queries_file":"bench_out.json","sf":$sf}"""
+    try spark.stop() catch { case _: Throwable => }
+    println(compact)
+    System.out.flush()
   }
 }

@@ -2,7 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardening (round 10, after CORRECTNESS_r09 silently lost 14 entries
+  * on a contended driver machine — scattered across iteration order, so
+  * transient per-entry failures, not a timeout tail):
+  *  - oracle_sql.json is written FIRST: a mid-run kill costs the
+  *    unfinished entries, never the whole round.
+  *  - every failed entry is RETRIED (2 extra attempts) after the full
+  *    pass — transient env failures (state-store races, tmp-dir
+  *    contention) get a second chance on a quieter JVM.
+  *  - per-entry wall time + exception class goes to stderr, so the next
+  *    round can diagnose driver-side drops from the run log.
+  *  - state-store maintenance is slowed to 600s: these bounded
+  *    AvailableNow runs never need background snapshots, and the
+  *    maintenance thread racing session shutdown is exactly the RpcEnv
+  *    exception spew that broke BENCH_r09's tail parse. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -15,19 +30,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +51,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        attempt: Int): Boolean = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+          (if (attempt > 0) s" (retry $attempt)" else ""))
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED attempt $attempt: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        false
+      }
+    }
+
+    var failed = selected.filterNot { case (n, f) => runOne(n, f, 0) }
+    var attempt = 1
+    while (failed.nonEmpty && attempt <= 2) {
+      System.err.println(s"[verify] retrying ${failed.size} failed " +
+        s"entries (attempt $attempt): ${failed.map(_._1).mkString(",")}")
+      failed = failed.filterNot { case (n, f) => runOne(n, f, attempt) }
+      attempt += 1
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] UNRECOVERED after retries: " +
+        failed.map(_._1).mkString(","))
     spark.stop()
   }
 }
