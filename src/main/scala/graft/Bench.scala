@@ -47,8 +47,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bounded AvailableNow runs never need background state snapshots;
       // the default 60s maintenance thread racing session shutdown is
-      // the RpcEnv exception spew that flooded BENCH_r09's tail
-      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      // the RpcEnv exception spew that flooded BENCH_r09's tail. 86400s
+      // effectively disables it for any realistic run length (600s could
+      // still re-arm on a >10-minute tail).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "86400s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

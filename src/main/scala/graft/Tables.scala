@@ -22,19 +22,30 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeNanos(df, "ts") else df
+    if (name == "events") normalizeTs(df, "ts") else df
   }
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 only reads
-    * with spark.sql.legacy.parquet.nanosAsLong=true (as a raw long).
-    * Convert to a µs TimestampType with integer division — DuckDB's
-    * ns→µs cast truncates the same way, keeping oracle parity.
+  /** events.ts has shipped as two parquet encodings across testdata
+    * generations:
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 only reads it with
+    *    spark.sql.legacy.parquet.nanosAsLong=true (as a raw long) —
+    *    convert to a µs TimestampType with integer division; DuckDB's
+    *    ns→µs cast truncates the same way, keeping oracle parity.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+    *    TIMESTAMP_NTZ, which unix_micros/unix_seconds and stream windowing
+    *    reject — cast to TimestampType. All graft sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast is value-preserving
+    *    and matches DuckDB's naive-timestamp epoch math.
     */
-  private def normalizeNanos(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(c, org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr(s"$c div 1000")))
-    else df
+  private def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, df(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -11,7 +11,9 @@ import java.nio.file.{Files, Paths}
   *    unfinished entries, never the whole round.
   *  - every failed entry is RETRIED (2 extra attempts) after the full
   *    pass — transient env failures (state-store races, tmp-dir
-  *    contention) get a second chance on a quieter JVM.
+  *    contention) get a second chance once the rest of the run's load
+  *    has drained; cached state is cleared first so a poisoned session
+  *    (leaked temp view, stale cache) can't deterministically re-fail.
   *  - per-entry wall time + exception class goes to stderr, so the next
   *    round can diagnose driver-side drops from the run log.
   *  - state-store maintenance is slowed to 600s: these bounded
@@ -30,7 +32,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "86400s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +79,7 @@ object Verify {
     while (failed.nonEmpty && attempt <= 2) {
       System.err.println(s"[verify] retrying ${failed.size} failed " +
         s"entries (attempt $attempt): ${failed.map(_._1).mkString(",")}")
+      spark.catalog.clearCache()
       failed = failed.filterNot { case (n, f) => runOne(n, f, attempt) }
       attempt += 1
     }

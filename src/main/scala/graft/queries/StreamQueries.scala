@@ -16,14 +16,21 @@ import graft.streaming.StreamOps
   */
 object StreamQueries extends QueryPack {
 
-  // events.ts arrives as raw nanos (long) under the file-stream reader too;
-  // normalize exactly like Tables.events.
+  // events.ts has shipped as INT64 nanos (long) and as TIMESTAMP_NTZ micros
+  // across testdata generations; normalize exactly like Tables.events.
   private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = s.read.parquet(s"$d/events.parquet") // schema template
     // glob, not literal path: single-file paths fail basePath validation
-    StreamOps.fileStreamParquet(s, s"$d/events.parque*", batch.schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = StreamOps.fileStreamParquet(s, s"$d/events.parque*", batch.schema)
+    batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions pin spark.sql.session.timeZone=UTC → value-preserving
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def queries: Map[String, Q] = Map(

@@ -52,6 +52,7 @@ for name in sorted(oracle):
     gs = got.sort_values(by=list(got.columns), ignore_index=True)
     es = exp.sort_values(by=list(exp.columns), ignore_index=True)
     diff_cols = []
+    hazard_cols = set()
     # dtype-class mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64):
     # values compare equal but a stringifying hash ("3.0" vs "3") fails —
     # exactly the r8/r9 driver failure mode. Flag it as a local FAIL.
@@ -59,8 +60,11 @@ for name in sorted(oracle):
         ga, ea = str(gs[c].dtype), str(es[c].dtype)
         if ga != ea and {ga, ea} & {"float64", "float32"} and \
            ("int" in ga or "int" in ea):
+            hazard_cols.add(c)
             diff_cols.append(f"{c}(dtype {ga} vs {ea}: format-hash hazard)")
     for c in gs.columns:
+        if c in hazard_cols:
+            continue  # already reported above; don't double-list
         a, b = gs[c], es[c]
         try:
             eq = (a == b) | (a.isna() & b.isna())
