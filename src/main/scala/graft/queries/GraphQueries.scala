@@ -36,9 +36,14 @@ object GraphQueries extends QueryPack {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
       // hub-capped pair builder (GraphOps.coOccurrencePairs): bounded
-      // per-task expansion instead of the quadratic per-order self-join
+      // per-task expansion instead of the quadratic per-order self-join.
+      // The edge set feeds FOUR consumers (deg, orientation join, n_edges,
+      // the closing wedge∩edge join) — materialize it once instead of
+      // re-running the pair expansion per consumer (same idiom as
+      // pagerankFixedPoint; on a cluster this is executor-local storage,
+      // not a driver collect).
       val edges = GraphOps.coOccurrencePairs(items, "o", "p")
-        .distinct()
+        .distinct().localCheckpoint()
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
@@ -53,12 +58,7 @@ object GraphQueries extends QueryPack {
           .as("src"),
         when(col("ku") < col("kv"), col("v")).otherwise(col("u"))
           .as("dst"))
-      val wedges = oriented.as("e1")
-        .join(oriented.as("e2"),
-          col("e1.src") === col("e2.src") &&
-          col("e1.dst") < col("e2.dst"))
-        .select(least(col("e1.dst"), col("e2.dst")).as("u"),
-          greatest(col("e1.dst"), col("e2.dst")).as("v"))
+        .localCheckpoint() // read by the adjacency build AND the probe scan
       val nV = items.select("p").distinct()
         .agg(count(lit(1)).as("n_vertices"))
       val nE = edges.agg(count(lit(1)).as("n_edges"))
@@ -66,8 +66,30 @@ object GraphQueries extends QueryPack {
       // per-row `/2` would be double division in Spark)
       val nP = deg.agg(sum(col("deg") * (col("deg") - 1)).as("s"))
         .select((col("s") / 2).cast("long").as("n_paths2"))
-      val nT = wedges.join(edges, Seq("u", "v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // EDGE-ITERATOR triangle probe: each triangle {a≺b≺c} has oriented
+      // edges a→b, a→c, b→c, so it is counted exactly once — as c ∈
+      // N⁺(a)∩N⁺(b) at edge (a,b) (edges (a,c)/(b,c) contribute nothing:
+      // their shared out-neighbor would need an edge OUT of c). Summing
+      // |N⁺(src)∩N⁺(dst)| per edge does the same Σ|N⁺|² work as the
+      // wedge self-join (O(m^1.5) by the orientation bound) but never
+      // MATERIALIZES the wedge stream — at sf0.1 that stream was 41M
+      // rows and its generation+shuffle was the hottest stage of the
+      // whole query; here it collapses to one map-side array-intersect
+      // scan over the m edges against a broadcast adjacency table
+      // (|V| rows, Σ|N⁺| = m entries — edge-linear, broadcastable far
+      // beyond the point where the wedge stream stops fitting anywhere;
+      // if it outgrows broadcast, drop the hints for plain shuffle
+      // joins on src/dst — still edge-linear rows in flight).
+      val adj = oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs"))
+      val nT = oriented
+        .join(broadcast(adj), Seq("src"))
+        .join(broadcast(adj.select(col("src").as("dst"),
+          col("nbrs").as("nbrs2"))), Seq("dst"), "left")
+        .select(when(col("nbrs2").isNull, lit(0))
+          .otherwise(size(array_intersect(col("nbrs"), col("nbrs2"))))
+          .as("k"))
+        .agg(sum(col("k")).cast("long").as("n_triangles"))
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
@@ -85,13 +107,17 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // materialized: g feeds the left-anti join AND both symmetrized
+      // halves (4 consumers of the pair expansion otherwise)
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v")
         .agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2)
         .select("u", "v")
+        .localCheckpoint()
       val sym = g.select(col("u").as("x"), col("v").as("y"))
         .union(g.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint() // self-joined below: two reads
       val cand = sym.as("a")
         .join(sym.as("b"),
           col("a.x") === col("b.x") && col("a.y") < col("b.y"))
@@ -114,13 +140,17 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // materialized like graph_common_neighbors: g has 3 consumers,
+      // sym has 3 (self-join twice + degree table)
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v")
         .agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2)
         .select("u", "v")
+        .localCheckpoint()
       val sym = g.select(col("u").as("x"), col("v").as("y"))
         .union(g.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint()
       val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       sym.as("a")
         .join(sym.as("b"),
@@ -146,7 +176,7 @@ object GraphQueries extends QueryPack {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
       val edges = GraphOps.coOccurrencePairs(items, "o", "p")
-        .distinct()
+        .distinct().localCheckpoint() // read twice by the degree union
       edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
@@ -165,6 +195,7 @@ object GraphQueries extends QueryPack {
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
+        .localCheckpoint() // symmetrization inside pagerank reads it twice
       GraphOps.pagerankFixedPoint(g, "u", "v", iters = 5)
         .orderBy(col("rank_fp").desc, col("id"))
         .limit(20)
@@ -184,6 +215,7 @@ object GraphQueries extends QueryPack {
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
+        .localCheckpoint() // vertex union + CC input: 3 reads
       val verts = g.select(col("u").as("id"))
         .union(g.select(col("v").as("id"))).distinct()
       graft.ops.Clusters.connectedComponentsStar(verts,
@@ -198,9 +230,11 @@ object GraphQueries extends QueryPack {
     // ints → one straight-line double op, so the lift ORDER BY is
     // engine-stable; top-50 under the (lift, u, v) total order.
     "agg_market_basket" -> ((s, d) => {
+      // materialized: items feeds 3 consumers (order count, item counts,
+      // pair expansion) — one distinct shuffle instead of three
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        .distinct().localCheckpoint()
       val nOrders = items.select("o").distinct()
         .agg(count(lit(1)).as("n"))
       val pc = items.groupBy(col("p")).agg(count(lit(1)).as("cp"))
