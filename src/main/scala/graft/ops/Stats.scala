@@ -509,15 +509,17 @@ object Stats {
       .rowsBetween(-halfWidth, halfWidth)
     val full = 2 * halfWidth + 1
     val mid = halfWidth + 1 // 1-based middle of a sorted full window
+    // median+MAD via the codegen'd MedMadSorted expression: the HOF
+    // formulation (transform with an outer capture) ran interpreted and
+    // was ~60% of this query's wall time at sf0.1
     val withArr = df
       .withColumn("__c", round(col(valueCol) * 100).cast("long"))
       .withColumn("__arr", collect_list(col("__c")).over(w))
       .filter(size(col("__arr")) === full)
-      .withColumn("__med",
-        element_at(sort_array(col("__arr")), mid))
-      .withColumn("__mad",
-        element_at(sort_array(transform(col("__arr"),
-          x => abs(x - col("__med")))), mid))
+      .withColumn("__mm",
+        graft.functions.MedMadSorted.medMad(col("__arr"), mid))
+      .withColumn("__med", col("__mm").getItem(0))
+      .withColumn("__mad", col("__mm").getItem(1))
     withArr
       .filter(abs(col("__c") - col("__med")) * 10000L >
         col("__mad") * 44478L)
