@@ -61,6 +61,9 @@ object Stats {
         cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
         ") AS (cn, v)")
       .filter(col("v").isNotNull)
+    // NOT materialized: all consumers hash-partition on cn (or cn, b),
+    // so Catalyst shares one exchange via ReusedExchange — measured
+    // neutral with an explicit localCheckpoint at sf0.1
     val counts = melted.groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
     // per-column bounds/total from the already-compressed counts
     // relation (tiny), broadcast back for bucketing

