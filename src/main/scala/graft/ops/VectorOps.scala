@@ -156,6 +156,83 @@ object VectorOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
+  /** Exact brute-force MAX-INNER-PRODUCT top-k for a query batch — the
+    * recommender-retrieval scoring rule (user·item), which cosine top-k
+    * cannot express when corpus norms vary (a long vector can win on
+    * raw dot while losing on angle). Ranking is (dot desc, id); the dot
+    * is [[dot]] (double accumulation, left-to-right), so ordering parity
+    * with the DuckDB oracle carries over from the cosine family. */
+  def mipsTopKBatchExact(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qvec"))
+    vectors.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        dot(col(vecCol), col("__qvec")).as("ip"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ip").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("ip"), 6).as("ip"), col("rk"))
+  }
+
+  /** Approximate MIPS top-k via the NORM-AUGMENTATION reduction to
+    * cosine (Bachrach et al., RecSys'14): with M = max corpus norm,
+    * augmenting x → [x, √(M²−‖x‖²)] and q → [q, 0] makes every corpus
+    * vector length M while preserving dot(x', q') = dot(x, q), so
+    * augmented-space COSINE order ≡ inner-product order and any
+    * angular index (here: sign-LSH over the augmented dim+1 space)
+    * becomes a MIPS index. Candidates = hamming ≤ `probe` in augmented
+    * bucket space; rerank is the EXACT dot on the original vectors
+    * (augmented cosine is monotone in it — no augmented dot needed).
+    *
+    * Scale shape: buckets are data-independent literals (broadcast
+    * planes), M is one 1-row aggregate, the candidate join is
+    * bucket-blocked instead of |corpus|×|queries|, and the rerank
+    * window runs per query over candidates only — the same contract as
+    * [[annCosineTopKBatch]] with one extra broadcast scalar. The
+    * max-vector clamp (`greatest(0, M²−‖x‖²)`) absorbs the one case
+    * where double rounding could drive the radicand a hair negative —
+    * mirrored verbatim in the oracle. */
+  def mipsTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nBits: Int = 8, dim: Int = 64, probe: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = planes(nBits, dim + 1, seed)
+    val v = withNorm(vectors, vecCol)
+    val m = v.agg(max(col("__norm")).as("__m"))
+    val va = v.crossJoin(broadcast(m))
+      .withColumn("__aug", sqrt(greatest(lit(0d),
+        col("__m") * col("__m") - dot(col(vecCol), col(vecCol)))))
+    // corpus bucket over the augmented space: bit i =
+    // sign(x·pᵢ[0:dim] + aug·pᵢ[dim]); query augment coord is 0, so the
+    // query bucket is plain sign-LSH on the first dim coords
+    val cBucket = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(col(vecCol), typedlit(p.take(dim)))
+        + col("__aug") * lit(p(dim).toDouble) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val qBucket = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(col(qVecCol), typedlit(p.take(dim))) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qvec"), qBucket.as("__qbucket"))
+    va.withColumn("__bucket", cBucket)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("__bucket").bitwiseXOR(col("__qbucket"))) <= probe)
+      .select(col("query_id"), col(idCol),
+        dot(col(vecCol), col("__qvec")).as("ip"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ip").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("ip"), 6).as("ip"), col("rk"))
+  }
+
   /** The deployed form of sign-LSH: land the corpus hive-partitioned BY
     * BUCKET (computed once at ingest), answer queries by reading only the
     * buckets within hamming distance `probe` of the query's bucket — the

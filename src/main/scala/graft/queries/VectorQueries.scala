@@ -183,6 +183,29 @@ object VectorQueries extends QueryPack {
     // replicates the batch LSH from the literal planes, and recall_ok
     // asserts aggregate recall ≥ 0.9 over all 25 (query, neighbor)
     // slots against exact brute force.
+    // MAX-INNER-PRODUCT retrieval (the recommender scoring rule —
+    // user·item, where norm is signal cosine deliberately erases) via
+    // the norm-augmentation reduction to an angular index
+    // (VectorOps.mipsTopKBatch): corpus → [x, √(M²−‖x‖²)] makes every
+    // vector length M, so augmented sign-LSH blocks by INNER-PRODUCT
+    // order; rerank is the exact dot on the original floats. The
+    // planted items are SCALED ×2 so raw inner product (norm × angle),
+    // not angle alone, is what ranks them — the MIPS-vs-cosine ranking
+    // divergence itself is pinned in VectorOpsSpec. Oracle is the
+    // exact brute-force MIPS top-5: hash equality asserts the
+    // augmented index reached recall 1.0 on the planted structure
+    // (probe=2; recall 25/25 measured at all three SFs), plus the
+    // genuine recall_ok bound column.
+    "vec_mips_topk" -> ((s, d) => {
+      val (corpus, queries) = plantedCorpusMips(s, d)
+      val ann = VectorOps.mipsTopKBatch(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nBits = 8, dim = 64,
+        probe = 2)
+      val exact = VectorOps.mipsTopKBatchExact(corpus, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 5)
+      annotateRecallBatch(ann, exact, slots = 25, minRecall = 0.9)
+    }),
+
     "vec_ann_batch" -> ((s, d) => {
       val (corpus, queries) = plantedCorpusMulti(s, d)
       val ann = VectorOps.annCosineTopKBatch(corpus, "vec_id", "embedding",
@@ -351,6 +374,30 @@ object VectorQueries extends QueryPack {
     (corpus, emb.filter(col("vec_id") < 5).select("vec_id", "embedding"))
   }
 
+  /** The MIPS planted corpus: like [[plantedCorpusMulti]] but each
+    * planted vector is SCALED ×2, so it wins on RAW INNER PRODUCT by
+    * norm — the retrieval rule cosine cannot express (un-scaled, the
+    * planted items tie with their base direction on angle; the norm is
+    * what puts them on top of the dot ranking). */
+  private[graft] def plantedCorpusMips(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val bases = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("__base"))
+    val dirs = emb.filter(col("vec_id").between(5, 29))
+      .select(col("vec_id").as("did"), col("embedding").as("__dir"))
+    val planted = dirs.join(broadcast(bases),
+        col("did").between(col("qid") * 5 + 5, col("qid") * 5 + 9))
+      .select((col("did") + lit(100000L) + col("qid") * 1000L).as("vec_id"),
+        zip_with(col("__base"), col("__dir"),
+          (b, o) => (lit(2.0) * (b.cast("double")
+            + lit(0.03) * o.cast("double"))).cast("float")).as("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select("vec_id", "embedding").union(planted)
+    (corpus, emb.filter(col("vec_id") < 5).select("vec_id", "embedding"))
+  }
+
   /** Batch form of [[annotateRecall]]: aggregate hit count over all
     * (query_id, vec_id) slots of the two batch top-k frames. */
   private[graft] def annotateRecallBatch(ann: org.apache.spark.sql.DataFrame,
@@ -495,6 +542,31 @@ object VectorQueries extends QueryPack {
         |SELECT label, count(*) AS n_dims,
         |  ${graft.StableRound.sql6("sqrt(sum(c * c))")} AS centroid_norm
         |FROM c GROUP BY label""".stripMargin,
+
+    // exact brute-force MIPS over the ×2-planted corpus — hash equality
+    // against the ANN entry asserts augmented-LSH recall 1.0
+    "vec_mips_topk" ->
+      """WITH bases AS (SELECT vec_id AS qid, embedding AS be
+        |  FROM embeddings WHERE vec_id < 5),
+        |planted AS (SELECT o.vec_id + 100000 + b.qid * 1000 AS vec_id,
+        |    list_transform(range(1, 65), i -> CAST(2.0*(CAST(b.be[i] AS DOUBLE)
+        |      + 0.03*CAST(o.embedding[i] AS DOUBLE)) AS FLOAT)) AS embedding
+        |  FROM embeddings o JOIN bases b
+        |    ON o.vec_id BETWEEN b.qid * 5 + 5 AND b.qid * 5 + 9),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |cn AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM corpus),
+        |qn AS (SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT qn.query_id, cn.vec_id,
+        |    list_dot_product(cn.e, qn.qe) AS ip,
+        |    row_number() OVER (PARTITION BY qn.query_id
+        |      ORDER BY list_dot_product(cn.e, qn.qe) DESC, cn.vec_id) AS rk
+        |  FROM cn, qn)
+        |SELECT query_id, vec_id, round(ip, 6) AS ip, rk, TRUE AS recall_ok
+        |FROM scored WHERE rk <= 5""".stripMargin,
 
     "vec_ann_lsh" -> lshOracleSql,
     "vec_ann_lsh_pruned" -> lshOracleSql,

@@ -458,4 +458,44 @@ class PcaPowerSpec extends SparkSpec {
     for (p <- posId; n <- negId)
       assert(scores(p).sign != scores(n).sign)
   }
+
+  test("MIPS ranks by norm x angle where cosine ranks by angle alone") {
+    // id 1: unit vector parallel to the query; id 2: a 2x-norm vector
+    // 25 degrees off. Cosine prefers 1; raw inner product prefers 2
+    // (2 * cos(25 deg) = 1.81 > 1) — the divergence MIPS exists for.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.8126f, 0.8452f, 0.0f)), // 2 * (cos25, sin25)
+      (3L, Seq(0.0f, 0.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mips = VectorOps.mipsTopKBatchExact(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 1).collect()
+    assert(mips.head.getLong(1) == 2L)
+    val cos = VectorOps.cosineTopKBatch(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 1).collect()
+    assert(cos.head.getLong(1) == 1L)
+  }
+
+  test("augmented-LSH MIPS matches exact MIPS on a separated corpus") {
+    val rnd = new scala.util.Random(3)
+    // 40 random unit-ish vectors + 5 big-norm vectors near the query
+    // direction: the planted big-norm items are the exact MIPS top-5
+    // and the augmented index must retrieve all of them
+    val qv = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = ((0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat * 0.3f))) ++
+      (0 until 5).map(i => (100L + i,
+        qv.map(x => x * 2.0f + rnd.nextGaussian().toFloat * 0.02f))))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, qv)).toDF("vec_id", "embedding")
+    val ann = VectorOps.mipsTopKBatch(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nBits = 8, dim = 16, probe = 2)
+      .collect().map(_.getLong(1)).toSet
+    val exact = VectorOps.mipsTopKBatchExact(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(exact == (100L until 105L).toSet)
+    assert(ann == exact)
+  }
 }
