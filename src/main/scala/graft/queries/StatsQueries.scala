@@ -249,6 +249,48 @@ object StatsQueries extends QueryPack {
               .cast("double")).as("psi"))
     }),
 
+    // KL(Q‖P) per event_type between month halves — the drift trio's
+    // information-theoretic face after PSI ((p−q)-weighted, symmetric
+    // in spirit) and KS (CDF gap): expected surprise of the SECOND
+    // half under the first-half distribution, the quantity alerting
+    // reads as "how badly does the baseline model the present". Same
+    // 10-bin Laplace-smoothed grid and micro-scaled-log recipe as
+    // agg_psi_drift; only the weight changes — (cq+1), the observed
+    // half — and the normalizer is (nq+B). Integer range: weight·t6
+    // ≤ ~2e13 per cell at sf0.1; beyond ~1e11 rows/type lift ssum6 to
+    // DECIMAL(38,0) (the cusum note).
+    "agg_kl_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val B = 10
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .as("fh"),
+          least(expr("cast(floor(value * 100 + 0.5) as bigint) div 5000"),
+            lit(9L)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("fh"), 1L).otherwise(0L)).as("cq"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val grid = tot.select(col("event_type"), col("np"), col("nq"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("cp", "cq"))
+      def l6(c: org.apache.spark.sql.Column) =
+        floor(graft.StableRound.round6(log(c.cast("double"))) * 1e6 + 0.5)
+          .cast("long")
+      grid
+        .withColumn("t6", l6(col("cq") + 1) - l6(col("nq") + B)
+          - l6(col("cp") + 1) + l6(col("np") + B))
+        .groupBy("event_type")
+        .agg(max("np").as("n_first"), max("nq").as("n_second"),
+          sum((col("cq") + 1) * col("t6")).as("ssum6"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          graft.StableRound.round6(col("ssum6").cast("double") / 1e6
+            / (col("n_second") + B).cast("double")).as("kl"))
+    }),
+
     // two-sample KOLMOGOROV-SMIRNOV per event_type between month halves
     // — PSI's bin-free sibling (sensitive to any CDF gap, not just the
     // binned mass). FULLY integer: D·np·nq = max over the value domain
@@ -610,6 +652,37 @@ object StatsQueries extends QueryPack {
          |SELECT event_type, np AS n_first, nq AS n_second,
          |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0 " +
                "/ CAST((np+10)*(nq+10) AS DOUBLE)")} AS psi
+         |FROM s""".stripMargin
+    },
+
+    // PSI's grid with the KL weight/normalizer — token-for-token mirror
+    "agg_kl_drift" -> {
+      def l6(e: String) =
+        s"CAST(floor(${graft.StableRound.sql6(s"ln($e)")} " +
+          "* 1000000 + 0.5) AS BIGINT)"
+      s"""WITH b AS (SELECT event_type,
+         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS fh,
+         |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+         |      AS bin
+         |  FROM events),
+         |c AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS BIGINT) AS cq
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq FROM c GROUP BY 1),
+         |g AS (SELECT t.event_type, t.np, t.nq, r.bin,
+         |    coalesce(c.cp, 0) AS cp, coalesce(c.cq, 0) AS cq
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) r
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = r.bin),
+         |s AS (SELECT event_type, np, nq,
+         |    CAST(sum((cq+1) *
+         |        (${l6("cq+1")} - ${l6("nq+10")}
+         |         - ${l6("cp+1")} + ${l6("np+10")})) AS BIGINT) AS ssum6
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT event_type, np AS n_first, nq AS n_second,
+         |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0 " +
+               "/ CAST(nq+10 AS DOUBLE)")} AS kl
          |FROM s""".stripMargin
     },
 
