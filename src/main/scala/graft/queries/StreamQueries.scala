@@ -80,6 +80,55 @@ object StreamQueries extends QueryPack {
             .cast("long").as("n_anomalies"))
     }),
 
+    // streaming KL(day ‖ baseline) — agg_kl_drift's live face and
+    // stream_psi_drift's information-theoretic sibling; identical
+    // bounded-state shape (one count per (day, type, bin) key), only
+    // the batch-projected weight/normalizer change
+    "stream_kl_drift" -> ((s, d) => {
+      val B = 10
+      def bin(c: org.apache.spark.sql.Column) =
+        least(expr(s"cast(floor(${c} * 100 + 0.5) as bigint) div 5000"),
+          lit(9L))
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(
+          eventsStream(s, d).withColumn("bin", bin(col("value"))),
+          "ts", "1 day", Seq("event_type", "bin"),
+          Seq(count(lit(1)).as("c"))),
+        outputMode = "complete")
+        .select(col("event_type"), col("window.start").as("day_start"),
+          col("bin"), col("c"))
+      val ref = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .withColumn("bin", bin(col("value")))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cr"))
+      val refTot = ref.groupBy("event_type").agg(sum("cr").as("nr"))
+      val dayTot = agged
+        .select(col("event_type").as("et"), col("day_start").as("ds"),
+          col("c"))
+        .groupBy("et", "ds").agg(sum("c").as("nd"))
+        .select(col("et").as("event_type"), col("ds").as("day_start"),
+          col("nd"))
+      def l6(c: org.apache.spark.sql.Column) =
+        floor(graft.StableRound.round6(log(c.cast("double"))) * 1e6 + 0.5)
+          .cast("long")
+      dayTot.select(col("event_type"), col("day_start"), col("nd"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(agged, Seq("event_type", "day_start", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(broadcast(refTot), "event_type")
+        .join(broadcast(ref), Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("cr"))
+        .withColumn("t6", l6(col("c") + 1) - l6(col("nd") + B)
+          - l6(col("cr") + 1) + l6(col("nr") + B))
+        .groupBy("event_type", "day_start")
+        .agg(max("nd").as("n_day"), max("nr").as("n_ref"),
+          sum((col("c") + 1) * col("t6")).as("ssum6"))
+        .select(col("event_type"), col("day_start"), col("n_day"),
+          col("n_ref"),
+          graft.StableRound.round6(col("ssum6").cast("double") / 1e6
+            / (col("n_day") + B).cast("double")).as("kl"))
+    }),
+
     // streaming DRIFT MONITOR: per-day PSI of each event_type's value
     // distribution vs the month-first-half baseline — agg_psi_drift's
     // live face. The streaming state is genuinely bounded: the windowed
@@ -726,6 +775,43 @@ object StreamQueries extends QueryPack {
 
     // batch twin of the streaming per-day PSI: same bins, same baseline,
     // same integer-lifted log recipe as agg_psi_drift
+    // PSI's per-day grid with the KL weight/normalizer (see agg_kl_drift)
+    "stream_kl_drift" -> {
+      def l6(e: String) =
+        s"CAST(floor(${graft.StableRound.sql6(s"ln($e)")} " +
+          "* 1000000 + 0.5) AS BIGINT)"
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS fh,
+         |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+         |      AS bin
+         |  FROM events),
+         |c AS (SELECT event_type, day_start, bin,
+         |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+         |r AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cr
+         |  FROM b WHERE fh GROUP BY 1, 2),
+         |rt AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS nr
+         |  FROM r GROUP BY 1),
+         |dt AS (SELECT event_type, day_start, CAST(sum(c) AS BIGINT) AS nd
+         |  FROM c GROUP BY 1, 2),
+         |g AS (SELECT dt.event_type, dt.day_start, dt.nd, rt.nr, bb.bin,
+         |    coalesce(c.c, 0) AS c, coalesce(r.cr, 0) AS cr
+         |  FROM dt JOIN rt USING (event_type)
+         |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bb
+         |  LEFT JOIN c ON c.event_type = dt.event_type
+         |    AND c.day_start = dt.day_start AND c.bin = bb.bin
+         |  LEFT JOIN r ON r.event_type = dt.event_type AND r.bin = bb.bin),
+         |s AS (SELECT event_type, day_start, nd, nr,
+         |    CAST(sum((c+1) *
+         |        (${l6("c+1")} - ${l6("nd+10")}
+         |         - ${l6("cr+1")} + ${l6("nr+10")})) AS BIGINT) AS ssum6
+         |  FROM g GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, day_start, nd AS n_day, nr AS n_ref,
+         |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0 " +
+               "/ CAST(nd+10 AS DOUBLE)")} AS kl
+         |FROM s""".stripMargin
+    },
+
     "stream_psi_drift" -> {
       def l6(e: String) =
         s"CAST(floor(${graft.StableRound.sql6(s"ln($e)")} " +
