@@ -35,6 +35,21 @@ import org.apache.spark.sql.SparkSession
   * and a pointer to `bench_out.json` for the rest — is sized to survive
   * the window with the sbt trailer included. Anything human-facing goes
   * to stderr.
+  *
+  * ERRORS FAIL LOUDLY: a query that throws during the timed passes is
+  * reported under `"errors"` (name → exception summary), never as a
+  * timing — a silent catch here is the exact mechanism that hid 14
+  * broken entries across rounds 9-10 (the TIMESTAMP_NTZ read bug), and
+  * `"value"`/`"queries"` only ever aggregate queries that actually ran.
+  *
+  * MEDIAN-OF-N TIMING + LOADAVG: each query is timed over
+  * `SPARK_GRAFT_BENCH_PASSES` (default 3) post-warmup passes and the
+  * reported per-query number is the median, so one co-tenant CPU spike
+  * on the driver box (r10's 2× total swing, r11's three phantom
+  * regressions at byte-identical code) can no longer masquerade as a
+  * code regression. The 1-minute system load average is sampled before
+  * and after the timed passes and the max is reported as `"loadavg"`,
+  * making box contention self-identifying in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,29 +92,67 @@ object Bench {
       catch { case _: Throwable => System.err.println(s"[warmup] $name failed") }
     }
 
-    // settle the heap between passes: the warmup leaves ~all queries'
-    // garbage resident, and whichever timed query allocates first pays
-    // the collection otherwise (one GC here, not per query)
-    System.gc()
+    // 1-minute system load average; -1.0 if the JVM can't provide one
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
 
-    // pass 2 — timed, steady state
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // timed passes: median-of-N per query. A failure is recorded (first
+    // exception wins) and the query is NOT retried on later passes — a
+    // deterministically-broken query would just throw N times, and a
+    // flaky one must not average a partial timing into the medians.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val timings = collection.mutable.Map.empty[String, List[Double]]
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    val loadBefore = loadavg()
+    (1 to passes).foreach { pass =>
+      // settle the heap between passes: the previous pass leaves ~all
+      // queries' garbage resident, and whichever query allocates first
+      // pays the collection otherwise (one GC here, not per query)
+      System.gc()
+      ordered.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            val dt = (System.nanoTime() - t0) / 1e9
+            timings(name) = dt :: timings.getOrElse(name, Nil)
+          } catch {
+            case e: Throwable =>
+              timings.remove(name)
+              errors(name) = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\s]+", " ")
+                  .take(160)).trim
+              System.err.println(s"[pass $pass] $name FAILED: ${errors(name)}")
+          }
+        }
+      }
+    }
+    val loadAfter = loadavg()
+    val load = math.max(loadBefore, loadAfter)
+
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = timings.map { case (k, v) => k -> median(v) }.toMap
 
     // locale-pinned plain-decimal rendering: no scientific notation, no
     // locale comma separators — the line must stay machine-parseable JSON
     def num(v: Double): String = "%.4f".formatLocal(Locale.US, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // numeric sf parsed from the dir name ("…/sf0.1" -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"passes":$passes,"loadavg":${num(load)},"sf":$sf}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => }
@@ -112,9 +165,14 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(30)
     val topQs = top.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // errors ride the compact line too (truncated if huge — a non-empty
+    // object is the signal; full detail is in bench_out.json)
+    val compactErr = if (errJson.length <= 400) errJson
+      else "{\"error_count\":" + errors.size + "}"
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$topQs,"queries_omitted":${results.size - top.size},""" +
+      s""""errors":$compactErr,"passes":$passes,"loadavg":${num(load)},""" +
       s""""queries_file":"bench_out.json","sf":$sf}"""
     try spark.stop() catch { case _: Throwable => }
     println(compact)

@@ -16,7 +16,7 @@ import java.nio.file.{Files, Paths}
   *    (leaked temp view, stale cache) can't deterministically re-fail.
   *  - per-entry wall time + exception class goes to stderr, so the next
   *    round can diagnose driver-side drops from the run log.
-  *  - state-store maintenance is slowed to 600s: these bounded
+  *  - state-store maintenance is slowed to 86400s: these bounded
   *    AvailableNow runs never need background snapshots, and the
   *    maintenance thread racing session shutdown is exactly the RpcEnv
   *    exception spew that broke BENCH_r09's tail parse. */

@@ -89,7 +89,9 @@ object GraphQueries extends QueryPack {
         .select(when(col("nbrs2").isNull, lit(0))
           .otherwise(size(array_intersect(col("nbrs"), col("nbrs2"))))
           .as("k"))
-        .agg(sum(col("k")).cast("long").as("n_triangles"))
+        // coalesce: sum over zero edges is NULL, but an empty graph has
+        // 0 triangles (the pre-round-11 count(*) plan returned 0 here)
+        .agg(coalesce(sum(col("k")), lit(0L)).cast("long").as("n_triangles"))
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 

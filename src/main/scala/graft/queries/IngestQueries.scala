@@ -97,7 +97,13 @@ object IngestQueries extends QueryPack {
         val dir = Paths.get(tmp)
         Files.createDirectories(dir)
         val slice = Tables.events(s, d)
-          .filter(pmod(col("event_id"), lit(13)) === 0)
+          // id cap bounds the fixture (and its collect) at ~7.7k rows at
+          // ANY corpus scale — identical to the uncapped slice at the
+          // driver SFs (ids are dense 0..N-1, N ≤ 1e5 there), and the
+          // oracle carries the same cap, so the declared fixture is
+          // O(1)-sized rather than corpus-proportional
+          .filter(pmod(col("event_id"), lit(13)) === 0 &&
+            col("event_id") < 100000)
           .select(col("event_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
             when(col("event_type") === "view", lit(null))
@@ -457,7 +463,8 @@ object IngestQueries extends QueryPack {
         |  CASE WHEN event_type = 'view' THEN NULL ELSE event_type END
         |    AS event_type,
         |  value
-        |FROM events WHERE event_id % 13 = 0""".stripMargin,
+        |FROM events WHERE event_id % 13 = 0 AND event_id < 100000"""
+        .stripMargin,
 
     "scan_csv_delim" ->
       """SELECT event_id,

@@ -120,7 +120,7 @@ object TextQueries extends QueryPack {
 
     // fuzzy near-pairs on document HEADS: the short-string (title/name)
     // fuzzy-join regime, where BLOCKING is the scale lever and
-    // within-block quadratic verification is the honest cost model.
+    // within-block verification cost is the second one.
     // Block = (language, 2-char head prefix) — standard prefix blocking:
     // candidates must agree on the first two characters, which collapses
     // the pair space from |lang block|² to Σ|prefix block|² (measured
@@ -128,21 +128,45 @@ object TextQueries extends QueryPack {
     // whose edits touch the first two characters; the oracle blocks
     // identically, so the check is exact for the declared join. Length
     // gate + levenshtein ≤ 5 over 40-char heads verify exactly.
+    // Within a block, candidates pass a LOSSLESS q-gram bitmask gate
+    // before any edit distance runs: each side carries a 128-bucket
+    // bigram signature (two longs, computed map-side in the scan stage
+    // by the codegen'd GramMask), and lev ≤ 5 forces
+    // popcount(mask_a & ~mask_b) ≤ q·k = 10 per half in both directions
+    // (gram-count filtering — see GramMask.scala for the proof sketch).
+    // Unrelated same-prefix heads differ in ~23 of 128 buckets, so the
+    // O(len·k) banded levenshtein now runs only on the near-match tail
+    // instead of every block-quadratic candidate.
     "dedupe_fuzzy_pairs" -> ((s, d) => {
+      import graft.functions.GramMask.{gramMaskLo, gramMaskHi}
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("head"))
         .withColumn("blk", substring(col("head"), 1, 2))
-      val a = docs.toDF("d1", "lang", "h1", "blk")
-      val b = docs.toDF("d2", "lang2", "h2", "blk2")
-      // banded levenshtein (threshold arg): the verify bails once edit
-      // distance exceeds 5 — O(len·k) per candidate instead of O(len²),
-      // exact for every kept pair (the -1 over-threshold sentinel is
-      // filtered; candidates themselves stay block-quadratic, the
-      // documented semantic cost — PLANS.md §19)
+        .withColumn("glo", gramMaskLo(col("head")))
+        .withColumn("ghi", gramMaskHi(col("head")))
+      val a = docs.toDF("d1", "lang", "h1", "blk", "glo1", "ghi1")
+      val b = docs.toDF("d2", "lang2", "h2", "blk2", "glo2", "ghi2")
+      // PREDICATE ORDER IS LOAD-BEARING: the gate must be a filter ON
+      // the join output, stated BEFORE the lev filter — Catalyst
+      // collapses both into the join condition preserving conjunct
+      // order, so the ~40ns bitmask gate short-circuits the ~100µs
+      // levenshtein for the ~98% of candidates it rejects. Putting the
+      // gate inside the join(...) condition instead lets the collapsed
+      // lev conjunct land FIRST and re-runs levenshtein on every
+      // candidate (measured 38.8 vs 5.2 s at sf1 — PLANS.md §24).
       a.join(b, col("lang") === col("lang2") && col("blk") === col("blk2") &&
           col("d1") < col("d2") &&
           abs(length(col("h1")) - length(col("h2"))) <= 5)
+        .filter(
+          bit_count(col("glo1").bitwiseAND(bitwise_not(col("glo2")))) +
+            bit_count(col("ghi1").bitwiseAND(bitwise_not(col("ghi2")))) <= 10 &&
+          bit_count(col("glo2").bitwiseAND(bitwise_not(col("glo1")))) +
+            bit_count(col("ghi2").bitwiseAND(bitwise_not(col("ghi1")))) <= 10)
+        // banded levenshtein (threshold arg): the verify bails once edit
+        // distance exceeds 5 — O(len·k) per survivor instead of O(len²),
+        // exact for every kept pair (the -1 over-threshold sentinel is
+        // filtered)
         .withColumn("lev", levenshtein(col("h1"), col("h2"), 5))
         .filter(col("lev").between(0, 5))
         .select("d1", "d2", "lev")

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types._
   */
 class TestdataGuardSpec extends SparkSpec {
 
-  private val dir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  // testdata root is overridable (env var, then system property) so the
+  // guard still engages on a relocated corpus instead of silently
+  // canceling via assume — the drift protection must travel with the data
+  private val root = sys.env.get("SPARK_GRAFT_TESTDATA")
+    .orElse(sys.props.get("graft.testdata"))
+    .getOrElse("/root/testdata")
+  private val dir = Seq(s"$root/sf0.001", s"$root/sf0.01")
     .find(d => new java.io.File(s"$d/region.parquet").exists())
 
   private val expected: Map[String, Map[String, DataType]] = Map(
