@@ -66,32 +66,14 @@ object GraphQueries extends QueryPack {
       // per-row `/2` would be double division in Spark)
       val nP = deg.agg(sum(col("deg") * (col("deg") - 1)).as("s"))
         .select((col("s") / 2).cast("long").as("n_paths2"))
-      // EDGE-ITERATOR triangle probe: each triangle {a≺b≺c} has oriented
-      // edges a→b, a→c, b→c, so it is counted exactly once — as c ∈
-      // N⁺(a)∩N⁺(b) at edge (a,b) (edges (a,c)/(b,c) contribute nothing:
-      // their shared out-neighbor would need an edge OUT of c). Summing
-      // |N⁺(src)∩N⁺(dst)| per edge does the same Σ|N⁺|² work as the
-      // wedge self-join (O(m^1.5) by the orientation bound) but never
-      // MATERIALIZES the wedge stream — at sf0.1 that stream was 41M
-      // rows and its generation+shuffle was the hottest stage of the
-      // whole query; here it collapses to one map-side array-intersect
-      // scan over the m edges against a broadcast adjacency table
-      // (|V| rows, Σ|N⁺| = m entries — edge-linear, broadcastable far
-      // beyond the point where the wedge stream stops fitting anywhere;
-      // if it outgrows broadcast, drop the hints for plain shuffle
-      // joins on src/dst — still edge-linear rows in flight).
-      val adj = oriented.groupBy(col("src"))
-        .agg(collect_list(col("dst")).as("nbrs"))
-      val nT = oriented
-        .join(broadcast(adj), Seq("src"))
-        .join(broadcast(adj.select(col("src").as("dst"),
-          col("nbrs").as("nbrs2"))), Seq("dst"), "left")
-        .select(when(col("nbrs2").isNull, lit(0))
-          .otherwise(size(array_intersect(col("nbrs"), col("nbrs2"))))
-          .as("k"))
-        // coalesce: sum over zero edges is NULL, but an empty graph has
-        // 0 triangles (the pre-round-11 count(*) plan returned 0 here)
-        .agg(coalesce(sum(col("k")), lit(0L)).cast("long").as("n_triangles"))
+      // EDGE-ITERATOR triangle probe (GraphOps.edgeIteratorTriangles):
+      // never materializes the wedge stream — at sf0.1 that stream was
+      // 41M rows and its generation+shuffle was the hottest stage of
+      // the whole query; the probe is one map-side array-intersect scan
+      // over the m edges against a broadcast adjacency table. The
+      // broadcastAdj=false shuffle fallback for adjacency sets beyond
+      // broadcast is pinned by GraphOpsSpec.
+      val nT = GraphOps.edgeIteratorTriangles(oriented)
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
