@@ -18,11 +18,13 @@ object StreamQueries extends QueryPack {
 
   // events.ts has shipped as INT64 nanos (long) and as TIMESTAMP_NTZ micros
   // across testdata generations; normalize exactly like Tables.events.
-  private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String,
+      glob: Option[String] = None) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = s.read.parquet(s"$d/events.parquet") // schema template
     // glob, not literal path: single-file paths fail basePath validation
-    val raw = StreamOps.fileStreamParquet(s, s"$d/events.parque*", batch.schema)
+    val raw = StreamOps.fileStreamParquet(s,
+      glob.getOrElse(s"$d/events.parque*"), batch.schema)
     batch.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -212,6 +214,77 @@ object StreamQueries extends QueryPack {
         outputMode = "complete")
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("first_ts"), col("n"))),
+
+    // streaming SESSIONIZE — the streaming face of agg_sessionize:
+    // watermarked session_window in APPEND mode, so each session is
+    // emitted exactly once when the watermark passes its close (the
+    // production shape: bounded state, finalized sessions flow to the
+    // sink). session_window's merge rule (join while gap < 30 min) is
+    // the same ≥-gap break as the batch gaps-and-islands window, and
+    // session_end is max(ts) (not window.end = last+gap), so one
+    // AvailableNow pass over the full corpus reproduces the batch
+    // result exactly. Watermark epochs are driven by TWO sequential
+    // checkpointed runs (the stream_late_data pattern): run 1 drains
+    // the real events (single batch — nothing can be late); run 2
+    // ships one far-future sentinel row that pushes the watermark past
+    // every real session's close, flushing the append-mode tail. The
+    // sentinel's own (still-open) session is keyed user_id = -1 and
+    // filtered from the result.
+    "stream_sessionize" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val base = Paths.get("/tmp/graft_sessionize_fixture")
+      // fresh fixture+checkpoint every call: a remembered checkpoint
+      // would replay nothing and emit an empty increment
+      if (Files.exists(base))
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      val src = base.resolve("src"); Files.createDirectories(src)
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      Files.copy(Paths.get(s"$d/events.parquet"),
+        src.resolve("events.parquet"))
+      def runOnce(): Unit = {
+        val q = StreamOps.withStatePartitions(s, 8) {
+          eventsStream(s, d, Some(s"$src/*.parquet"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes"))
+            .agg(min("ts").as("session_start"),
+              max("ts").as("session_end"),
+              count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("session_start"),
+              col("session_end"), col("n_events"))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+      }
+      runOnce()
+      // sentinel in the SOURCE's physical encoding (ts has shipped as
+      // INT64 nanos and as TIMESTAMP_NTZ micros across testdata
+      // generations) — the pinned stream schema must read both files
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val farTs: org.apache.spark.sql.Column =
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            lit(4102444800000000000L) // 2100-01-01 in ns
+          case dt => lit("2100-01-01 00:00:00").cast(dt)
+        }
+      val sentinel = raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", farTs)
+      val stage = base.resolve("stage").toString
+      sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, src.resolve("sentinel.parquet"))
+      runOnce()
+      s.read.parquet(out).filter(col("user_id") >= 0)
+    }),
 
     // watermarked stream-stream INTERVAL join (click attribution): each
     // view joined to same-user clicks within [view_ts, view_ts+10min].
@@ -717,6 +790,9 @@ object StreamQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     // single-batch stream ≡ one batch merge: the oracle IS sink_scd2's
     "stream_scd2" -> IngestQueries.oracle("sink_scd2"),
+
+    // watermark-flushed append sessions ≡ the batch gaps-and-islands
+    "stream_sessionize" -> CoreQueries.oracle("agg_sessionize"),
 
     // exact under any batch split ⇒ the oracle IS join_asof's
     "stream_asof_enrich" -> RelationalQueries.oracle("join_asof"),
