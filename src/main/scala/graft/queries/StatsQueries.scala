@@ -93,6 +93,105 @@ object StatsQueries extends QueryPack {
       Stats.welchTTest(Tables.events(s, d), "event_type",
         "purchase", "view", "value")),
 
+    // Mann–Whitney U (Wilcoxon rank-sum) purchase-vs-view — the
+    // nonparametric sibling of agg_ab_ttest for when the A/B metric
+    // is not normal-ish. Everything runs on the VALUE-LEVEL COUNTING
+    // RELATION (one row per distinct cent, the exact-quantile recipe):
+    // ranks never exist per event row, so no corpus-sized sort and no
+    // float rank — the tied-rank sum is the exact integer identity
+    // 2·R_A = Σ_v cntA(v)·(2·below(v) + cnt(v) + 1). The single
+    // unpartitioned window runs over |distinct cents| rows only
+    // (domain-bounded: value is a bounded metric, cents ≤ ~50k
+    // distinct at any corpus size). z carries the full tie-corrected
+    // variance; u2_a = 2·U_A stays integer (avg ranks are .5-grained).
+    "agg_mann_whitney" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val vals = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy("c").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("cnt_a"))
+      val w = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val a = vals
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .agg(
+          sum(col("cnt_a")).cast(dec).as("n_a"),
+          sum(col("cnt")).cast(dec).as("n"),
+          sum((col("cnt_a") * (col("below") * 2 + col("cnt") + 1))
+            .cast(dec)).as("r2a"),
+          sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .cast(dec)).as("ties"))
+        .select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+          col("n"), col("r2a"), col("ties"))
+      a.select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1)).cast("long")
+          .as("u2_a"),
+        StableRound.round6(
+          (col("r2a") - col("n_a") * (col("n_a") + 1)
+            - col("n_a") * col("n_b")).cast("double")
+          / (sqrt((col("n_a") * col("n_b")).cast("double")
+              * ((col("n") + 1) * col("n") * (col("n") - 1) - col("ties"))
+                .cast("double")
+              / (col("n") * (col("n") - 1) * 12).cast("double"))
+             * 2)).as("z"))
+    }),
+
+    // lag-1 autocorrelation of the hourly event-count series per type —
+    // the seasonality/burstiness screen a monitoring pipeline runs
+    // before alert thresholds. The series is the ZERO-FILLED hour grid
+    // (min..max hour of the corpus), so gaps count as quiet hours, not
+    // skipped samples. All six sufficient statistics are exact integer
+    // sums over |types|·|hours| rows (map-side combined; the corpus is
+    // touched once for the per-hour counts); the only float math is
+    // the final Pearson assembly, mirrored expression-for-expression
+    // in the oracle under the round6 bridge.
+    "agg_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val series = grid.join(counts, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val sums = series
+        .withColumn("nxt", lead(col("cnt"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("event_type").agg(
+          count(lit(1)).cast(dec).as("m"),
+          sum(col("cnt").cast(dec)).as("sx"),
+          sum(col("nxt").cast(dec)).as("sy"),
+          sum((col("cnt") * col("cnt")).cast(dec)).as("sxx"),
+          sum((col("nxt") * col("nxt")).cast(dec)).as("syy"),
+          sum((col("cnt") * col("nxt")).cast(dec)).as("sxy"))
+      sums.select(col("event_type"), col("m").cast("long").as("m"),
+        StableRound.round6(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+               .cast("double"))
+             * sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("acf1"))
+    }),
+
     // third/fourth moments (population skewness + excess kurtosis) per
     // group — see Stats.skewKurtExact for why the built-in skewness()/
     // kurtosis() can never hash-match another engine and how exact
@@ -554,6 +653,71 @@ object StatsQueries extends QueryPack {
           from
       }.mkString("\nUNION ALL\n")
     },
+
+    // value-level counting relation: identical integer identities, only
+    // the final z assembly is float — mirrored factor-for-factor
+    "agg_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS cnt,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS cnt_a
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, cnt_a,
+        |    COALESCE(sum(cnt) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM v),
+        |a AS (
+        |  SELECT sum(cnt_a) AS n_a, sum(cnt) AS n,
+        |    sum(cnt_a * (below * 2 + cnt + 1)) AS r2a,
+        |    sum(cnt * cnt * cnt - cnt) AS ties
+        |  FROM r)
+        |SELECT CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n - n_a AS BIGINT) AS n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CAST(round(CAST(
+        |    CAST(r2a - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)
+        |    / (sqrt(CAST(n_a * (n - n_a) AS DOUBLE)
+        |        * CAST((n + 1) * n * (n - 1) - ties AS DOUBLE)
+        |        / CAST(n * (n - 1) * 12 AS DOUBLE)) * 2)
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS z
+        |FROM a""".stripMargin,
+
+    // zero-filled hour grid + lead pairs; integer sufficient statistics,
+    // float only in the final Pearson assembly (mirrored shape)
+    "agg_autocorr" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h FROM b) g),
+        |series AS (
+        |  SELECT grid.event_type, grid.h, COALESCE(c.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN (
+        |    SELECT event_type, h, count(*) AS cnt FROM ev GROUP BY 1, 2) c
+        |  ON grid.event_type = c.event_type AND grid.h = c.h),
+        |p AS (
+        |  SELECT event_type, cnt,
+        |    lead(cnt) OVER (PARTITION BY event_type ORDER BY h) AS nxt
+        |  FROM series),
+        |a AS (
+        |  SELECT event_type, count(*) AS m, sum(cnt) AS sx,
+        |    sum(nxt) AS sy, sum(cnt * cnt) AS sxx,
+        |    sum(nxt * nxt) AS syy, sum(cnt * nxt) AS sxy
+        |  FROM p WHERE nxt IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(m AS BIGINT) AS m,
+        |  CAST(round(CAST(
+        |    CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS acf1
+        |FROM a""".stripMargin,
 
     "agg_corr" ->
       """SELECT CAST(round(CAST(corr(l_quantity, l_extendedprice)
