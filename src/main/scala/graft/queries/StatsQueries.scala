@@ -145,6 +145,47 @@ object StatsQueries extends QueryPack {
              * 2)).as("z"))
     }),
 
+    // Benford first-digit screen over order totals — the classic
+    // fabricated-data / unit-mixup detector for financial-ish columns.
+    // The leading digit is extracted from the EXACT CENT INTEGER's
+    // decimal rendering (×100 shifts digits, never changes the leading
+    // one): floor(log10(x)) on doubles is a cross-engine trap — libm
+    // log10 is not correctly rounded, so log10(10^k) can land a hair
+    // under k and flip the floor at exact powers of ten. int→string is
+    // exact in both engines. One map-side-combined count per digit
+    // (9 cells), shares and the Benford deviation assembled under the
+    // round6 bridge (log10(1+1/d) is irrational — never at a rounding
+    // boundary).
+    "agg_benford" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      import org.apache.spark.sql.expressions.Window
+      val digits = Tables.orders(s, d)
+        .withColumn("c",
+          round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("digit",
+          substring(col("c").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n_d"))
+      // total via an unbounded window over the 9-row digit relation —
+      // a separate agg subtree would re-scan orders (self-referenced
+      // aggregates are recomputed, not reused); this keeps the plan at
+      // ONE corpus scan
+      digits
+        .withColumn("n", sum(col("n_d")).over(
+          Window.partitionBy(lit(1))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .select(col("digit"), col("n_d"),
+          StableRound.round6(col("n_d").cast("double")
+            / col("n").cast("double")).as("share"),
+          StableRound.round6(log10(lit(1.0)
+            + lit(1.0) / col("digit").cast("double"))).as("benford"),
+          StableRound.round6(col("n_d").cast("double")
+            / col("n").cast("double")
+            - log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+            .as("dev"))
+    }),
+
     // lag-1 autocorrelation of the hourly event-count series per type —
     // the seasonality/burstiness screen a monitoring pipeline runs
     // before alert thresholds. The series is the ZERO-FILLED hour grid
@@ -160,12 +201,20 @@ object StatsQueries extends QueryPack {
       import org.apache.spark.sql.types.DecimalType
       import graft.StableRound
       val dec = DecimalType(38, 0)
-      val ev = Tables.events(s, d)
+      // ONE corpus scan: the per-(type,hour) count relation is tiny
+      // (|types|·|hours|) and feeds three consumers (grid types, hour
+      // bounds, the series join) — localCheckpoint it once instead of
+      // re-scanning events per consumer (the shared-edge-set idiom from
+      // the graph tier; a self-referenced aggregate subtree is
+      // recomputed, not reused)
+      val counts = Tables.events(s, d)
         .withColumn("h", date_trunc("hour", col("ts")))
-      val counts = ev.groupBy("event_type", "h")
+        .groupBy("event_type", "h")
         .agg(count(lit(1)).as("cnt"))
-      val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val grid = ev.select("event_type").distinct()
+        .localCheckpoint()
+      val bounds = counts.agg(min(col("h")).as("h0"),
+        max(col("h")).as("h1"))
+      val grid = counts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"),
           explode(sequence(col("h0"), col("h1"),
@@ -685,6 +734,24 @@ object StatsQueries extends QueryPack {
         |        / CAST(n * (n - 1) * 12 AS DOUBLE)) * 2)
         |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS z
         |FROM a""".stripMargin,
+
+    // exact cent-integer leading digit (int→string, never float log10)
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n_d
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_d) AS n FROM d)
+        |SELECT digit, CAST(n_d AS BIGINT) AS n_d,
+        |  CAST(round(CAST(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS share,
+        |  CAST(round(CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS benford,
+        |  CAST(round(CAST(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS dev
+        |FROM d CROSS JOIN t""".stripMargin,
 
     // zero-filled hour grid + lead pairs; integer sufficient statistics,
     // float only in the final Pearson assembly (mirrored shape)
