@@ -70,10 +70,19 @@ object GraphQueries extends QueryPack {
       // never materializes the wedge stream — at sf0.1 that stream was
       // 41M rows and its generation+shuffle was the hottest stage of
       // the whole query; the probe is one map-side array-intersect scan
-      // over the m edges against a broadcast adjacency table. The
-      // broadcastAdj=false shuffle fallback for adjacency sets beyond
-      // broadcast is pinned by GraphOpsSpec.
-      val nT = GraphOps.edgeIteratorTriangles(oriented)
+      // over the m edges against the adjacency table. The
+      // broadcast-vs-shuffle choice is made EXPLICITLY from m (a
+      // count over the already-checkpointed edge blocks — no extra
+      // scan): the adjacency is exactly m entries, so m is the
+      // broadcast size signal, and AQE's generic 10MB threshold gets
+      // this wrong in both directions (measured at sf1/12M edges:
+      // no-hint plans shuffle joins at 19-25 s vs 3-6 s broadcast).
+      // Past the bound — adjacency beyond comfortable driver/executor
+      // memory — the same plan runs as shuffle joins keyed on src/dst
+      // with edge-linear rows in flight (shape pinned by GraphOpsSpec).
+      val m = edges.count()
+      val nT = GraphOps.edgeIteratorTriangles(oriented,
+        broadcastAdj = m <= 50000000L)
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
