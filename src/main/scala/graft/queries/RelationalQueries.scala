@@ -336,6 +336,27 @@ object RelationalQueries extends QueryPack {
           Window.partitionBy("user_id").orderBy("event_id")
             .rangeBetween(-100, 0))).as("range_mavg"))),
 
+    // rolling DISCRETE p90 over a 24-row trailing window per user —
+    // the percentile-latency / burst-threshold primitive. Discrete
+    // (element-selection) quantile, not interpolated: the output is an
+    // actual cent integer from the window, so it hash-matches any
+    // engine with no float in sight. The window array is ≤24 elements
+    // by construction (bounded frame ⇒ bounded per-row cost at any
+    // corpus size); sort_array makes selection independent of arrival
+    // order, and the 1-based index ceil(0.9·k) mirrors DuckDB list
+    // indexing exactly. Same shuffle shape as every win_* entry: one
+    // exchange on the partition key, in-partition sort, zero joins.
+    "win_rolling_quantile" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+      val arr = sort_array(collect_list(
+        round(col("value") * 100).cast("long")).over(w))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        element_at(arr, ceil(size(arr) * 0.9).cast("int"))
+          .as("p90_cents"))
+    }),
+
     // quartile bucketing + relative rank per group — ntile ties are
     // row-order-dependent, so the ordering includes the unique key
     "win_ntile" -> ((s, d) =>
@@ -1130,6 +1151,18 @@ object RelationalQueries extends QueryPack {
         |  CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(27,12)), 6) AS DOUBLE) AS range_mavg
         |FROM events""".stripMargin,
+
+    // discrete quantile = element selection on the sorted window list;
+    // integer cents end-to-end, 1-based index in both engines
+    "win_rolling_quantile" ->
+      """WITH w AS (SELECT event_id, user_id,
+        |    list_sort(list(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  l[CAST(ceil(len(l) * 0.9) AS INT)] AS p90_cents
+        |FROM w""".stripMargin,
 
     "topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -241,6 +241,137 @@ object StatsQueries extends QueryPack {
                .cast("double")))).as("acf1"))
     }),
 
+    // chi-square test of independence (event_type × day-of-week) +
+    // Cramér's V — the categorical-association screen (is traffic mix
+    // stable across weekdays?). One corpus scan to the contingency
+    // relation (|types|·|dows| cells, map-side combined), then every
+    // margin/grid step runs on that tiny localCheckpoint'd relation —
+    // the shared-tiny-relation idiom from agg_autocorr. The cell term
+    // (N·n − r·c)²/(N·r·c) keeps the DIFFERENCE exact (DECIMAL(38,0):
+    // |N·n − r·c| ≤ N² ~ 1e24 even at 1e12 rows) and squares/divides in
+    // double (deterministic IEEE, identical per-cell in both engines);
+    // per-cell values snap to the round6 grid and sum as 1e6 fixed-point
+    // longs — the cross-engine sum is over ≤ r·c integers, never floats.
+    // dow is pinned to DuckDB's convention (0=Sunday) via dayofweek−1.
+    "agg_chi2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val counts = Tables.events(s, d)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rm = counts.groupBy("event_type").agg(sum("n").as("r"))
+      val cm = counts.groupBy("dow").agg(sum("n").as("cc"))
+      val tot = counts.agg(sum("n").as("nn"),
+        countDistinct("event_type").as("nr"),
+        countDistinct("dow").as("nc"))
+      val nnD = col("nn").cast(dec)
+      val diff = (nnD * col("n") - col("r").cast(dec) * col("cc"))
+        .cast("double")
+      val den = (nnD * col("r") * col("cc")).cast("double")
+      val t6 = floor(StableRound.round6(diff * diff / den) * 1e6 + 0.5)
+        .cast("long")
+      rm.crossJoin(cm)
+        .join(counts, Seq("event_type", "dow"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("nn"), col("nr"), col("nc"), t6.as("t6"))
+        .groupBy().agg(max("nn").as("n"), max("nr").as("nr"),
+          max("nc").as("nc"), sum("t6").as("ssum6"))
+        .select(col("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+          StableRound.round6(col("ssum6").cast("double") / 1e6)
+            .as("chi2"),
+          StableRound.round6(sqrt(col("ssum6").cast("double") / 1e6
+            / (col("n") * least(col("nr") - 1, col("nc") - 1))
+              .cast("double"))).as("cramers_v"))
+    }),
+
+    // Shannon diversity of the per-day event-type mix — the dataset-
+    // composition health metric a corpus report tracks day over day
+    // (a collapsing mix flags an ingestion break faster than volume
+    // does). One scan to (day, type) counts; entropy assembles on the
+    // tiny relation with the l6 fixed-point discipline: each −p·ln p
+    // term snaps to the round6 grid and sums as 1e6 fixed-point longs,
+    // so the only cross-engine sum is an integer sum. norm_entropy
+    // (H / ln k) makes days with different type counts comparable.
+    "agg_shannon_diversity" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val counts = Tables.events(s, d)
+        .withColumn("day_start", date_trunc("day", col("ts")))
+        .groupBy("day_start", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = counts.groupBy(col("day_start").as("ds"))
+        .agg(sum("n").as("nd"), count(lit(1)).as("k"))
+      val p = col("n").cast("double") / col("nd").cast("double")
+      val t6 = floor(StableRound.round6(-p * log(p)) * 1e6 + 0.5)
+        .cast("long")
+      counts.join(tot, counts("day_start") === tot("ds"))
+        .select(col("day_start"), col("nd"), col("k"), t6.as("t6"))
+        .groupBy("day_start")
+        .agg(max("nd").as("n_day"), max("k").as("n_types"),
+          sum("t6").as("h6"))
+        .select(col("day_start"), col("n_day"), col("n_types"),
+          StableRound.round6(col("h6").cast("double") / 1e6).as("entropy"),
+          // k=1 day ⇒ H=0 and ln k=0: define norm as 0, never 0/0
+          when(col("n_types") > 1, StableRound.round6(
+            col("h6").cast("double") / 1e6
+              / log(col("n_types").cast("double"))))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    }),
+
+    // Theil–Sen robust trend of the daily event-count series per type —
+    // the outlier-immune slope a monitoring pipeline prefers over OLS
+    // (one bad ingestion day cannot move the median of pairwise
+    // slopes). The pair set is quadratic in SERIES LENGTH (calendar
+    // days), never in corpus size: the grid is zero-filled day buckets
+    // (agg_autocorr's densification), so a month is ≤ C(31,2) = 465
+    // pairs per type at ANY corpus scale. Slopes are per-row
+    // deterministic doubles snapped to 1e6 fixed-point longs; the
+    // median is DISCRETE (sorted-element selection, win_rolling_quantile's
+    // recipe) — no interpolation float crosses engines.
+    "agg_theil_sen" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val counts = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val bounds = counts.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val grid = counts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+      val series = grid.join(counts, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("t", datediff(col("day"), lit("2024-01-01")))
+      val a = series.select(col("event_type"), col("t").as("t1"),
+        col("cnt").as("c1"))
+      val b = series.select(col("event_type"), col("t").as("t2"),
+        col("cnt").as("c2"))
+      val s6 = floor(StableRound.round6(
+        (col("c2") - col("c1")).cast("double")
+          / (col("t2") - col("t1")).cast("double")) * 1e6 + 0.5)
+        .cast("long")
+      val slopes = a.join(b, Seq("event_type"))
+        .filter(col("t2") > col("t1"))
+        .select(col("event_type"), s6.as("s6"))
+      val arr = sort_array(collect_list(col("s6")))
+      slopes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), arr.as("sl"))
+        .select(col("event_type"), col("n_pairs"),
+          StableRound.round6(
+            element_at(col("sl"), ceil(size(col("sl")) * 0.5).cast("int"))
+              .cast("double") / 1e6).as("ts_slope"))
+    }),
+
     // third/fourth moments (population skewness + excess kurtosis) per
     // group — see Stats.skewKurtExact for why the built-in skewness()/
     // kurtosis() can never hash-match another engine and how exact
@@ -752,6 +883,92 @@ object StatsQueries extends QueryPack {
         |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
         |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS dev
         |FROM d CROSS JOIN t""".stripMargin,
+
+    // contingency margins exact (DuckDB HUGEINT mirrors DECIMAL(38,0));
+    // per-cell double term snapped to the round6 grid and summed as
+    // 1e6 fixed-point BIGINTs — no cross-engine float sum
+    "agg_chi2" -> {
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        "CAST(nn*n - r*cc AS DOUBLE) * CAST(nn*n - r*cc AS DOUBLE) " +
+          "/ CAST(nn*r*cc AS DOUBLE)") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH ev AS (SELECT event_type, dayofweek(ts) AS dow FROM events),
+         |c AS (SELECT event_type, dow, count(*) AS n FROM ev
+         |  GROUP BY 1, 2),
+         |r AS (SELECT event_type, sum(n) AS r FROM c GROUP BY 1),
+         |cm AS (SELECT dow, sum(n) AS cc FROM c GROUP BY 1),
+         |t AS (SELECT sum(n) AS nn, count(DISTINCT event_type) AS nr,
+         |    count(DISTINCT dow) AS nc FROM c),
+         |g AS (SELECT r.r, cm.cc, COALESCE(c.n, 0) AS n, t.nn, t.nr, t.nc
+         |  FROM r CROSS JOIN cm CROSS JOIN t
+         |  LEFT JOIN c ON c.event_type = r.event_type AND c.dow = cm.dow),
+         |s AS (SELECT max(nn) AS nn, max(nr) AS nr, max(nc) AS nc,
+         |    sum($t6) AS ssum6 FROM g)
+         |SELECT CAST(nn AS BIGINT) AS n,
+         |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+         |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0")}
+         |    AS chi2,
+         |  ${graft.StableRound.sql6(
+               "sqrt(CAST(ssum6 AS DOUBLE) / 1000000.0 " +
+                 "/ CAST(nn * least(nr - 1, nc - 1) AS DOUBLE))")}
+         |    AS cramers_v
+         |FROM s""".stripMargin
+    },
+
+    // per-term l6 fixed point; the only cross-engine sum is integer
+    "agg_shannon_diversity" -> {
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        "-(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE)) " +
+          "* ln(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE))") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT day_start, sum(n) AS nd, count(*) AS k
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT c.day_start, t.nd, t.k, $t6 AS t6
+         |  FROM c JOIN t USING (day_start))
+         |SELECT day_start, CAST(max(nd) AS BIGINT) AS n_day,
+         |  CAST(max(k) AS BIGINT) AS n_types,
+         |  ${graft.StableRound.sql6("CAST(sum(t6) AS DOUBLE) / 1000000.0")}
+         |    AS entropy,
+         |  CASE WHEN max(k) > 1 THEN ${graft.StableRound.sql6(
+              "CAST(sum(t6) AS DOUBLE) / 1000000.0 " +
+                "/ ln(CAST(max(k) AS DOUBLE))")} ELSE 0.0 END
+         |    AS norm_entropy
+         |FROM g GROUP BY 1""".stripMargin
+    },
+
+    // zero-filled day grid; slopes as 1e6 fixed-point longs, DISCRETE
+    // median by sorted-list element selection
+    "agg_theil_sen" -> {
+      val s6 = "CAST(floor(" + graft.StableRound.sql6(
+        "CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |grid AS (SELECT t.event_type, g.day
+         |  FROM (SELECT DISTINCT event_type FROM c) t
+         |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+         |    INTERVAL 1 DAY)) AS day FROM b) g),
+         |s AS (SELECT grid.event_type,
+         |    date_diff('day', TIMESTAMP '2024-01-01', grid.day) AS t,
+         |    COALESCE(c.cnt, 0) AS cnt
+         |  FROM grid LEFT JOIN c ON c.event_type = grid.event_type
+         |    AND c.day = grid.day),
+         |p AS (SELECT a.event_type, $s6 AS s6
+         |  FROM s a JOIN s b ON a.event_type = b.event_type
+         |    AND b.t > a.t),
+         |l AS (SELECT event_type, count(*) AS n_pairs,
+         |    list_sort(list(s6)) AS sl FROM p GROUP BY 1)
+         |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  ${graft.StableRound.sql6(
+              "CAST(sl[CAST(ceil(len(sl) * 0.5) AS INT)] AS DOUBLE) " +
+                "/ 1000000.0")} AS ts_slope
+         |FROM l""".stripMargin
+    },
 
     // zero-filled hour grid + lead pairs; integer sufficient statistics,
     // float only in the final Pearson assembly (mirrored shape)

@@ -131,6 +131,35 @@ object StreamQueries extends QueryPack {
             / (col("n_day") + B).cast("double")).as("kl"))
     }),
 
+    // streaming face of agg_benford: per-day first-digit counts of the
+    // value column — the live fabricated-data / unit-mixup screen. The
+    // windowed agg keys on (day window, digit) and carries ONE count per
+    // key (≤9 rows/day — bounded state by construction); the leading
+    // digit comes from the exact cent integer's decimal rendering
+    // (agg_benford's no-float-log10 recipe), computed BEFORE the
+    // streaming agg so the state key is a tiny int. Shares are batch
+    // projections on the materialized table.
+    "stream_benford" -> ((s, d) => {
+      val digit = substring(
+        round(col("value") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(
+          eventsStream(s, d).withColumn("digit", digit),
+          "ts", "1 day", Seq("digit"),
+          Seq(count(lit(1)).as("n_d"))),
+        outputMode = "complete")
+        .select(col("window.start").as("day_start"), col("digit"),
+          col("n_d"))
+      // fresh exprIds on the rollup key (the psi-drift dayTot pattern)
+      val dayTot = agged.select(col("day_start").as("ds"), col("n_d"))
+        .groupBy("ds").agg(sum("n_d").as("n"))
+      agged.join(dayTot, agged("day_start") === dayTot("ds"))
+        .select(col("day_start"), col("digit"), col("n_d"),
+          graft.StableRound.round6(col("n_d").cast("double")
+            / col("n").cast("double")).as("share"))
+    }),
+
     // streaming DRIFT MONITOR: per-day PSI of each event_type's value
     // distribution vs the month-first-half baseline — agg_psi_drift's
     // live face. The streaming state is genuinely bounded: the windowed
@@ -887,6 +916,22 @@ object StreamQueries extends QueryPack {
                "/ CAST(nd+10 AS DOUBLE)")} AS kl
          |FROM s""".stripMargin
     },
+
+    // batch twin of the per-day digit counts; cent-integer leading
+    // digit, shares under round6
+    "stream_benford" ->
+      s"""WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start,
+         |    CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM events),
+         |c AS (SELECT day_start, digit, CAST(count(*) AS BIGINT) AS n_d
+         |  FROM d GROUP BY 1, 2),
+         |t AS (SELECT day_start, sum(n_d) AS n FROM c GROUP BY 1)
+         |SELECT c.day_start, c.digit, c.n_d,
+         |  ${graft.StableRound.sql6(
+              "CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)")} AS share
+         |FROM c JOIN t USING (day_start)""".stripMargin,
 
     "stream_psi_drift" -> {
       def l6(e: String) =

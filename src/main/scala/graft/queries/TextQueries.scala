@@ -43,6 +43,32 @@ object TextQueries extends QueryPack {
     "text_quality" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // Automated Readability Index per document — the grade-level screen
+    // a curation pipeline pairs with the quality score (ARI is the one
+    // classic readability formula with NO syllable model: pure
+    // character/word/sentence counts, so it is exactly computable and
+    // cross-engine stable). All three counts are integers from the same
+    // regex family both engines share; the formula assembly is one
+    // per-row double expression under the round6 bridge. Pure map-only
+    // scan — no shuffle, codegen'd end-to-end, trivially 100 TB-safe.
+    "text_readability" -> ((s, d) => {
+      val words = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+        .cast("long")
+      val sents = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+        .cast("long")
+      val chars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"), chars.as("n_chars"), words.as("n_words"),
+        sents.as("n_sentences"),
+        graft.StableRound.round6(
+          lit(4.71) * (chars.cast("double") / words.cast("double"))
+            + lit(0.5) * (words.cast("double") / sents.cast("double"))
+            - lit(21.43)).as("ari"))
+    }),
+
     // the composed curation pass: lang → length bounds → quality →
     // exact-dup, first failing rule wins (thresholds sized so every rule
     // fires on this corpus)
@@ -456,6 +482,24 @@ object TextQueries extends QueryPack {
     "text_tokenize" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents""".stripMargin,
+
+    // integer counts from the shared regex family; one per-row double
+    // assembly under round6
+    "text_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_chars,
+         |    CAST(greatest(1, len(regexp_extract_all(text, '\\S+')))
+         |      AS BIGINT) AS n_words,
+         |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |      AS BIGINT) AS n_sentences
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_words, n_sentences,
+         |  ${graft.StableRound.sql6(
+              "4.71 * (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE))" +
+                " + 0.5 * (CAST(n_words AS DOUBLE) " +
+                "/ CAST(n_sentences AS DOUBLE)) - 21.43")} AS ari
+         |FROM c""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -82,6 +82,48 @@ object VectorQueries extends QueryPack {
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))),
 
+    // simplified (centroid-based) silhouette per label — the
+    // cluster-quality score an embedding-dedup/clustering pipeline
+    // reports next to its centroids: a = distance to own centroid,
+    // b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b),
+    // averaged per label. Scale shape: the only corpus-sized shuffle is
+    // the (vec_id, label_c) partial-summed agg (map-side combine cuts
+    // the exploded dim rows to corpus·|labels| rows); centroids are a
+    // tiny broadcast relation (|labels|·|dims|). Cross-engine
+    // exactness: per-dim squared terms are deterministic per-row
+    // doubles snapped to the round6 grid and summed as 1e6 fixed-point
+    // LONGS (no float sum ever crosses engines); per-label mean of s
+    // uses the same fixed-point trick. Degenerate a=b=0 guards to 0.
+    "vec_silhouette" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val emb = Tables.embeddings(s, d)
+      val x = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = x.groupBy(col("label").as("lc"), col("pos"))
+        .agg(StableRound.round6(avg(col("v").cast("double"))).as("c"))
+      val t6 = floor(StableRound.round6(
+        (col("v").cast("double") - col("c"))
+          * (col("v").cast("double") - col("c"))) * 1e6 + 0.5)
+        .cast("long")
+      val d2 = x.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("label"), col("lc"))
+        .agg(sum(t6).as("d6"))
+      val ab = d2.groupBy("vec_id", "label")
+        .agg(max(when(col("lc") === col("label"), col("d6"))).as("a6"),
+          min(when(col("lc") =!= col("label"), col("d6"))).as("b6"))
+      val aD = sqrt(col("a6").cast("double") / 1e6)
+      val bD = sqrt(col("b6").cast("double") / 1e6)
+      val sil = when(greatest(col("a6"), col("b6")) > 0,
+        (bD - aD) / greatest(aD, bD)).otherwise(lit(0.0))
+      ab.select(col("label"),
+          floor(StableRound.round6(sil) * 1e6 + 0.5).cast("long").as("s6"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          StableRound.round6(sum(col("s6")).cast("double") / 1e6
+            / count(lit(1)).cast("double")).as("mean_sil"))
+    }),
+
     // per-label embedding centroids — the cluster-summary primitive
     // (k-means step / class prototypes). Two-level agg: posexplode →
     // (label, dim) partial means (map-side combined; |labels|·|dims|
@@ -532,6 +574,41 @@ object VectorQueries extends QueryPack {
       |    sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // same centroid recipe as vec_centroids; per-dim terms and the
+    // per-label mean travel as 1e6 fixed-point BIGINTs — the only
+    // cross-engine sums are integer sums
+    "vec_silhouette" ->
+      s"""WITH x AS (SELECT vec_id, label, i - 1 AS pos,
+         |    CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         |cent AS (SELECT label AS lc, pos,
+         |    ${graft.StableRound.sql6("avg(v)")} AS c
+         |  FROM x GROUP BY 1, 2),
+         |d2 AS (SELECT x.vec_id, x.label, cent.lc,
+         |    sum(CAST(floor(${graft.StableRound.sql6(
+                "(x.v - cent.c) * (x.v - cent.c)")} * 1000000 + 0.5)
+         |      AS BIGINT)) AS d6
+         |  FROM x JOIN cent ON cent.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |ab AS (SELECT vec_id, label,
+         |    max(CASE WHEN lc = label THEN d6 END) AS a6,
+         |    min(CASE WHEN lc <> label THEN d6 END) AS b6
+         |  FROM d2 GROUP BY 1, 2),
+         |s AS (SELECT label,
+         |    CAST(floor(${graft.StableRound.sql6(
+                "CASE WHEN greatest(a6, b6) > 0 THEN " +
+                  "(sqrt(CAST(b6 AS DOUBLE) / 1000000.0) " +
+                  "- sqrt(CAST(a6 AS DOUBLE) / 1000000.0)) " +
+                  "/ greatest(sqrt(CAST(a6 AS DOUBLE) / 1000000.0), " +
+                  "sqrt(CAST(b6 AS DOUBLE) / 1000000.0)) ELSE 0.0 END")}
+         |      * 1000000 + 0.5) AS BIGINT) AS s6
+         |  FROM ab)
+         |SELECT label, count(*) AS n_vecs,
+         |  ${graft.StableRound.sql6(
+              "CAST(sum(s6) AS DOUBLE) / 1000000.0 " +
+                "/ CAST(count(*) AS DOUBLE)")} AS mean_sil
+         |FROM s GROUP BY label""".stripMargin,
+
     "vec_centroids" ->
       s"""WITH e AS (SELECT label, i - 1 AS pos,
         |    CAST(embedding[i] AS DOUBLE) AS v
