@@ -86,6 +86,48 @@ object GraphQueries extends QueryPack {
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
+    // local clustering coefficient per node — the "how cliquish is each
+    // neighborhood" metric (community-structure health, spam-node
+    // screening). Per-node triangle counts come from the edge-iterator
+    // probe with per-corner attribution (GraphOps.perNodeTriangles):
+    // the contribution stream is 2m + 3T rows — triangle-LINEAR, the
+    // output lower bound — and the wedge stream never exists. Same
+    // explicit m-based broadcast-vs-shuffle adjacency choice as the
+    // triangle count. lcc = 2t/(deg·(deg−1)) is one per-row double
+    // division of exact integers (deterministic IEEE in both engines)
+    // under round6; deg<2 nodes define lcc=0. Output is |V| rows.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
+        .distinct().localCheckpoint()
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val ku = deg.select(col("x").as("u"),
+        (col("deg") * lit(1L << 32) + col("u")).as("ku"))
+      val kv = deg.select(col("x").as("v"),
+        (col("deg") * lit(1L << 32) + col("v")).as("kv"))
+      val oriented = edges.join(ku, "u").join(kv, "v").select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v"))
+          .as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u"))
+          .as("dst"))
+        .localCheckpoint()
+      val m = edges.count()
+      val tri = GraphOps.perNodeTriangles(oriented,
+        broadcastAdj = m <= 50000000L)
+      deg.join(tri, Seq("x"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("x"), col("deg").cast("long").as("deg"),
+          col("n_tri"),
+          when(col("deg") >= 2, graft.StableRound.round6(
+            (col("n_tri") * 2).cast("double")
+              / (col("deg") * (col("deg") - 1)).cast("double")))
+            .otherwise(lit(0.0)).as("lcc"))
+    }),
+
     // common-neighbors link prediction over the REPEAT-co-purchase graph
     // (edge support ≥ 2 — single co-occurrence is noise at basket scale,
     // and the support filter is also the scale lever: it collapses the
@@ -272,6 +314,29 @@ object GraphQueries extends QueryPack {
         |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT n_vertices, n_edges, n_paths2, n_triangles
         |FROM verts, en, p2, tri""".stripMargin,
+
+    // id-ordered 3-way triangle enumeration, each triple unnested to its
+    // three corners; lcc assembly mirrored per-row
+    "graph_clustering_coeff" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT x, count(*) AS deg FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |t AS (SELECT x, count(*) AS n_tri
+         |  FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY 1)
+         |SELECT deg.x, CAST(deg.deg AS BIGINT) AS deg,
+         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.deg >= 2 THEN ${graft.StableRound.sql6(
+              "CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE) " +
+                "/ CAST(deg.deg * (deg.deg - 1) AS DOUBLE)")}
+         |    ELSE 0.0 END AS lcc
+         |FROM deg LEFT JOIN t ON t.x = deg.x""".stripMargin,
 
     "graph_common_neighbors" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
