@@ -570,6 +570,52 @@ object StatsQueries extends QueryPack {
             / (col("n_second") + B).cast("double")).as("kl"))
     }),
 
+    // Jensen-Shannon divergence per event_type between month halves —
+    // completes the drift family (PSI/KS/KL) with the SYMMETRIC,
+    // bounded member (JSD ∈ [0, ln 2]; the one you threshold when
+    // neither window is the privileged baseline). Same grid/smoothing
+    // recipe as agg_kl_drift (Laplace +1, B=10 bins); JSD = ½KL(P‖M) +
+    // ½KL(Q‖M) with M the midpoint. The smoothed densities are exact-
+    // integer ratios evaluated per-row in double (deterministic IEEE);
+    // each per-bin term snaps to the round6 grid and sums as a 1e6
+    // fixed-point long — the libm ln comparison is per-term at 1e-6
+    // granularity (the l6/math_funcs precedent), never an
+    // accumulation-order float sum. Bounded state/shape: |types|·B cells.
+    "agg_jsd_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val B = 10
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .as("fh"),
+          least(expr("cast(floor(value * 100 + 0.5) as bigint) div 5000"),
+            lit(9L)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("fh"), 1L).otherwise(0L)).as("cq"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val grid = tot.select(col("event_type"), col("np"), col("nq"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("cp", "cq"))
+      val p = (col("cp") + 1).cast("double") /
+        (col("np") + B).cast("double")
+      val q = (col("cq") + 1).cast("double") /
+        (col("nq") + B).cast("double")
+      val m = (p + q) / 2
+      val t6 = floor(StableRound.round6(
+        (p * log(p / m) + q * log(q / m)) * 0.5) * 1e6 + 0.5)
+        .cast("long")
+      grid.withColumn("t6", t6)
+        .groupBy("event_type")
+        .agg(max("np").as("n_first"), max("nq").as("n_second"),
+          sum("t6").as("ssum6"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          StableRound.round6(col("ssum6").cast("double") / 1e6).as("jsd"))
+    }),
+
     // two-sample KOLMOGOROV-SMIRNOV per event_type between month halves
     // — PSI's bin-free sibling (sensitive to any CDF gap, not just the
     // binned mass). FULLY integer: D·np·nq = max over the value domain
@@ -1131,6 +1177,38 @@ object StatsQueries extends QueryPack {
          |SELECT event_type, np AS n_first, nq AS n_second,
          |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0 " +
                "/ CAST(nq+10 AS DOUBLE)")} AS kl
+         |FROM s""".stripMargin
+    },
+
+    // same grid as the KL oracle; per-bin JSD term snapped to round6
+    // and summed as fixed-point BIGINTs
+    "agg_jsd_drift" -> {
+      val p = "(CAST(cp + 1 AS DOUBLE) / CAST(np + 10 AS DOUBLE))"
+      val q = "(CAST(cq + 1 AS DOUBLE) / CAST(nq + 10 AS DOUBLE))"
+      val m = s"(($p + $q) / 2)"
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        s"($p * ln($p / $m) + $q * ln($q / $m)) * 0.5") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH b AS (SELECT event_type,
+         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS fh,
+         |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+         |      AS bin
+         |  FROM events),
+         |c AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS BIGINT) AS cq
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq FROM c GROUP BY 1),
+         |g AS (SELECT t.event_type, t.np, t.nq, r.bin,
+         |    coalesce(c.cp, 0) AS cp, coalesce(c.cq, 0) AS cq
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) r
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = r.bin),
+         |s AS (SELECT event_type, np, nq, CAST(sum($t6) AS BIGINT)
+         |    AS ssum6 FROM g GROUP BY 1, 2, 3)
+         |SELECT event_type, np AS n_first, nq AS n_second,
+         |  ${graft.StableRound.sql6("CAST(ssum6 AS DOUBLE) / 1000000.0")}
+         |    AS jsd
          |FROM s""".stripMargin
     },
 

@@ -160,6 +160,39 @@ object StreamQueries extends QueryPack {
             / col("n").cast("double")).as("share"))
     }),
 
+    // streaming face of agg_shannon_diversity: per-day event-type-mix
+    // entropy, live. State = ONE count per (day window, type) key —
+    // bounded by |types| per day; entropy assembly (per-term −p·ln p on
+    // the round6 grid, 1e6 fixed-point longs) is a batch projection on
+    // the materialized table, identical to the batch recipe.
+    "stream_shannon_diversity" -> ((s, d) => {
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(
+          eventsStream(s, d),
+          "ts", "1 day", Seq("event_type"),
+          Seq(count(lit(1)).as("n"))),
+        outputMode = "complete")
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n"))
+      val tot = agged.select(col("day_start").as("ds"), col("n"))
+        .groupBy("ds").agg(sum("n").as("nd"), count(lit(1)).as("k"))
+      val p = col("n").cast("double") / col("nd").cast("double")
+      val t6 = floor(graft.StableRound.round6(-p * log(p)) * 1e6 + 0.5)
+        .cast("long")
+      agged.join(tot, agged("day_start") === tot("ds"))
+        .select(col("day_start"), col("nd"), col("k"), t6.as("t6"))
+        .groupBy("day_start")
+        .agg(max("nd").as("n_day"), max("k").as("n_types"),
+          sum("t6").as("h6"))
+        .select(col("day_start"), col("n_day"), col("n_types"),
+          graft.StableRound.round6(col("h6").cast("double") / 1e6)
+            .as("entropy"),
+          when(col("n_types") > 1, graft.StableRound.round6(
+            col("h6").cast("double") / 1e6
+              / log(col("n_types").cast("double"))))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    }),
+
     // streaming DRIFT MONITOR: per-day PSI of each event_type's value
     // distribution vs the month-first-half baseline — agg_psi_drift's
     // live face. The streaming state is genuinely bounded: the windowed
@@ -916,6 +949,10 @@ object StreamQueries extends QueryPack {
                "/ CAST(nd+10 AS DOUBLE)")} AS kl
          |FROM s""".stripMargin
     },
+
+    // identical recipe to the batch entry (already day-grained)
+    "stream_shannon_diversity" ->
+      StatsQueries.oracle("agg_shannon_diversity"),
 
     // batch twin of the per-day digit counts; cent-integer leading
     // digit, shares under round6
