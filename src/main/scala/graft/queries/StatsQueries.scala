@@ -570,6 +570,65 @@ object StatsQueries extends QueryPack {
             / (col("n_second") + B).cast("double")).as("kl"))
     }),
 
+    // exact tied-rank SPEARMAN between quantity and extended price —
+    // agg_corr's rank-based twin (monotone association, outlier-immune).
+    // Rank discipline: per-row ranks never exist; the DOUBLED midrank
+    // R2(v) = 2·below(v) + cnt(v) + 1 is an exact INTEGER on each
+    // value's domain relation (the mann_whitney identity), so all five
+    // sufficient statistics are exact DECIMAL(38,0) sums: Σcnt·R2a·R2b
+    // needs the JOINT (qty,price-cent) relation — ≤ one row per
+    // distinct pair, map-side combined — and the marginal sums come off
+    // the tiny domain relations. The doubling cancels in ρ; the only
+    // float is the one final assembly (mirrored factor-for-factor).
+    // Windows run over value DOMAINS (qty ~50 values, price cents
+    // bounded by the price grid), never over rows. If a domain ever
+    // outgrows one task, the below-prefix generalizes to a two-level
+    // prefix sum (range-partitioned partials + broadcast offsets) with
+    // the same integer identity — the recipe, not the window, is the
+    // contract.
+    "agg_spearman" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val joint = Tables.lineitem(s, d)
+        .select(round(col("l_quantity")).cast("long").as("a"),
+          round(col("l_extendedprice") * 100).cast("long").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      def marg(k: String) = {
+        val w = Window.orderBy(k)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        joint.groupBy(k).agg(sum("cnt").as("m"))
+          .withColumn("below", coalesce(sum(col("m")).over(w), lit(0L)))
+          .select(col(k), col("m"),
+            (col("below") * 2 + col("m") + 1).as(s"r2$k"))
+      }
+      val ma = marg("a")
+      val mb = marg("b")
+      // cast BEFORE the product: m·r2 overflows int64 past ~1e10 rows
+      val sa = ma.agg(sum(col("m").cast(dec)).as("n"),
+        sum(col("m").cast(dec) * col("r2a")).as("sx"),
+        sum(col("m").cast(dec) * col("r2a") * col("r2a")).as("sxx"))
+      val sb = mb.agg(
+        sum(col("m").cast(dec) * col("r2b")).as("sy"),
+        sum(col("m").cast(dec) * col("r2b") * col("r2b")).as("syy"))
+      val sxy = joint.join(broadcast(ma.select("a", "r2a")), "a")
+        .join(mb.select("b", "r2b"), "b")
+        .agg(sum(col("cnt").cast(dec) * col("r2a") * col("r2b"))
+          .as("sxy"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      sa.crossJoin(sb).crossJoin(sxy)
+        .select(col("n").cast("long").as("n"),
+          StableRound.round6(
+            (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+              / (sqrt(D(col("n")) * D(col("sxx"))
+                   - D(col("sx")) * D(col("sx")))
+                 * sqrt(D(col("n")) * D(col("syy"))
+                   - D(col("sy")) * D(col("sy"))))).as("rho"))
+    }),
+
     // Jensen-Shannon divergence per event_type between month halves —
     // completes the drift family (PSI/KS/KL) with the SYMMETRIC,
     // bounded member (JSD ∈ [0, ln 2]; the one you threshold when
@@ -1179,6 +1238,39 @@ object StatsQueries extends QueryPack {
                "/ CAST(nq+10 AS DOUBLE)")} AS kl
          |FROM s""".stripMargin
     },
+
+    // doubled-midrank integer identity on both marginals; joint-relation
+    // product sum; ONE mirrored double assembly
+    "agg_spearman" ->
+      s"""WITH j AS (SELECT CAST(round(l_quantity) AS BIGINT) AS a,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS b,
+         |    count(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |ma AS (SELECT a, m,
+         |    COALESCE(sum(m) OVER (ORDER BY a
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+         |      + m + 1 AS r2a
+         |  FROM (SELECT a, sum(cnt) AS m FROM j GROUP BY 1)),
+         |mb AS (SELECT b, m,
+         |    COALESCE(sum(m) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+         |      + m + 1 AS r2b
+         |  FROM (SELECT b, sum(cnt) AS m FROM j GROUP BY 1)),
+         |sa AS (SELECT sum(m) AS n, sum(m * r2a) AS sx,
+         |    sum(m * r2a * r2a) AS sxx FROM ma),
+         |sb AS (SELECT sum(m * r2b) AS sy, sum(m * r2b * r2b) AS syy
+         |  FROM mb),
+         |sxy AS (SELECT sum(j.cnt * ma.r2a * mb.r2b) AS sxy
+         |  FROM j JOIN ma USING (a) JOIN mb USING (b))
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6(
+              "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+                "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+                "/ (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+                "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+                "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+                "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")} AS rho
+         |FROM sa, sb, sxy""".stripMargin,
 
     // same grid as the KL oracle; per-bin JSD term snapped to round6
     // and summed as fixed-point BIGINTs
