@@ -277,6 +277,34 @@ object CorpusQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"),
           graft.StableRound.round6(col("__wkey")).as("wkey"))),
 
+    // deterministic NEGATIVE SAMPLING for contrastive training — every
+    // anchor doc gets k=4 pseudo-random negatives from a seeded affine
+    // map over the dense id space ((a·id + b·j + c) mod n, self remapped
+    // to the next id). Deterministic-by-construction: the "random" pick
+    // is pure integer arithmetic, so the exact pair set is reproducible
+    // on any engine and across reruns — the property a training-data
+    // pipeline needs for resumable epoch builds. Scale shape: the only
+    // corpus-sized operation is the id-keyed join fetching negative
+    // metadata (co-partitioned shuffle join); n arrives by broadcast.
+    // Dense 0..n-1 ids are assumed (the standard zipWithIndex prep);
+    // a·n must stay under int64 — holds to ~3.5e9 docs, document past
+    // that (DECIMAL or Russian-peasant modmul).
+    "sample_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val cnt = docs.agg(count(lit(1)).as("n"))
+      val anchors = docs.select("doc_id").crossJoin(broadcast(cnt))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1), lit(4))).as("j"))
+      val raw = (col("doc_id") * 2654435761L + col("j") * 40503L
+        + 12345L) % col("n")
+      anchors.select(col("doc_id"), col("j").cast("long").as("j"),
+          when(raw === col("doc_id"), (raw + 1) % col("n"))
+            .otherwise(raw).as("neg_id"))
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), "neg_id")
+        .select(col("doc_id"), col("j"), col("neg_id"), col("neg_lang"))
+    }),
+
     // the BLOOM tier of incremental dedup — the documented scale path
     // of dedupe_incremental made code: the landed corpus's key table is
     // folded into a ~9-bits/key bloom filter (1% fpp; mergeable
@@ -571,6 +599,22 @@ object CorpusQueries extends QueryPack {
         |    PARTITION BY lang ORDER BY shuffle_key) AS rk FROM k)
         |SELECT lang, doc_id, shuffle_key, rk FROM w
         |WHERE rk <= 20""".stripMargin,
+
+    // same affine map in hugeint; j cast to BIGINT to match
+    "sample_negatives" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |a AS (SELECT doc_id, CAST(j AS BIGINT) AS j, n
+        |  FROM documents, nn, unnest(range(1, 5)) AS t(j)),
+        |r AS (SELECT doc_id, j,
+        |    CAST((doc_id * 2654435761 + j * 40503 + 12345) % n
+        |      AS BIGINT) AS raw, n
+        |  FROM a),
+        |s AS (SELECT doc_id, j,
+        |    CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END
+        |      AS neg_id
+        |  FROM r)
+        |SELECT s.doc_id, s.j, s.neg_id, d.lang AS neg_lang
+        |FROM s JOIN documents d ON d.doc_id = s.neg_id""".stripMargin,
 
     // same LCG scramble (seed 29) ranked by key/weight — the ORDER BY
     // uses the exact double; only the emitted column is rounded

@@ -570,6 +570,46 @@ object StatsQueries extends QueryPack {
             / (col("n_second") + B).cast("double")).as("kl"))
     }),
 
+    // Tukey-fence (IQR) outlier gate per event_type — the quantile-based
+    // sibling of agg_outlier_zscore (robust to the very outliers it
+    // flags, which the z-score's own σ is not). FULLY integer: discrete
+    // quartiles are selected off the cents-DOMAIN counting relation
+    // (≤49k rows/type at any corpus size) with integer ceil-division
+    // ranks, and the 1.5·IQR fences live at 2× cent scale (2·Q1−3·IQR)
+    // so no fraction ever exists; the outlier count sums the SAME
+    // checkpointed domain relation — ONE corpus scan total, no
+    // join-back. Every output column is a long.
+    "agg_outlier_iqr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dom = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val q = dom
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wt))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          // `div`, not `/`: Column./ on longs is DOUBLE division
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("c")))
+            .as("q1_cents"),
+          min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("c")))
+            .as("q3_cents"))
+      val iqr = col("q3_cents") - col("q1_cents")
+      dom.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("q1_cents").as("q1_cents"),
+          max("q3_cents").as("q3_cents"),
+          sum(when(col("c") * 2 < col("q1_cents") * 2 - iqr * 3
+              || col("c") * 2 > col("q3_cents") * 2 + iqr * 3,
+            col("cnt")).otherwise(0L)).as("n_outliers"))
+    }),
+
     // exact tied-rank SPEARMAN between quantity and extended price —
     // agg_corr's rank-based twin (monotone association, outlier-immune).
     // Rank discipline: per-row ranks never exist; the DOUBLED midrank
@@ -1238,6 +1278,31 @@ object StatsQueries extends QueryPack {
                "/ CAST(nq+10 AS DOUBLE)")} AS kl
          |FROM s""".stripMargin
     },
+
+    // discrete quartiles via integer ceil-division ranks on the cents
+    // domain; 2×-scaled fences; all-BIGINT output
+    "agg_outlier_iqr" ->
+      """WITH dom AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dom),
+        |q AS (SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum >= (n + 3) // 4 THEN c END) AS q1_cents,
+        |    min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN c END) AS q3_cents
+        |  FROM cum GROUP BY 1)
+        |SELECT dom.event_type, CAST(max(q.n) AS BIGINT) AS n,
+        |  max(q.q1_cents) AS q1_cents, max(q.q3_cents) AS q3_cents,
+        |  CAST(sum(CASE WHEN dom.c * 2 <
+        |      q.q1_cents * 2 - (q.q3_cents - q.q1_cents) * 3
+        |    OR dom.c * 2 >
+        |      q.q3_cents * 2 + (q.q3_cents - q.q1_cents) * 3
+        |    THEN dom.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dom JOIN q USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // doubled-midrank integer identity on both marginals; joint-relation
     // product sum; ONE mirrored double assembly
