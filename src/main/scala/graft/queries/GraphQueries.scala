@@ -128,6 +128,40 @@ object GraphQueries extends QueryPack {
             .otherwise(lit(0.0)).as("lcc"))
     }),
 
+    // degree assortativity — the hub-mixing coefficient (do high-degree
+    // nodes attach to each other, like social graphs, or to leaves,
+    // like the web?): Pearson over the symmetrized endpoint-degree
+    // pairs. Symmetry collapses the moments (Sy=Sx, Syy=Sxx), so FOUR
+    // exact DECIMAL(38,0) sums over the m edges suffice — one edge-list
+    // scan joined twice against the tiny degree table, one mirrored
+    // double assembly. No wedge, no pair explosion: O(m) at any scale.
+    "graph_assortativity" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
+        .distinct().localCheckpoint()
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("x").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      edges.join(du, "u").join(dv, "v")
+        .agg(count(lit(1)).cast(dec).as("m"),
+          sum((col("du") + col("dv")).cast(dec)).as("sx"),
+          sum(col("du").cast(dec) * col("du")
+            + col("dv").cast(dec) * col("dv")).as("sxx"),
+          sum(col("du").cast(dec) * col("dv") * 2).as("sxy"))
+        .select(col("m").cast("long").as("n_edges"),
+          graft.StableRound.round6(
+            (D(col("m")) * 2 * D(col("sxy")) - D(col("sx")) * D(col("sx")))
+              / (D(col("m")) * 2 * D(col("sxx"))
+                 - D(col("sx")) * D(col("sx")))).as("assortativity"))
+    }),
+
     // common-neighbors link prediction over the REPEAT-co-purchase graph
     // (edge support ≥ 2 — single co-occurrence is noise at basket scale,
     // and the support filter is also the scale lever: it collapses the
@@ -337,6 +371,29 @@ object GraphQueries extends QueryPack {
                 "/ CAST(deg.deg * (deg.deg - 1) AS DOUBLE)")}
          |    ELSE 0.0 END AS lcc
          |FROM deg LEFT JOIN t ON t.x = deg.x""".stripMargin,
+
+    // symmetric moments over endpoint degrees; hugeint ≡ DECIMAL(38,0)
+    "graph_assortativity" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT x, count(*) AS deg FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+         |  GROUP BY 1),
+         |s AS (SELECT count(*) AS m,
+         |    sum(du.deg + dv.deg) AS sx,
+         |    sum(du.deg * du.deg + dv.deg * dv.deg) AS sxx,
+         |    sum(du.deg * dv.deg * 2) AS sxy
+         |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v)
+         |SELECT CAST(m AS BIGINT) AS n_edges,
+         |  ${graft.StableRound.sql6(
+              "(CAST(m AS DOUBLE) * 2 * CAST(sxy AS DOUBLE) " +
+                "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+                "/ (CAST(m AS DOUBLE) * 2 * CAST(sxx AS DOUBLE) " +
+                "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")}
+         |    AS assortativity
+         |FROM s""".stripMargin,
 
     "graph_common_neighbors" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

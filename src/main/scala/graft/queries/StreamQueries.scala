@@ -131,6 +131,51 @@ object StreamQueries extends QueryPack {
             / (col("n_day") + B).cast("double")).as("kl"))
     }),
 
+    // streaming Tukey gate: per-day count of events outside the
+    // month-first-half 1.5·IQR fences per type — agg_outlier_iqr's live
+    // face. The fences are a broadcast BATCH aggregate (per-type
+    // integers at 2× cent scale, computed with agg_outlier_iqr's
+    // ceil-division discrete quartiles); the stream carries only a
+    // precomputed boolean, so state = TWO counts per (day window, type)
+    // key. Fully integer output.
+    "stream_outlier_iqr" -> ((s, d) => {
+      val dom = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("c")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val fences = dom
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wt))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("c")))
+            .as("q1"),
+          min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("c")))
+            .as("q3"))
+        .select(col("event_type"),
+          (col("q1") * 2 - (col("q3") - col("q1")) * 3).as("lo2"),
+          (col("q3") * 2 + (col("q3") - col("q1")) * 3).as("hi2"))
+      val flagged = eventsStream(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .join(broadcast(fences), Seq("event_type"))
+        .withColumn("out",
+          when(col("c") * 2 < col("lo2") || col("c") * 2 > col("hi2"), 1L)
+            .otherwise(0L))
+      StreamOps.runToMemory(
+        StreamOps.tumbling(flagged, "ts", "1 day", Seq("event_type"),
+          Seq(count(lit(1)).as("n_day"), sum("out").as("n_outliers"))),
+        outputMode = "complete")
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n_day"), col("n_outliers"))
+    }),
+
     // streaming face of agg_benford: per-day first-digit counts of the
     // value column — the live fabricated-data / unit-mixup screen. The
     // windowed agg keys on (day window, digit) and carries ONE count per
@@ -953,6 +998,33 @@ object StreamQueries extends QueryPack {
     // identical recipe to the batch entry (already day-grained)
     "stream_shannon_diversity" ->
       StatsQueries.oracle("agg_shannon_diversity"),
+
+    // first-half fences via the ceil-division discrete quartiles, then
+    // per-day integer counts — all BIGINT
+    "stream_outlier_iqr" ->
+      """WITH dom AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c, count(*) AS cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dom),
+        |q AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (n + 3) // 4 THEN c END) AS q1,
+        |    min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN c END) AS q3
+        |  FROM cum GROUP BY 1),
+        |f AS (SELECT event_type, q1 * 2 - (q3 - q1) * 3 AS lo2,
+        |    q3 * 2 + (q3 - q1) * 3 AS hi2 FROM q)
+        |SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day_start,
+        |  e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_day,
+        |  CAST(sum(CASE WHEN CAST(round(e.value * 100) AS BIGINT) * 2
+        |      < f.lo2 OR CAST(round(e.value * 100) AS BIGINT) * 2 > f.hi2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
 
     // batch twin of the per-day digit counts; cent-integer leading
     // digit, shares under round6
