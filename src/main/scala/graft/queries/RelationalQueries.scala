@@ -357,6 +357,36 @@ object RelationalQueries extends QueryPack {
           .as("p90_cents"))
     }),
 
+    // rolling z-score vs the user's own trailing baseline (24 rows,
+    // EXCLUDING current — a self-inclusive baseline dilutes the very
+    // anomaly it scores) — the per-entity spike detector
+    // win_rolling_quantile thresholds and ts_anomaly_mad globalizes.
+    // Window sums are exact cent integers (c² ≤ 1e10 · 23 rows fits
+    // long comfortably); the z assembly is one straight-line double
+    // expression; rows with under 12 baseline points or zero variance
+    // emit null. Bounded frame ⇒ bounded per-row cost; partitioned by
+    // user, so the shuffle is the same single exchange every win_*
+    // entry pays.
+    "win_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-23, -1)
+      val c = round(col("value") * 100).cast("long")
+      def D(x: org.apache.spark.sql.Column) = x.cast("double")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), c.as("c"))
+        .withColumn("bn", count(lit(1)).over(w))
+        .withColumn("bs", sum("c").over(w))
+        .withColumn("bq", sum(col("c") * col("c")).over(w))
+        .select(col("event_id"), col("user_id"),
+          when(col("bn") >= 12 &&
+              col("bq") * col("bn") > col("bs") * col("bs"),
+            StableRound.round6(
+              (D(col("c")) - D(col("bs")) / D(col("bn"))) /
+                sqrt((D(col("bq")) - D(col("bs")) * D(col("bs"))
+                  / D(col("bn"))) / (D(col("bn")) - 1))))
+            .as("z"))
+    }),
+
     // quartile bucketing + relative rank per group — ntile ties are
     // row-order-dependent, so the ordering includes the unique key
     "win_ntile" -> ((s, d) =>
@@ -1163,6 +1193,27 @@ object RelationalQueries extends QueryPack {
         |SELECT event_id, user_id,
         |  l[CAST(ceil(len(l) * 0.9) AS INT)] AS p90_cents
         |FROM w""".stripMargin,
+
+    // exact integer trailing window sums; one mirrored double assembly;
+    // null under 12 baseline rows or zero variance
+    "win_rolling_zscore" -> {
+      val z = "(CAST(c AS DOUBLE) - CAST(bs AS DOUBLE) " +
+        "/ CAST(bn AS DOUBLE)) " +
+        "/ sqrt((CAST(bq AS DOUBLE) - CAST(bs AS DOUBLE) " +
+        "* CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE)) " +
+        "/ (CAST(bn AS DOUBLE) - 1))"
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |w AS (SELECT event_id, user_id, c,
+         |    count(*) OVER wb AS bn, sum(c) OVER wb AS bs,
+         |    sum(c * c) OVER wb AS bq
+         |  FROM e WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id,
+         |  CASE WHEN bn >= 12 AND bq * bn > bs * bs
+         |    THEN ${graft.StableRound.sql6(z)} END AS z
+         |FROM w""".stripMargin
+    },
 
     "topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -788,6 +788,333 @@ object StatsQueries extends QueryPack {
           col("pick.dstat").as("d_max"),
           timestamp_seconds(-col("pick.negday")).as("cp_day"))
     }),
+
+    // KENDALL tau-b between quantity and discount — the third member of
+    // the association family (corr = linear, spearman = monotone-rank,
+    // kendall = pair-concordance; tau-b is what you report when both
+    // columns are coarse grids with heavy ties). Pair counting runs on
+    // the JOINT DOMAIN relation, never on rows: concordant/discordant
+    // sums are a theta self-join of the ≤|qty-domain|·|disc-domain|
+    // joint cells (≤ ~550 here — domain-bounded at ANY corpus size),
+    // with one side broadcast. C, D, and the tie terms are exact
+    // DECIMAL(38,0) integers (C ≤ n²/2 fits to n ~ 1e18); the one float
+    // is the final tau-b assembly, mirrored factor-for-factor. If a
+    // domain pair ever outgrew the theta join, C decomposes over the
+    // same 2-D below-prefix the spearman marginals use — the counting
+    // relation, not the join, is the contract.
+    "agg_kendall_tau" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val joint = Tables.lineitem(s, d)
+        .select(round(col("l_quantity")).cast("long").as("a"),
+          round(col("l_discount") * 100).cast("long").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val x = joint.select(col("a").as("a1"), col("b").as("b1"),
+        col("cnt").as("c1"))
+      val y = joint.select(col("a").as("a2"), col("b").as("b2"),
+        col("cnt").as("c2"))
+      val cd = x.join(broadcast(y), col("a1") < col("a2"))
+        .agg(
+          coalesce(sum(when(col("b1") < col("b2"),
+            col("c1").cast(dec) * col("c2"))), lit(0).cast(dec)).as("nc"),
+          coalesce(sum(when(col("b1") > col("b2"),
+            col("c1").cast(dec) * col("c2"))), lit(0).cast(dec)).as("nd"))
+      val ma = joint.groupBy("a").agg(sum("cnt").as("t"))
+        .agg(sum(col("t").cast(dec)).as("n"),
+          sum(col("t").cast(dec) * (col("t").cast(dec) - 1)).as("t2a"))
+      val mb = joint.groupBy("b").agg(sum("cnt").as("t"))
+        .agg(sum(col("t").cast(dec) * (col("t").cast(dec) - 1)).as("t2b"))
+      cd.crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+        .select(col("n").cast("long").as("n"),
+          (col("nc") - col("nd")).cast("double").as("ncd"),
+          (col("n") * (col("n") - 1) - col("t2a")).cast("double").as("da"),
+          (col("n") * (col("n") - 1) - col("t2b")).cast("double").as("db"))
+        .select(col("n"),
+          StableRound.round6(col("ncd") * 2 / sqrt(col("da") * col("db")))
+            .as("tau_b"))
+    }),
+
+    // KRUSKAL-WALLIS H across event types on value — the k-sample
+    // extension of agg_mann_whitney (is ANY type's value distribution
+    // shifted?). Rank discipline is the shared doubled-midrank identity:
+    // R2(v) = 2·below(v) + cnt(v) + 1 is exact-integer on the global
+    // cents domain, so the per-group rank sum S2_g = Σ cnt_g·R2 and the
+    // centered deviation d_g = S2_g − n_g(n+1) are exact DECIMAL(38,0).
+    // The per-group term d_g²/(n_g·n) is a straight-line IEEE expression
+    // on exact inputs (deterministic per-row in BOTH engines — the float
+    // hazard is accumulation ORDER, not magnitude), snapped to the
+    // round6 grid and summed as 1e6 fixed-point longs over the ≤|types|
+    // rows; H = 3·S/(n+1), tie-corrected by the exact-integer
+    // (n³−n)/((n³−n)−Σ(t³−t)) factor. One corpus scan to the (c, type)
+    // domain relation; windows run over the cents DOMAIN, never rows.
+    "agg_kruskal_wallis" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val dom = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("c", "event_type").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val gdom = dom.groupBy("c").agg(sum("cnt").as("m"))
+      val w = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r2 = gdom
+        .withColumn("below", coalesce(sum(col("m")).over(w), lit(0L)))
+        .select(col("c"), (col("below") * 2 + col("m") + 1).as("r2"))
+      val tot = gdom.agg(sum(col("m").cast(dec)).as("n"),
+        sum(col("m").cast(dec) * col("m") * col("m") - col("m").cast(dec))
+          .as("ties"))
+      val grp = dom.join(broadcast(r2), "c")
+        .groupBy("event_type")
+        .agg(sum(col("cnt").cast(dec)).as("ng"),
+          sum(col("cnt").cast(dec) * col("r2")).as("s2"))
+      val dg = (col("s2") - col("ng") * (col("n") + 1)).cast("double")
+      val t6 = floor(StableRound.round6(
+        dg * dg / (col("ng").cast("double") * col("n").cast("double")))
+        * 1e6 + 0.5).cast("long")
+      val nD = col("n").cast("double")
+      val n3n = (col("n") * col("n") * col("n") - col("n"))
+      grp.crossJoin(broadcast(tot))
+        .select(col("n"), col("ties"), t6.as("t6"))
+        .groupBy().agg(max("n").as("n"), max("ties").as("ties"),
+          count(lit(1)).as("k"), sum("t6").as("s6"))
+        .select(col("n").cast("long").as("n"),
+          (col("k") - 1).cast("long").as("dof"),
+          StableRound.round6(col("s6").cast("double") / 1e6 * 3
+            / (nD + 1)).as("h_raw"),
+          StableRound.round6(col("s6").cast("double") / 1e6 * 3
+            / (nD + 1) * n3n.cast("double")
+            / (n3n - col("ties")).cast("double")).as("h"))
+    }),
+
+    // MUTUAL INFORMATION (+ entropies + NMI) of event_type × day-of-week
+    // — the information-theoretic association screen on agg_chi2's
+    // contingency relation (chi2 asks "is there dependence?", MI asks
+    // "how many bits does one column carry about the other?" — the
+    // feature-selection ranking signal). One corpus scan to the
+    // |types|·7-cell contingency (localCheckpoint'd; margins and cells
+    // both read it); every per-cell/per-margin −p·ln p or p·ln(n·n_xy/
+    // (r·c)) term is an exact-integer ratio evaluated in deterministic
+    // IEEE double, snapped to the round6 grid, and summed as 1e6
+    // fixed-point longs — the agg_shannon_diversity discipline. Zero
+    // cells contribute zero (standard MI, no smoothing). NMI uses the
+    // sqrt(H_row·H_col) normalization with a 0-entropy guard.
+    "agg_mutual_info" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("nxy"))
+        .localCheckpoint()
+      val rm = cells.groupBy("event_type").agg(sum("nxy").as("r"))
+      val cm = cells.groupBy("dow").agg(sum("nxy").as("cc"))
+      val nrel = cells.agg(sum("nxy").as("n"))
+      def h6(cnt: org.apache.spark.sql.Column) = {
+        val p = cnt.cast("double") / col("n").cast("double")
+        floor(StableRound.round6(-p * log(p)) * 1e6 + 0.5).cast("long")
+      }
+      val hx = rm.crossJoin(broadcast(nrel)).select(h6(col("r")).as("t6"))
+        .agg(sum("t6").as("hx6"))
+      val hy = cm.crossJoin(broadcast(nrel)).select(h6(col("cc")).as("t6"))
+        .agg(sum("t6").as("hy6"))
+      val pxy = col("nxy").cast("double") / col("n").cast("double")
+      val lift = col("n").cast("double") * col("nxy").cast("double") /
+        (col("r").cast("double") * col("cc").cast("double"))
+      val mi = cells.join(broadcast(rm), "event_type")
+        .join(broadcast(cm), "dow").crossJoin(broadcast(nrel))
+        .select(col("n"),
+          floor(StableRound.round6(pxy * log(lift)) * 1e6 + 0.5)
+            .cast("long").as("t6"))
+        .groupBy().agg(max("n").as("n"), sum("t6").as("mi6"))
+      mi.crossJoin(hx).crossJoin(hy)
+        .select(col("n").cast("long").as("n"),
+          StableRound.round6(col("mi6").cast("double") / 1e6).as("mi"),
+          StableRound.round6(col("hx6").cast("double") / 1e6).as("h_row"),
+          StableRound.round6(col("hy6").cast("double") / 1e6).as("h_col"),
+          when(col("hx6") > 0 && col("hy6") > 0, StableRound.round6(
+            col("mi6").cast("double") / 1e6
+              / sqrt(col("hx6").cast("double") / 1e6
+                * (col("hy6").cast("double") / 1e6))))
+            .otherwise(lit(0.0)).as("nmi"))
+    }),
+
+    // COHEN'S d (+ Hedges' g) purchase-vs-view — the effect-size
+    // companion agg_ab_ttest's p-value needs (at corpus n, EVERYTHING is
+    // significant; d says whether the shift is big enough to matter).
+    // Six exact integer sufficient statistics (n, Σc, Σc² per arm, cents
+    // scale, map-side combined in one scan — Σc² ~ n·1e8 fits
+    // DECIMAL(38,0) to n ~ 1e30); one straight-line double assembly
+    // mirrored factor-for-factor, with the small-sample Hedges
+    // correction 1 − 3/(4·df − 1) as a second output.
+    "agg_cohens_d" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val a = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("isa"),
+          round(col("value") * 100).cast("long").as("c"))
+        .agg(
+          sum(when(col("isa"), 1L).otherwise(0L)).cast(dec).as("na"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).cast(dec).as("nb"),
+          coalesce(sum(when(col("isa"), col("c").cast(dec))),
+            lit(0).cast(dec)).as("sa"),
+          coalesce(sum(when(!col("isa"), col("c").cast(dec))),
+            lit(0).cast(dec)).as("sb"),
+          coalesce(sum(when(col("isa"), col("c").cast(dec) * col("c"))),
+            lit(0).cast(dec)).as("qa"),
+          coalesce(sum(when(!col("isa"), col("c").cast(dec) * col("c"))),
+            lit(0).cast(dec)).as("qb"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      // pooled variance from the exact sums: Σ(c−c̄)² = q − s²/n, all in
+      // cents² — the /100 cancels in d, so no unit conversion appears
+      val ssa = D(col("qa")) - D(col("sa")) * D(col("sa")) / D(col("na"))
+      val ssb = D(col("qb")) - D(col("sb")) * D(col("sb")) / D(col("nb"))
+      val df = D(col("na")) + D(col("nb")) - 2
+      val dEff = (D(col("sa")) / D(col("na")) - D(col("sb")) / D(col("nb"))) /
+        sqrt((ssa + ssb) / df)
+      a.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        StableRound.round6(dEff).as("cohens_d"),
+        StableRound.round6(dEff * (lit(1.0) - lit(3.0) / (df * 4 - 1)))
+          .as("hedges_g"))
+    }),
+
+    // DETERMINISTIC BOOTSTRAP CI for the mean order total — the
+    // uncertainty band a metrics pipeline attaches to every headline
+    // number. Replication is seeded, engine-neutral half-sampling (the
+    // samplingHash LCG over o_orderkey·R + rep — NOT rand(), so the CI
+    // is bit-reproducible across engines, reruns, and cluster sizes):
+    // R = 64 replicas, each keeping the ~half of orders whose hash is
+    // even. Shape at scale: the explode is map-side (R rows per order,
+    // filtered to ~R/2) feeding a 64-group hash agg — map-side combine
+    // collapses each task to ≤64 partial rows, so the shuffle is
+    // O(64·tasks) regardless of corpus size; per-replica sums are exact
+    // cent DECIMALs; the CI bounds are DISCRETE order statistics (ceil-
+    // rank selection over the 64 replica means — no interpolation
+    // float), picked by the same cum≥rank min-selection agg_outlier_iqr
+    // uses.
+    "agg_bootstrap_ci" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val reps = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(col("o_orderkey"), col("c"),
+          explode(sequence(lit(0L), lit(63L))).as("rep"))
+        .filter(graft.ops.CorpusOps.samplingHash(
+          col("o_orderkey") * 64 + col("rep")) % 2 === 0)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("nr"), sum(col("c").cast(dec)).as("sr"))
+        .select(col("rep"), StableRound.round6(
+          col("sr").cast("double") / col("nr").cast("double") / 100)
+          .as("mean_r"))
+      val w = Window.orderBy("mean_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = reps.withColumn("rk", count(lit(1)).over(w))
+      // ceil ranks at R=64: lo = 2nd smallest (2.5%), hi = 63rd (97.5%)
+      ranked.agg(
+        count(lit(1)).cast("long").as("n_replicas"),
+        min(when(col("rk") >= 2, col("mean_r"))).as("ci_lo"),
+        min(when(col("rk") >= 63, col("mean_r"))).as("ci_hi"))
+    }),
+
+    // CLASSICAL SEASONAL DECOMPOSITION (additive) of the per-type daily
+    // count series: trend = centered 7-day moving average, seasonal =
+    // day-of-week mean of the detrended series, residual = the rest —
+    // the first cut at "is this metric moving or is it just Tuesday".
+    // One corpus scan to the (type, day) count relation
+    // (localCheckpoint'd — grid types, day bounds, and the series join
+    // all read it); everything after runs on the zero-filled DAY GRID
+    // (bounded by calendar span at any corpus size, the agg_autocorr
+    // densification). Float discipline: trend is an exact-integer
+    // sum/7; each detrended value snaps to the round6 grid and the
+    // seasonal means sum those fixed-point longs — no float
+    // accumulation crosses engines. Edge days (incomplete 7-day
+    // window) have null trend/residual, standard decomposition
+    // behavior.
+    "agg_seasonal_decompose" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val counts = Tables.events(s, d)
+        .withColumn("day_start", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day_start")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val bounds = counts.agg(min("day_start").as("d0"),
+        max("day_start").as("d1"))
+      val grid = counts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day_start"))
+      val series = grid.join(counts, Seq("event_type", "day_start"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w7 = Window.partitionBy("event_type").orderBy("day_start")
+        .rowsBetween(-3, 3)
+      val tr = series
+        .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+          sum("cnt").over(w7).cast("double") / 7))
+      val det = tr
+        .withColumn("dow", dayofweek(col("day_start")) - 1)
+        .withColumn("det6", when(col("trend").isNotNull,
+          floor(StableRound.round6(
+            col("cnt").cast("double") - col("trend")) * 1e6 + 0.5)
+            .cast("long")))
+      val seas = det.filter(col("det6").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg((sum("det6").cast("double") / count(lit(1)).cast("double")
+          / 1e6).as("seasraw"))
+      det.join(broadcast(seas), Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("day_start"),
+          col("cnt").cast("long").as("n"),
+          StableRound.round6(col("trend")).as("trend"),
+          StableRound.round6(col("seasraw")).as("seasonal"),
+          StableRound.round6(col("cnt").cast("double") - col("trend")
+            - col("seasraw")).as("resid"))
+    }),
+
+    // A/B POWER ANALYSIS — the pre-experiment sizing every metrics
+    // team runs: given the observed value variance, how many rows per
+    // arm does a two-sample z-test need to detect a 1%-of-mean shift at
+    // α = 0.05 with power 0.8? n = 2·(z_{.975}+z_{.8})²·σ²/δ². Three
+    // exact integer moments in one map-side-combined scan; the z-sum
+    // constant is a shared literal; ceil on the one straight-line double
+    // expression is deterministic IEEE in both engines.
+    "agg_power_analysis" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val m = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("c"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c").cast(dec)).as("s1"),
+          sum(col("c").cast(dec) * col("c")).as("s2"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val nD = D(col("n"))
+      val mean = D(col("s1")) / nD / 100
+      val varD = (D(col("s2")) - D(col("s1")) * D(col("s1")) / nD) /
+        (nD - 1) / 10000
+      val mde = mean * 0.01
+      m.select(col("n").cast("long").as("n"),
+        StableRound.round6(mean).as("mean"),
+        StableRound.round6(sqrt(varD)).as("sd"),
+        StableRound.round6(mde).as("mde"),
+        ceil(varD / (mde * mde) * (lit(2.0) * 2.801585 * 2.801585))
+          .cast("long").as("n_required"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1422,5 +1749,213 @@ object StatsQueries extends QueryPack {
         |SELECT p.event_type, p.n_tot AS n_events, nd.n_days,
         |  p.dstat AS d_max, p.day AS cp_day
         |FROM pick p JOIN nd USING (event_type) WHERE p.rk = 1""".stripMargin,
+
+    // concordant/discordant pair sums off the joint-domain theta join;
+    // exact HUGEINT tie terms; ONE mirrored double assembly
+    "agg_kendall_tau" ->
+      s"""WITH j AS (SELECT CAST(round(l_quantity) AS BIGINT) AS a,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS b,
+         |    count(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |cd AS (SELECT
+         |    coalesce(sum(CASE WHEN x.b < y.b
+         |      THEN CAST(x.cnt AS HUGEINT) * y.cnt END), 0) AS nc,
+         |    coalesce(sum(CASE WHEN x.b > y.b
+         |      THEN CAST(x.cnt AS HUGEINT) * y.cnt END), 0) AS nd
+         |  FROM j x JOIN j y ON x.a < y.a),
+         |ma AS (SELECT sum(CAST(t AS HUGEINT)) AS n,
+         |    sum(CAST(t AS HUGEINT) * (t - 1)) AS t2a
+         |  FROM (SELECT a, CAST(sum(cnt) AS BIGINT) AS t
+         |    FROM j GROUP BY 1)),
+         |mb AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t2b
+         |  FROM (SELECT b, CAST(sum(cnt) AS BIGINT) AS t
+         |    FROM j GROUP BY 1))
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6(
+              "CAST(nc - nd AS DOUBLE) * 2 " +
+                "/ sqrt(CAST(n * (n - 1) - t2a AS DOUBLE) " +
+                "* CAST(n * (n - 1) - t2b AS DOUBLE))")} AS tau_b
+         |FROM cd, ma, mb""".stripMargin,
+
+    // doubled-midrank identity on the global cents domain; per-group
+    // deviation term snapped to round6 and summed as fixed-point BIGINTs
+    "agg_kruskal_wallis" -> {
+      val dg = "CAST(s2 - ng * (n + 1) AS DOUBLE)"
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        s"$dg * $dg / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE))") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH dom AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         |    event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+         |g AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS m
+         |  FROM dom GROUP BY 1),
+         |r AS (SELECT c, COALESCE(sum(m) OVER (ORDER BY c
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+         |    + m + 1 AS r2 FROM g),
+         |t AS (SELECT sum(CAST(m AS HUGEINT)) AS n,
+         |    sum(CAST(m AS HUGEINT) * m * m - m) AS ties FROM g),
+         |grp AS (SELECT event_type, sum(CAST(cnt AS HUGEINT)) AS ng,
+         |    sum(CAST(cnt AS HUGEINT) * r2) AS s2
+         |  FROM dom JOIN r USING (c) GROUP BY 1),
+         |terms AS (SELECT t.n, t.ties, $t6 AS t6 FROM grp, t)
+         |SELECT CAST(max(n) AS BIGINT) AS n,
+         |  CAST(count(*) - 1 AS BIGINT) AS dof,
+         |  ${graft.StableRound.sql6(
+              "CAST(sum(t6) AS DOUBLE) / 1000000.0 * 3 " +
+                "/ (CAST(max(n) AS DOUBLE) + 1)")} AS h_raw,
+         |  ${graft.StableRound.sql6(
+              "CAST(sum(t6) AS DOUBLE) / 1000000.0 * 3 " +
+                "/ (CAST(max(n) AS DOUBLE) + 1) " +
+                "* CAST(max(n) * max(n) * max(n) - max(n) AS DOUBLE) " +
+                "/ CAST(max(n) * max(n) * max(n) - max(n) - max(ties) " +
+                "AS DOUBLE)")} AS h
+         |FROM terms""".stripMargin
+    },
+
+    // chi2's contingency grid; per-cell/per-margin entropy terms snapped
+    // to round6 and summed as fixed-point BIGINTs; zero cells drop out
+    "agg_mutual_info" -> {
+      def h6(cnt: String) = "CAST(floor(" + graft.StableRound.sql6(
+        s"-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          s"* ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE))") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      val mi6 = "CAST(floor(" + graft.StableRound.sql6(
+        "(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE) " +
+          "/ (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)))") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH cells AS (SELECT event_type, dayofweek(ts) AS dow,
+         |    count(*) AS nxy FROM events GROUP BY 1, 2),
+         |rm AS (SELECT event_type, sum(nxy) AS r FROM cells GROUP BY 1),
+         |cm AS (SELECT dow, sum(nxy) AS cc FROM cells GROUP BY 1),
+         |t AS (SELECT sum(nxy) AS n FROM cells),
+         |hx AS (SELECT sum(${h6("r")}) AS hx6 FROM rm, t),
+         |hy AS (SELECT sum(${h6("cc")}) AS hy6 FROM cm, t),
+         |mi AS (SELECT max(t.n) AS n, sum($mi6) AS mi6
+         |  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+         |  CROSS JOIN t)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6(
+              "CAST(mi6 AS DOUBLE) / 1000000.0")} AS mi,
+         |  ${graft.StableRound.sql6(
+              "CAST(hx6 AS DOUBLE) / 1000000.0")} AS h_row,
+         |  ${graft.StableRound.sql6(
+              "CAST(hy6 AS DOUBLE) / 1000000.0")} AS h_col,
+         |  CASE WHEN hx6 > 0 AND hy6 > 0 THEN ${graft.StableRound.sql6(
+              "CAST(mi6 AS DOUBLE) / 1000000.0 " +
+                "/ sqrt(CAST(hx6 AS DOUBLE) / 1000000.0 " +
+                "* (CAST(hy6 AS DOUBLE) / 1000000.0))")}
+         |    ELSE 0.0 END AS nmi
+         |FROM mi, hx, hy""".stripMargin
+    },
+
+    // six exact integer moments, one mirrored assembly; the /100 cents
+    // unit cancels inside d
+    "agg_cohens_d" -> {
+      val ssa = "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) " +
+        "* CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+      val ssb = "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) " +
+        "* CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val df = "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)"
+      val dEff = "((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) " +
+        "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) " +
+        s"/ sqrt(($ssa + $ssb) / $df))"
+      s"""WITH v AS (SELECT event_type = 'purchase' AS isa,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+         |  WHERE event_type IN ('purchase', 'view')),
+         |m AS (SELECT
+         |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS nb,
+         |    coalesce(sum(CASE WHEN isa
+         |      THEN CAST(c AS HUGEINT) END), 0) AS sa,
+         |    coalesce(sum(CASE WHEN NOT isa
+         |      THEN CAST(c AS HUGEINT) END), 0) AS sb,
+         |    coalesce(sum(CASE WHEN isa
+         |      THEN CAST(c AS HUGEINT) * c END), 0) AS qa,
+         |    coalesce(sum(CASE WHEN NOT isa
+         |      THEN CAST(c AS HUGEINT) * c END), 0) AS qb
+         |  FROM v)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  ${graft.StableRound.sql6(dEff)} AS cohens_d,
+         |  ${graft.StableRound.sql6(
+              s"$dEff * (1.0 - 3.0 / ($df * 4 - 1))")} AS hedges_g
+         |FROM m""".stripMargin
+    },
+
+    // same LCG replica membership; discrete ceil-rank CI selection over
+    // the 64 replica means
+    "agg_bootstrap_ci" ->
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |e AS (SELECT o.c, r.rep, o.o_orderkey * 64 + r.rep AS x
+         |  FROM o CROSS JOIN (SELECT unnest(range(0, 64)) AS rep) r),
+         |f AS (SELECT rep, c FROM e
+         |  WHERE ((((x % 1000000007) * 48271 + 12345) % 1000000007
+         |    * 48271 + 12345) % 1000000007 % 1000000) % 2 = 0),
+         |m AS (SELECT rep, ${graft.StableRound.sql6(
+             "CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) " +
+               "/ CAST(count(*) AS DOUBLE) / 100")} AS mean_r
+         |  FROM f GROUP BY 1),
+         |rk AS (SELECT mean_r, count(*) OVER (ORDER BY mean_r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+         |  FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+         |  min(CASE WHEN rk >= 2 THEN mean_r END) AS ci_lo,
+         |  min(CASE WHEN rk >= 63 THEN mean_r END) AS ci_hi
+         |FROM rk""".stripMargin,
+
+    // zero-filled day grid; exact-integer 7-day trend; detrended values
+    // snapped to round6 and the seasonal means sum fixed-point BIGINTs
+    "agg_seasonal_decompose" -> {
+      val det6 = "CASE WHEN trend IS NOT NULL THEN CAST(floor(" +
+        graft.StableRound.sql6("CAST(cnt AS DOUBLE) - trend") +
+        " * 1000000 + 0.5) AS BIGINT) END"
+      s"""WITH c AS (SELECT event_type, date_trunc('day', ts) AS day_start,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day_start) AS d0, max(day_start) AS d1 FROM c),
+         |grid AS (SELECT t.event_type, g.day_start
+         |  FROM (SELECT DISTINCT event_type FROM c) t
+         |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+         |    INTERVAL 1 DAY)) AS day_start FROM b) g),
+         |s AS (SELECT grid.event_type, grid.day_start,
+         |    coalesce(c.cnt, 0) AS cnt
+         |  FROM grid LEFT JOIN c USING (event_type, day_start)),
+         |tr AS (SELECT *, CASE WHEN count(*) OVER w7 = 7
+         |    THEN CAST(sum(cnt) OVER w7 AS DOUBLE) / 7 END AS trend
+         |  FROM s WINDOW w7 AS (PARTITION BY event_type ORDER BY day_start
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |det AS (SELECT *, dayofweek(day_start) AS dow, $det6 AS det6
+         |  FROM tr),
+         |se AS (SELECT event_type, dow, CAST(sum(det6) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1000000.0 AS seasraw
+         |  FROM det WHERE det6 IS NOT NULL GROUP BY 1, 2)
+         |SELECT det.event_type, det.day_start, CAST(det.cnt AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6("trend")} AS trend,
+         |  ${graft.StableRound.sql6("seasraw")} AS seasonal,
+         |  ${graft.StableRound.sql6(
+              "CAST(cnt AS DOUBLE) - trend - seasraw")} AS resid
+         |FROM det LEFT JOIN se USING (event_type, dow)""".stripMargin
+    },
+
+    // three exact integer moments; the z-sum constant is the same
+    // literal product; one mirrored ceil
+    "agg_power_analysis" -> {
+      val mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100)"
+      val vr = "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+        "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "/ (CAST(n AS DOUBLE) - 1) / 10000)"
+      val mde = s"($mean * 0.01)"
+      s"""WITH m AS (SELECT count(*) AS n,
+         |    sum(CAST(round(value * 100) AS HUGEINT)) AS s1,
+         |    sum(CAST(round(value * 100) AS HUGEINT)
+         |      * CAST(round(value * 100) AS BIGINT)) AS s2
+         |  FROM events)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6(mean)} AS mean,
+         |  ${graft.StableRound.sql6(s"sqrt($vr)")} AS sd,
+         |  ${graft.StableRound.sql6(mde)} AS mde,
+         |  CAST(ceil($vr / ($mde * $mde) * (2.0 * 2.801585 * 2.801585))
+         |    AS BIGINT) AS n_required
+         |FROM m""".stripMargin
+    },
   )
 }
