@@ -892,6 +892,52 @@ object StreamQueries extends QueryPack {
         StreamOps.fileStreamCsv(s, s"$dir/*.csv", schema),
         outputMode = "append")
     }),
+
+    // LIVE EFFECT-SIZE MONITOR — agg_cohens_d's streaming face: per-day
+    // Cohen's d of purchase-vs-view value, the "is the shift big enough
+    // to matter" number a live A/B dashboard shows next to its p-value.
+    // State is tiny and bounded: THREE exact integer moments (n, Σc,
+    // Σc², cents scale) per (day window, arm) — the sufficient-
+    // statistics discipline means the stream never holds values, only
+    // moments, so a day of any size is 2 state rows. The d assembly is
+    // the same mirrored straight-line double as the batch entry,
+    // computed as a batch projection on the materialized aggregate.
+    // Days missing an arm (or with zero pooled variance) emit null d.
+    "stream_effect_size" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val src = eventsStream(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(src, "ts", "1 day", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), sum(col("c").cast(dec)).as("s1"),
+            sum(col("c").cast(dec) * col("c")).as("s2"))),
+        outputMode = "complete")
+        .select(col("event_type"), col("window.start").as("day_start"),
+          col("n"), col("s1"), col("s2"))
+      def arm(isA: Boolean, c: String, out: String) =
+        coalesce(sum(when(col("event_type") ===
+          (if (isA) "purchase" else "view"), col(c))), lit(0).cast(dec))
+          .as(out)
+      val m = agged.groupBy("day_start").agg(
+        coalesce(sum(when(col("event_type") === "purchase", col("n"))),
+          lit(0L)).as("na"),
+        coalesce(sum(when(col("event_type") === "view", col("n"))),
+          lit(0L)).as("nb"),
+        arm(true, "s1", "sa"), arm(false, "s1", "sb"),
+        arm(true, "s2", "qa"), arm(false, "s2", "qb"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val ssa = D(col("qa")) - D(col("sa")) * D(col("sa")) / D(col("na"))
+      val ssb = D(col("qb")) - D(col("sb")) * D(col("sb")) / D(col("nb"))
+      val df = D(col("na")) + D(col("nb")) - 2
+      m.select(col("day_start"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        when(col("na") >= 2 && col("nb") >= 2 && ssa + ssb > 0,
+          StableRound.round6(
+            (D(col("sa")) / D(col("na")) - D(col("sb")) / D(col("nb"))) /
+              sqrt((ssa + ssb) / df))).as("cohens_d"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1223,5 +1269,40 @@ object StreamQueries extends QueryPack {
         |FROM (VALUES (TIMESTAMP '2024-01-01 10:00:00', 1, 1.0),
         |             (TIMESTAMP '2024-01-01 10:30:00', 1, 2.0))
         |  AS t(w, n, s)""".stripMargin,
+
+    // batch twin of the streaming moments: same six exact integer
+    // sufficient statistics per day, same mirrored d assembly
+    "stream_effect_size" -> {
+      val ssa = "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) " +
+        "* CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+      val ssb = "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) " +
+        "* CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val df = "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)"
+      val dEff = "((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) " +
+        "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) " +
+        s"/ sqrt(($ssa + $ssb) / $df))"
+      s"""WITH v AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start,
+         |    event_type = 'purchase' AS isa,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+         |  WHERE event_type IN ('purchase', 'view')),
+         |m AS (SELECT day_start,
+         |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS nb,
+         |    coalesce(sum(CASE WHEN isa
+         |      THEN CAST(c AS HUGEINT) END), 0) AS sa,
+         |    coalesce(sum(CASE WHEN NOT isa
+         |      THEN CAST(c AS HUGEINT) END), 0) AS sb,
+         |    coalesce(sum(CASE WHEN isa
+         |      THEN CAST(c AS HUGEINT) * c END), 0) AS qa,
+         |    coalesce(sum(CASE WHEN NOT isa
+         |      THEN CAST(c AS HUGEINT) * c END), 0) AS qb
+         |  FROM v GROUP BY 1)
+         |SELECT day_start, CAST(na AS BIGINT) AS n_a,
+         |  CAST(nb AS BIGINT) AS n_b,
+         |  CASE WHEN na >= 2 AND nb >= 2 AND $ssa + $ssb > 0
+         |    THEN ${graft.StableRound.sql6(dEff)} END AS cohens_d
+         |FROM m""".stripMargin
+    },
   )
 }

@@ -397,6 +397,79 @@ object TextQueries extends QueryPack {
     "dedupe_simhash" -> ((s, d) =>
       TextDedupe.simhashPairs(Tables.documents(s, d),
         "doc_id", "text", maxHamming = 3)),
+
+    // BOILERPLATE DETECTION — the C4/RefinedWeb-style filter: a 3-gram
+    // shingle occurring in ≥ 5% of documents is boilerplate (navigation,
+    // license headers, templating), and each doc reports what fraction
+    // of its distinct shingles is boilerplate — the per-doc signal a
+    // curation pass thresholds. Two aggregations over the shared
+    // shingle index (doc-frequency, then per-doc counts); the heavy set
+    // is df-filtered FIRST (≤ n_docs/⌈0.05·n⌉ ≈ 20·(1/0.05) shingles
+    // can exceed any fixed df bound — the filtered relation is tiny and
+    // broadcast), so the corpus-sized side joins against a small build.
+    // At 100 TB the join key would be xxhash64(shingle) to shrink
+    // shuffle width; here it stays the string for byte-exact oracle
+    // parity. Threshold is RELATIVE (ceil of 5% of the doc count), so
+    // the semantics are corpus-size-stable.
+    "text_boilerplate_ngrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = TextDedupe.shingleIndex(docs, "doc_id", "text")
+        .localCheckpoint()
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val heavy = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= ceil(col("n_docs") * 0.05))
+        .select(col("shingle"), lit(1L).as("hit"))
+      sh.join(broadcast(heavy), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          coalesce(sum("hit"), lit(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          graft.StableRound.round6(col("n_boiler").cast("double")
+            / col("n_shingles").cast("double")).as("boiler_share"))
+    }),
+
+    // ZIPF FIT over the token frequency distribution — the
+    // language-health screen (natural text slopes ≈ −1; synthetic or
+    // boilerplate-heavy corpora flatten or steepen). Log-log OLS over
+    // the TOP-100 tokens only (rank by count desc, token asc — fully
+    // deterministic): the top-k is a distributed TakeOrdered (never a
+    // vocabulary-wide single-partition window), the 100-row regression
+    // relation is driver-trivial at any corpus size, and each
+    // ln(rank)/ln(freq) product term snaps to the round6 grid and sums
+    // as fixed-point longs — the libm-ln-at-1e-6 discipline every
+    // drift entry uses. Output also carries the full vocabulary size.
+    "text_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freqs = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocab = freqs.agg(count(lit(1)).as("vocab"))
+      val top = freqs.orderBy(col("cnt").desc, col("tok")).limit(100)
+      val rk = top.withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      def s6(c: org.apache.spark.sql.Column) =
+        floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
+      val x = log(col("r").cast("double"))
+      val y = log(col("cnt").cast("double"))
+      val sums = rk.select(s6(x).as("x6"), s6(y).as("y6"),
+          s6(x * y).as("xy6"), s6(x * x).as("xx6"), s6(y * y).as("yy6"))
+        .agg(count(lit(1)).as("k"), sum("x6").as("sx"), sum("y6").as("sy"),
+          sum("xy6").as("sxy"), sum("xx6").as("sxx"), sum("yy6").as("syy"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double") / 1e6
+      val kD = col("k").cast("double")
+      val covn = kD * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+      val varx = kD * D(col("sxx")) - D(col("sx")) * D(col("sx"))
+      val vary = kD * D(col("syy")) - D(col("sy")) * D(col("sy"))
+      sums.crossJoin(broadcast(vocab))
+        .select(col("vocab").cast("long").as("vocab_size"),
+          col("k").cast("long").as("k_fit"),
+          graft.StableRound.round6(covn / varx).as("slope"),
+          graft.StableRound.round6((D(col("sy")) - covn / varx * D(col("sx")))
+            / kD).as("intercept"),
+          graft.StableRound.round6(covn * covn / (varx * vary)).as("r2"))
+    }),
   )
 
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
@@ -755,5 +828,65 @@ object TextQueries extends QueryPack {
 
     "dedupe_minhash_lsh" -> shingleCte(blocked = false),
     "dedupe_simhash" -> simhashSql,
+
+    // shared shingle CTE; df-filtered heavy set; relative 5% threshold
+    "text_boilerplate_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |            FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i))),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |heavy AS (SELECT s, 1 AS hit FROM (
+         |    SELECT s, count(*) AS df FROM sh GROUP BY 1), nd
+         |  WHERE df >= ceil(n_docs * 0.05)),
+         |per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+         |    coalesce(sum(heavy.hit), 0) AS n_boiler
+         |  FROM sh LEFT JOIN heavy USING (s) GROUP BY 1)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_boiler AS BIGINT) AS n_boiler,
+         |  ${graft.StableRound.sql6(
+              "CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE)")}
+         |    AS boiler_share
+         |FROM per""".stripMargin,
+
+    // top-100 token log-log OLS; per-term round6 fixed-point sums
+    "text_zipf_fit" -> {
+      def s6(e: String) = "CAST(floor(" + graft.StableRound.sql6(e) +
+        " * 1000000 + 0.5) AS BIGINT)"
+      val x = "ln(CAST(r AS DOUBLE))"
+      val y = "ln(CAST(cnt AS DOUBLE))"
+      val covn = "(CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0) " +
+        "- CAST(sx AS DOUBLE) / 1000000.0 * (CAST(sy AS DOUBLE) " +
+        "/ 1000000.0))"
+      val varx = "(CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0) " +
+        "- CAST(sx AS DOUBLE) / 1000000.0 * (CAST(sx AS DOUBLE) " +
+        "/ 1000000.0))"
+      val vary = "(CAST(k AS DOUBLE) * (CAST(syy AS DOUBLE) / 1000000.0) " +
+        "- CAST(sy AS DOUBLE) / 1000000.0 * (CAST(sy AS DOUBLE) " +
+        "/ 1000000.0))"
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         |v AS (SELECT count(*) AS vocab FROM f),
+         |top AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 100),
+         |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+         |    AS r FROM top),
+         |t AS (SELECT ${s6(x)} AS x6, ${s6(y)} AS y6,
+         |    ${s6(s"$x * $y")} AS xy6, ${s6(s"$x * $x")} AS xx6,
+         |    ${s6(s"$y * $y")} AS yy6 FROM rk),
+         |su AS (SELECT count(*) AS k, sum(x6) AS sx, sum(y6) AS sy,
+         |    sum(xy6) AS sxy, sum(xx6) AS sxx, sum(yy6) AS syy FROM t)
+         |SELECT CAST(vocab AS BIGINT) AS vocab_size,
+         |  CAST(k AS BIGINT) AS k_fit,
+         |  ${graft.StableRound.sql6(s"$covn / $varx")} AS slope,
+         |  ${graft.StableRound.sql6(
+              s"(CAST(sy AS DOUBLE) / 1000000.0 - $covn / $varx " +
+                "* (CAST(sx AS DOUBLE) / 1000000.0)) " +
+                "/ CAST(k AS DOUBLE)")} AS intercept,
+         |  ${graft.StableRound.sql6(
+              s"$covn * $covn / ($varx * $vary)")} AS r2
+         |FROM su, v""".stripMargin
+    },
   )
 }

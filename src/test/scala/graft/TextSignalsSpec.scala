@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{StreamQueries, TextQueries}
+
+/** Semantics pins for the round-12 session-3 text/stream entries:
+  * boilerplate n-gram detection (a template phrase shared by many docs is
+  * flagged, unique content is not), the Zipf fit (an exact power-law
+  * corpus recovers slope −1 with r² ≈ 1), and the streaming effect-size
+  * monitor (a planted one-day shift fires on that day only; a day missing
+  * an arm yields null).
+  */
+class TextSignalsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("text_boilerplate_ngrams: template phrase flagged, unique content clean") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    val boiler = "all rights reserved contact us today"
+    // 20 docs: 10 carry the 6-token template + unique filler, 10 are
+    // fully unique → template 3-grams hit df=10 ≥ ceil(20·0.05)=1...
+    // use 40 docs so the 5% threshold (=2) actually separates: unique
+    // 3-grams have df=1 < 2, template ones df=20 ≥ 2.
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d")) ++
+      (21 to 40).map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_boilerplate_ngrams")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val (templated, clean) = out.partition(_._1 <= 20)
+    // template docs: the 4 template-internal 3-grams are boilerplate;
+    // the bridge and filler 3-grams are unique
+    assert(templated.forall(_._3 == 4), templated.take(3).toSeq.toString)
+    assert(templated.forall(r => r._4 > 0.3 && r._4 < 0.6))
+    assert(clean.forall(r => r._3 == 0 && r._4 == 0.0))
+  }
+
+  test("text_zipf_fit: an exact power-law corpus recovers slope -1, r2 ~ 1") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    // token w_r appears floor(12000/r) times, r = 1..150 → freq ∝ 1/r
+    val tokens = (1 to 150).flatMap(r => Seq.fill(12000 / r)(f"w$r%03d"))
+    // shuffle deterministically across 50 docs so frequencies, not
+    // placement, carry the signal
+    val docs = tokens.zipWithIndex.groupBy(_._2 % 50).toSeq.map {
+      case (k, ts) => (k.toLong, ts.map(_._1).mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_zipf_fit")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out._1 == 150L && out._2 == 100L)
+    assert(math.abs(out._3 + 1.0) < 0.02, s"slope ${out._3}")
+    assert(out._5 > 0.999, s"r2 ${out._5}")
+  }
+
+  test("stream_effect_size: planted one-day shift fires that day; missing arm → null") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    val base = Seq(10.0, 12.0, 14.0, 16.0)
+    // day 1: arms identical → d = 0; day 2: purchase +20 → large d;
+    // day 3: views only → null
+    val rows =
+      (for (v <- base; t <- Seq("purchase", "view")) yield
+        (t, v, Timestamp.valueOf("2024-01-01 10:00:00"))) ++
+      (for (v <- base) yield
+        ("purchase", v + 20, Timestamp.valueOf("2024-01-02 10:00:00"))) ++
+      (for (v <- base) yield
+        ("view", v, Timestamp.valueOf("2024-01-02 10:00:00"))) ++
+      (for (v <- base) yield
+        ("view", v, Timestamp.valueOf("2024-01-03 10:00:00")))
+    rows.toDF("event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StreamQueries.queries("stream_effect_size")(spark, dir)
+      .as[(Timestamp, Long, Long, Option[Double])].collect().sortBy(_._1.getTime)
+    assert(out.length == 3)
+    assert(out(0)._4.contains(0.0), s"equal day: ${out(0)}")
+    assert(out(1)._4.exists(_ > 5), s"shifted day: ${out(1)}")
+    assert(out(2)._2 == 0 && out(2)._4.isEmpty, s"one-arm day: ${out(2)}")
+  }
+}
