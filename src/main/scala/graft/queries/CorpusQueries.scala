@@ -434,6 +434,32 @@ object CorpusQueries extends QueryPack {
             col("n_docs").cast("double") / col("n_total")).as("corpus_share"))
         .orderBy("lang")
     }),
+
+    // TOKENIZER FIT, step one of BPE training — the adjacent-pair
+    // frequency count whose argmax is the first merge rule. This is the
+    // kernel a distributed tokenizer trainer runs per merge round; one
+    // round is the honest distributed unit (later rounds re-tokenize
+    // with the learned merges — an orchestration loop over the same
+    // kernel, not a different plan). The pair stream comes from the
+    // codegen'd occurrence-order shingle kernel (NOT the distinct form
+    // — BPE counts occurrences), map-side combined into the pair-vocab
+    // relation; the top-20 merge table is a distributed TakeOrdered
+    // under the (count desc, pair) total order, never a vocab-wide
+    // window. Output carries the corpus totals a trainer logs per
+    // round.
+    "pipeline_tokenizer_fit" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(explode(graft.functions.ShingleArray
+          .shingleOccurrences(col("text"), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = pairs.agg(sum("cnt").as("n_pairs"),
+        count(lit(1)).as("n_distinct_pairs"))
+      pairs.orderBy(col("cnt").desc, col("pair")).limit(20)
+        .crossJoin(broadcast(tot))
+        .select(col("pair"), col("cnt"), col("n_pairs"),
+          col("n_distinct_pairs"))
+    }),
   )
 
   /** Exact embedding-cosine connected components — shared by
@@ -894,5 +920,18 @@ object CorpusQueries extends QueryPack {
          |    AS corpus_share
          |FROM pl CROSS JOIN t
          |ORDER BY lang""".stripMargin,
+
+    // occurrence-order adjacent pairs (no distinct); top-20 under the
+    // (count desc, pair) total order
+    "pipeline_tokenizer_fit" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
+        |  FROM tok, unnest(range(1, len(ts))) AS t(i)),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_pairs FROM c),
+        |top AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
+        |  ORDER BY cnt DESC, pair LIMIT 20)
+        |SELECT pair, cnt, n_pairs, n_distinct_pairs FROM top, t""".stripMargin,
   )
 }

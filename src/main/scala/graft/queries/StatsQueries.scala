@@ -1115,6 +1115,41 @@ object StatsQueries extends QueryPack {
         ceil(varD / (mde * mde) * (lit(2.0) * 2.801585 * 2.801585))
           .cast("long").as("n_required"))
     }),
+
+    // HILL TAIL-INDEX estimator over order totals — text_zipf_fit's
+    // numeric sibling: is the value distribution heavy-tailed, and how
+    // heavy (α < 2 ⇒ infinite variance, the "one order dominates the
+    // day" regime a revenue monitor must know about). Classic Hill on
+    // the k = 100 largest order statistics: H = (1/k)Σ ln(x_i/x_{k+1}),
+    // α = 1/H. The top-101 is a distributed TakeOrdered under the
+    // (cents desc, key) total order — never a global sort; the 101-row
+    // relation is driver-trivial at any corpus size; each log-ratio
+    // term snaps to the round6 grid and sums as fixed-point longs.
+    "agg_tail_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val top = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+          col("o_orderkey"))
+        .orderBy(col("c").desc, col("o_orderkey")).limit(101)
+      val rk = top.withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("o_orderkey"))))
+        .localCheckpoint()
+      val xk = rk.filter(col("r") === 101).select(col("c").as("ck"))
+      val sums = rk.filter(col("r") <= 100).crossJoin(broadcast(xk))
+        .select(col("ck"),
+          floor(StableRound.round6(
+            log(col("c").cast("double") / col("ck").cast("double")))
+            * 1e6 + 0.5).cast("long").as("t6"))
+        .agg(count(lit(1)).as("k"), max("ck").as("x_k1_cents"),
+          sum("t6").as("s6"))
+      val kD = col("k").cast("double")
+      sums.select(col("k").cast("long").as("k"), col("x_k1_cents"),
+        StableRound.round6(col("s6").cast("double") / 1e6 / kD).as("hill"),
+        StableRound.round6(kD / (col("s6").cast("double") / 1e6))
+          .as("alpha"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1956,6 +1991,30 @@ object StatsQueries extends QueryPack {
          |  CAST(ceil($vr / ($mde * $mde) * (2.0 * 2.801585 * 2.801585))
          |    AS BIGINT) AS n_required
          |FROM m""".stripMargin
+    },
+
+    // top-101 order statistics; per-term round6 fixed-point log ratios
+    "agg_tail_index" -> {
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        "ln(CAST(c AS DOUBLE) / CAST(ck AS DOUBLE))") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH top AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+         |      AS c, o_orderkey
+         |  FROM orders ORDER BY c DESC, o_orderkey LIMIT 101),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey)
+         |    AS r FROM top),
+         |xk AS (SELECT c AS ck FROM rk WHERE r = 101),
+         |su AS (SELECT count(*) AS k, max(ck) AS x_k1_cents,
+         |    sum($t6) AS s6
+         |  FROM rk, xk WHERE r <= 100)
+         |SELECT CAST(k AS BIGINT) AS k, x_k1_cents,
+         |  ${graft.StableRound.sql6(
+              "CAST(s6 AS DOUBLE) / 1000000.0 / CAST(k AS DOUBLE)")}
+         |    AS hill,
+         |  ${graft.StableRound.sql6(
+              "CAST(k AS DOUBLE) / (CAST(s6 AS DOUBLE) / 1000000.0)")}
+         |    AS alpha
+         |FROM su""".stripMargin
     },
   )
 }

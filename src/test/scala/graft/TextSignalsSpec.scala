@@ -54,6 +54,42 @@ class TextSignalsSpec extends SparkSpec {
     assert(out._5 > 0.999, s"r2 ${out._5}")
   }
 
+  test("pipeline_tokenizer_fit: occurrence-counted pairs, dominant merge first") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    // "new york" appears 3 times WITHIN one doc and once in another —
+    // occurrence counting (4), not doc-distinct (2), is the BPE rule
+    Seq(
+      (1L, "new york new york new york city"),
+      (2L, "new york is big"),
+      (3L, "tokyo is big"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusQueries.queries("pipeline_tokenizer_fit")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (-r._2, r._1))
+    assert(out.head._1 == "new york" && out.head._2 == 4, out.head.toString)
+    // "york new" bridges the in-doc repeats: 2 occurrences
+    assert(out.find(_._1 == "york new").exists(_._2 == 2))
+    assert(out.head._3 == out.map(_._2).sum, s"totals: ${out.head}") // ≤20 pairs here
+  }
+
+  test("agg_tail_index: recovers a planted Pareto tail exponent") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    // exact Pareto(α=2) via inverse CDF on the uniform grid u=i/n:
+    // x = u^(-1/2), scaled to cents-friendly magnitude
+    val n = 5000
+    val rows = (1 to n).map { i =>
+      val u = i.toDouble / (n + 1)
+      (i.toLong, 100.0 * math.pow(u, -0.5))
+    }
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.StatsQueries.queries("agg_tail_index")(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    assert(out._1 == 100L)
+    assert(math.abs(out._4 - 2.0) < 0.25, s"alpha ${out._4}")
+    assert(math.abs(out._3 * out._4 - 1.0) < 1e-4, s"hill·alpha: $out")
+  }
+
   test("stream_effect_size: planted one-day shift fires that day; missing arm → null") {
     val dir = java.nio.file.Files.createTempDirectory("sig").toString
     val base = Seq(10.0, 12.0, 14.0, 16.0)
