@@ -460,6 +460,36 @@ object CorpusQueries extends QueryPack {
         .select(col("pair"), col("cnt"), col("n_pairs"),
           col("n_distinct_pairs"))
     }),
+
+    // CLASS-BALANCED DOWNSAMPLE — every class thinned toward the
+    // minority class count, the label-balancing step before training a
+    // classifier on skewed data. Deterministic proportional thinning:
+    // class t keeps rows with samplingHash(id) < ppm(t) where
+    // ppm = ⌊n_min·10⁶/n_t⌋ — the engine-neutral LCG, so membership is
+    // bit-reproducible and a row never flips when the corpus grows
+    // under the same counts. MAP-ONLY on the corpus (class counts are a
+    // tiny broadcast aggregate; no per-class rank window — a
+    // partition-per-class window would put the whole majority class in
+    // one task at scale); kept counts are binomially tight around n_min
+    // (exact-n variant = count-below-threshold + boundary fix-up by id,
+    // same hash). Output is the per-class audit row: original count,
+    // kept count, and an exact id checksum pinning MEMBERSHIP, not just
+    // cardinality, across engines.
+    "sample_balanced_classes" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      val cnts = ev.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val nmin = cnts.agg(min("n_t").as("n_min"))
+      val rated = cnts.crossJoin(broadcast(nmin))
+        .select(col("event_type"), col("n_t"),
+          expr("n_min * 1000000 div n_t").as("ppm"))
+      ev.join(broadcast(rated), "event_type")
+        .filter(CorpusOps.samplingHash(col("event_id")) < col("ppm"))
+        .groupBy("event_type")
+        .agg(max("n_t").as("n_orig"), count(lit(1)).as("n_kept"),
+          sum(col("event_id").cast(dec)).as("id_checksum"))
+    }),
   )
 
   /** Exact embedding-cosine connected components — shared by
@@ -933,5 +963,23 @@ object CorpusQueries extends QueryPack {
         |top AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
         |  ORDER BY cnt DESC, pair LIMIT 20)
         |SELECT pair, cnt, n_pairs, n_distinct_pairs FROM top, t""".stripMargin,
+
+    // same LCG membership predicate; id checksum pins membership
+    "sample_balanced_classes" ->
+      """WITH cnts AS (SELECT event_type, count(*) AS n_t
+        |  FROM events GROUP BY 1),
+        |mn AS (SELECT min(n_t) AS n_min FROM cnts),
+        |rated AS (SELECT event_type, n_t, n_min * 1000000 // n_t AS ppm
+        |  FROM cnts, mn),
+        |kept AS (SELECT e.event_type, e.event_id, r.n_t
+        |  FROM events e JOIN rated r USING (event_type)
+        |  WHERE ((((e.event_id % 1000000007) * 48271 + 12345)
+        |    % 1000000007 * 48271 + 12345) % 1000000007 % 1000000)
+        |    < r.ppm)
+        |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_orig,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(event_id AS HUGEINT)) AS DECIMAL(38,0))
+        |    AS id_checksum
+        |FROM kept GROUP BY 1""".stripMargin,
   )
 }

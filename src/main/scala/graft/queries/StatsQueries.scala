@@ -1150,6 +1150,49 @@ object StatsQueries extends QueryPack {
         StableRound.round6(kD / (col("s6").cast("double") / 1e6))
           .as("alpha"))
     }),
+
+    // WINSORIZED MEAN per type — the robust location estimate a metrics
+    // pipeline reports when agg_tail_index says the tail is heavy (clip
+    // at p5/p95, then average — one fat-finger order can't move it).
+    // FULLY integer until the final division: discrete p5/p95 by
+    // ceil-rank selection on the cents-domain relation (agg_outlier_iqr's
+    // recipe), clipped sum as Σ over the DOMAIN of clip(c)·cnt in
+    // DECIMAL(38,0) — the corpus is touched once, the domain relation
+    // feeds both the quantile selection and the clipped sum.
+    "agg_winsorize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val dom = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val q = dom
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wt))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          min(when(col("cum") >= expr("(n + 19) div 20"), col("c")))
+            .as("p05_cents"),
+          min(when(col("cum") >= expr("(n * 19 + 19) div 20"), col("c")))
+            .as("p95_cents"))
+      dom.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("p05_cents").as("p05_cents"),
+          max("p95_cents").as("p95_cents"),
+          sum(greatest(least(col("c"), col("p95_cents")),
+            col("p05_cents")).cast(dec) * col("cnt")).as("ws"))
+        .select(col("event_type"), col("n"), col("p05_cents"),
+          col("p95_cents"),
+          StableRound.round6(col("ws").cast("double")
+            / col("n").cast("double") / 100).as("winsor_mean"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2016,5 +2059,31 @@ object StatsQueries extends QueryPack {
          |    AS alpha
          |FROM su""".stripMargin
     },
+
+    // ceil-rank discrete p5/p95 on the cents domain; clipped sum exact
+    // in HUGEINT; one final mirrored division
+    "agg_winsorize" ->
+      s"""WITH dom AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (SELECT event_type, c, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM dom),
+         |q AS (SELECT event_type, max(n) AS n,
+         |    min(CASE WHEN cum >= (n + 19) // 20 THEN c END)
+         |      AS p05_cents,
+         |    min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN c END)
+         |      AS p95_cents
+         |  FROM cum GROUP BY 1)
+         |SELECT dom.event_type, CAST(max(q.n) AS BIGINT) AS n,
+         |  max(q.p05_cents) AS p05_cents, max(q.p95_cents) AS p95_cents,
+         |  ${graft.StableRound.sql6(
+              "CAST(sum(CAST(greatest(least(dom.c, q.p95_cents), " +
+                "q.p05_cents) AS HUGEINT) * dom.cnt) AS DOUBLE) " +
+                "/ CAST(max(q.n) AS DOUBLE) / 100")} AS winsor_mean
+         |FROM dom JOIN q USING (event_type)
+         |GROUP BY 1""".stripMargin,
   )
 }

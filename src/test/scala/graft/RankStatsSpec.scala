@@ -183,6 +183,48 @@ class RankStatsSpec extends SparkSpec {
     assert(spike > 10, s"spike z $spike")
   }
 
+  test("agg_winsorize: clipping tames a planted outlier the plain mean eats") {
+    val ts = Timestamp.valueOf("2024-01-05 12:00:00")
+    // 99 values at 10.0 + one fat-finger 100000.0
+    def mk(outlier: Boolean) = writeEvents(
+      (1 to 99).map(_ => ("e", 10.0, ts)) ++
+        Seq(("e", if (outlier) 100000.0 else 10.0, ts)))
+    val hot = StatsQueries.queries("agg_winsorize")(spark, mk(true))
+      .as[(String, Long, Long, Long, Double)].head()
+    val cold = StatsQueries.queries("agg_winsorize")(spark, mk(false))
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(cold._5 == 10.0 && cold._3 == 1000L && cold._4 == 1000L)
+    // the outlier is clipped to p95 (=10.0) → winsorized mean stays 10
+    assert(hot._5 == 10.0, s"winsorized: $hot")
+    assert(hot._2 == 100L)
+  }
+
+  test("sample_balanced_classes: majority classes thin toward the minority count") {
+    val ts = Timestamp.valueOf("2024-01-05 12:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("rank").toString
+    // class a: 2000 rows, class b: 4000, class c (minority): 500
+    val rows = (1L to 2000L).map(i => (i, "a")) ++
+      (2001L to 6000L).map(i => (i, "b")) ++
+      (6001L to 6500L).map(i => (i, "c"))
+    rows.map { case (id, t) => (id, t, 1.0, ts) }
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.CorpusQueries.queries("sample_balanced_classes")(spark, dir)
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> r).toMap
+    // minority kept whole (ppm = 1e6), majorities near 500
+    assert(out("c")._3 == 500L, out("c").toString)
+    for (k <- Seq("a", "b")) {
+      val kept = out(k)._3
+      assert(math.abs(kept - 500L) < 100, s"$k kept $kept")
+    }
+    // determinism: second run produces identical checksums
+    val again = graft.queries.CorpusQueries.queries("sample_balanced_classes")(spark, dir)
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out.forall { case (k, v) => again(k) == v._4 })
+  }
+
   test("agg_bootstrap_ci: brackets the mean and is bit-deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("rank").toString
     (1 to 1000).map(i => (i.toLong, 100.0 + (i % 100)))
