@@ -387,6 +387,34 @@ object RelationalQueries extends QueryPack {
             .as("z"))
     }),
 
+    // MAX DRAWDOWN per user on the signed cash-flow series (purchase
+    // adds value, error subtracts; other event types are not flows) —
+    // the peak-to-trough exposure metric, and the window-family
+    // stress case where EXACTNESS is free: flows are integer cents, so
+    // running sum, running max, and their gap are all exact longs —
+    // no float ever enters. One hash exchange on user_id; the running
+    // windows and the final per-user collapse reuse the partitioning
+    // (the same one-exchange shape as agg_funnel). Ordering ties break
+    // on the unique event_id, so the series is deterministic.
+    "win_drawdown" -> ((s, d) => {
+      val flows = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long"))
+            .otherwise(-round(col("value") * 100).cast("long")).as("c"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flows
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("runmax", max("cum").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_flows"),
+          max(col("runmax") - col("cum")).as("max_dd_cents"),
+          max("cum").as("peak_cents"),
+          sum("c").as("final_cents"))
+    }),
+
     // quartile bucketing + relative rank per group — ntile ties are
     // row-order-dependent, so the ordering includes the unique key
     "win_ntile" -> ((s, d) =>
@@ -1214,6 +1242,28 @@ object RelationalQueries extends QueryPack {
          |    THEN ${graft.StableRound.sql6(z)} END AS z
          |FROM w""".stripMargin
     },
+
+    // integer-cents running sum / running max / gap — every column
+    // exact, no rounding bridge needed
+    "win_drawdown" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT)
+        |      ELSE -CAST(round(value * 100) AS BIGINT) END AS c
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |cu AS (SELECT user_id, ts, event_id, c,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f),
+        |w AS (SELECT user_id, c, cum,
+        |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM cu)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_flows,
+        |  CAST(max(runmax - cum) AS BIGINT) AS max_dd_cents,
+        |  CAST(max(cum) AS BIGINT) AS peak_cents,
+        |  CAST(sum(c) AS BIGINT) AS final_cents
+        |FROM w GROUP BY 1""".stripMargin,
 
     "topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1193,6 +1193,227 @@ object StatsQueries extends QueryPack {
           StableRound.round6(col("ws").cast("double")
             / col("n").cast("double") / 100).as("winsor_mean"))
     }),
+
+    // ONE-WAY ANOVA F of value across event_type — the k-sample
+    // parametric sibling of agg_kruskal_wallis (KW asks about ranks,
+    // ANOVA about means; together they bracket "did the arms move?").
+    // Three exact integer sufficient statistics PER GROUP (n, Σc, Σc²,
+    // cents, DECIMAL(38,0) — one corpus scan, map-side combined to
+    // |types| rows). The cross-group sum that assembles SSB is the
+    // only order-sensitive float reduction, so each group's
+    // between-term s_g²/n_g (dollars²) snaps to the round6 grid and
+    // sums as 1e6 fixed-point longs — the agg_kruskal_wallis
+    // discipline; SSW = ΣQ − Σterms reuses the same exact pieces.
+    // F and η² are straight-line doubles mirrored factor-for-factor.
+    "agg_anova" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"),
+          sum(col("c").cast(dec)).as("sg"),
+          sum(col("c").cast(dec) * col("c")).as("qg"))
+      // between-term in dollars²: (Σc/100)²/n = Σc²/n/1e4 — double from
+      // exact decimals, snapped per group, summed exactly
+      val tg = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double") / 1e4
+      val m = g
+        .select(col("ng"), col("sg"), col("qg"),
+          floor(StableRound.round6(tg) * 1e6 + 0.5).cast("long").as("t6"))
+        .groupBy().agg(sum("ng").as("n"), count(lit(1)).as("k"),
+          sum("sg").as("s"), sum("qg").as("q"), sum("t6").as("st"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val sb = D(col("st")) / 1e6 -
+        D(col("s")) / 100.0 * (D(col("s")) / 100.0) / D(col("n"))
+      val sw = D(col("q")) / 1e4 - D(col("st")) / 1e6
+      val d1 = D(col("k")) - 1
+      val d2 = D(col("n")) - D(col("k"))
+      m.select(col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"),
+        (col("k") - 1).cast("long").as("dof_between"),
+        (col("n") - col("k")).cast("long").as("dof_within"),
+        when(d1 > 0 && d2 > 0 && sw > 0,
+          StableRound.round6((sb / d1) / (sw / d2))).as("f_stat"),
+        when(sb + sw > 0, StableRound.round6(sb / (sb + sw)))
+          .as("eta_sq"))
+    }),
+
+    // BROWN–FORSYTHE LEVENE W — "did the VARIANCE move?", the
+    // homogeneity check that must pass before agg_anova's F is
+    // trustworthy (and an anomaly signal in its own right: a mix shift
+    // often widens spread before it moves the mean). Median-centered
+    // (Brown–Forsythe): per-group LOWER median by discrete ceil-rank
+    // selection on the cents-domain relation (agg_winsorize's recipe —
+    // no interpolation float), absolute deviations z = |c − med| stay
+    // INTEGER cents, and W is one-way ANOVA on z — the same exact
+    // per-group moments + round6 fixed-point between-term assembly as
+    // agg_anova, on a domain relation the corpus touches once.
+    "agg_levene" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val dom = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val med = dom
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("nt", sum("cnt").over(wt))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(nt + 1) div 2"), col("c")))
+          .as("med"))
+      val g = dom.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("c") - col("med")).as("z"), col("cnt"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("ng"),
+          sum(col("z").cast(dec) * col("cnt")).as("sg"),
+          sum(col("z").cast(dec) * col("z") * col("cnt")).as("qg"))
+      val tg = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double") / 1e4
+      val m = g
+        .select(col("ng"), col("sg"), col("qg"),
+          floor(StableRound.round6(tg) * 1e6 + 0.5).cast("long").as("t6"))
+        .groupBy().agg(sum("ng").as("n"), count(lit(1)).as("k"),
+          sum("sg").as("s"), sum("qg").as("q"), sum("t6").as("st"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val sb = D(col("st")) / 1e6 -
+        D(col("s")) / 100.0 * (D(col("s")) / 100.0) / D(col("n"))
+      val sw = D(col("q")) / 1e4 - D(col("st")) / 1e6
+      val d1 = D(col("k")) - 1
+      val d2 = D(col("n")) - D(col("k"))
+      m.select(col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"),
+        (col("k") - 1).cast("long").as("dof_between"),
+        (col("n") - col("k")).cast("long").as("dof_within"),
+        when(d1 > 0 && d2 > 0 && sw > 0,
+          StableRound.round6((sb / d1) / (sw / d2))).as("w_stat"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST on the sign of day-over-day volume
+    // deltas — "is the daily series random, or trending/oscillating?"
+    // (too FEW runs = momentum/level shift, too MANY = oscillation,
+    // e.g. a retry loop thrashing the ingest). The series is CALENDAR
+    // days, so everything after the one corpus scan is window algebra
+    // on ≤ a-few-hundred rows at any corpus size; zero deltas drop
+    // (standard WW treatment), runs count via sign ≠ lag(sign), and z
+    // uses the closed form μ = 2·n₊·n₋/m + 1, σ² = (μ−1)(μ−2)/(m−1) —
+    // exact integers into one straight-line double.
+    "agg_runs_test" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day_start"))
+        .agg(count(lit(1)).as("cnt"))
+      val wd = Window.orderBy("day_start")
+      val sg = daily
+        .withColumn("delta", col("cnt") - lag("cnt", 1).over(wd))
+        .filter(col("delta").isNotNull && col("delta") =!= 0)
+        .select(col("day_start"),
+          when(col("delta") > 0, 1).otherwise(-1).as("sgn"))
+      val m = sg
+        .withColumn("prev", lag("sgn", 1).over(wd))
+        .select(col("sgn"),
+          when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+            .otherwise(0L).as("chg"))
+        .groupBy().agg(count(lit(1)).as("ns"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("np"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("nn"),
+          sum("chg").as("r"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val mu = D(col("np")) * D(col("nn")) * 2 / D(col("ns")) + 1
+      val va = (mu - 1) * (mu - 2) / (D(col("ns")) - 1)
+      m.select(col("ns").cast("long").as("n_signs"),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        col("r").cast("long").as("n_runs"),
+        when(col("np") > 0 && col("nn") > 0 && col("ns") > 1 && va > 0,
+          StableRound.round6((D(col("r")) - mu) / sqrt(va))).as("z"))
+    }),
+
+    // COHEN'S KAPPA between two quality "raters" over documents — the
+    // inter-annotator-agreement number a curation pipeline reports when
+    // two cheap filters vote on the same corpus (raw agreement po
+    // overstates concordance when both raters mostly say "keep"; κ
+    // discounts the chance-agreement floor pe). Raters are
+    // deterministic length proxies — A: n_chars ≥ 300, B: whitespace
+    // word count ≥ 60 (both median-ish splits, correlated but not
+    // identical, which is exactly the regime κ exists for). One scan to
+    // a 2×2 integer contingency; po/pe/κ are mirrored straight-line
+    // doubles.
+    "agg_cohens_kappa" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val m = Tables.documents(s, d)
+        .select((col("n_chars") >= 300).as("ra"),
+          (expr("length(text) - length(replace(text, ' ', '')) + 1")
+            >= 60).as("rb"))
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val po = (D(col("n11")) + D(col("n00"))) / D(col("n"))
+      val pe = ((D(col("n11")) + D(col("n10")))
+        * (D(col("n11")) + D(col("n01")))
+        + (D(col("n01")) + D(col("n00")))
+        * (D(col("n10")) + D(col("n00")))) / (D(col("n")) * D(col("n")))
+      m.select(col("n").cast("long").as("n"),
+        col("n11").cast("long").as("n_both"),
+        col("n00").cast("long").as("n_neither"),
+        StableRound.round6(po).as("po"),
+        StableRound.round6(pe).as("pe"),
+        when(pe < 1, StableRound.round6((po - pe) / (lit(1.0) - pe)))
+          .as("kappa"))
+    }),
+
+    // TWO-PROPORTION POOLED Z-TEST of purchase rate between user-parity
+    // arms — the conversion-rate A/B primitive (agg_ab_ttest compares
+    // MEANS of a value; this compares RATES of a binary outcome, the
+    // more common experiment readout). Arm assignment is deterministic
+    // (user_id % 2 — the repo's seedless split idiom), counts are four
+    // exact integers from one scan, and z = (p̂a−p̂b)/√(p̂(1−p̂)(1/na+1/nb))
+    // is a mirrored straight-line double. Degenerate pools (p̂ ∈ {0,1})
+    // emit null z, not ±∞.
+    "agg_two_prop_ztest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val m = Tables.events(s, d)
+        .select((col("user_id") % 2 === 0).as("isa"),
+          (col("event_type") === "purchase").as("conv"))
+        .groupBy().agg(
+          sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("isa") && col("conv"), 1L).otherwise(0L)).as("xa"),
+          sum(when(!col("isa") && col("conv"), 1L).otherwise(0L)).as("xb"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val pa = D(col("xa")) / D(col("na"))
+      val pb = D(col("xb")) / D(col("nb"))
+      val pp = (D(col("xa")) + D(col("xb"))) / (D(col("na")) + D(col("nb")))
+      m.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("xa").cast("long").as("x_a"),
+        col("xb").cast("long").as("x_b"),
+        StableRound.round6(pa).as("p_a"),
+        StableRound.round6(pb).as("p_b"),
+        when(col("na") > 0 && col("nb") > 0 && pp > 0 && pp < 1,
+          StableRound.round6((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp)
+              * (lit(1.0) / D(col("na")) + lit(1.0) / D(col("nb"))))))
+          .as("z"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2085,5 +2306,167 @@ object StatsQueries extends QueryPack {
                 "/ CAST(max(q.n) AS DOUBLE) / 100")} AS winsor_mean
          |FROM dom JOIN q USING (event_type)
          |GROUP BY 1""".stripMargin,
+
+    // per-group exact moments; between-terms round6-snapped and
+    // fixed-point-summed over ≤|types| rows; mirrored F/η² assembly
+    "agg_anova" -> {
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+          "/ CAST(ng AS DOUBLE) / 1e4") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      val sb = "(CAST(st AS DOUBLE) / 1e6 - CAST(s AS DOUBLE) / 100.0 " +
+        "* (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))"
+      val sw = "(CAST(q AS DOUBLE) / 1e4 - CAST(st AS DOUBLE) / 1e6)"
+      val d1 = "(CAST(k AS DOUBLE) - 1)"
+      val d2 = "(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |g AS (SELECT event_type, count(*) AS ng,
+         |    sum(CAST(c AS HUGEINT)) AS sg,
+         |    sum(CAST(c AS HUGEINT) * c) AS qg
+         |  FROM v GROUP BY 1),
+         |t AS (SELECT ng, sg, qg, $t6 AS t6 FROM g),
+         |m AS (SELECT sum(ng) AS n, count(*) AS k, sum(sg) AS s,
+         |    sum(qg) AS q, sum(t6) AS st FROM t)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |  CAST(k - 1 AS BIGINT) AS dof_between,
+         |  CAST(n - k AS BIGINT) AS dof_within,
+         |  CASE WHEN $d1 > 0 AND $d2 > 0 AND $sw > 0
+         |    THEN ${graft.StableRound.sql6(s"($sb / $d1) / ($sw / $d2)")}
+         |    END AS f_stat,
+         |  CASE WHEN $sb + $sw > 0
+         |    THEN ${graft.StableRound.sql6(s"$sb / ($sb + $sw)")}
+         |    END AS eta_sq
+         |FROM m""".stripMargin
+    },
+
+    // per-group lower median by ceil-rank selection; |c−med| stays
+    // integer cents; then agg_anova's mirrored assembly on the
+    // deviations
+    "agg_levene" -> {
+      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+        "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+          "/ CAST(ng AS DOUBLE) / 1e4") +
+        " * 1000000 + 0.5) AS BIGINT)"
+      val sb = "(CAST(st AS DOUBLE) / 1e6 - CAST(s AS DOUBLE) / 100.0 " +
+        "* (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))"
+      val sw = "(CAST(q AS DOUBLE) / 1e4 - CAST(st AS DOUBLE) / 1e6)"
+      val d1 = "(CAST(k AS DOUBLE) - 1)"
+      val d2 = "(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+      s"""WITH dom AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS c, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (SELECT *,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS nt
+         |  FROM dom),
+         |med AS (SELECT event_type,
+         |    min(CASE WHEN cum >= (nt + 1) // 2 THEN c END) AS med
+         |  FROM cum GROUP BY 1),
+         |g AS (SELECT dom.event_type, sum(dom.cnt) AS ng,
+         |    sum(CAST(abs(dom.c - med.med) AS HUGEINT) * dom.cnt) AS sg,
+         |    sum(CAST(abs(dom.c - med.med) AS HUGEINT)
+         |      * abs(dom.c - med.med) * dom.cnt) AS qg
+         |  FROM dom JOIN med USING (event_type) GROUP BY 1),
+         |t AS (SELECT ng, sg, qg, $t6 AS t6 FROM g),
+         |m AS (SELECT sum(ng) AS n, count(*) AS k, sum(sg) AS s,
+         |    sum(qg) AS q, sum(t6) AS st FROM t)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |  CAST(k - 1 AS BIGINT) AS dof_between,
+         |  CAST(n - k AS BIGINT) AS dof_within,
+         |  CASE WHEN $d1 > 0 AND $d2 > 0 AND $sw > 0
+         |    THEN ${graft.StableRound.sql6(s"($sb / $d1) / ($sw / $d2)")}
+         |    END AS w_stat
+         |FROM m""".stripMargin
+    },
+
+    // calendar-day sign series; runs via sign ≠ lag(sign); closed-form
+    // μ/σ² from exact integers
+    "agg_runs_test" -> {
+      val mu = "(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE) * 2 " +
+        "/ CAST(ns AS DOUBLE) + 1)"
+      val va = s"(($mu - 1) * ($mu - 2) / (CAST(ns AS DOUBLE) - 1))"
+      s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |dl AS (SELECT day_start,
+         |    cnt - lag(cnt) OVER (ORDER BY day_start) AS delta
+         |  FROM daily),
+         |sg AS (SELECT day_start,
+         |    CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM dl WHERE delta IS NOT NULL AND delta <> 0),
+         |ch AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day_start)
+         |      IS NULL OR sgn <> lag(sgn) OVER (ORDER BY day_start)
+         |    THEN 1 ELSE 0 END AS chg
+         |  FROM sg),
+         |m AS (SELECT count(*) AS ns,
+         |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS nn,
+         |    sum(chg) AS r FROM ch)
+         |SELECT CAST(ns AS BIGINT) AS n_signs, CAST(np AS BIGINT) AS n_pos,
+         |  CAST(nn AS BIGINT) AS n_neg, CAST(r AS BIGINT) AS n_runs,
+         |  CASE WHEN np > 0 AND nn > 0 AND ns > 1 AND $va > 0
+         |    THEN ${graft.StableRound.sql6(
+              s"(CAST(r AS DOUBLE) - $mu) / sqrt($va)")}
+         |    END AS z
+         |FROM m""".stripMargin
+    },
+
+    // same deterministic raters, 2×2 integer contingency, mirrored
+    // po/pe/κ straight line
+    "agg_cohens_kappa" -> {
+      val po = "((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) " +
+        "/ CAST(n AS DOUBLE))"
+      val pe = "(((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) " +
+        "* (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) " +
+        "+ (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)) " +
+        "* (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE))) " +
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      s"""WITH r AS (SELECT n_chars >= 300 AS ra,
+         |    length(text) - length(replace(text, ' ', '')) + 1 >= 60
+         |      AS rb
+         |  FROM documents),
+         |m AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS n11,
+         |    sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS n10,
+         |    sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS n01,
+         |    sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS n00
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n_both,
+         |  CAST(n00 AS BIGINT) AS n_neither,
+         |  ${graft.StableRound.sql6(po)} AS po,
+         |  ${graft.StableRound.sql6(pe)} AS pe,
+         |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
+              s"($po - $pe) / (1 - $pe)")} END AS kappa
+         |FROM m""".stripMargin
+    },
+
+    // deterministic parity arms; four exact counts; mirrored pooled-z
+    // straight line with the degenerate-pool null gate
+    "agg_two_prop_ztest" -> {
+      val pa = "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))"
+      val pb = "(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val pp = "((CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE)) " +
+        "/ (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
+      s"""WITH m AS (SELECT
+         |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
+         |    sum(CASE WHEN user_id % 2 = 0
+         |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS xa,
+         |    sum(CASE WHEN user_id % 2 <> 0
+         |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS xb
+         |  FROM events)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+         |  ${graft.StableRound.sql6(pa)} AS p_a,
+         |  ${graft.StableRound.sql6(pb)} AS p_b,
+         |  CASE WHEN na > 0 AND nb > 0 AND $pp > 0 AND $pp < 1
+         |    THEN ${graft.StableRound.sql6(
+              s"($pa - $pb) / sqrt($pp * (1.0 - $pp) " +
+                "* (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))")}
+         |    END AS z
+         |FROM m""".stripMargin
+    },
   )
 }

@@ -938,6 +938,48 @@ object StreamQueries extends QueryPack {
             (D(col("sa")) / D(col("na")) - D(col("sb")) / D(col("nb"))) /
               sqrt((ssa + ssb) / df))).as("cohens_d"))
     }),
+
+    // LIVE CONVERSION-RATE MONITOR — agg_two_prop_ztest's streaming
+    // face: per-day pooled z of purchase rate between the
+    // user-id-parity arms, the number a live experiment dashboard
+    // plots hour by hour. State is two integer counters per (day, arm)
+    // — (events, purchases) — so a day of any volume is 2 state rows
+    // and the stream never holds events; the z assembly is the batch
+    // entry's mirrored straight line, run as a batch projection over
+    // the materialized aggregate. Days with an empty or degenerate
+    // pool (p̂ ∈ {0,1}) emit null z.
+    "stream_two_prop" -> ((s, d) => {
+      val src = eventsStream(s, d)
+        .select(col("ts"), (col("user_id") % 2 === 0).as("isa"),
+          (col("event_type") === "purchase").as("conv"))
+      val agged = StreamOps.runToMemory(
+        StreamOps.tumbling(src, "ts", "1 day", Seq("isa"),
+          Seq(count(lit(1)).as("n"),
+            sum(when(col("conv"), 1L).otherwise(0L)).as("x"))),
+        outputMode = "complete")
+        .select(col("isa"), col("window.start").as("day_start"),
+          col("n"), col("x"))
+      val m = agged.groupBy("day_start").agg(
+        coalesce(sum(when(col("isa"), col("n"))), lit(0L)).as("na"),
+        coalesce(sum(when(!col("isa"), col("n"))), lit(0L)).as("nb"),
+        coalesce(sum(when(col("isa"), col("x"))), lit(0L)).as("xa"),
+        coalesce(sum(when(!col("isa"), col("x"))), lit(0L)).as("xb"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val pa = D(col("xa")) / D(col("na"))
+      val pb = D(col("xb")) / D(col("nb"))
+      val pp = (D(col("xa")) + D(col("xb"))) /
+        (D(col("na")) + D(col("nb")))
+      m.select(col("day_start"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("xa").cast("long").as("x_a"),
+        col("xb").cast("long").as("x_b"),
+        when(col("na") > 0 && col("nb") > 0 && pp > 0 && pp < 1,
+          StableRound.round6((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp)
+              * (lit(1.0) / D(col("na")) + lit(1.0) / D(col("nb"))))))
+          .as("z"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1302,6 +1344,35 @@ object StreamQueries extends QueryPack {
          |  CAST(nb AS BIGINT) AS n_b,
          |  CASE WHEN na >= 2 AND nb >= 2 AND $ssa + $ssb > 0
          |    THEN ${graft.StableRound.sql6(dEff)} END AS cohens_d
+         |FROM m""".stripMargin
+    },
+
+    // single-pass stream over the full corpus ≡ the per-day batch
+    // two-proportion collapse; mirrored pooled-z straight line
+    "stream_two_prop" -> {
+      val pa = "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))"
+      val pb = "(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val pp = "((CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE)) " +
+        "/ (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
+      s"""WITH v AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start,
+         |    user_id % 2 = 0 AS isa,
+         |    event_type = 'purchase' AS conv FROM events),
+         |m AS (SELECT day_start,
+         |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS nb,
+         |    sum(CASE WHEN isa AND conv THEN 1 ELSE 0 END) AS xa,
+         |    sum(CASE WHEN NOT isa AND conv THEN 1 ELSE 0 END) AS xb
+         |  FROM v GROUP BY 1)
+         |SELECT day_start, CAST(na AS BIGINT) AS n_a,
+         |  CAST(nb AS BIGINT) AS n_b, CAST(xa AS BIGINT) AS x_a,
+         |  CAST(xb AS BIGINT) AS x_b,
+         |  CASE WHEN na > 0 AND nb > 0 AND $pp > 0 AND $pp < 1
+         |    THEN ${graft.StableRound.sql6(
+              s"($pa - $pb) / sqrt($pp * (1.0 - $pp) " +
+                "* (1.0 / CAST(na AS DOUBLE) " +
+                "+ 1.0 / CAST(nb AS DOUBLE)))")}
+         |    END AS z
          |FROM m""".stripMargin
     },
   )

@@ -1,0 +1,185 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{RelationalQueries, StatsQueries, StreamQueries}
+
+/** Semantics pins for the round-12 session-4 entries: one-way ANOVA
+  * (a planted mean shift fires F, identical groups give F = 0),
+  * Brown–Forsythe Levene (a planted VARIANCE gap fires W while equal
+  * spreads with different means do not), the Wald–Wolfowitz runs test
+  * (oscillating daily volume → many runs → z > 0, near-monotone → few
+  * runs → z < 0, exact run counting), Cohen's kappa (perfect agreement
+  * → 1, independent raters on a balanced 2×2 → 0), the two-proportion
+  * pooled z-test (planted lift fires, equal rates give exactly 0), max
+  * drawdown (hand-computed exact-cents series), and the streaming
+  * two-proportion face (per-day lift fires on the lifted day only).
+  */
+class HypothesisTestsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def writeEvents(
+      rows: Seq[(Long, Long, String, Double, Timestamp)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("hyp").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val noon = Timestamp.valueOf("2024-01-05 12:00:00")
+
+  test("agg_anova: planted mean shift fires, identical groups give F = 0") {
+    def mk(shift: Double) = writeEvents(
+      for (i <- 0 until 40; g <- Seq("a", "b")) yield
+        (i.toLong * 2 + (if (g == "a") 0 else 1), 1L, g,
+          10.0 + i % 5 + (if (g == "b") shift else 0.0), noon))
+    val hot = StatsQueries.queries("agg_anova")(spark, mk(500.0))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(hot._1 == 80L && hot._2 == 2L && hot._3 == 1L && hot._4 == 78L)
+    assert(hot._5 > 1000, s"shifted groups must fire: $hot")
+    assert(hot._6 > 0.99, s"eta² must attribute the variance: $hot")
+    val cold = StatsQueries.queries("agg_anova")(spark, mk(0.0))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // the between-term snaps to the round6 grid, so "exactly equal
+    // groups" can land within one grid step of zero, not at it
+    assert(math.abs(cold._5) <= 1e-4 && math.abs(cold._6) <= 1e-5,
+      s"identical groups must give F ≈ 0: $cold")
+  }
+
+  test("agg_levene: variance gap fires W; equal spreads with different means do not") {
+    // group a: tight ±1 around 100; group b: wide ±50 around 100
+    def mk(widthB: Double) = writeEvents(
+      for (i <- 0 until 40; g <- Seq("a", "b")) yield
+        (i.toLong * 2 + (if (g == "a") 0 else 1), 1L, g,
+          100.0 + (if (i % 2 == 0) 1 else -1) *
+            (if (g == "b") widthB else 1.0), noon))
+    val hot = StatsQueries.queries("agg_levene")(spark, mk(50.0))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(hot._5 > 10, s"variance gap must fire: $hot")
+    // equal spread, shifted mean — Brown–Forsythe centers per-group
+    // medians, so a pure location shift contributes nothing
+    val shifted = writeEvents(
+      for (i <- 0 until 40; g <- Seq("a", "b")) yield
+        (i.toLong * 2 + (if (g == "a") 0 else 1), 1L, g,
+          (if (g == "b") 500.0 else 100.0) +
+            (if (i % 2 == 0) 1 else -1), noon))
+    val cold = StatsQueries.queries("agg_levene")(spark, shifted)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(math.abs(cold._5) <= 1e-4,
+      s"location shift alone must not fire: $cold")
+  }
+
+  test("agg_runs_test: oscillation → many runs → z > 0; near-monotone → z < 0") {
+    def mkDaily(counts: Seq[Int]): String = {
+      var id = 0L
+      writeEvents(counts.zipWithIndex.flatMap { case (c, day) =>
+        (0 until c).map { _ =>
+          id += 1
+          (id, 1L, "view", 1.0,
+            Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"))
+        }
+      })
+    }
+    // signs + − + − + : 5 runs of 5 signs (every delta flips)
+    val osc = StatsQueries.queries("agg_runs_test")(
+        spark, mkDaily(Seq(10, 20, 10, 20, 10, 20)))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(osc == ((5L, 3L, 2L, 5L, osc._5)) && osc._5 > 0,
+      s"oscillating series: $osc")
+    // signs + + + + − : 2 runs (one momentum block, one reversal)
+    val mono = StatsQueries.queries("agg_runs_test")(
+        spark, mkDaily(Seq(10, 20, 30, 40, 50, 40)))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(mono == ((5L, 4L, 1L, 2L, mono._5)) && mono._5 < 0,
+      s"momentum series: $mono")
+  }
+
+  test("agg_cohens_kappa: perfect agreement → 1, independent balanced raters → 0") {
+    def writeDocs(rows: Seq[(Long, String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("hyp").toString
+      rows.toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val longText = Seq.fill(80)("word").mkString(" ")  // 80 words
+    val shortText = "tiny doc"                          // 2 words
+    // both raters say keep on half, drop on half → κ = 1
+    val agree = writeDocs((1 to 10).map { i =>
+      if (i % 2 == 0) (i.toLong, longText, 400L)
+      else (i.toLong, shortText, 100L)
+    })
+    val k1 = StatsQueries.queries("agg_cohens_kappa")(spark, agree)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(k1._6 == 1.0, s"perfect agreement: $k1")
+    // balanced independent 2×2: long-words doc (A yes, B no — 280
+    // chars but 40 words... n_chars column is the rater, so drive the
+    // two raters apart explicitly): equal mass in all four cells → κ=0
+    val manyShortWords = Seq.fill(70)("a").mkString(" ") // 70 words, 139 chars
+    val fewLongWords = "x" * 350                         // 1 word, 350 chars
+    val indep = writeDocs((1 to 8).map { i =>
+      (i % 4) match {
+        case 0 => (i.toLong, longText, 400L)       // A yes, B yes
+        case 1 => (i.toLong, fewLongWords, 350L)   // A yes, B no
+        case 2 => (i.toLong, manyShortWords, 139L) // A no,  B yes
+        case _ => (i.toLong, shortText, 100L)      // A no,  B no
+      }
+    })
+    val k0 = StatsQueries.queries("agg_cohens_kappa")(spark, indep)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(k0._4 == 0.5 && k0._6 == 0.0, s"independent raters: $k0")
+  }
+
+  test("agg_two_prop_ztest: planted lift fires; equal rates give exactly 0") {
+    // even users: 50% purchase; odd users: 10% purchase
+    def mk(rateA: Int, rateB: Int) = writeEvents(
+      for (i <- 0 until 200; u <- Seq(0L, 1L)) yield
+        (i.toLong * 2 + u, u, // user 0 = arm a, user 1 = arm b
+          if ((u == 0L && i % 10 < rateA) || (u == 1L && i % 10 < rateB))
+            "purchase" else "view",
+          1.0, noon))
+    val hot = StatsQueries.queries("agg_two_prop_ztest")(spark, mk(5, 1))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(hot._1 == 200L && hot._3 == 100L && hot._4 == 20L)
+    assert(hot._5 == 0.5 && hot._6 == 0.1 && hot._7 > 5,
+      s"planted lift: $hot")
+    val cold = StatsQueries.queries("agg_two_prop_ztest")(spark, mk(3, 3))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(cold._7 == 0.0, s"equal rates: $cold")
+  }
+
+  test("win_drawdown: hand-computed exact-cents series") {
+    // flows: +100.00 −50.00 +30.00 −120.00 → cum 10000,5000,8000,−4000
+    // runmax stays 10000 → drawdowns 0,5000,2000,14000
+    val d = writeEvents(Seq(
+      (1L, 7L, "purchase", 100.0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 7L, "error", 50.0, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, 7L, "purchase", 30.0, Timestamp.valueOf("2024-01-01 12:00:00")),
+      (4L, 7L, "error", 120.0, Timestamp.valueOf("2024-01-01 13:00:00")),
+      (5L, 7L, "view", 999.0, Timestamp.valueOf("2024-01-01 14:00:00"))))
+    val r = RelationalQueries.queries("win_drawdown")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((7L, 4L, 14000L, 10000L, -4000L)), s"drawdown: $r")
+  }
+
+  test("stream_two_prop: per-day lift fires on the lifted day only") {
+    val day1 = Timestamp.valueOf("2024-01-01 12:00:00")
+    val day2 = Timestamp.valueOf("2024-01-02 12:00:00")
+    val d = writeEvents(
+      // day 1: arm a converts 50%, arm b 10% — z > 0
+      (for (i <- 0 until 100; u <- Seq(0L, 1L)) yield
+        (i.toLong * 2 + u, u,
+          if ((u == 0L && i % 10 < 5) || (u == 1L && i % 10 < 1))
+            "purchase" else "view", 1.0, day1)) ++
+      // day 2: both arms 30% — z = 0 exactly
+      (for (i <- 0 until 100; u <- Seq(0L, 1L)) yield
+        (400L + i.toLong * 2 + u, u,
+          if (i % 10 < 3) "purchase" else "view", 1.0, day2)))
+    val rows = StreamQueries.queries("stream_two_prop")(spark, d)
+      .as[(Timestamp, Long, Long, Long, Long, Double)].collect()
+      .sortBy(_._1.getTime)
+    assert(rows.length == 2, s"two day rows: ${rows.toSeq}")
+    assert(rows(0)._4 == 50L && rows(0)._5 == 10L && rows(0)._6 > 5,
+      s"lifted day: ${rows(0)}")
+    assert(rows(1)._6 == 0.0, s"flat day: ${rows(1)}")
+  }
+}
