@@ -1379,6 +1379,95 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // McNEMAR'S TEST on paired per-user conversion across the two
+    // halves of the observation month — "did the SAME users change
+    // behavior?", the paired sibling of agg_two_prop_ztest (unpaired
+    // arms can hide churn that pairing exposes: equal rates with
+    // massive b↔c turnover). FULLY exact: one scan to per-user
+    // (converted-in-P1, converted-in-P2) bits via max-of-indicator,
+    // then χ² = (b−c)²/(b+c) on two integer discordant counts — no
+    // rounding bridge needed until the final division. The fixed
+    // mid-month split literal keeps the period assignment engine-free.
+    "agg_mcnemar" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val per = Tables.events(s, d)
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" && col("ts") < split,
+            1).otherwise(0)).as("p1"),
+          max(when(col("event_type") === "purchase" && col("ts") >= split,
+            1).otherwise(0)).as("p2"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      per.groupBy().agg(count(lit(1)).as("n"),
+          sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L))
+            .as("c"))
+        .select(col("n").cast("long").as("n"),
+          col("b").cast("long").as("n_lost"),
+          col("c").cast("long").as("n_gained"),
+          when(col("b") + col("c") > 0, StableRound.round6(
+            (D(col("b")) - D(col("c"))) * (D(col("b")) - D(col("c")))
+              / (D(col("b")) + D(col("c"))))).as("chi2"))
+    }),
+
+    // FRIEDMAN TEST — "does event type systematically rank higher in
+    // value, controlling for the day?" (the repeated-measures cousin
+    // of agg_kruskal_wallis: each calendar day is a block, types are
+    // ranked WITHIN the day, so day-level volume/level shifts cancel).
+    // One scan to the (day, type) cell relation — calendar-bounded at
+    // any corpus size; cell means are exact-integer ratios in
+    // deterministic IEEE double; midranks via rank() + (ties−1)/2 are
+    // integers-or-halves (exactly representable, order-free sums);
+    // per-type Rj² snaps to round6 and sums as fixed-point longs over
+    // ≤|types| rows. Incomplete blocks (days missing a type) drop —
+    // the classical complete-block requirement.
+    "agg_friedman" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val cells = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day_start"),
+          col("event_type"))
+        .agg(sum(round(col("value") * 100).cast("long").cast(dec)).as("sc"),
+          count(lit(1)).as("nc"))
+        .localCheckpoint()
+      val kdf = cells.agg(countDistinct("event_type").as("k"))
+      val complete = cells
+        .select(col("day_start"), col("event_type"),
+          (col("sc").cast("double") / col("nc").cast("double")).as("m"))
+        .withColumn("nt",
+          count(lit(1)).over(Window.partitionBy("day_start")))
+        .crossJoin(broadcast(kdf))
+        .filter(col("nt") === col("k"))
+      val ranked = complete
+        .withColumn("rk", rank().over(
+          Window.partitionBy("day_start").orderBy("m")))
+        .withColumn("ct", count(lit(1)).over(
+          Window.partitionBy("day_start", "m")))
+        .select(col("event_type"), col("k"),
+          (col("rk") + (col("ct") - 1) / 2.0).as("mr"))
+      val rj = ranked.groupBy("event_type")
+        .agg(max("k").as("k"), count(lit(1)).as("nb"), sum("mr").as("rj"))
+      val agg = rj
+        .select(col("k"), col("nb"),
+          floor(StableRound.round6(col("rj") * col("rj")) * 1e6 + 0.5)
+            .cast("long").as("t6"))
+        .groupBy().agg(max("k").as("k"), max("nb").as("n_blocks"),
+          sum("t6").as("s6"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val q = (lit(12.0) / (D(col("n_blocks")) * D(col("k"))
+        * (D(col("k")) + 1)) * (D(col("s6")) / 1e6)) -
+        (D(col("n_blocks")) * 3 * (D(col("k")) + 1))
+      agg.select(col("n_blocks").cast("long").as("n_blocks"),
+        col("k").cast("long").as("k"),
+        when(col("n_blocks") > 0 && col("k") > 1,
+          StableRound.round6(q)).as("q_stat"))
+    }),
+
     // TWO-PROPORTION POOLED Z-TEST of purchase rate between user-parity
     // arms — the conversion-rate A/B primitive (agg_ab_ttest compares
     // MEANS of a value; this compares RATES of a binary outcome, the
@@ -2440,6 +2529,65 @@ object StatsQueries extends QueryPack {
          |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
               s"($po - $pe) / (1 - $pe)")} END AS kappa
          |FROM m""".stripMargin
+    },
+
+    // paired per-user bits via max-of-indicator; exact discordant
+    // counts; χ² = (b−c)²/(b+c)
+    "agg_mcnemar" ->
+      s"""WITH per AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase'
+         |      AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 1 ELSE 0 END) AS p1,
+         |    max(CASE WHEN event_type = 'purchase'
+         |      AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 1 ELSE 0 END) AS p2
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS b,
+         |    sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS c
+         |  FROM per)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS n_lost,
+         |  CAST(c AS BIGINT) AS n_gained,
+         |  CASE WHEN b + c > 0 THEN ${graft.StableRound.sql6(
+              "(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) " +
+                "* (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) " +
+                "/ (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))")}
+         |    END AS chi2
+         |FROM m""".stripMargin,
+
+    // complete day blocks; midranks = rank + (ties−1)/2 (exact
+    // halves); Rj² round6 fixed-point summed; mirrored Q assembly
+    "agg_friedman" -> {
+      val q = "(12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE) " +
+        "* (CAST(k AS DOUBLE) + 1)) * (CAST(s6 AS DOUBLE) / 1e6) " +
+        "- CAST(n_blocks AS DOUBLE) * 3 * (CAST(k AS DOUBLE) + 1))"
+      s"""WITH cells AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day_start, event_type,
+         |    sum(CAST(round(value * 100) AS HUGEINT)) AS sc,
+         |    count(*) AS nc
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT count(DISTINCT event_type) AS k FROM cells),
+         |m AS (SELECT day_start, event_type,
+         |    CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS m,
+         |    count(*) OVER (PARTITION BY day_start) AS nt
+         |  FROM cells),
+         |complete AS (SELECT m.* FROM m, kk WHERE m.nt = kk.k),
+         |rked AS (SELECT event_type,
+         |    rank() OVER (PARTITION BY day_start ORDER BY m)
+         |      + (count(*) OVER (PARTITION BY day_start, m) - 1) / 2.0
+         |      AS mr
+         |  FROM complete),
+         |rj AS (SELECT event_type, count(*) AS nb, sum(mr) AS rj
+         |  FROM rked GROUP BY 1),
+         |ag AS (SELECT max(kk.k) AS k, max(rj.nb) AS n_blocks,
+         |    sum(CAST(floor(${graft.StableRound.sql6("rj.rj * rj.rj")}
+         |      * 1000000 + 0.5) AS BIGINT)) AS s6
+         |  FROM rj, kk)
+         |SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+         |  CAST(k AS BIGINT) AS k,
+         |  CASE WHEN n_blocks > 0 AND k > 1
+         |    THEN ${graft.StableRound.sql6(q)} END AS q_stat
+         |FROM ag""".stripMargin
     },
 
     // deterministic parity arms; four exact counts; mirrored pooled-z

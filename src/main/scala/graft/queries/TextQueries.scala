@@ -230,6 +230,32 @@ object TextQueries extends QueryPack {
     // division) under the decimal bridge. At open-web scale the
     // (lang, source, token) key hashes to 8 bytes exactly like the
     // gram shuffles (count-only downstream ⇒ hash-invariant).
+    // TOKEN BURSTINESS (variance-to-mean ratio of per-doc counts) for
+    // the top-20 corpus tokens — Church & Gale's content-vs-function
+    // word discriminant: function words spread evenly (VMR ≈ 1,
+    // Poisson), content/boilerplate words clump into few docs
+    // (VMR ≫ 1) — a template-detection signal no frequency rank alone
+    // gives. Two map-side-combined aggs over the exploded token
+    // stream (per-(token,doc) then per-token exact integer moments),
+    // then a distributed TakeOrdered picks the top 20 — the vocab
+    // never sorts globally and the corpus never re-shuffles.
+    "text_burstiness" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("x"))
+        .groupBy("w").agg(count(lit(1)).as("n_docs"),
+          sum("x").as("total"), sum(col("x") * col("x")).as("sq"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val mean = D(col("total")) / D(col("n_docs"))
+      val vr = (D(col("sq")) - D(col("total")) * D(col("total"))
+        / D(col("n_docs"))) / (D(col("n_docs")) - 1)
+      st.orderBy(col("total").desc, col("w")).limit(20)
+        .select(col("w").as("token"), col("n_docs"), col("total"),
+          graft.StableRound.round6(mean).as("mean_per_doc"),
+          when(col("n_docs") > 1, graft.StableRound.round6(vr / mean))
+            .as("vmr"))
+    }),
+
     "text_ttr" -> ((s, d) => {
       val perTok = Tables.documents(s, d)
         .select(col("lang"), col("source"),
@@ -707,6 +733,28 @@ object TextQueries extends QueryPack {
         |  ${graft.StableRound.sql6(
              s"${graft.StableRound.sql6("ln(n_tokens)")} - CAST(s AS DOUBLE) / n_tokens")} AS entropy
         |FROM agg""".stripMargin,
+
+    // per-(token,doc) then per-token exact moments; top-20 by corpus
+    // frequency with the token tiebreak; mirrored VMR straight line
+    "text_burstiness" -> {
+      val mean = "(CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val vr = "((CAST(sq AS DOUBLE) - CAST(total AS DOUBLE) " +
+        "* CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)) " +
+        "/ (CAST(n_docs AS DOUBLE) - 1))"
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |pd AS (SELECT w, doc_id, count(*) AS x FROM tok GROUP BY 1, 2),
+         |st AS (SELECT w, count(*) AS n_docs, sum(x) AS total,
+         |    sum(x * x) AS sq
+         |  FROM pd GROUP BY 1),
+         |top AS (SELECT * FROM st ORDER BY total DESC, w LIMIT 20)
+         |SELECT w AS token, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total AS BIGINT) AS total,
+         |  ${graft.StableRound.sql6(mean)} AS mean_per_doc,
+         |  CASE WHEN n_docs > 1 THEN ${graft.StableRound.sql6(
+              s"$vr / $mean")} END AS vmr
+         |FROM top""".stripMargin
+    },
 
     "text_ttr" ->
       s"""WITH tok AS (SELECT lang, source,

@@ -161,6 +161,41 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(r == ((7L, 4L, 14000L, 10000L, -4000L)), s"drawdown: $r")
   }
 
+  test("agg_mcnemar: churn fires via discordant counts; stable users contribute nothing") {
+    val p1 = Timestamp.valueOf("2024-01-05 12:00:00") // first half
+    val p2 = Timestamp.valueOf("2024-01-20 12:00:00") // second half
+    // users 1-10 convert ONLY in P1 (lost), user 11 only in P2
+    // (gained), users 12-20 convert in both (concordant, excluded)
+    val d = writeEvents(
+      (1L to 10L).map(u => (u, u, "purchase", 1.0, p1)) ++
+      Seq((11L, 11L, "purchase", 1.0, p2)) ++
+      (12L to 20L).flatMap(u => Seq(
+        (u * 2, u, "purchase", 1.0, p1), (u * 2 + 1, u, "purchase", 1.0, p2))))
+    val r = StatsQueries.queries("agg_mcnemar")(spark, d)
+      .as[(Long, Long, Long, Double)].head()
+    // chi2 = (10-1)²/11 = 81/11
+    assert(r._1 == 20L && r._2 == 10L && r._3 == 1L, s"counts: $r")
+    assert(math.abs(r._4 - 81.0 / 11.0) < 1e-6, s"chi2: $r")
+  }
+
+  test("agg_friedman: consistent within-day ranking fires; flat cells give Q = 0") {
+    // 6 days, 3 types; type value ladder identical every day → perfect
+    // consistency: Rj = {6, 12, 18}, Q = 12/(6·3·4)·504 − 3·6·4 = 12
+    def mk(ladder: Boolean) = writeEvents(
+      for (day <- 1 to 6; (t, rank) <- Seq(("a", 1), ("b", 2), ("c", 3)))
+        yield ((day * 10 + rank).toLong, 1L, t,
+          if (ladder) rank * 10.0 else 10.0,
+          Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")))
+    val hot = StatsQueries.queries("agg_friedman")(spark, mk(true))
+      .as[(Long, Long, Double)].head()
+    assert(hot == ((6L, 3L, 12.0)), s"consistent ladder: $hot")
+    // identical cell means → all midranks = 2 → Rj = 12 each →
+    // Q = 12/72·432 − 72 = 0
+    val cold = StatsQueries.queries("agg_friedman")(spark, mk(false))
+      .as[(Long, Long, Double)].head()
+    assert(cold._3 == 0.0, s"flat cells: $cold")
+  }
+
   test("stream_two_prop: per-day lift fires on the lifted day only") {
     val day1 = Timestamp.valueOf("2024-01-01 12:00:00")
     val day2 = Timestamp.valueOf("2024-01-02 12:00:00")

@@ -113,4 +113,23 @@ class TextSignalsSpec extends SparkSpec {
     assert(out(1)._4.exists(_ > 5), s"shifted day: ${out(1)}")
     assert(out(2)._2 == 0 && out(2)._4.isEmpty, s"one-arm day: ${out(2)}")
   }
+
+  test("text_burstiness: clumped token VMR ≫ evenly-spread token VMR = 0") {
+    val dir = java.nio.file.Files.createTempDirectory("sig").toString
+    // "even" once in all 10 docs (Poisson-flat → VMR 0); "bursty" in 4
+    // docs with counts 9,1,1,1 (clumped → VMR = var/mean = 16/3)
+    val docs =
+      Seq((1L, "even " + Seq.fill(9)("bursty").mkString(" "))) ++
+      (2L to 4L).map(i => (i, "even bursty")) ++
+      (5L to 10L).map(i => (i, "even"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("text_burstiness")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("even") == (("even", 10L, 10L, 1.0, 0.0)), out("even").toString)
+    val b = out("bursty")
+    assert(b._2 == 4L && b._3 == 12L && b._4 == 3.0 &&
+      math.abs(b._5 - 16.0 / 3.0) < 1e-6, b.toString)
+  }
 }
