@@ -1379,6 +1379,59 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // LEAD–LAG CROSS-CORRELATION between the daily purchase and view
+    // series at lags −3..+3 — "does view volume LEAD purchase volume,
+    // and by how many days?" (agg_autocorr asks about a series and
+    // itself; the CCF asks between two metrics — the funnel-latency
+    // read a growth dashboard wants). One corpus scan to the zero-
+    // filled day grid (agg_autocorr's densification — calendar-bounded
+    // at any corpus size); the 7-lag pairing is a ≤31×7-row join;
+    // per-lag moments are exact DECIMAL(38,0) integers and r is the
+    // same mirrored moment assembly as agg_autocorr, null-gated on
+    // zero variance.
+    "agg_xcorr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val counts = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day")
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L)
+            .otherwise(0L)).as("y"))
+        .localCheckpoint()
+      val bounds = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      val series = bounds
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+        .join(counts, Seq("day"), "left")
+        .na.fill(0L, Seq("x", "y"))
+        .localCheckpoint()
+      val lagDf = s.range(-3, 4).select(col("id").as("lag"))
+      val sums = series.select(col("day"), col("x"))
+        .crossJoin(broadcast(lagDf))
+        .withColumn("dy", expr("day + make_interval(0, 0, 0, lag)"))
+        .join(series.select(col("day").as("dy"), col("y")), Seq("dy"))
+        .groupBy("lag").agg(
+          count(lit(1)).cast(dec).as("m"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      val vx = (col("m") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val vy = (col("m") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      sums.select(col("lag"), col("m").cast("long").as("n_days"),
+        when(vx > 0 && vy > 0, StableRound.round6(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(vx) * sqrt(vy)))).as("r"))
+    }),
+
     // McNEMAR'S TEST on paired per-user conversion across the two
     // halves of the observation month — "did the SAME users change
     // behavior?", the paired sibling of agg_two_prop_ztest (unpaired
@@ -2528,6 +2581,40 @@ object StatsQueries extends QueryPack {
          |  ${graft.StableRound.sql6(pe)} AS pe,
          |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
               s"($po - $pe) / (1 - $pe)")} END AS kappa
+         |FROM m""".stripMargin
+    },
+
+    // zero-filled day grid; 7-lag pairing on the tiny series; exact
+    // integer moments per lag; mirrored r assembly with variance gate
+    "agg_xcorr" -> {
+      val vx = "(CAST(m * sxx - sx * sx AS DOUBLE))"
+      val vy = "(CAST(m * syy - sy * sy AS DOUBLE))"
+      s"""WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |      AS day,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS x,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+         |  FROM events WHERE event_type IN ('purchase', 'view')
+         |  GROUP BY 1),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |g AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |    AS day FROM b),
+         |s AS (SELECT g.day, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+         |  FROM g LEFT JOIN c USING (day)),
+         |l AS (SELECT unnest(range(-3, 4)) AS lag),
+         |p AS (SELECT l.lag, s1.x, s2.y
+         |  FROM s s1 CROSS JOIN l
+         |  JOIN s s2 ON s2.day = s1.day + l.lag * INTERVAL 1 DAY),
+         |m AS (SELECT lag, count(*) AS m,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM p GROUP BY 1)
+         |SELECT lag, CAST(m AS BIGINT) AS n_days,
+         |  CASE WHEN $vx > 0 AND $vy > 0 THEN ${graft.StableRound.sql6(
+              "CAST(m * sxy - sx * sy AS DOUBLE) " +
+                s"/ (sqrt($vx) * sqrt($vy))")} END AS r
          |FROM m""".stripMargin
     },
 

@@ -196,6 +196,29 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(cold._3 == 0.0, s"flat cells: $cold")
   }
 
+  test("agg_xcorr: planted 2-day lead recovered at lag -2 and only there") {
+    // views on day i follow v(i) = 5 + i² mod 7; purchases on day i
+    // replay v(i−2) — views LEAD purchases by exactly 2 days, so the
+    // pairing (x_t, y_{t+lag}) is the identical series at lag = −2
+    def v(i: Int) = 5 + (i * i) % 7
+    var id = 0L
+    val d = writeEvents((1 to 12).flatMap { i =>
+      val day = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+      val views = (0 until v(i)).map { _ =>
+        id += 1; (id, 1L, "view", 1.0, day)
+      }
+      val purchases = (0 until (if (i >= 3) v(i - 2) else 3)).map { _ =>
+        id += 1; (id, 1L, "purchase", 1.0, day)
+      }
+      views ++ purchases
+    })
+    val rows = StatsQueries.queries("agg_xcorr")(spark, d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 7 && rows(-2L)._3 == 1.0, rows.toString)
+    assert(rows.filterKeys(_ != -2L).values.forall(_._3 < 1.0),
+      rows.toString)
+  }
+
   test("stream_two_prop: per-day lift fires on the lifted day only") {
     val day1 = Timestamp.valueOf("2024-01-01 12:00:00")
     val day2 = Timestamp.valueOf("2024-01-02 12:00:00")
