@@ -73,6 +73,36 @@ object VectorOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
+  /** ColBERT-style late-interaction MaxSim: score each DOC (a GROUP of
+    * corpus vectors keyed by `docCol`) against a multi-vector query as
+    * Σ_q max_v cos(q, v) — the retrieval scorer that keeps per-token
+    * query granularity without a quadratic token join. Shape at scale:
+    * the query side (m vectors) broadcasts, the per-pair cosine is one
+    * codegen'd map-side expression over the corpus scan, and BOTH aggs
+    * combine map-side — the max is taken per (doc, query-vector) and
+    * the shuffle carries only |docs|·m (doc, qid, max6) longs, never
+    * vectors. Per-pair cosines snap to the round6 grid BEFORE the max,
+    * so max and sum are exact integer ops in any engine.
+    *
+    * Returns (docCol, n_q, maxsim). */
+  def maxSim(corpus: DataFrame, docCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = {
+    val v = withNorm(corpus, vecCol)
+    val q = withNorm(queries, qVecCol).select(col(qIdCol).as("__qid"),
+      col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    val cos = dot(col(vecCol), col("__qvec")) /
+      (col("__norm") * col("__qnorm"))
+    v.crossJoin(broadcast(q))
+      .select(col(docCol), col("__qid"),
+        floor(graft.StableRound.round6(cos) * 1e6 + 0.5).cast("long")
+          .as("t6"))
+      .groupBy(docCol, "__qid").agg(max("t6").as("m6"))
+      .groupBy(docCol).agg(count(lit(1)).as("n_q"), sum("m6").as("s6"))
+      .select(col(docCol), col("n_q"),
+        graft.StableRound.round6(col("s6").cast("double") / 1e6)
+          .as("maxsim"))
+  }
+
   // ---- ANN: random-hyperplane LSH (the 100 TB candidate-generation path)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). Public so

@@ -21,6 +21,18 @@ object VectorQueries extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // ColBERT-style late-interaction scoring: labels act as multi-vector
+    // docs, vec_ids 0-2 as the multi-vector query; MaxSim = Σ_q max_v
+    // cos. Query broadcasts, both aggs combine map-side, shuffle =
+    // |labels|·3 longs — the late-interaction scorer without a token-
+    // quadratic join.
+    "vec_maxsim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.maxSim(
+        emb.filter(col("vec_id") > 2), "label", "embedding",
+        emb.filter(col("vec_id") <= 2), "vec_id", "embedding")
+    }),
+
     // batch similarity search: top-3 neighbors for each of 5 query vectors
     "vec_cosine_topk_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -700,6 +712,22 @@ object VectorQueries extends QueryPack {
         |FROM n, q WHERE n.vec_id <> 0
         |ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) DESC, n.vec_id
         |LIMIT 10""".stripMargin),
+
+    // per-pair cosines snapped to round6 fixed-point BEFORE max ⇒ max
+    // and sum are exact integer ops in both engines
+    "vec_maxsim_topk" -> (vCte +
+      s""",
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
+        |      FROM n WHERE vec_id <= 2),
+        |p AS (SELECT n.label, q.qid,
+        |    max(CAST(floor(${graft.StableRound.sql6(
+               "list_dot_product(n.e, q.qe) / (n.nrm * q.qn)")}
+        |      * 1000000 + 0.5) AS BIGINT)) AS m6
+        |  FROM n, q WHERE n.vec_id > 2 GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_q,
+        |  ${graft.StableRound.sql6(
+             "CAST(sum(m6) AS DOUBLE) / 1000000.0")} AS maxsim
+        |FROM p GROUP BY 1""".stripMargin),
 
     "vec_cosine_topk_batch" -> (vCte +
       """,

@@ -382,6 +382,27 @@ class VectorOpsSpec extends SparkSpec {
       .select("recall_ok").distinct().as[Boolean].collect().toSeq
     assert(badCol == Seq(false))
   }
+
+  test("maxSim: doc covering every query vector scores m; orthogonal doc scores 0") {
+    // query = the 3 axis vectors; doc 1 contains all three axes (each
+    // query vector finds a perfect match → MaxSim = 3.0), doc 2 covers
+    // one axis plus an orthogonal filler → MaxSim = 1.0, doc 3 is
+    // entirely orthogonal → MaxSim = 0.0
+    def axis(i: Int) = Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    val queries = (0 to 2).map(i => (i.toLong, axis(i)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1, axis(0)), (1, axis(1)), (1, axis(2)),
+      (2, axis(0)), (2, axis(3)),
+      (3, axis(3)), (3, axis(3)))
+      .toDF("label", "embedding")
+    val got = VectorOps.maxSim(corpus, "label", "embedding",
+        queries, "vec_id", "embedding")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, 3L, 3.0)), got(1).toString)
+    assert(got(2) == ((2, 3L, 1.0)), got(2).toString)
+    assert(got(3) == ((3, 3L, 0.0)), got(3).toString)
+  }
 }
 
 class KMeansLloydSpec extends SparkSpec {
