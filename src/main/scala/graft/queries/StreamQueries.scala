@@ -939,6 +939,55 @@ object StreamQueries extends QueryPack {
               sqrt((ssa + ssb) / df))).as("cohens_d"))
     }),
 
+    // LIVE LEAD–LAG MONITOR — agg_xcorr's streaming face: the
+    // cross-correlation of the daily purchase and view series at lags
+    // −3..+3, kept current as events stream in. State is TWO integer
+    // counters per day window (purchases, views) — 1 state row/day at
+    // any volume; the zero-filled grid, 7-lag pairing, and moment
+    // assembly run as a batch projection over the materialized
+    // aggregate (a ≤31-row relation), exactly the batch entry's code
+    // path — so the oracle IS agg_xcorr's.
+    "stream_xcorr" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val src = eventsStream(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("ts"), (col("event_type") === "purchase").as("isp"))
+      val counts = StreamOps.runToMemory(
+        StreamOps.tumbling(src, "ts", "1 day", Seq.empty,
+          Seq(sum(when(col("isp"), 1L).otherwise(0L)).as("x"),
+            sum(when(!col("isp"), 1L).otherwise(0L)).as("y"))),
+        outputMode = "complete")
+        .select(col("window.start").as("day"), col("x"), col("y"))
+        .localCheckpoint()
+      val series = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+        .join(counts, Seq("day"), "left")
+        .na.fill(0L, Seq("x", "y"))
+        .localCheckpoint()
+      val lagDf = s.range(-3, 4).select(col("id").as("lag"))
+      val sums = series.select(col("day"), col("x"))
+        .crossJoin(broadcast(lagDf))
+        .withColumn("dy", expr("day + make_interval(0, 0, 0, lag)"))
+        .join(series.select(col("day").as("dy"), col("y")), Seq("dy"))
+        .groupBy("lag").agg(
+          count(lit(1)).cast(dec).as("m"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      val vx = (col("m") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val vy = (col("m") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      sums.select(col("lag"), col("m").cast("long").as("n_days"),
+        when(vx > 0 && vy > 0, StableRound.round6(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(vx) * sqrt(vy)))).as("r"))
+    }),
+
     // LIVE CONVERSION-RATE MONITOR — agg_two_prop_ztest's streaming
     // face: per-day pooled z of purchase rate between the
     // user-id-parity arms, the number a live experiment dashboard
@@ -1346,6 +1395,10 @@ object StreamQueries extends QueryPack {
          |    THEN ${graft.StableRound.sql6(dEff)} END AS cohens_d
          |FROM m""".stripMargin
     },
+
+    // identical grid/pairing/assembly as the batch entry once the
+    // per-day counters materialize ⇒ the oracle IS agg_xcorr's
+    "stream_xcorr" -> StatsQueries.oracle("agg_xcorr"),
 
     // single-pass stream over the full corpus ≡ the per-day batch
     // two-proportion collapse; mirrored pooled-z straight line

@@ -217,6 +217,11 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(rows.size == 7 && rows(-2L)._3 == 1.0, rows.toString)
     assert(rows.filterKeys(_ != -2L).values.forall(_._3 < 1.0),
       rows.toString)
+    // streaming face: same corpus driven through per-day counter state
+    // must land on the identical 7-row CCF
+    val srows = StreamQueries.queries("stream_xcorr")(spark, d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(srows == rows, s"stream/batch parity: $srows vs $rows")
   }
 
   test("stream_two_prop: per-day lift fires on the lifted day only") {
