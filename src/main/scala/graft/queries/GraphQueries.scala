@@ -251,6 +251,41 @@ object GraphQueries extends QueryPack {
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
     }),
 
+    // AVERAGE NEIGHBOR DEGREE by degree class — the assortativity
+    // PROFILE knn(k) (graph_assortativity reduces this curve to one
+    // scalar; the curve shows WHERE mixing breaks: a dip at high k =
+    // hubs surrounded by leaves, the spam/botnet shape). Edge-linear:
+    // the 2m-row incidence list joins the degree table on the neighbor
+    // key (co-partitioned hash join), the per-node collapse is one
+    // map-side-combined agg, and the only float — each node's mean
+    // neighbor degree, an exact-integer ratio — snaps to round6
+    // fixed-point longs before the final per-degree-class average, so
+    // the cross-node sum is an integer sum.
+    "graph_avg_nbr_degree" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
+        .distinct().localCheckpoint() // degree union + incidence list
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val inc = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val perNode = inc
+        .join(deg.select(col("x").as("y"), col("deg").as("dy")), "y")
+        .groupBy("x")
+        .agg(count(lit(1)).as("dx"), sum("dy").as("sy"))
+        .select(col("dx"),
+          floor(graft.StableRound.round6(
+            col("sy").cast("double") / col("dx").cast("double"))
+            * 1e6 + 0.5).cast("long").as("m6"))
+      perNode.groupBy(col("dx").as("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          graft.StableRound.round6(sum(col("m6")).cast("double") / 1e6
+            / count(lit(1)).cast("double")).as("knn"))
+    }),
+
     // PageRank over the repeat-co-purchase graph — centrality the
     // degree table can't see (a vertex is important if its NEIGHBORS
     // are). Bit-deterministic fixed-point iteration (int64 ranks scaled
@@ -446,6 +481,29 @@ object GraphQueries extends QueryPack {
         |  GROUP BY 1)
         |SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1"""
         .stripMargin,
+
+    // per-node mean neighbor degree round6-snapped to fixed point
+    // before the cross-node average — integer sums only
+    "graph_avg_nbr_degree" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |inc AS (SELECT u AS x, v AS y FROM e
+        |  UNION ALL SELECT v AS x, u AS y FROM e),
+        |pn AS (SELECT inc.x, count(*) AS dx, sum(d2.deg) AS sy
+        |  FROM inc JOIN deg d2 ON d2.x = inc.y GROUP BY 1),
+        |m AS (SELECT dx, CAST(floor(${graft.StableRound.sql6(
+             "CAST(sy AS DOUBLE) / CAST(dx AS DOUBLE)")}
+        |    * 1000000 + 0.5) AS BIGINT) AS m6 FROM pn)
+        |SELECT dx AS deg, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  ${graft.StableRound.sql6(
+             "CAST(sum(m6) AS DOUBLE) / 1000000.0 " +
+               "/ CAST(count(*) AS DOUBLE)")} AS knn
+        |FROM m GROUP BY 1""".stripMargin,
 
     // the same 5 integer rounds unrolled as CTE stages; `//` in DuckDB
     // and `div` in Spark are the same floor division on positives

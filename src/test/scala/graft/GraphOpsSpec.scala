@@ -128,4 +128,19 @@ class GraphOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("graph_avg_nbr_degree: star graph gives knn(1)=hub degree, knn(hub)=1") {
+    // three 2-item baskets all containing part 1 → star: 1—2, 1—3, 1—4
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.GraphQueries.queries("graph_avg_nbr_degree")(
+        spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // leaves (deg 1): only neighbor is the hub (deg 3) → knn = 3
+    // hub (deg 3): all neighbors are leaves (deg 1) → knn = 1
+    assert(got(1L) == ((1L, 3L, 3.0)), got(1L).toString)
+    assert(got(3L) == ((3L, 1L, 1.0)), got(3L).toString)
+  }
 }
