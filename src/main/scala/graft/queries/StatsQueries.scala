@@ -1379,6 +1379,106 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // LORENZ CURVE of per-customer spend — agg_gini's curve (gini is
+    // 1 − 2·AUC of exactly this): cumulative spend share held by the
+    // poorest k customers at each decile, the concentration read a
+    // marketplace health report plots. FULLY integer selection: the
+    // straddling-row identity "sum of k smallest = below_sum +
+    // (k − below_cnt)·c" on the cents-domain relation keeps every term
+    // a DECIMAL(38,0) product; one double division per decile at the
+    // end. The domain relation is value-bounded (distinct cent totals),
+    // so the windows never see the corpus.
+    "agg_lorenz_curve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val dom = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .groupBy("cents").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rows = dom
+        .withColumn("below_cnt", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("below_sum", coalesce(
+          sum(col("cents").cast(dec) * col("cnt")).over(w),
+          lit(0).cast(dec)))
+      val tot = dom.agg(sum("cnt").as("n"),
+        sum(col("cents").cast(dec) * col("cnt")).as("ts"))
+      val deciles = s.range(1, 11).select(col("id").as("decile"))
+      rows.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+        .withColumn("kd", expr("(n * decile + 9) div 10"))
+        .filter(col("below_cnt") < col("kd") &&
+          col("below_cnt") + col("cnt") >= col("kd"))
+        .select(col("decile"), col("kd").as("k_members"),
+          StableRound.round6(
+            (col("below_sum") + (col("kd") - col("below_cnt")).cast(dec)
+              * col("cents")).cast("double")
+              / col("ts").cast("double")).as("cum_share"))
+    }),
+
+    // RFM SEGMENTATION — the recency/frequency/monetary customer grid,
+    // the classic lifecycle-marketing cut. Quintile scores come from
+    // DISCRETE ceil-rank thresholds on each metric's domain relation
+    // (never an ntile over all users — that is a single-partition sort
+    // at billion-user scale); the four thresholds per metric broadcast
+    // and scoring is map-side. r_score is inverted (5 = most recent)
+    // per the RFM convention; ties score by value, deterministically.
+    // Output = the ≤125-cell segment grid with user counts.
+    "agg_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(date_trunc("day", col("ts"))).as("mxd"))
+      val per = ev.groupBy("user_id")
+        .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("freq"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))), lit(0L)).as("mon"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("mxd"), col("last_day")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+        .localCheckpoint()
+      def thresholds(c: String, p: String)
+          : org.apache.spark.sql.DataFrame = {
+        val dom = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dom.withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+          .groupBy().agg(
+            min(when(col("cum") >= expr("(n + 4) div 5"), col("v")))
+              .as(s"${p}1"),
+            min(when(col("cum") >= expr("(n * 2 + 4) div 5"), col("v")))
+              .as(s"${p}2"),
+            min(when(col("cum") >= expr("(n * 3 + 4) div 5"), col("v")))
+              .as(s"${p}3"),
+            min(when(col("cum") >= expr("(n * 4 + 4) div 5"), col("v")))
+              .as(s"${p}4"))
+      }
+      def score(c: String, p: String) =
+        lit(1) + (col(c) > col(s"${p}1")).cast("int") +
+          (col(c) > col(s"${p}2")).cast("int") +
+          (col(c) > col(s"${p}3")).cast("int") +
+          (col(c) > col(s"${p}4")).cast("int")
+      per
+        .crossJoin(broadcast(thresholds("rec", "tr")))
+        .crossJoin(broadcast(thresholds("freq", "tf")))
+        .crossJoin(broadcast(thresholds("mon", "tm")))
+        .select((lit(6) - score("rec", "tr")).as("r_score"),
+          score("freq", "tf").as("f_score"),
+          score("mon", "tm").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // LEAD–LAG CROSS-CORRELATION between the daily purchase and view
     // series at lags −3..+3 — "does view volume LEAD purchase volume,
     // and by how many days?" (agg_autocorr asks about a series and
@@ -2582,6 +2682,77 @@ object StatsQueries extends QueryPack {
          |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
               s"($po - $pe) / (1 - $pe)")} END AS kappa
          |FROM m""".stripMargin
+    },
+
+    // straddling-row identity on the cents domain — every term an
+    // exact integer product; one double division per decile
+    "agg_lorenz_curve" -> {
+      val kd = "((t.n * dd.decile + 9) // 10)"
+      s"""WITH spend AS (SELECT o_custkey,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |dom AS (SELECT cents, count(*) AS cnt FROM spend GROUP BY 1),
+         |r AS (SELECT cents, cnt,
+         |    coalesce(sum(cnt) OVER wb, 0) AS below_cnt,
+         |    coalesce(sum(CAST(cents AS HUGEINT) * cnt) OVER wb, 0)
+         |      AS below_sum
+         |  FROM dom WINDOW wb AS (ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |t AS (SELECT sum(cnt) AS n,
+         |    sum(CAST(cents AS HUGEINT) * cnt) AS ts FROM dom),
+         |dd AS (SELECT unnest(range(1, 11)) AS decile)
+         |SELECT dd.decile, CAST($kd AS BIGINT) AS k_members,
+         |  ${graft.StableRound.sql6(
+              s"CAST(below_sum + ($kd - below_cnt) * cents AS DOUBLE) " +
+                "/ CAST(ts AS DOUBLE)")} AS cum_share
+         |FROM r, t, dd
+         |WHERE below_cnt < $kd AND below_cnt + cnt >= $kd""".stripMargin
+    },
+
+    // ceil-rank quintile thresholds per metric; map-side scoring;
+    // inverted recency per the RFM convention
+    "agg_rfm" -> {
+      def thr(src: String, p: String) =
+        s"""${p}dom AS (SELECT v, count(*) AS cnt FROM
+           |    (SELECT $src AS v FROM per) GROUP BY 1),
+           |${p}cum AS (SELECT v, sum(cnt) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM ${p}dom),
+           |$p AS (SELECT
+           |    min(CASE WHEN cum >= (t.n + 4) // 5 THEN v END) AS ${p}1,
+           |    min(CASE WHEN cum >= (t.n * 2 + 4) // 5 THEN v END)
+           |      AS ${p}2,
+           |    min(CASE WHEN cum >= (t.n * 3 + 4) // 5 THEN v END)
+           |      AS ${p}3,
+           |    min(CASE WHEN cum >= (t.n * 4 + 4) // 5 THEN v END)
+           |      AS ${p}4
+           |  FROM ${p}cum, t)""".stripMargin
+      def score(c: String, p: String) =
+        s"(1 + CAST($c > ${p}1 AS INT) + CAST($c > ${p}2 AS INT) " +
+          s"+ CAST($c > ${p}3 AS INT) + CAST($c > ${p}4 AS INT))"
+      s"""WITH mx AS (SELECT max(CAST(date_trunc('day', ts) AS TIMESTAMP))
+         |    AS mxd FROM events),
+         |per AS (SELECT user_id,
+         |    CAST(datediff('day',
+         |      max(CAST(date_trunc('day', ts) AS TIMESTAMP)),
+         |      (SELECT mxd FROM mx)) AS BIGINT) AS rec,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS freq,
+         |    coalesce(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS mon
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT count(*) AS n FROM per),
+         |${thr("rec", "tr")},
+         |${thr("freq", "tf")},
+         |${thr("mon", "tm")},
+         |scored AS (SELECT
+         |    6 - ${score("rec", "tr")} AS r_score,
+         |    ${score("freq", "tf")} AS f_score,
+         |    ${score("mon", "tm")} AS m_score
+         |  FROM per, tr, tf, tm)
+         |SELECT r_score, f_score, m_score,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM scored GROUP BY 1, 2, 3""".stripMargin
     },
 
     // zero-filled day grid; 7-lag pairing on the tiny series; exact

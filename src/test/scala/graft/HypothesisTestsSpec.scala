@@ -224,6 +224,36 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(srows == rows, s"stream/batch parity: $srows vs $rows")
   }
 
+  test("agg_lorenz_curve: linear spend ladder gives the closed-form shares") {
+    // customers 1..10 spend i dollars → share at decile d = d(d+1)/110
+    val dir = java.nio.file.Files.createTempDirectory("hyp").toString
+    (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.queries("agg_lorenz_curve")(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 10 && got(10L)._3 == 1.0, got.toString)
+    assert(got(1L) == ((1L, 1L, 0.018182)), got(1L).toString)
+    assert(got(5L) == ((5L, 5L, 0.272727)), got(5L).toString)
+  }
+
+  test("agg_rfm: a clean frequency ladder lands 2 users per quintile") {
+    // user u makes u purchases on the same day → freq/mon ladders are
+    // aligned, recency is constant (everyone scores r=5)
+    var id = 0L
+    val d = writeEvents((1 to 10).flatMap { u =>
+      (0 until u).map { _ =>
+        id += 1; (id, u.toLong, "purchase", 1.0, noon)
+      }
+    })
+    val got = StatsQueries.queries("agg_rfm")(spark, d)
+      .as[(Int, Int, Int, Long)].collect().sortBy(_._2)
+    assert(got.length == 5, got.toSeq.toString)
+    assert(got.forall(r => r._1 == 5 && r._2 == r._3 && r._4 == 2L),
+      got.toSeq.toString)
+    assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4, 5), got.toSeq.toString)
+  }
+
   test("stream_two_prop: per-day lift fires on the lifted day only") {
     val day1 = Timestamp.valueOf("2024-01-01 12:00:00")
     val day2 = Timestamp.valueOf("2024-01-02 12:00:00")
