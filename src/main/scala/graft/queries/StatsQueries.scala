@@ -1379,6 +1379,56 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // KAPLAN–MEIER SURVIVAL of user lifetime — the retention curve
+    // done right: users whose last activity is the corpus's final day
+    // are CENSORED (still alive), not churned, which naive retention
+    // curves get wrong. Lifetime = days first→last activity; the
+    // lifetime domain is calendar-bounded, so after one scan + one
+    // per-user collapse everything is window algebra on ≤|days| rows.
+    // S(t) = Π(1 − dᵢ/nᵢ) computes as exp(Σ ln) with each ln term an
+    // exact-integer ratio snapped to round6 fixed point — the
+    // cumulative product's only cross-row op is an integer sum
+    // (tail_index's ln discipline). Extinction rows (dᵢ = nᵢ) emit
+    // survival 0 and, being terminal, poison nothing after them.
+    "agg_survival_km" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val mx = ev.agg(max("day").as("mxd"))
+      val per = ev.groupBy("user_id")
+        .agg(min("day").as("f"), max("day").as("l"))
+        .crossJoin(broadcast(mx))
+        .select(datediff(col("l"), col("f")).cast("long").as("t"),
+          when(col("l") === col("mxd"), 1).otherwise(0).as("cens"))
+      val dom = per.groupBy("t")
+        .agg(count(lit(1)).as("n_t"),
+          sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d_t"))
+        .localCheckpoint()
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = dom.agg(sum("n_t").as("n"))
+      val steps = dom
+        .withColumn("below", coalesce(sum("n_t").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("atrisk", col("n") - col("below"))
+        .filter(col("d_t") > 0)
+      val lterm = log((col("atrisk") - col("d_t")).cast("double")
+        / col("atrisk").cast("double"))
+      val w2 = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      steps
+        .withColumn("l6", when(col("atrisk") > col("d_t"),
+          floor(StableRound.round6(lterm) * 1e6 + 0.5).cast("long")))
+        .withColumn("cum6", sum("l6").over(w2))
+        .select(col("t"), col("atrisk").as("n_at_risk"),
+          col("d_t").as("n_events"),
+          when(col("atrisk") > col("d_t"), StableRound.round6(
+            exp(coalesce(col("cum6"), lit(0L)).cast("double") / 1e6)))
+            .otherwise(lit(0.0)).as("survival"))
+    }),
+
     // LORENZ CURVE of per-customer spend — agg_gini's curve (gini is
     // 1 − 2·AUC of exactly this): cumulative spend share held by the
     // poorest k customers at each decile, the concentration read a
@@ -2682,6 +2732,47 @@ object StatsQueries extends QueryPack {
          |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
               s"($po - $pe) / (1 - $pe)")} END AS kappa
          |FROM m""".stripMargin
+    },
+
+    // censoring at the corpus's final day; round6 fixed-point ln
+    // terms, integer cumulative sum, mirrored exp; extinction rows 0
+    "agg_survival_km" -> {
+      val lterm = "ln(CAST(atrisk - d_t AS DOUBLE) " +
+        "/ CAST(atrisk AS DOUBLE))"
+      s"""WITH ev AS (SELECT user_id,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |  FROM events),
+         |mx AS (SELECT max(day) AS mxd FROM ev),
+         |per AS (SELECT
+         |    CAST(datediff('day', min(day), max(day)) AS BIGINT) AS t,
+         |    CASE WHEN max(day) = (SELECT mxd FROM mx)
+         |      THEN 1 ELSE 0 END AS cens
+         |  FROM ev GROUP BY user_id),
+         |dom AS (SELECT t, count(*) AS n_t,
+         |    sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS d_t
+         |  FROM per GROUP BY 1),
+         |tot AS (SELECT sum(n_t) AS n FROM dom),
+         |ar AS (SELECT t, d_t,
+         |    tot.n - coalesce(sum(n_t) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS atrisk
+         |  FROM dom, tot),
+         |st AS (SELECT * FROM ar WHERE d_t > 0),
+         |l AS (SELECT t, atrisk, d_t,
+         |    CASE WHEN atrisk > d_t THEN CAST(floor(
+         |      ${graft.StableRound.sql6(lterm)} * 1000000 + 0.5)
+         |      AS BIGINT) END AS l6
+         |  FROM st),
+         |c AS (SELECT t, atrisk, d_t,
+         |    sum(l6) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum6
+         |  FROM l)
+         |SELECT t, CAST(atrisk AS BIGINT) AS n_at_risk,
+         |  CAST(d_t AS BIGINT) AS n_events,
+         |  CASE WHEN atrisk > d_t THEN ${graft.StableRound.sql6(
+              "exp(CAST(coalesce(cum6, 0) AS DOUBLE) / 1e6)")}
+         |    ELSE 0.0 END AS survival
+         |FROM c""".stripMargin
     },
 
     // straddling-row identity on the cents domain — every term an

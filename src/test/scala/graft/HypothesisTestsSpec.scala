@@ -254,6 +254,22 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4, 5), got.toSeq.toString)
   }
 
+  test("agg_survival_km: hand-computed curve with a censored long-liver") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+    // users die at lifetimes 1, 2, 4; user 4 spans the whole corpus →
+    // censored, so it thins the risk set without a death step
+    val d = writeEvents(Seq(
+      (1L, 1L, "view", 1.0, day(1)), (2L, 1L, "view", 1.0, day(2)),
+      (3L, 2L, "view", 1.0, day(1)), (4L, 2L, "view", 1.0, day(3)),
+      (5L, 3L, "view", 1.0, day(1)), (6L, 3L, "view", 1.0, day(5)),
+      (7L, 4L, "view", 1.0, day(1)), (8L, 4L, "view", 1.0, day(30))))
+    val got = StatsQueries.queries("agg_survival_km")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // S(1)=3/4, S(2)=3/4·2/3=1/2, S(4)=1/2·1/2=1/4
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5),
+      (4L, 2L, 1L, 0.25)), got.toSeq.toString)
+  }
+
   test("stream_two_prop: per-day lift fires on the lifted day only") {
     val day1 = Timestamp.valueOf("2024-01-01 12:00:00")
     val day2 = Timestamp.valueOf("2024-01-02 12:00:00")
