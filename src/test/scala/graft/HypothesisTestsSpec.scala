@@ -156,9 +156,15 @@ class HypothesisTestsSpec extends SparkSpec {
       (3L, 7L, "purchase", 30.0, Timestamp.valueOf("2024-01-01 12:00:00")),
       (4L, 7L, "error", 120.0, Timestamp.valueOf("2024-01-01 13:00:00")),
       (5L, 7L, "view", 999.0, Timestamp.valueOf("2024-01-01 14:00:00"))))
-    val r = RelationalQueries.queries("win_drawdown")(spark, d)
-      .as[(Long, Long, Long, Long, Long)].head()
+    val df = RelationalQueries.queries("win_drawdown")(spark, d)
+    val r = df.as[(Long, Long, Long, Long, Long)].head()
     assert(r == ((7L, 4L, 14000L, 10000L, -4000L)), s"drawdown: $r")
+    // the one-exchange claim is tested, not asserted in prose: the two
+    // running windows and the per-user collapse reuse one hash
+    // partitioning on user_id (agg_funnel's shape)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange:\n$plan")
   }
 
   test("agg_mcnemar: churn fires via discordant counts; stable users contribute nothing") {
