@@ -1379,6 +1379,34 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // MARKOV TRANSITION MATRIX of event types along each user's
+    // timeline — the behavioral-sequence model (which action follows
+    // which) that powers next-action prediction and funnel-leak
+    // diagnosis; for LLM session data this is the state-machine
+    // summary of user trajectories. One hash exchange on user_id (the
+    // lead window), then exact integer pair counts into the ≤k² cell
+    // grid; row-normalized probabilities are one double division per
+    // cell. Ordering ties break on event_id, so every user's sequence
+    // is total-ordered and the matrix is deterministic.
+    "agg_markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead("cur", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val rowTot = pairs.groupBy(col("cur").as("c2"))
+        .agg(sum("n").as("rt"))
+      pairs.join(broadcast(rowTot), pairs("cur") === rowTot("c2"))
+        .select(col("cur"), col("nxt"), col("n"),
+          StableRound.round6(
+            col("n").cast("double") / col("rt").cast("double")).as("p"))
+    }),
+
     // KAPLAN–MEIER SURVIVAL of user lifetime — the retention curve
     // done right: users whose last activity is the corpus's final day
     // are CENSORED (still alive), not churned, which naive retention
@@ -2733,6 +2761,21 @@ object StatsQueries extends QueryPack {
               s"($po - $pe) / (1 - $pe)")} END AS kappa
          |FROM m""".stripMargin
     },
+
+    // total-ordered per-user sequences via (ts, event_id) lead; exact
+    // pair counts; one division per cell
+    "agg_markov_transitions" ->
+      s"""WITH sq AS (SELECT user_id, event_type AS cur,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |p AS (SELECT cur, nxt, count(*) AS n FROM sq
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT cur, sum(n) AS rt FROM p GROUP BY 1)
+         |SELECT p.cur, p.nxt, CAST(p.n AS BIGINT) AS n,
+         |  ${graft.StableRound.sql6(
+              "CAST(p.n AS DOUBLE) / CAST(rt.rt AS DOUBLE)")} AS p
+         |FROM p JOIN rt ON p.cur = rt.cur""".stripMargin,
 
     // censoring at the corpus's final day; round6 fixed-point ln
     // terms, integer cumulative sum, mirrored exp; extinction rows 0

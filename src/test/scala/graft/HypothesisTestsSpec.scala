@@ -260,6 +260,24 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4, 5), got.toSeq.toString)
   }
 
+  test("agg_markov_transitions: deterministic chain recovers exact probabilities") {
+    // user 1 repeats a→b→a→c: from a, half the transitions go to b
+    // and half to c; b and c always return to a
+    val seq1 = Seq("a", "b", "a", "c", "a", "b", "a", "c", "a")
+    val d = writeEvents(seq1.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, t, 1.0,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i}%02d:00:00"))
+    })
+    val got = StatsQueries.queries("agg_markov_transitions")(spark, d)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", "b")) == (("a", "b", 2L, 0.5)), got.toString)
+    assert(got(("a", "c")) == (("a", "c", 2L, 0.5)), got.toString)
+    assert(got(("b", "a")) == (("b", "a", 2L, 1.0)), got.toString)
+    assert(got(("c", "a")) == (("c", "a", 2L, 1.0)), got.toString)
+    assert(got.size == 4, got.toString)
+  }
+
   test("agg_survival_km: hand-computed curve with a censored long-liver") {
     def day(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
     // users die at lifetimes 1, 2, 4; user 4 spans the whole corpus →
