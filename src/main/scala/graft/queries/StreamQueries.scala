@@ -939,6 +939,27 @@ object StreamQueries extends QueryPack {
               sqrt((ssa + ssb) / df))).as("cohens_d"))
     }),
 
+    // LIVE MARKOV MONITOR — agg_markov_transitions' streaming face:
+    // per-user transition pairs flow out of ONE-ROW-PER-USER custom
+    // state (StreamOps.statefulTransitions — the last event seen is
+    // the whole state), and the matrix assembles as a batch projection
+    // over the appended pair stream. The corpus drains in one batch
+    // here, so cross-batch arrival order is moot and the oracle IS the
+    // batch entry's.
+    "stream_markov" -> ((s, d) => {
+      import graft.StableRound
+      val pairs = StreamOps.runToMemory(
+        StreamOps.statefulTransitions(eventsStream(s, d)),
+        outputMode = "append")
+      val counts = pairs.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val rowTot = counts.groupBy(col("cur").as("c2"))
+        .agg(sum("n").as("rt"))
+      counts.join(broadcast(rowTot), counts("cur") === rowTot("c2"))
+        .select(col("cur"), col("nxt"), col("n"),
+          StableRound.round6(
+            col("n").cast("double") / col("rt").cast("double")).as("p"))
+    }),
+
     // LIVE LEAD–LAG MONITOR — agg_xcorr's streaming face: the
     // cross-correlation of the daily purchase and view series at lags
     // −3..+3, kept current as events stream in. State is TWO integer
@@ -1399,6 +1420,10 @@ object StreamQueries extends QueryPack {
     // identical grid/pairing/assembly as the batch entry once the
     // per-day counters materialize ⇒ the oracle IS agg_xcorr's
     "stream_xcorr" -> StatsQueries.oracle("agg_xcorr"),
+
+    // single-batch drain ⇒ per-user chains pair exactly as the batch
+    // lead window ⇒ the oracle IS agg_markov_transitions'
+    "stream_markov" -> StatsQueries.oracle("agg_markov_transitions"),
 
     // single-pass stream over the full corpus ≡ the per-day batch
     // two-proportion collapse; mirrored pooled-z straight line

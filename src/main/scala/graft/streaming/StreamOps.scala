@@ -215,6 +215,41 @@ object StreamOps {
       .toDF("event_type", "bucket_start", "rk", "value_cents", "event_id")
   }
 
+  /** Per-user EVENT TRANSITIONS via custom state — the streaming feed
+    * for a live Markov transition matrix: state is ONE (ts, event_id,
+    * type) triple per user (the last event seen), each batch sorts its
+    * per-user slice by (ts, event_id), chains it onto the remembered
+    * last event, and emits the (cur, nxt) pairs; the state store never
+    * grows past one row per user. Exactness contract: transitions pair
+    * correctly when a user's events arrive in event-time order ACROSS
+    * batches (within a batch any order is fine — the slice is sorted);
+    * an ordered log or a single-batch drain satisfies it. */
+  def statefulTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int, Long, String),
+          (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[(Long, Int, Long, String)]) =>
+          // (ms, nanos, event_id) is the full event-time order — ms
+          // alone would drop the microsecond digits the corpus carries
+          val sorted = rows.toSeq
+            .sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          val chain = state.getOption.map(_._4).toSeq ++
+            sorted.map(_._4)
+          val last = sorted.last
+          state.update((last._2.getTime, last._2.getNanos, last._3,
+            last._4))
+          chain.sliding(2).collect { case Seq(a, b) => (a, b) }
+      }
+      .toDF("cur", "nxt")
+  }
+
   /** Custom gap-timeout sessionization via flatMapGroupsWithState +
     * EVENT-TIME TIMEOUT — the state-TTL mechanism: a session's state
     * carries (start, end, count) and registers a timeout at

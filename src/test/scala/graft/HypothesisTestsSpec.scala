@@ -276,6 +276,12 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(got(("b", "a")) == (("b", "a", 2L, 1.0)), got.toString)
     assert(got(("c", "a")) == (("c", "a", 2L, 1.0)), got.toString)
     assert(got.size == 4, got.toString)
+    // streaming face: the one-row-per-user state must chain the same
+    // pairs and land on the identical matrix
+    val sgot = StreamQueries.queries("stream_markov")(spark, d)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(sgot == got, s"stream/batch parity: $sgot vs $got")
   }
 
   test("agg_survival_km: hand-computed curve with a censored long-liver") {
