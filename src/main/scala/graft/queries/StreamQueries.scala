@@ -939,6 +939,53 @@ object StreamQueries extends QueryPack {
               sqrt((ssa + ssb) / df))).as("cohens_d"))
     }),
 
+    // LIVE RETENTION SURVIVAL — agg_survival_km's streaming face: the
+    // Kaplan–Meier curve kept current as events arrive. State is one
+    // (first_day, last_day) pair per user (a plain streaming min/max
+    // agg — bounded at one row per user at any volume); the censoring
+    // rule, risk sets, and the fixed-point ln cumsum run as a batch
+    // projection over the materialized per-user table, identical to
+    // the batch entry — so the oracle IS agg_survival_km's.
+    "stream_survival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val src = eventsStream(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val lives = StreamOps.runToMemory(
+        src.groupBy("user_id")
+          .agg(min("day").as("f"), max("day").as("l")),
+        outputMode = "complete").localCheckpoint()
+      val mx = lives.agg(max("l").as("mxd"))
+      val per = lives.crossJoin(broadcast(mx))
+        .select(datediff(col("l"), col("f")).cast("long").as("t"),
+          when(col("l") === col("mxd"), 1).otherwise(0).as("cens"))
+      val dom = per.groupBy("t")
+        .agg(count(lit(1)).as("n_t"),
+          sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d_t"))
+        .localCheckpoint()
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = dom.agg(sum("n_t").as("n"))
+      val steps = dom
+        .withColumn("below", coalesce(sum("n_t").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("atrisk", col("n") - col("below"))
+        .filter(col("d_t") > 0)
+      val lterm = log((col("atrisk") - col("d_t")).cast("double")
+        / col("atrisk").cast("double"))
+      val w2 = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      steps
+        .withColumn("l6", when(col("atrisk") > col("d_t"),
+          floor(StableRound.round6(lterm) * 1e6 + 0.5).cast("long")))
+        .withColumn("cum6", sum("l6").over(w2))
+        .select(col("t"), col("atrisk").as("n_at_risk"),
+          col("d_t").as("n_events"),
+          when(col("atrisk") > col("d_t"), StableRound.round6(
+            exp(coalesce(col("cum6"), lit(0L)).cast("double") / 1e6)))
+            .otherwise(lit(0.0)).as("survival"))
+    }),
+
     // LIVE MARKOV MONITOR — agg_markov_transitions' streaming face:
     // per-user transition pairs flow out of ONE-ROW-PER-USER custom
     // state (StreamOps.statefulTransitions — the last event seen is
@@ -1424,6 +1471,10 @@ object StreamQueries extends QueryPack {
     // single-batch drain ⇒ per-user chains pair exactly as the batch
     // lead window ⇒ the oracle IS agg_markov_transitions'
     "stream_markov" -> StatsQueries.oracle("agg_markov_transitions"),
+
+    // per-user (first,last) state then the batch KM projection ⇒ the
+    // oracle IS agg_survival_km's
+    "stream_survival" -> StatsQueries.oracle("agg_survival_km"),
 
     // single-pass stream over the full corpus ≡ the per-day batch
     // two-proportion collapse; mirrored pooled-z straight line

@@ -298,6 +298,12 @@ class HypothesisTestsSpec extends SparkSpec {
     // S(1)=3/4, S(2)=3/4·2/3=1/2, S(4)=1/2·1/2=1/4
     assert(got.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5),
       (4L, 2L, 1L, 0.25)), got.toSeq.toString)
+    // streaming face: per-user (first,last) state then the same batch
+    // projection must land on the identical curve
+    val sgot = StreamQueries.queries("stream_survival")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(sgot.toSeq == got.toSeq,
+      s"stream/batch parity: ${sgot.toSeq} vs ${got.toSeq}")
   }
 
   test("stream_two_prop: per-day lift fires on the lifted day only") {
