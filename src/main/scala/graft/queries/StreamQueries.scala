@@ -939,6 +939,65 @@ object StreamQueries extends QueryPack {
               sqrt((ssa + ssb) / df))).as("cohens_d"))
     }),
 
+    // LIVE RFM SEGMENTATION — agg_rfm's streaming face: the
+    // recency/frequency/monetary grid kept current. State is one
+    // (last_day, purchases, cents) triple per user — a plain streaming
+    // max/sum agg, bounded at one row per user; the quintile
+    // thresholds and map-side scoring run as the batch projection over
+    // the materialized per-user table, identical to the batch entry —
+    // so the oracle IS agg_rfm's.
+    "stream_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = eventsStream(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          (col("event_type") === "purchase").as("conv"),
+          round(col("value") * 100).cast("long").as("c"))
+      val lives = StreamOps.runToMemory(
+        src.groupBy("user_id")
+          .agg(max("day").as("last_day"),
+            sum(when(col("conv"), 1L).otherwise(0L)).as("freq"),
+            coalesce(sum(when(col("conv"), col("c"))), lit(0L))
+              .as("mon")),
+        outputMode = "complete").localCheckpoint()
+      val mx = lives.agg(max("last_day").as("mxd"))
+      val per = lives.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("mxd"), col("last_day")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+        .localCheckpoint()
+      def thresholds(c: String, p: String)
+          : org.apache.spark.sql.DataFrame = {
+        val dom = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dom.withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+          .groupBy().agg(
+            min(when(col("cum") >= expr("(n + 4) div 5"), col("v")))
+              .as(s"${p}1"),
+            min(when(col("cum") >= expr("(n * 2 + 4) div 5"), col("v")))
+              .as(s"${p}2"),
+            min(when(col("cum") >= expr("(n * 3 + 4) div 5"), col("v")))
+              .as(s"${p}3"),
+            min(when(col("cum") >= expr("(n * 4 + 4) div 5"), col("v")))
+              .as(s"${p}4"))
+      }
+      def score(c: String, p: String) =
+        lit(1) + (col(c) > col(s"${p}1")).cast("int") +
+          (col(c) > col(s"${p}2")).cast("int") +
+          (col(c) > col(s"${p}3")).cast("int") +
+          (col(c) > col(s"${p}4")).cast("int")
+      per
+        .crossJoin(broadcast(thresholds("rec", "tr")))
+        .crossJoin(broadcast(thresholds("freq", "tf")))
+        .crossJoin(broadcast(thresholds("mon", "tm")))
+        .select((lit(6) - score("rec", "tr")).as("r_score"),
+          score("freq", "tf").as("f_score"),
+          score("mon", "tm").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // LIVE RETENTION SURVIVAL — agg_survival_km's streaming face: the
     // Kaplan–Meier curve kept current as events arrive. State is one
     // (first_day, last_day) pair per user (a plain streaming min/max
@@ -1475,6 +1534,10 @@ object StreamQueries extends QueryPack {
     // per-user (first,last) state then the batch KM projection ⇒ the
     // oracle IS agg_survival_km's
     "stream_survival" -> StatsQueries.oracle("agg_survival_km"),
+
+    // per-user (last_day,freq,mon) state then the batch threshold
+    // projection ⇒ the oracle IS agg_rfm's
+    "stream_rfm" -> StatsQueries.oracle("agg_rfm"),
 
     // single-pass stream over the full corpus ≡ the per-day batch
     // two-proportion collapse; mirrored pooled-z straight line

@@ -258,6 +258,12 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(got.forall(r => r._1 == 5 && r._2 == r._3 && r._4 == 2L),
       got.toSeq.toString)
     assert(got.map(_._2).toSeq == Seq(1, 2, 3, 4, 5), got.toSeq.toString)
+    // streaming face: per-user (last_day,freq,mon) state then the same
+    // threshold projection must land on the identical grid
+    val sgot = StreamQueries.queries("stream_rfm")(spark, d)
+      .as[(Int, Int, Int, Long)].collect().sortBy(_._2)
+    assert(sgot.toSeq == got.toSeq,
+      s"stream/batch parity: ${sgot.toSeq} vs ${got.toSeq}")
   }
 
   test("agg_markov_transitions: deterministic chain recovers exact probabilities") {
