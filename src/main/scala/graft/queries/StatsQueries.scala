@@ -1379,6 +1379,46 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // GROUPED OLS REGRESSION — price-on-quantity line per return flag,
+    // the per-segment trend fit (agg_theil_sen is the robust slope on
+    // a time grid; this is the classic least-squares fit on raw pairs,
+    // grouped). Six exact integer moments per group in ONE map-side-
+    // combined scan (cents × centi-units keeps Σxy ~ n·1e9 well inside
+    // DECIMAL(38,0)); slope/intercept/r² are one mirrored straight-
+    // line double assembly per group row — and the cents-per-centi-
+    // unit slope IS dollars-per-unit, so no unit conversion appears.
+    "agg_ols_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val m = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
+      val cov = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val vy = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val slope = cov / vx
+      m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        when(vx > 0, StableRound.round6(slope)).as("slope"),
+        when(vx > 0, StableRound.round6(
+          (col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double") / 100)).as("intercept"),
+        when(vx > 0 && vy > 0, StableRound.round6(cov * cov / (vx * vy)))
+          .as("r2"))
+    }),
+
     // MARKOV TRANSITION MATRIX of event types along each user's
     // timeline — the behavioral-sequence model (which action follows
     // which) that powers next-action prediction and funnel-leak
@@ -2759,6 +2799,34 @@ object StatsQueries extends QueryPack {
          |  ${graft.StableRound.sql6(pe)} AS pe,
          |  CASE WHEN $pe < 1 THEN ${graft.StableRound.sql6(
               s"($po - $pe) / (1 - $pe)")} END AS kappa
+         |FROM m""".stripMargin
+    },
+
+    // six exact integer moments per group; mirrored slope/intercept/r²
+    // straight line; cents-per-centi-unit slope is dollars-per-unit
+    "agg_ols_grouped" -> {
+      val cov = "(CAST(n * sxy - sx * sy AS DOUBLE))"
+      val vx = "(CAST(n * sxx - sx * sx AS DOUBLE))"
+      val vy = "(CAST(n * syy - sy * sy AS DOUBLE))"
+      val slope = s"($cov / $vx)"
+      s"""WITH v AS (SELECT l_returnflag,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |m AS (SELECT l_returnflag, count(*) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM v GROUP BY 1)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN $vx > 0 THEN ${graft.StableRound.sql6(slope)}
+         |    END AS slope,
+         |  CASE WHEN $vx > 0 THEN ${graft.StableRound.sql6(
+              s"(CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) " +
+                "/ CAST(n AS DOUBLE) / 100")} END AS intercept,
+         |  CASE WHEN $vx > 0 AND $vy > 0 THEN ${graft.StableRound.sql6(
+              s"$cov * $cov / ($vx * $vy)")} END AS r2
          |FROM m""".stripMargin
     },
 

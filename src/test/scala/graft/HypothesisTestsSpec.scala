@@ -266,6 +266,20 @@ class HypothesisTestsSpec extends SparkSpec {
       s"stream/batch parity: ${sgot.toSeq} vs ${got.toSeq}")
   }
 
+  test("agg_ols_grouped: recovers a planted line exactly; r2 = 1 on noiseless data") {
+    // y = 3x + 7 dollars exactly, per flag — slope 3, intercept 7, r²=1
+    val dir = java.nio.file.Files.createTempDirectory("hyp").toString
+    (for (f <- Seq("A", "B"); x <- 1 to 20) yield
+      (f, x.toDouble, 3.0 * x + 7.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = StatsQueries.queries("agg_ols_grouped")(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == 2 &&
+      got.forall(r => r._2 == 20L && r._3 == 3.0 && r._4 == 7.0 &&
+        r._5 == 1.0), got.toSeq.toString)
+  }
+
   test("agg_markov_transitions: deterministic chain recovers exact probabilities") {
     // user 1 repeats a→b→a→c: from a, half the transitions go to b
     // and half to c; b and c always return to a
