@@ -1379,6 +1379,47 @@ object StatsQueries extends QueryPack {
           .as("kappa"))
     }),
 
+    // FORECAST-BASELINE EVALUATION (MASE-style) — per type, the mean
+    // absolute error of the SEASONAL-naive forecast (same weekday last
+    // week) against the naive one (yesterday), on the zero-filled
+    // daily grid: mase < 1 ⇒ the series has real weekly structure a
+    // forecaster should exploit; > 1 ⇒ weekly seasonality is noise.
+    // The error relation is calendar-bounded; every |delta| is an
+    // exact integer, the sums are integer sums, and the two divisions
+    // happen once per type row. Scored over the common t ≥ 8 window so
+    // both baselines see identical days.
+    "agg_forecast_mase" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.StableRound
+      val counts = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val bounds = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = counts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+      val series = grid.join(counts, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val m = series
+        .withColumn("l1", lag("cnt", 1).over(w))
+        .withColumn("l7", lag("cnt", 7).over(w))
+        .filter(col("l7").isNotNull)
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cnt") - col("l1"))).as("e1"),
+          sum(abs(col("cnt") - col("l7"))).as("e7"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      m.select(col("event_type"), col("n_days"),
+        StableRound.round6(D(col("e1")) / D(col("n_days"))).as("mae1"),
+        StableRound.round6(D(col("e7")) / D(col("n_days"))).as("mae7"),
+        when(col("e1") > 0,
+          StableRound.round6(D(col("e7")) / D(col("e1")))).as("mase"))
+    }),
+
     // GROUPED OLS REGRESSION — price-on-quantity line per return flag,
     // the per-segment trend fit (agg_theil_sen is the robust slope on
     // a time grid; this is the classic least-squares fit on raw pairs,
@@ -2801,6 +2842,35 @@ object StatsQueries extends QueryPack {
               s"($po - $pe) / (1 - $pe)")} END AS kappa
          |FROM m""".stripMargin
     },
+
+    // zero-filled grid; exact integer |delta| sums over the common
+    // t ≥ 8 window; two divisions per type row
+    "agg_forecast_mase" ->
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |g AS (SELECT event_type, day FROM
+         |  (SELECT DISTINCT event_type FROM c),
+         |  (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |    AS day FROM b)),
+         |s AS (SELECT g.event_type, g.day, coalesce(c.cnt, 0) AS cnt
+         |  FROM g LEFT JOIN c USING (event_type, day)),
+         |l AS (SELECT event_type, cnt,
+         |    lag(cnt, 1) OVER w AS l1, lag(cnt, 7) OVER w AS l7
+         |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (SELECT event_type, count(*) AS n_days,
+         |    sum(abs(cnt - l1)) AS e1, sum(abs(cnt - l7)) AS e7
+         |  FROM l WHERE l7 IS NOT NULL GROUP BY 1)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  ${graft.StableRound.sql6(
+              "CAST(e1 AS DOUBLE) / CAST(n_days AS DOUBLE)")} AS mae1,
+         |  ${graft.StableRound.sql6(
+              "CAST(e7 AS DOUBLE) / CAST(n_days AS DOUBLE)")} AS mae7,
+         |  CASE WHEN e1 > 0 THEN ${graft.StableRound.sql6(
+              "CAST(e7 AS DOUBLE) / CAST(e1 AS DOUBLE)")} END AS mase
+         |FROM m""".stripMargin,
 
     // six exact integer moments per group; mirrored slope/intercept/r²
     // straight line; cents-per-centi-unit slope is dollars-per-unit

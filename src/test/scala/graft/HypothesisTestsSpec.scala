@@ -266,6 +266,31 @@ class HypothesisTestsSpec extends SparkSpec {
       s"stream/batch parity: ${sgot.toSeq} vs ${got.toSeq}")
   }
 
+  test("agg_forecast_mase: weekly-periodic series scores 0, linear trend scores 7") {
+    def mkDaily(counts: Seq[Int]): String = {
+      var id = 0L
+      writeEvents(counts.zipWithIndex.flatMap { case (c, day) =>
+        (0 until c).map { _ =>
+          id += 1
+          (id, 1L, "view", 1.0,
+            Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"))
+        }
+      })
+    }
+    // exact weekly period → the day-7 lag predicts perfectly → mase 0
+    val periodic = StatsQueries.queries("agg_forecast_mase")(
+        spark, mkDaily(Seq.fill(3)(Seq(5, 6, 7, 8, 9, 10, 11)).flatten))
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(periodic._2 == 14L && periodic._4 == 0.0 && periodic._5 == 0.0,
+      periodic.toString)
+    // linear trend c_t = 10 + t → |e1| = 1, |e7| = 7 → mase = 7 exactly
+    val linear = StatsQueries.queries("agg_forecast_mase")(
+        spark, mkDaily((1 to 21).map(10 + _)))
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(linear._3 == 1.0 && linear._4 == 7.0 && linear._5 == 7.0,
+      linear.toString)
+  }
+
   test("agg_ols_grouped: recovers a planted line exactly; r2 = 1 on noiseless data") {
     // y = 3x + 7 dollars exactly, per flag — slope 3, intercept 7, r²=1
     val dir = java.nio.file.Files.createTempDirectory("hyp").toString
