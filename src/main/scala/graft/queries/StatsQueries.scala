@@ -1538,6 +1538,42 @@ object StatsQueries extends QueryPack {
             .otherwise(lit(0.0)).as("survival"))
     }),
 
+    // ABC (PARETO) CLASSIFICATION of parts by revenue — the inventory
+    // cut (A ≈ top-80%-of-revenue items, B next 15%, C tail) that
+    // turns agg_lorenz_curve's curve into an operating decision. FULLY
+    // integer boundaries: a part is class A iff its inclusive
+    // cumulative revenue (descending order, partkey tiebreak)
+    // satisfies cum·100 ≤ total·80 — cross-multiplication instead of a
+    // share division, so classification never touches a float; the
+    // output is 3 rows with exact counts and one round6 share each.
+    // The global cumulative orders the per-PART aggregate (dimension-
+    // sized, not corpus-sized); past ~1e8 parts swap the window for a
+    // rangepartition + per-partition-offset two-pass cumsum.
+    "agg_abc_analysis" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast(dec).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum("cents").as("ts"))
+      rev.withColumn("cum", sum("cents").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("cents"),
+          when(col("cum") * 100 <= col("ts") * 80, "A")
+            .when(col("cum") * 100 <= col("ts") * 95, "B")
+            .otherwise("C").as("abc_class"), col("ts"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          StableRound.round6(sum(col("cents")).cast("double")
+            / max(col("ts")).cast("double")).as("revenue_share"))
+    }),
+
     // LORENZ CURVE of per-customer spend — agg_gini's curve (gini is
     // 1 − 2·AUC of exactly this): cumulative spend share held by the
     // poorest k customers at each decile, the concentration read a
@@ -2955,6 +2991,28 @@ object StatsQueries extends QueryPack {
          |    ELSE 0.0 END AS survival
          |FROM c""".stripMargin
     },
+
+    // integer cross-multiplied class boundaries on the descending
+    // cumulative; one division per class row
+    "agg_abc_analysis" ->
+      s"""WITH rev AS (SELECT l_partkey,
+         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(cents) AS ts FROM rev),
+         |c AS (SELECT cents,
+         |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM rev),
+         |k AS (SELECT cents, t.ts,
+         |    CASE WHEN cum * 100 <= t.ts * 80 THEN 'A'
+         |      WHEN cum * 100 <= t.ts * 95 THEN 'B'
+         |      ELSE 'C' END AS abc_class
+         |  FROM c, t)
+         |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+         |  ${graft.StableRound.sql6(
+              "CAST(sum(cents) AS DOUBLE) / CAST(max(ts) AS DOUBLE)")}
+         |    AS revenue_share
+         |FROM k GROUP BY 1""".stripMargin,
 
     // straddling-row identity on the cents domain — every term an
     // exact integer product; one double division per decile

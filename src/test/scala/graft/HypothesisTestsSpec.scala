@@ -230,6 +230,20 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(srows == rows, s"stream/batch parity: $srows vs $rows")
   }
 
+  test("agg_abc_analysis: boundary parts classify by inclusive integer cross-multiply") {
+    // revenues 80, 15, 3, 2 dollars: part 1 alone is exactly 80% → A;
+    // part 2 lands exactly on 95% → B; parts 3-4 → C
+    val dir = java.nio.file.Files.createTempDirectory("hyp").toString
+    Seq((1L, 80.0), (2L, 15.0), (3L, 3.0), (4L, 2.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = StatsQueries.queries("agg_abc_analysis")(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 1L, 0.8)), got.toString)
+    assert(got("B") == (("B", 1L, 0.15)), got.toString)
+    assert(got("C") == (("C", 2L, 0.05)), got.toString)
+  }
+
   test("agg_lorenz_curve: linear spend ladder gives the closed-form shares") {
     // customers 1..10 spend i dollars → share at decile d = d(d+1)/110
     val dir = java.nio.file.Files.createTempDirectory("hyp").toString
