@@ -554,25 +554,9 @@ object Stats {
     val dec = DecimalType(38, 0)
     val g = totals.select(col(valueCol).cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("m"))
-    val bounds = g.agg(min("v").as("mn"), max("v").as("mx"))
-    val bucketed = g.crossJoin(broadcast(bounds))
-      .withColumn("b",
-        when(col("mx") === col("mn"), lit(0L)).otherwise(
-          least(floor((col("v") - col("mn")).cast("double")
-            / ((col("mx") - col("mn")).cast("double") / B)).cast("long"),
-            lit(B - 1L))))
-      .drop("mn", "mx")
-    val offsets = bucketed.groupBy("b").agg(sum("m").as("bn"))
-      .withColumn("off",
-        coalesce(sum(col("bn")).over(Window.orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("b", "off")
-    val wLoc = Window.partitionBy("b").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed
-      .withColumn("localF", coalesce(sum(col("m")).over(wLoc), lit(0L)))
-      .join(broadcast(offsets), Seq("b"))
-      .withColumn("f", col("off") + col("localF"))
+      .localCheckpoint()
+    val ranked = Prefix.belowBucketed(g, "v",
+      sums = Seq((col("m"), "f")), inclusive = false, B = B)
     // Σ i·x per value group, in exact decimal: v·(m·F + m(m+1)/2).
     // m(m+1) is even so the `div` is exact, and it stays in int64
     // (m ≤ rows); only the cross products go through decimal.

@@ -86,7 +86,8 @@ object VectorOps {
     *
     * Returns (docCol, n_q, maxsim). */
   def maxSim(corpus: DataFrame, docCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = {
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10): DataFrame = {
     val v = withNorm(corpus, vecCol)
     val q = withNorm(queries, qVecCol).select(col(qIdCol).as("__qid"),
       col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"))
@@ -98,6 +99,10 @@ object VectorOps {
           .as("t6"))
       .groupBy(docCol, "__qid").agg(max("t6").as("m6"))
       .groupBy(docCol).agg(count(lit(1)).as("n_q"), sum("m6").as("s6"))
+      // the top-k CUT the name promises (ADVICE r12): distributed
+      // TakeOrdered on the exact integer score with id tiebreak —
+      // deterministic, never a doc-wide sort
+      .orderBy(col("s6").desc, col(docCol)).limit(k)
       .select(col(docCol), col("n_q"),
         graft.StableRound.round6(col("s6").cast("double") / 1e6)
           .as("maxsim"))

@@ -148,10 +148,12 @@ object CoreQueries extends QueryPack {
         count_distinct(col("user_id")).as("n_active"))
       val news = ev.groupBy("user_id").agg(min("day").as("day"))
         .groupBy("day").agg(count(lit(1)).as("n_new"))
-      daily.join(news, Seq("day"), "left")
+      val grid = daily.join(news, Seq("day"), "left")
         .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-        .withColumn("cum_users",
-          sum("n_new").over(Window.orderBy("day")))
+        .withColumn("__dn", datediff(col("day"), lit("1970-01-01")))
+      graft.ops.Prefix.belowBucketed(grid, "__dn",
+          sums = Seq((col("n_new"), "cum_users")), inclusive = true)
+        .drop("__dn")
     }),
 
     // gaps-and-islands: per-user consecutive-day activity streaks. The

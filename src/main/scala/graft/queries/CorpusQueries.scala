@@ -476,8 +476,6 @@ object CorpusQueries extends QueryPack {
     // kept count, and an exact id checksum pinning MEMBERSHIP, not just
     // cardinality, across engines.
     "sample_balanced_classes" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
       val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
       val cnts = ev.groupBy("event_type").agg(count(lit(1)).as("n_t"))
       val nmin = cnts.agg(min("n_t").as("n_min"))
@@ -488,9 +486,114 @@ object CorpusQueries extends QueryPack {
         .filter(CorpusOps.samplingHash(col("event_id")) < col("ppm"))
         .groupBy("event_type")
         .agg(max("n_t").as("n_orig"), count(lit(1)).as("n_kept"),
-          sum(col("event_id").cast(dec)).as("id_checksum"))
+          // BIGINT, not DECIMAL(38,0): sums of sequential event_ids fit
+          // int64 far past sf1 (sf1 total-corpus sum ≈ 5e12), and a
+          // decimal final is the one dtype the driver's stringifying
+          // hash renders differently across engines (r9 b341ffe, r12).
+          sum(col("event_id").cast("long")).as("id_checksum"))
+    }),
+
+    // N-ROUND BPE TRAINER — pipeline_tokenizer_fit made real: apply the
+    // argmax merge, re-count, repeat for 8 rounds, emitting the learned
+    // merge table plus per-round corpus statistics. Published algorithm
+    // (Sennrich et al. 2016): BPE trains over the WORD-FREQUENCY
+    // vocabulary, not the raw corpus — ONE corpus scan builds
+    // (word, count), then every merge round is vocab-sized work
+    // (distinct words ≈ millions at 100 TB; trivially distributed, no
+    // further corpus scans). Each word is a space-joined char sequence
+    // + '</w>'; pair counts weight by word frequency; argmax under the
+    // (count desc, a, b) total order is a 1-row broadcast (never a
+    // collect — the loop is 8 rounds of lazy plan building with a
+    // localCheckpoint per round to bound plan depth). The merge applies
+    // as an engine-neutral greedy left-to-right fold (string-typed
+    // accumulator; a merge appends the right symbol without a
+    // separator), identical in Spark `aggregate` and DuckDB
+    // `list_reduce`, so the oracle replays the ENTIRE training
+    // trajectory as CTE stages (the vec_kmeans_lloyd pattern) and the
+    // per-round token total pins the invariant n_tokens' = n_tokens −
+    // cnt(merge) across engines.
+    "pipeline_tokenizer_train" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .localCheckpoint()
+      var cur = words.select(col("w"), col("wc"),
+        concat(array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("seq"))
+        .localCheckpoint()
+      val roundRows = (1 to 8).map { r =>
+        val toks = cur.select(col("w"), col("wc"),
+          split(col("seq"), " ").as("ts"))
+        val pc = toks.select(col("wc"), explode(
+            when(size(col("ts")) >= 2,
+              transform(sequence(lit(1), size(col("ts")) - 1),
+                i => struct(element_at(col("ts"), i).as("a"),
+                  element_at(col("ts"), i + 1).as("b"))))
+              .otherwise(array())).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("wc").as("cnt"))
+          .localCheckpoint()
+        val stats = pc.agg(sum("cnt").as("n_pairs"),
+          count(lit(1)).as("n_distinct_pairs"))
+        val m = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        cur = cur.crossJoin(broadcast(m.select(
+            col("a").as("__ma"), col("b").as("__mb"))))
+          .select(col("w"), col("wc"),
+            aggregate(slice(split(col("seq"), " "), lit(2), size(split(
+                col("seq"), " ")) - 1),
+              element_at(split(col("seq"), " "), 1),
+              (acc, x) => when(x === col("__mb") && (acc === col("__ma")
+                  || endswith(acc, concat(lit(" "), col("__ma")))),
+                concat(acc, x)).otherwise(concat(acc, lit(" "), x)))
+              .as("seq"))
+          .localCheckpoint()
+        val nTok = cur.agg(
+          sum(col("wc") * size(split(col("seq"), " "))).as("n_tokens"))
+        m.select(lit(r).as("round"), col("a").as("pair_a"),
+            col("b").as("pair_b"), col("cnt"))
+          .crossJoin(broadcast(stats)).crossJoin(broadcast(nTok))
+      }
+      roundRows.reduce(_.unionAll(_)).orderBy("round")
     }),
   )
+
+  /** DuckDB replay of [[queries]]' `pipeline_tokenizer_train`: the same
+    * 8 merge rounds as chained CTE stages — v{r} applies round r's
+    * argmax merge via `list_reduce` with the identical greedy fold. */
+  private def tokenizerTrainSql: String = {
+    val head =
+      """WITH w AS (SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |v0 AS (SELECT w, wc, array_to_string(
+        |    list_transform(range(1, len(w) + 1),
+        |      i -> substr(w, CAST(i AS INTEGER), 1)), ' ')
+        |    || ' </w>' AS seq FROM w)""".stripMargin
+    val rounds = (1 to 8).map { r =>
+      s"""pc$r AS (SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |  SELECT ts[i] AS a, ts[i+1] AS b, wc FROM (
+         |      SELECT wc, string_split(seq, ' ') AS ts FROM v${r - 1}) t,
+         |    unnest(range(1, len(ts))) AS u(i)) GROUP BY 1, 2),
+         |s$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+         |  count(*) AS n_distinct_pairs FROM pc$r),
+         |m$r AS (SELECT a, b, cnt FROM pc$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (SELECT w, wc, list_reduce(string_split(seq, ' '),
+         |    (acc, x) -> CASE WHEN x = m.b
+         |        AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |      THEN acc || x ELSE acc || ' ' || x END) AS seq
+         |  FROM v${r - 1}, m$r m),
+         |t$r AS (SELECT CAST(sum(wc * len(string_split(seq, ' ')))
+         |  AS BIGINT) AS n_tokens FROM v$r)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val outs = (1 to 8).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round, m.a AS pair_a,
+         |  m.b AS pair_b, m.cnt, s.n_pairs, s.n_distinct_pairs,
+         |  t.n_tokens FROM m$r m, s$r s, t$r t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$outs\nORDER BY round"
+  }
 
   /** Exact embedding-cosine connected components — shared by
     * dedupe_embed_clusters and the IVF-blocked tier (which must agree
@@ -978,8 +1081,9 @@ object CorpusQueries extends QueryPack {
         |    < r.ppm)
         |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_orig,
         |  CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(CAST(event_id AS HUGEINT)) AS DECIMAL(38,0))
-        |    AS id_checksum
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
         |FROM kept GROUP BY 1""".stripMargin,
+
+    "pipeline_tokenizer_train" -> tokenizerTrainSql,
   )
 }

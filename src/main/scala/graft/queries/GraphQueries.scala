@@ -265,7 +265,11 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = GraphOps.coOccurrencePairs(items, "o", "p")
+      // requireExact: this entry's oracle enumerates UNCAPPED a.p < b.p
+      // pairs — fail loudly if a basket ever outgrows the cap instead
+      // of silently diverging (ADVICE r12)
+      val edges = GraphOps.coOccurrencePairs(items, "o", "p",
+          requireExact = true)
         .distinct().localCheckpoint() // degree union + incidence list
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))

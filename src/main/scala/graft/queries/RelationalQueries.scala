@@ -84,19 +84,10 @@ object RelationalQueries extends QueryPack {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       val cnt = o.groupBy("cents").agg(count(lit(1)).as("n"))
-        .withColumn("bkt", expr("cents div 100000"))
-      val wIn = Window.partitionBy("bkt").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // unpartitioned window is over DISTINCT BUCKETS only (range/1000
-      // cents-buckets, bounded regardless of row count)
-      val wOff = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = cnt.groupBy("bkt").agg(sum("n").as("bt"))
-        .withColumn("c_off", coalesce(sum("bt").over(wOff), lit(0L)))
-      val cum = cnt.withColumn("c_in", sum("n").over(wIn))
-        .join(off.select("bkt", "c_off"), "bkt")
-        .select(col("cents").as("v"),
-          (col("c_in") + col("c_off")).as("cum"))
+        .localCheckpoint()
+      val cum = graft.ops.Prefix.belowBucketed(cnt, "cents",
+          sums = Seq((col("n"), "cum")), inclusive = true)
+        .select(col("cents").as("v"), col("cum"))
         .withColumn("k", lit(1)).withColumn("vts", col("v").cast("timestamp"))
       val targets = o.select(col("o_orderkey"), explode(array(
           struct(lit("hi").as("side"), (col("cents") + 10000L).as("t")),

@@ -117,10 +117,8 @@ object StatsQueries extends QueryPack {
           count(lit(1)).as("cnt"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("cnt_a"))
-      val w = Window.orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val a = vals
-        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      val a = graft.ops.Prefix.belowBucketed(vals.localCheckpoint(), "c",
+          sums = Seq((col("cnt"), "below")), inclusive = false)
         .agg(
           sum(col("cnt_a")).cast(dec).as("n_a"),
           sum(col("cnt")).cast(dec).as("n"),
@@ -638,10 +636,9 @@ object StatsQueries extends QueryPack {
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       def marg(k: String) = {
-        val w = Window.orderBy(k)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        joint.groupBy(k).agg(sum("cnt").as("m"))
-          .withColumn("below", coalesce(sum(col("m")).over(w), lit(0L)))
+        val dom = joint.groupBy(k).agg(sum("cnt").as("m"))
+        graft.ops.Prefix.belowBucketed(dom, k,
+            sums = Seq((col("m"), "below")), inclusive = false)
           .select(col(k), col("m"),
             (col("below") * 2 + col("m") + 1).as(s"r2$k"))
       }
@@ -861,11 +858,9 @@ object StatsQueries extends QueryPack {
           round(col("value") * 100).cast("long").as("c"))
         .groupBy("c", "event_type").agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      val gdom = dom.groupBy("c").agg(sum("cnt").as("m"))
-      val w = Window.orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val r2 = gdom
-        .withColumn("below", coalesce(sum(col("m")).over(w), lit(0L)))
+      val gdom = dom.groupBy("c").agg(sum("cnt").as("m")).localCheckpoint()
+      val r2 = graft.ops.Prefix.belowBucketed(gdom, "c",
+          sums = Seq((col("m"), "below")), inclusive = false)
         .select(col("c"), (col("below") * 2 + col("m") + 1).as("r2"))
       val tot = gdom.agg(sum(col("m").cast(dec)).as("n"),
         sum(col("m").cast(dec) * col("m") * col("m") - col("m").cast(dec))
@@ -1019,11 +1014,17 @@ object StatsQueries extends QueryPack {
         .select(col("rep"), StableRound.round6(
           col("sr").cast("double") / col("nr").cast("double") / 100)
           .as("mean_r"))
-      val w = Window.orderBy("mean_r")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = reps.withColumn("rk", count(lit(1)).over(w))
-      // ceil ranks at R=64: lo = 2nd smallest (2.5%), hi = 63rd (97.5%)
-      ranked.agg(
+      // ceil ranks at R=64: lo = 2nd smallest (2.5%), hi = 63rd (97.5%).
+      // k-th order statistic = min v with #{y ≤ v} ≥ k — a theta-join
+      // count over the 64-row replica relation (no unpartitioned window;
+      // tie-safe: the identity picks the same VALUE the positional rank
+      // did whatever order ties land in).
+      val reps2 = reps.localCheckpoint()
+      val cle = reps2.join(
+          broadcast(reps2.select(col("mean_r").as("__m2"))),
+          col("__m2") <= col("mean_r"))
+        .groupBy("rep", "mean_r").agg(count(lit(1)).as("rk"))
+      cle.agg(
         count(lit(1)).cast("long").as("n_replicas"),
         min(when(col("rk") >= 2, col("mean_r"))).as("ci_lo"),
         min(when(col("rk") >= 63, col("mean_r"))).as("ci_hi"))
@@ -1133,8 +1134,8 @@ object StatsQueries extends QueryPack {
         .select(round(col("o_totalprice") * 100).cast("long").as("c"),
           col("o_orderkey"))
         .orderBy(col("c").desc, col("o_orderkey")).limit(101)
-      val rk = top.withColumn("r", row_number().over(
-          Window.orderBy(col("c").desc, col("o_orderkey"))))
+      val rk = graft.ops.Prefix.thetaRank(top.localCheckpoint(),
+          Seq(("c", true), ("o_orderkey", false)), "r")
         .localCheckpoint()
       val xk = rk.filter(col("r") === 101).select(col("c").as("ck"))
       val sums = rk.filter(col("r") <= 100).crossJoin(broadcast(xk))
@@ -1223,7 +1224,16 @@ object StatsQueries extends QueryPack {
         col("ng").cast("double") / 1e4
       val m = g
         .select(col("ng"), col("sg"), col("qg"),
-          floor(StableRound.round6(tg) * 1e6 + 0.5).cast("long").as("t6"))
+          // DECIMAL(38,0) fixed-point accumulator, not long: the
+          // between-term is ~ng·mean²·1e6, which outgrows int64 head-
+          // room on billion-row groups — Spark would wrap silently
+          // while DuckDB errors (ADVICE r12). floor(DECIMAL(38,6)) is
+          // DECIMAL(38,0) in both engines; values are unchanged in
+          // range (the +0.5 keeps the double a half-integer, never
+          // near a 6-decimal rounding boundary).
+          floor((StableRound.round6(tg) * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as("t6"))
         .groupBy().agg(sum("ng").as("n"), count(lit(1)).as("k"),
           sum("sg").as("s"), sum("qg").as("q"), sum("t6").as("st"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -1283,7 +1293,16 @@ object StatsQueries extends QueryPack {
         col("ng").cast("double") / 1e4
       val m = g
         .select(col("ng"), col("sg"), col("qg"),
-          floor(StableRound.round6(tg) * 1e6 + 0.5).cast("long").as("t6"))
+          // DECIMAL(38,0) fixed-point accumulator, not long: the
+          // between-term is ~ng·mean²·1e6, which outgrows int64 head-
+          // room on billion-row groups — Spark would wrap silently
+          // while DuckDB errors (ADVICE r12). floor(DECIMAL(38,6)) is
+          // DECIMAL(38,0) in both engines; values are unchanged in
+          // range (the +0.5 keeps the double a half-integer, never
+          // near a 6-decimal rounding boundary).
+          floor((StableRound.round6(tg) * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as("t6"))
         .groupBy().agg(sum("ng").as("n"), count(lit(1)).as("k"),
           sum("sg").as("s"), sum("qg").as("q"), sum("t6").as("st"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -1316,14 +1335,24 @@ object StatsQueries extends QueryPack {
       val daily = Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day_start"))
         .agg(count(lit(1)).as("cnt"))
-      val wd = Window.orderBy("day_start")
-      val sg = daily
-        .withColumn("delta", col("cnt") - lag("cnt", 1).over(wd))
+        .localCheckpoint()
+      // "previous present row" lag via theta max_by over the ≤|days|
+      // grid — calendar-bounded broadcast join, no unpartitioned window
+      val dPrev = daily.join(broadcast(daily.select(
+          col("day_start").as("__rd"), col("cnt").as("__rc"))),
+          col("__rd") < col("day_start"), "left")
+        .groupBy("day_start", "cnt")
+        .agg(max_by(col("__rc"), col("__rd")).as("prev_cnt"))
+      val sg = dPrev
+        .withColumn("delta", col("cnt") - col("prev_cnt"))
         .filter(col("delta").isNotNull && col("delta") =!= 0)
         .select(col("day_start"),
           when(col("delta") > 0, 1).otherwise(-1).as("sgn"))
-      val m = sg
-        .withColumn("prev", lag("sgn", 1).over(wd))
+        .localCheckpoint()
+      val m = sg.join(broadcast(sg.select(col("day_start").as("__rd"),
+          col("sgn").as("__rs"))), col("__rd") < col("day_start"), "left")
+        .groupBy("day_start", "sgn")
+        .agg(max_by(col("__rs"), col("__rd")).as("prev"))
         .select(col("sgn"),
           when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
             .otherwise(0L).as("chg"))
@@ -1515,26 +1544,24 @@ object StatsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_t"),
           sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d_t"))
         .localCheckpoint()
-      val w = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val tot = dom.agg(sum("n_t").as("n"))
-      val steps = dom
-        .withColumn("below", coalesce(sum("n_t").over(w), lit(0L)))
+      val steps = graft.ops.Prefix.belowBucketed(dom, "t",
+          sums = Seq((col("n_t"), "below")), inclusive = false)
         .crossJoin(broadcast(tot))
         .withColumn("atrisk", col("n") - col("below"))
         .filter(col("d_t") > 0)
       val lterm = log((col("atrisk") - col("d_t")).cast("double")
         / col("atrisk").cast("double"))
-      val w2 = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      steps
+      val stepped = steps
         .withColumn("l6", when(col("atrisk") > col("d_t"),
           floor(StableRound.round6(lterm) * 1e6 + 0.5).cast("long")))
-        .withColumn("cum6", sum("l6").over(w2))
+        .localCheckpoint()
+      graft.ops.Prefix.belowBucketed(stepped, "t",
+          sums = Seq((col("l6"), "cum6")), inclusive = true)
         .select(col("t"), col("atrisk").as("n_at_risk"),
           col("d_t").as("n_events"),
           when(col("atrisk") > col("d_t"), StableRound.round6(
-            exp(coalesce(col("cum6"), lit(0L)).cast("double") / 1e6)))
+            exp(col("cum6").cast("double") / 1e6)))
             .otherwise(lit(0.0)).as("survival"))
     }),
 
@@ -1559,10 +1586,12 @@ object StatsQueries extends QueryPack {
         .groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .cast(dec).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = rev.agg(sum("cents").as("ts"))
-      rev.withColumn("cum", sum("cents").over(w))
+      val revC = rev.localCheckpoint()
+      val tot = revC.agg(sum("cents").as("ts"))
+      graft.ops.Prefix.belowBucketed(revC, "cents",
+          tieBreak = Seq("l_partkey"),
+          sums = Seq((col("cents"), "cum")), inclusive = true,
+          desc = true)
         .crossJoin(broadcast(tot))
         .select(col("cents"),
           when(col("cum") * 100 <= col("ts") * 80, "A")
@@ -1595,13 +1624,10 @@ object StatsQueries extends QueryPack {
           .as("cents"))
         .groupBy("cents").agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      val w = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val rows = dom
-        .withColumn("below_cnt", coalesce(sum("cnt").over(w), lit(0L)))
-        .withColumn("below_sum", coalesce(
-          sum(col("cents").cast(dec) * col("cnt")).over(w),
-          lit(0).cast(dec)))
+      val rows = graft.ops.Prefix.belowBucketed(dom, "cents",
+        sums = Seq((col("cnt"), "below_cnt"),
+          (col("cents").cast(dec) * col("cnt"), "below_sum")),
+        inclusive = false)
       val tot = dom.agg(sum("cnt").as("n"),
         sum(col("cents").cast(dec) * col("cnt")).as("ts"))
       val deciles = s.range(1, 11).select(col("id").as("decile"))
@@ -1644,9 +1670,8 @@ object StatsQueries extends QueryPack {
       def thresholds(c: String, p: String)
           : org.apache.spark.sql.DataFrame = {
         val dom = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        dom.withColumn("cum", sum("cnt").over(w))
+        graft.ops.Prefix.belowBucketed(dom, "v",
+            sums = Seq((col("cnt"), "cum")), inclusive = true)
           .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
           .groupBy().agg(
             min(when(col("cum") >= expr("(n + 4) div 5"), col("v")))
@@ -1802,8 +1827,11 @@ object StatsQueries extends QueryPack {
         .agg(max("k").as("k"), count(lit(1)).as("nb"), sum("mr").as("rj"))
       val agg = rj
         .select(col("k"), col("nb"),
-          floor(StableRound.round6(col("rj") * col("rj")) * 1e6 + 0.5)
-            .cast("long").as("t6"))
+          // DECIMAL(38,0) accumulator — same int64-headroom widen as
+          // agg_anova's between-term (Rj²·1e6; ADVICE r12)
+          floor((StableRound.round6(col("rj") * col("rj")) * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as("t6"))
         .groupBy().agg(max("k").as("k"), max("nb").as("n_blocks"),
           sum("t6").as("s6"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -2747,10 +2775,12 @@ object StatsQueries extends QueryPack {
     // per-group exact moments; between-terms round6-snapped and
     // fixed-point-summed over ≤|types| rows; mirrored F/η² assembly
     "agg_anova" -> {
-      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+      // DECIMAL accumulator mirror of the engine's int64-headroom
+      // widen: floor(DECIMAL(38,6)) is DECIMAL(38,0) in DuckDB too
+      val t6 = "floor(CAST(" + graft.StableRound.sql6(
         "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
           "/ CAST(ng AS DOUBLE) / 1e4") +
-        " * 1000000 + 0.5) AS BIGINT)"
+        " * 1000000 + 0.5 AS DECIMAL(38,6)))"
       val sb = "(CAST(st AS DOUBLE) / 1e6 - CAST(s AS DOUBLE) / 100.0 " +
         "* (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))"
       val sw = "(CAST(q AS DOUBLE) / 1e4 - CAST(st AS DOUBLE) / 1e6)"
@@ -2781,10 +2811,12 @@ object StatsQueries extends QueryPack {
     // integer cents; then agg_anova's mirrored assembly on the
     // deviations
     "agg_levene" -> {
-      val t6 = "CAST(floor(" + graft.StableRound.sql6(
+      // DECIMAL accumulator mirror of the engine's int64-headroom
+      // widen: floor(DECIMAL(38,6)) is DECIMAL(38,0) in DuckDB too
+      val t6 = "floor(CAST(" + graft.StableRound.sql6(
         "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
           "/ CAST(ng AS DOUBLE) / 1e4") +
-        " * 1000000 + 0.5) AS BIGINT)"
+        " * 1000000 + 0.5 AS DECIMAL(38,6)))"
       val sb = "(CAST(st AS DOUBLE) / 1e6 - CAST(s AS DOUBLE) / 100.0 " +
         "* (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))"
       val sw = "(CAST(q AS DOUBLE) / 1e4 - CAST(st AS DOUBLE) / 1e6)"
@@ -3168,8 +3200,8 @@ object StatsQueries extends QueryPack {
          |rj AS (SELECT event_type, count(*) AS nb, sum(mr) AS rj
          |  FROM rked GROUP BY 1),
          |ag AS (SELECT max(kk.k) AS k, max(rj.nb) AS n_blocks,
-         |    sum(CAST(floor(${graft.StableRound.sql6("rj.rj * rj.rj")}
-         |      * 1000000 + 0.5) AS BIGINT)) AS s6
+         |    sum(floor(CAST(${graft.StableRound.sql6("rj.rj * rj.rj")}
+         |      * 1000000 + 0.5 AS DECIMAL(38,6)))) AS s6
          |  FROM rj, kk)
          |SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
          |  CAST(k AS BIGINT) AS k,

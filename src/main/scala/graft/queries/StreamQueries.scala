@@ -968,9 +968,8 @@ object StreamQueries extends QueryPack {
       def thresholds(c: String, p: String)
           : org.apache.spark.sql.DataFrame = {
         val dom = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        dom.withColumn("cum", sum("cnt").over(w))
+        graft.ops.Prefix.belowBucketed(dom, "v",
+            sums = Seq((col("cnt"), "cum")), inclusive = true)
           .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
           .groupBy().agg(
             min(when(col("cum") >= expr("(n + 4) div 5"), col("v")))
@@ -1022,26 +1021,24 @@ object StreamQueries extends QueryPack {
         .agg(count(lit(1)).as("n_t"),
           sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d_t"))
         .localCheckpoint()
-      val w = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val tot = dom.agg(sum("n_t").as("n"))
-      val steps = dom
-        .withColumn("below", coalesce(sum("n_t").over(w), lit(0L)))
+      val steps = graft.ops.Prefix.belowBucketed(dom, "t",
+          sums = Seq((col("n_t"), "below")), inclusive = false)
         .crossJoin(broadcast(tot))
         .withColumn("atrisk", col("n") - col("below"))
         .filter(col("d_t") > 0)
       val lterm = log((col("atrisk") - col("d_t")).cast("double")
         / col("atrisk").cast("double"))
-      val w2 = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      steps
+      val stepped = steps
         .withColumn("l6", when(col("atrisk") > col("d_t"),
           floor(StableRound.round6(lterm) * 1e6 + 0.5).cast("long")))
-        .withColumn("cum6", sum("l6").over(w2))
+        .localCheckpoint()
+      graft.ops.Prefix.belowBucketed(stepped, "t",
+          sums = Seq((col("l6"), "cum6")), inclusive = true)
         .select(col("t"), col("atrisk").as("n_at_risk"),
           col("d_t").as("n_events"),
           when(col("atrisk") > col("d_t"), StableRound.round6(
-            exp(coalesce(col("cum6"), lit(0L)).cast("double") / 1e6)))
+            exp(col("cum6").cast("double") / 1e6)))
             .otherwise(lit(0.0)).as("survival"))
     }),
 

@@ -235,24 +235,33 @@ object TextQueries extends QueryPack {
     // word discriminant: function words spread evenly (VMR ≈ 1,
     // Poisson), content/boilerplate words clump into few docs
     // (VMR ≫ 1) — a template-detection signal no frequency rank alone
-    // gives. Two map-side-combined aggs over the exploded token
-    // stream (per-(token,doc) then per-token exact integer moments),
-    // then a distributed TakeOrdered picks the top 20 — the vocab
-    // never sorts globally and the corpus never re-shuffles.
+    // gives. The moments run over ALL N corpus docs — docs without
+    // the token contribute zero counts (they add nothing to Σx/Σx²,
+    // only to N), which is what makes a token appearing once in each
+    // of 3 docs out of 10k read as RARE, not Poisson-flat (ADVICE
+    // r12: the occurrence-conditional VMR can't see that). Two
+    // map-side-combined aggs over the exploded token stream, the doc
+    // total a 1-row broadcast, then a distributed TakeOrdered picks
+    // the top 20 — the vocab never sorts globally and the corpus
+    // never re-shuffles.
     "text_burstiness" -> ((s, d) => {
-      val st = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val nTot = docs.agg(count(lit(1)).as("n_corpus"))
+      val st = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("w", "doc_id").agg(count(lit(1)).as("x"))
         .groupBy("w").agg(count(lit(1)).as("n_docs"),
           sum("x").as("total"), sum(col("x") * col("x")).as("sq"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
-      val mean = D(col("total")) / D(col("n_docs"))
+      val mean = D(col("total")) / D(col("n_corpus"))
       val vr = (D(col("sq")) - D(col("total")) * D(col("total"))
-        / D(col("n_docs"))) / (D(col("n_docs")) - 1)
+        / D(col("n_corpus"))) / (D(col("n_corpus")) - 1)
       st.orderBy(col("total").desc, col("w")).limit(20)
+        .crossJoin(broadcast(nTot))
         .select(col("w").as("token"), col("n_docs"), col("total"),
+          col("n_corpus"),
           graft.StableRound.round6(mean).as("mean_per_doc"),
-          when(col("n_docs") > 1, graft.StableRound.round6(vr / mean))
+          when(col("n_corpus") > 1, graft.StableRound.round6(vr / mean))
             .as("vmr"))
     }),
 
@@ -473,8 +482,8 @@ object TextQueries extends QueryPack {
         .localCheckpoint()
       val vocab = freqs.agg(count(lit(1)).as("vocab"))
       val top = freqs.orderBy(col("cnt").desc, col("tok")).limit(100)
-      val rk = top.withColumn("r", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
+      val rk = graft.ops.Prefix.thetaRank(top.localCheckpoint(),
+        Seq(("cnt", true), ("tok", false)), "r")
       def s6(c: org.apache.spark.sql.Column) =
         floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
       val x = log(col("r").cast("double"))
@@ -736,24 +745,28 @@ object TextQueries extends QueryPack {
 
     // per-(token,doc) then per-token exact moments; top-20 by corpus
     // frequency with the token tiebreak; mirrored VMR straight line
+    // moments over ALL N corpus docs (zero counts included via the
+    // n_corpus denominator) — the unconditional Church–Gale VMR
     "text_burstiness" -> {
-      val mean = "(CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val mean = "(CAST(total AS DOUBLE) / CAST(n_corpus AS DOUBLE))"
       val vr = "((CAST(sq AS DOUBLE) - CAST(total AS DOUBLE) " +
-        "* CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)) " +
-        "/ (CAST(n_docs AS DOUBLE) - 1))"
+        "* CAST(total AS DOUBLE) / CAST(n_corpus AS DOUBLE)) " +
+        "/ (CAST(n_corpus AS DOUBLE) - 1))"
       s"""WITH tok AS (SELECT doc_id,
          |    unnest(string_split(text, ' ')) AS w FROM documents),
          |pd AS (SELECT w, doc_id, count(*) AS x FROM tok GROUP BY 1, 2),
          |st AS (SELECT w, count(*) AS n_docs, sum(x) AS total,
          |    sum(x * x) AS sq
          |  FROM pd GROUP BY 1),
+         |nc AS (SELECT count(*) AS n_corpus FROM documents),
          |top AS (SELECT * FROM st ORDER BY total DESC, w LIMIT 20)
          |SELECT w AS token, CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(total AS BIGINT) AS total,
+         |  CAST(n_corpus AS BIGINT) AS n_corpus,
          |  ${graft.StableRound.sql6(mean)} AS mean_per_doc,
-         |  CASE WHEN n_docs > 1 THEN ${graft.StableRound.sql6(
+         |  CASE WHEN n_corpus > 1 THEN ${graft.StableRound.sql6(
               s"$vr / $mean")} END AS vmr
-         |FROM top""".stripMargin
+         |FROM top, nc""".stripMargin
     },
 
     "text_ttr" ->

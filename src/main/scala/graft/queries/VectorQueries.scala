@@ -723,11 +723,14 @@ object VectorQueries extends QueryPack {
         |    max(CAST(floor(${graft.StableRound.sql6(
                "list_dot_product(n.e, q.qe) / (n.nrm * q.qn)")}
         |      * 1000000 + 0.5) AS BIGINT)) AS m6
-        |  FROM n, q WHERE n.vec_id > 2 GROUP BY 1, 2)
-        |SELECT label, CAST(count(*) AS BIGINT) AS n_q,
+        |  FROM n, q WHERE n.vec_id > 2 GROUP BY 1, 2),
+        |a AS (SELECT label, CAST(count(*) AS BIGINT) AS n_q,
+        |    CAST(sum(m6) AS BIGINT) AS s6
+        |  FROM p GROUP BY 1)
+        |SELECT label, n_q,
         |  ${graft.StableRound.sql6(
-             "CAST(sum(m6) AS DOUBLE) / 1000000.0")} AS maxsim
-        |FROM p GROUP BY 1""".stripMargin),
+             "CAST(s6 AS DOUBLE) / 1000000.0")} AS maxsim
+        |FROM a ORDER BY s6 DESC, label LIMIT 10""".stripMargin),
 
     "vec_cosine_topk_batch" -> (vCte +
       """,

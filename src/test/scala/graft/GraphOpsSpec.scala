@@ -41,6 +41,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("requireExact: passes under the cap, raises loudly beyond it") {
+    val small = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("o", "p")
+    // under the cap: identical pair set, guard silent
+    assert(GraphOps.coOccurrencePairs(small, "o", "p", cap = 8,
+      requireExact = true).count() == 3)
+    // beyond the cap: the entry fails instead of silently diverging
+    // from an uncapped oracle
+    val big = (0 until 10).map(i => (1L, i.toLong)).toDF("o", "p")
+    val e = intercept[Exception] {
+      GraphOps.coOccurrencePairs(big, "o", "p", cap = 4,
+        requireExact = true).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("cap keeps the smallest item ids deterministically") {
     val items = (0 until 100).reverse.map(i => (7L, i.toLong)).toDF("o", "p")
     val pairs = GraphOps.coOccurrencePairs(items, "o", "p", cap = 5)

@@ -125,11 +125,15 @@ class TextSignalsSpec extends SparkSpec {
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextQueries.queries("text_burstiness")(spark, dir)
-      .as[(String, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out("even") == (("even", 10L, 10L, 1.0, 0.0)), out("even").toString)
+    // moments run over ALL 10 corpus docs (zero counts included):
+    // "even" has x=1 in every doc → mean 1, var 0, VMR 0
+    assert(out("even") == (("even", 10L, 10L, 10L, 1.0, 0.0)),
+      out("even").toString)
+    // "bursty" counts (9,1,1,1,0×6): mean 1.2, var 69.6/9 → VMR 58/9
     val b = out("bursty")
-    assert(b._2 == 4L && b._3 == 12L && b._4 == 3.0 &&
-      math.abs(b._5 - 16.0 / 3.0) < 1e-6, b.toString)
+    assert(b._2 == 4L && b._3 == 12L && b._4 == 10L && b._5 == 1.2 &&
+      math.abs(b._6 - 58.0 / 9.0) < 1e-6, b.toString)
   }
 }

@@ -35,12 +35,35 @@ for name in sorted(oracle):
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").df()
         exp = con.execute(sql).df()
+        got_ty = dict(con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").df()
+            [["column_name", "column_type"]].values)
+        exp_ty = dict(con.execute(f"DESCRIBE {sql}").df()
+            [["column_name", "column_type"]].values)
     except Exception as e:
         print(f"FAIL {name}: {e}")
         fails += 1
         continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
+    # DECIMAL finals are the proven driver-hash hazard (r9 pagerank /
+    # dataset_card, r12 sample_balanced_classes): pandas renders DuckDB
+    # HUGEINT/DECIMAL differently from Spark's physical type even when
+    # values are byte-identical, so the driver's stringifying hash fails
+    # while a value compare passes. FAIL locally on any decimal-typed
+    # final column on EITHER side so the builder sees it before the
+    # driver does.
+    dec_cols = sorted(
+        {c for c, t in got_ty.items() if "DECIMAL" in str(t).upper()} |
+        {c for c, t in exp_ty.items() if "DECIMAL" in str(t).upper()})
+    if dec_cols:
+        det = ", ".join(
+            f"{c}({got_ty.get(c, '?')} vs {exp_ty.get(c, '?')})"
+            for c in dec_cols)
+        print(f"FAIL {name}: decimal final column(s): {det} "
+              f"(format-hash hazard — cast to BIGINT/DOUBLE on both sides)")
+        fails += 1
+        continue
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
         fails += 1
@@ -53,13 +76,19 @@ for name in sorted(oracle):
     es = exp.sort_values(by=list(exp.columns), ignore_index=True)
     diff_cols = []
     hazard_cols = set()
-    # dtype-class mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64):
-    # values compare equal but a stringifying hash ("3.0" vs "3") fails —
-    # exactly the r8/r9 driver failure mode. Flag it as a local FAIL.
+    # dtype-CLASS mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
+    # int64, or object vs int): values compare equal but a stringifying
+    # hash ("3.0" vs "3") fails — exactly the r8/r9/r12 driver failure
+    # mode. Any class difference is a local FAIL, not just float-vs-int.
+    def dtype_class(d):
+        d = str(d)
+        for k in ("int", "float", "bool", "datetime", "timedelta"):
+            if k in d:
+                return k
+        return "object"
     for c in gs.columns:
         ga, ea = str(gs[c].dtype), str(es[c].dtype)
-        if ga != ea and {ga, ea} & {"float64", "float32"} and \
-           ("int" in ga or "int" in ea):
+        if ga != ea and dtype_class(ga) != dtype_class(ea):
             hazard_cols.add(c)
             diff_cols.append(f"{c}(dtype {ga} vs {ea}: format-hash hazard)")
     for c in gs.columns:
