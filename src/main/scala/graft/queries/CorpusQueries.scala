@@ -512,56 +512,113 @@ object CorpusQueries extends QueryPack {
     // trajectory as CTE stages (the vec_kmeans_lloyd pattern) and the
     // per-round token total pins the invariant n_tokens' = n_tokens −
     // cnt(merge) across engines.
-    "pipeline_tokenizer_train" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+    "pipeline_tokenizer_train" -> ((s, d) =>
+      bpeTrain(s, d, 8)._2.reduce(_.unionAll(_)).orderBy("round")),
+
+    // TOKENIZER APPLY — the train→apply journey closed: tokenize the
+    // corpus with the 8 learned merges and report per-language
+    // compression. The trained vocabulary (word → merged symbol
+    // sequence) IS the training loop's final state, so apply is a
+    // corpus-scale JOIN on the word key (broadcast here; hash join
+    // co-partitioned on the word at 100 TB — exactly how a production
+    // tokenizer service shards) plus one map-side length sum — the
+    // corpus is scanned once and no text ever shuffles. Output: docs /
+    // words / BPE tokens / char-level tokens per language and the
+    // compression ratio the tokenizer report quotes.
+    "pipeline_tokenizer_apply" -> ((s, d) => {
+      // trained vocabulary comes from a source-keyed fixture (the IVF-
+      // layout precedent): a tokenizer is trained once and applied many
+      // times — benching apply must measure the corpus join, not
+      // re-training. Fixture invalidates on corpus regeneration.
+      val vocab = bpeVocabFixture(s, d)
+        .select(col("w"),
+          size(split(col("seq"), " ")).as("n_bpe"),
+          (length(col("w")) + 1).as("n_char"))
+      val docs = Tables.documents(s, d)
+      val perLang = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .localCheckpoint()
-      var cur = words.select(col("w"), col("wc"),
-        concat(array_join(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("seq"))
-        .localCheckpoint()
-      val roundRows = (1 to 8).map { r =>
-        val toks = cur.select(col("w"), col("wc"),
-          split(col("seq"), " ").as("ts"))
-        val pc = toks.select(col("wc"), explode(
-            when(size(col("ts")) >= 2,
-              transform(sequence(lit(1), size(col("ts")) - 1),
-                i => struct(element_at(col("ts"), i).as("a"),
-                  element_at(col("ts"), i + 1).as("b"))))
-              .otherwise(array())).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("wc").as("cnt"))
-          .localCheckpoint()
-        val stats = pc.agg(sum("cnt").as("n_pairs"),
-          count(lit(1)).as("n_distinct_pairs"))
-        val m = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        cur = cur.crossJoin(broadcast(m.select(
-            col("a").as("__ma"), col("b").as("__mb"))))
-          .select(col("w"), col("wc"),
-            aggregate(slice(split(col("seq"), " "), lit(2), size(split(
-                col("seq"), " ")) - 1),
-              element_at(split(col("seq"), " "), 1),
-              (acc, x) => when(x === col("__mb") && (acc === col("__ma")
-                  || endswith(acc, concat(lit(" "), col("__ma")))),
-                concat(acc, x)).otherwise(concat(acc, lit(" "), x)))
-              .as("seq"))
-          .localCheckpoint()
-        val nTok = cur.agg(
-          sum(col("wc") * size(split(col("seq"), " "))).as("n_tokens"))
-        m.select(lit(r).as("round"), col("a").as("pair_a"),
-            col("b").as("pair_b"), col("cnt"))
-          .crossJoin(broadcast(stats)).crossJoin(broadcast(nTok))
-      }
-      roundRows.reduce(_.unionAll(_)).orderBy("round")
+        .join(broadcast(vocab), "w")
+        .groupBy("lang").agg(count(lit(1)).as("n_words"),
+          sum("n_bpe").as("n_tokens_bpe"),
+          sum(col("n_char").cast("long")).as("n_tokens_char"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(perLang, "lang")
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens_bpe"), col("n_tokens_char"),
+          StableRound.round6(col("n_tokens_char").cast("double")
+            / col("n_tokens_bpe").cast("double")).as("compression"))
     }),
   )
 
-  /** DuckDB replay of [[queries]]' `pipeline_tokenizer_train`: the same
-    * 8 merge rounds as chained CTE stages — v{r} applies round r's
-    * argmax merge via `list_reduce` with the identical greedy fold. */
-  private def tokenizerTrainSql: String = {
+  /** The trained 8-merge vocabulary, landed once per corpus under a
+    * source-keyed fixture dir and read back on subsequent calls. */
+  private def bpeVocabFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"/tmp/graft_bpe_vocab/${Fixtures.key(s, s"$d/documents.parquet")}"
+    if (!Fixtures.exists(s, dir))
+      bpeTrain(s, d, 8)._1.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  /** Shared 8-round BPE trainer (Sennrich-style, over the word-
+    * frequency vocabulary — see `pipeline_tokenizer_train`'s entry
+    * comment for the scale argument). Returns (final vocabulary
+    * `(w, wc, seq)` with all `rounds` merges applied, one audit row
+    * per round). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame]) = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    var cur = words.select(col("w"), col("wc"),
+      concat(array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("seq"))
+      .localCheckpoint()
+    val roundRows = (1 to rounds).map { r =>
+      val toks = cur.select(col("w"), col("wc"),
+        split(col("seq"), " ").as("ts"))
+      val pc = toks.select(col("wc"), explode(
+          when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("a"),
+                element_at(col("ts"), i + 1).as("b"))))
+            .otherwise(array())).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .localCheckpoint()
+      val stats = pc.agg(sum("cnt").as("n_pairs"),
+        count(lit(1)).as("n_distinct_pairs"))
+      val m = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      cur = cur.crossJoin(broadcast(m.select(
+          col("a").as("__ma"), col("b").as("__mb"))))
+        .select(col("w"), col("wc"),
+          aggregate(slice(split(col("seq"), " "), lit(2), size(split(
+              col("seq"), " ")) - 1),
+            element_at(split(col("seq"), " "), 1),
+            (acc, x) => when(x === col("__mb") && (acc === col("__ma")
+                || endswith(acc, concat(lit(" "), col("__ma")))),
+              concat(acc, x)).otherwise(concat(acc, lit(" "), x)))
+            .as("seq"))
+        .localCheckpoint()
+      val nTok = cur.agg(
+        sum(col("wc") * size(split(col("seq"), " "))).as("n_tokens"))
+      m.select(lit(r).as("round"), col("a").as("pair_a"),
+          col("b").as("pair_b"), col("cnt"))
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(nTok))
+    }
+    (cur, roundRows)
+  }
+
+  /** DuckDB replay of the [[bpeTrain]] trajectory: the same merge
+    * rounds as chained CTE stages — v{r} applies round r's argmax
+    * merge via `list_reduce` with the identical greedy fold. Returns
+    * the `WITH ...` prefix ending at v{rounds}/t{rounds}, shared by
+    * the train and apply oracles. */
+  private def bpeCtes(rounds: Int): String = {
     val head =
       """WITH w AS (SELECT w, count(*) AS wc FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -570,7 +627,7 @@ object CorpusQueries extends QueryPack {
         |    list_transform(range(1, len(w) + 1),
         |      i -> substr(w, CAST(i AS INTEGER), 1)), ' ')
         |    || ' </w>' AS seq FROM w)""".stripMargin
-    val rounds = (1 to 8).map { r =>
+    val body = (1 to rounds).map { r =>
       s"""pc$r AS (SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
          |  SELECT ts[i] AS a, ts[i+1] AS b, wc FROM (
          |      SELECT wc, string_split(seq, ' ') AS ts FROM v${r - 1}) t,
@@ -587,13 +644,38 @@ object CorpusQueries extends QueryPack {
          |t$r AS (SELECT CAST(sum(wc * len(string_split(seq, ' ')))
          |  AS BIGINT) AS n_tokens FROM v$r)""".stripMargin
     }.mkString(",\n", ",\n", "")
+    s"$head$body"
+  }
+
+  private def tokenizerTrainSql: String = {
     val outs = (1 to 8).map { r =>
       s"""SELECT CAST($r AS INTEGER) AS round, m.a AS pair_a,
          |  m.b AS pair_b, m.cnt, s.n_pairs, s.n_distinct_pairs,
          |  t.n_tokens FROM m$r m, s$r s, t$r t""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$head$rounds\n$outs\nORDER BY round"
+    s"${bpeCtes(8)}\n$outs\nORDER BY round"
   }
+
+  /** Apply oracle: v8 is the trained vocabulary; per-lang token sums
+    * come from the corpus word stream joined on the word key. */
+  // NOTE: bpeCtes' text is concatenated OUTSIDE the stripMargin'd
+  // literal — interpolating it inside would let the outer stripMargin
+  // eat the first '|' of its '||' concatenations
+  private def tokenizerApplySql: String = bpeCtes(8) + ",\n" +
+    s"""vb AS (SELECT w, len(string_split(seq, ' ')) AS n_bpe,
+       |    len(w) + 1 AS n_char FROM v8),
+       |tw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_bpe) AS BIGINT) AS n_tokens_bpe,
+       |    CAST(sum(n_char) AS BIGINT) AS n_tokens_char
+       |  FROM tw JOIN vb USING (w) WHERE w <> '' GROUP BY 1),
+       |dd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_tokens_bpe, n_tokens_char,
+       |  ${graft.StableRound.sql6("CAST(n_tokens_char AS DOUBLE) " +
+            "/ CAST(n_tokens_bpe AS DOUBLE)")} AS compression
+       |FROM dd JOIN pl USING (lang)""".stripMargin
 
   /** Exact embedding-cosine connected components — shared by
     * dedupe_embed_clusters and the IVF-blocked tier (which must agree
@@ -1085,5 +1167,7 @@ object CorpusQueries extends QueryPack {
         |FROM kept GROUP BY 1""".stripMargin,
 
     "pipeline_tokenizer_train" -> tokenizerTrainSql,
+
+    "pipeline_tokenizer_apply" -> tokenizerApplySql,
   )
 }
