@@ -16,9 +16,10 @@ import graft.ops.{CorpusOps, IncrementalDedupe, TextOps}
   *    partition columns (partition-pruned reads per generation/shard).
   *  - Dedupe state is a chain of IMMUTABLE SNAPSHOTS, one dir per
   *    generation, each holding ONLY that generation's additions
-  *    (`keys/` exact-content keys, `bands/` the LSH band index —
-  *    ~16 small rows per landed canonical, independent of document
-  *    size). A run reads the union of all prior snapshots and writes
+  *    (`keys/` exact-content keys, `bands/` the LSH band index packed
+  *    as one 16-sig array row per landed canonical — ~150 B at rest,
+  *    independent of document size). A run reads the union of all
+  *    prior snapshots and writes
   *    one new snapshot: O(delta) writes, no state rewrite, and any
   *    generation is reproducible by replaying the chain.
   *
@@ -85,8 +86,8 @@ object IncrementalCorpusJob {
       .localCheckpoint()
     val stateKeys = spark.read
       .parquet(stateInDirs.map(_ + "/keys"): _*).localCheckpoint()
-    val stateBands = spark.read
-      .parquet(stateInDirs.map(_ + "/bands"): _*)
+    val stateBands = IncrementalDedupe.explodeBands(
+      spark.read.parquet(stateInDirs.map(_ + "/bands"): _*), "doc_id")
 
     // ordering contract: landed ids all precede delta ids (keep-first
     // parity with a full rebuild; both aggs run over small relations)

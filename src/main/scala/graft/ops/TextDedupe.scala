@@ -251,17 +251,26 @@ object TextDedupe {
     * row. Shared by the self-join pair path ([[minhashLshPairs]]) and
     * the streaming incremental near-dup key table
     * (`StreamOps.neardupDedupeBatch`), so the two tiers cannot drift. */
-  def bandRows(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 16): DataFrame = {
+  /** The per-doc array of band signatures ([[bandRows]]'s payload
+    * before the explode) — also the AT-REST layout of the incremental
+    * band index (one array row per doc; ~134 B/doc measured at sf1 —
+    * parquet encodes the exploded form about as small, so the packed
+    * win is 16× fewer rows through scan/shuffle, not bytes; see
+    * IncrementalDedupe). */
+  def bandArray(text: Column, k: Int = 32, bands: Int = 16): Column = {
     val r = k / bands
-    val bandArr = let1(minhashSignature(col(textCol), k), sig =>
+    let1(minhashSignature(text, k), sig =>
       transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
           (0 until r).map(j => element_at(sig, bnd * r + j + 1)): _*))))
+  }
+
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 16): DataFrame =
     docs.filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol),
-        posexplode(bandArr).as(Seq("band", "band_sig")))
-  }
+        posexplode(bandArray(col(textCol), k, bands))
+          .as(Seq("band", "band_sig")))
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against a
     * once-per-doc shingle-set table per side — candidates carry only

@@ -79,12 +79,15 @@ class IncrementalCorpusJobSpec extends SparkSpec {
     assert(spark.read.parquet(corpusDir).join(src, "doc_id")
       .filter(col("text") =!= col("src_text")).count() == 0)
 
-    // state chain accretes: one snapshot per generation, 16 band rows
-    // and 1 key row per landed canonical of that generation
+    // state chain accretes: one snapshot per generation, 1 key row and
+    // 1 packed band row (16 sigs) per landed canonical of that
+    // generation
     for ((st, n) <- Seq(st0 -> boot.nKept, st1 -> r1.nKept,
         st2 -> r2.nKept)) {
       assert(spark.read.parquet(s"$st/keys").count() == n, st)
-      assert(spark.read.parquet(s"$st/bands").count() == 16L * n, st)
+      val b = spark.read.parquet(s"$st/bands")
+      assert(b.count() == n, st)
+      assert(b.filter(size(col("band_sigs")) =!= 16).count() == 0, st)
     }
 
     // id-ordering contract is enforced, not assumed
