@@ -148,6 +148,27 @@ object ScalarQueries extends QueryPack {
           .as("first_val"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x), 4).as("vec_sum"))),
+
+    // Morton z-order kernel (ops.Layout): min-max grid-scale two
+    // dimensions to 16 bits and interleave — the clustering key behind
+    // writeZOrdered's 2-D row-group skipping (measured in
+    // ZOrderLayoutSpec). Map-only over one broadcast bounds row; the
+    // oracle spells the identical shift/and/or tree in SQL.
+    "scalar_zorder" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val b = o.agg(
+        min(col("o_custkey")).cast("double").as("xlo"),
+        max(col("o_custkey")).cast("double").as("xhi"),
+        min(col("o_totalprice")).cast("double").as("ylo"),
+        max(col("o_totalprice")).cast("double").as("yhi"))
+      val g = o.crossJoin(broadcast(b)).select(col("o_orderkey"),
+        graft.ops.Layout.gridScale(col("o_custkey"),
+          col("xlo"), col("xhi"), 16).as("zx"),
+        graft.ops.Layout.gridScale(col("o_totalprice"),
+          col("ylo"), col("yhi"), 16).as("zy"))
+      g.select(col("o_orderkey"), col("zx"), col("zy"),
+        graft.ops.Layout.zValue(col("zx"), col("zy"), 16).as("zval"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -259,5 +280,26 @@ object ScalarQueries extends QueryPack {
         |  round(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE))), 4) AS vec_sum
         |FROM embeddings""".stripMargin,
+
+    // identical IEEE arithmetic order as Layout.gridScale, identical
+    // shift/and/or interleave as Layout.zValue
+    "scalar_zorder" -> {
+      val inter = (0 until 16).map(i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) | " +
+          s"(((zy >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+      s"""WITH b AS (SELECT
+         |    CAST(min(o_custkey) AS DOUBLE) AS xlo,
+         |    CAST(max(o_custkey) AS DOUBLE) AS xhi,
+         |    CAST(min(o_totalprice) AS DOUBLE) AS ylo,
+         |    CAST(max(o_totalprice) AS DOUBLE) AS yhi
+         |  FROM orders),
+         |g AS (SELECT o_orderkey,
+         |    least(65535, CAST(floor((CAST(o_custkey AS DOUBLE) - xlo)
+         |      / (xhi - xlo) * 65535) AS BIGINT)) AS zx,
+         |    least(65535, CAST(floor((CAST(o_totalprice AS DOUBLE) - ylo)
+         |      / (yhi - ylo) * 65535) AS BIGINT)) AS zy
+         |  FROM orders, b)
+         |SELECT o_orderkey, zx, zy, ($inter) AS zval FROM g""".stripMargin
+    },
   )
 }
