@@ -166,6 +166,20 @@ object IncrementalCorpusJob {
       genDir = genDir, stateOutDir = stateOutDir)
   }
 
+  /** Merge a snapshot chain into ONE snapshot — the manifest-compaction
+    * analog of the generation model: after many generations the
+    * chain's file count (not its bytes) is what costs, and compaction
+    * is a pure union rewrite, content-identical by construction
+    * (asserted in IncrementalCorpusJobSpec). Subsequent ingests pass
+    * `Seq(compactedDir)` instead of the chain. */
+  def compactState(spark: SparkSession, stateInDirs: Seq[String],
+      stateOutDir: String): Unit = {
+    spark.read.parquet(stateInDirs.map(_ + "/keys"): _*)
+      .write.mode("overwrite").parquet(s"$stateOutDir/keys")
+    spark.read.parquet(stateInDirs.map(_ + "/bands"): _*)
+      .write.mode("overwrite").parquet(s"$stateOutDir/bands")
+  }
+
   /** `single = true` forces one write task so a ZERO-ROW snapshot still
     * lands a schema-bearing parquet file (the task opens the file and
     * writes the footer even with no rows). */

@@ -90,10 +90,22 @@ class IncrementalCorpusJobSpec extends SparkSpec {
       assert(b.filter(size(col("band_sigs")) =!= 16).count() == 0, st)
     }
 
+    // compacting the chain into one snapshot is a content-identity
+    // rewrite (both tables, both directions)
+    val stC = tmp("graft_stC")
+    IncrementalCorpusJob.compactState(spark, Seq(st0, st1, st2), stC)
+    for (t <- Seq("keys", "bands")) {
+      val chain = spark.read.parquet(Seq(st0, st1, st2)
+        .map(_ + s"/$t"): _*)
+      val compacted = spark.read.parquet(s"$stC/$t")
+      assert(chain.exceptAll(compacted).count() == 0, t)
+      assert(compacted.exceptAll(chain).count() == 0, t)
+    }
+
     // id-ordering contract is enforced, not assumed
     val bad = intercept[IllegalArgumentException] {
       IncrementalCorpusJob.ingestDelta(spark, delta1, 3, corpusDir,
-        Seq(st0, st1, st2), tmp("graft_st3"))
+        Seq(stC), tmp("graft_st3"))
     }
     assert(bad.getMessage.contains("id-ordered"))
   }
