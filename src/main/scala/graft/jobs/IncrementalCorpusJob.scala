@@ -23,8 +23,10 @@ import graft.ops.{CorpusOps, IncrementalDedupe, TextOps}
   *    one new snapshot: O(delta) writes, no state rewrite, and any
   *    generation is reproducible by replaying the chain.
   *
-  * Per-delta cost: curate is map-only over the delta; the exact tier is
-  * a key anti-join (delta keys vs the small state key table); the
+  * Per-delta cost: curate is map-only over the delta; the exact tier
+  * bloom-gates against the landed key table (one un-shuffled pass to
+  * build the filter; only probe-positives reach the exact semi-join);
+  * the
   * near-dup tier probes the band index and fetches landed TEXT only for
   * band-candidates (see [[IncrementalDedupe.neardupVerdicts]]); packing
   * and the shard write touch only kept delta docs. Nothing is
@@ -104,11 +106,25 @@ object IncrementalCorpusJob {
       .filter(col("keep")).select("doc_id")
     val curated = delta.join(curKeep, "doc_id").localCheckpoint()
 
-    // stage 2: exact tier vs landed — key anti-join against the state
-    // key table (the dedupe_incremental/bloom tier shape)
-    val fresh = curated
+    // stage 2: exact tier vs landed — BLOOM-GATED (the
+    // dedupe_incremental_bloom tier wired into the job): the landed
+    // key table folds into a ~9-bits/key filter (one pass over the
+    // checkpointed state, a mergeable aggregate — the state is never
+    // shuffled), bloom-negatives are DEFINITIVELY fresh (no false
+    // negatives), and only probe-positives reach the exact semi-join,
+    // so the join input is |dupes| + 1%·|fresh| instead of |delta|.
+    // Result identical to a plain anti-join by construction.
+    val keyed = curated
       .withColumn("__k", IncrementalDedupe.exactKey(col("text")))
-      .join(stateKeys.select(col("k").as("__k")), Seq("__k"), "left_anti")
+      .localCheckpoint()
+    val bf = stateKeys.stat.bloomFilter("k",
+      math.max(stateKeys.count(), 1000L), 0.01)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfBc.value.mightContainLong(k))
+    val dupIds = keyed.filter(might(col("__k")))
+      .join(stateKeys.select(col("k").as("__k")), Seq("__k"), "left_semi")
+      .select("doc_id")
+    val fresh = keyed.join(dupIds, Seq("doc_id"), "left_anti")
       .drop("__k").localCheckpoint()
 
     // stage 3: near-dup tier vs landed band index; landed TEXT is read

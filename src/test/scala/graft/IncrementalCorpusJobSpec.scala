@@ -173,8 +173,12 @@ class IncrementalCorpusJobSpec extends SparkSpec {
     val (s30, s31) = (tmp("graft_rst0"), tmp("graft_rst1"))
     val boot3 = IncrementalCorpusJob.bootstrap(spark, base3, corpus3, s30)
     assert(boot3.nKept == 1, boot3.toString)
-    val r3 = IncrementalCorpusJob.ingestDelta(spark, mk(10L -> doc(13)),
-      1, corpus3, Seq(s30), s31)
+    // the delta also carries a VERBATIM copy of landed K — the
+    // bloom-gated exact tier must kill it before the near-dup tier
+    // ever sees it (nExactFresh = 1 = E alone)
+    val r3 = IncrementalCorpusJob.ingestDelta(spark,
+      mk(10L -> doc(13), 11L -> doc(1)), 1, corpus3, Seq(s30), s31)
+    assert(r3.nCurated == 2 && r3.nExactFresh == 1, r3.toString)
     assert(r3.nKept == 1 && r3.nDupBase == 0, r3.toString) // E lands
     val full3 = tmp("graft_relay_full")
     CorpusBuildJob.run(spark,
