@@ -37,11 +37,18 @@ object CorpusBuildJob {
       nSequences: Long, totalTokens: Long,
       numShards: Int, outDir: String)
 
+  /** @param clusterById false (default) lands the seeded-shuffle shard
+    *        layout ([[CorpusOps.writeShuffled]] — the training-loader
+    *        artifact); true lands the corpus-of-record layout
+    *        ([[CorpusOps.writeIdClustered]] — id-range files whose
+    *        row groups prune point/range id fetches, which is what
+    *        [[IncrementalCorpusJob]]'s per-delta verify needs). Both
+    *        carry the `shuffle_key` column. */
   def run(spark: SparkSession, docsDir: String, outDir: String,
       minTokens: Int = 20, maxTokens: Int = 90,
       minQuality: Double = 0.58, dedupeThreshold: Double = 0.5,
       budgetTokens: Int = 2048, seed: Long = 7L,
-      numShards: Int = 8): Report = {
+      numShards: Int = 8, clusterById: Boolean = false): Report = {
     val docs = Tables.documents(spark, docsDir)
       .select("doc_id", "lang", "text")
 
@@ -66,8 +73,11 @@ object CorpusBuildJob {
       budgetTokens)
     val layout = packed.join(kept.select("doc_id", "text"), "doc_id")
 
-    // stage 4: land the seeded-shuffle shard layout
-    CorpusOps.writeShuffled(layout, "doc_id", seed, numShards, outDir)
+    // stage 4: land the requested layout
+    if (clusterById)
+      CorpusOps.writeIdClustered(layout, "doc_id", seed, numShards, outDir)
+    else
+      CorpusOps.writeShuffled(layout, "doc_id", seed, numShards, outDir)
 
     // audit WHAT WAS WRITTEN — the report reads the landed output back
     // so a write-path bug can't hide behind in-memory frames

@@ -1,7 +1,10 @@
 package graft.jobs
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import graft.ops.{CorpusOps, IncrementalDedupe, TextOps}
 
 /** The INCREMENTAL corpus lifecycle — how a training corpus actually
@@ -10,28 +13,51 @@ import graft.ops.{CorpusOps, IncrementalDedupe, TextOps}
   * without ever re-pairing or re-scanning what already landed.
   *
   * Layout contract:
-  *  - Corpus generations land under `corpusDir/gen=N/shard=K/…` — one
-  *    immutable generation per ingested batch; `spark.read.parquet
-  *    (corpusDir)` reassembles the whole corpus with `gen` + `shard` as
-  *    partition columns (partition-pruned reads per generation/shard).
+  *  - Corpus generations land under `corpusDir/gen=N/…` — one immutable
+  *    generation per ingested batch, ID-CLUSTERED
+  *    ([[CorpusOps.writeIdClustered]]: id-range files, rows ascending by
+  *    `doc_id`). Because delta ids are generation-monotonic (enforced
+  *    below), the WHOLE corpus is globally id-clustered: `gen` prunes as
+  *    a partition column and `doc_id` ranges prune at row-group level —
+  *    which is what makes the per-delta candidate-text fetch
+  *    O(candidates) instead of O(corpus) ([[prunedTextFetch]]).
+  *    `spark.read.parquet(corpusDir)` reassembles the whole corpus.
   *  - Dedupe state is a chain of IMMUTABLE SNAPSHOTS, one dir per
   *    generation, each holding ONLY that generation's additions
   *    (`keys/` exact-content keys, `bands/` the LSH band index packed
   *    as one 16-sig array row per landed canonical — ~150 B at rest,
-  *    independent of document size). A run reads the union of all
-  *    prior snapshots and writes
-  *    one new snapshot: O(delta) writes, no state rewrite, and any
-  *    generation is reproducible by replaying the chain.
+  *    independent of document size) plus a `meta.json` carrying the
+  *    generation's canonical count and id range, so chain-wide facts
+  *    (bloom sizing, the ordering check, fetch pruning ranges) cost a
+  *    driver-side metadata read instead of a state-chain scan. A run
+  *    reads the union of all prior snapshots and writes one new
+  *    snapshot: O(delta) writes, no state rewrite, and any generation
+  *    is reproducible by replaying the chain.
+  *
+  * Crash safety (single commit point + derivable state): a delta stages
+  * its shards at `<corpusDir>.staging/gen=N` (a SIBLING dir of the
+  * corpus — invisible to every corpus read by construction, and on the
+  * same filesystem so the commit rename stays atomic), writes the
+  * state snapshot from the STAGED
+  * bytes via tmp-dir + atomic rename, and only then renames the staging
+  * dir to `gen=N` — the rename IS the commit. A kill in any window
+  * leaves a chain [[recover]] repairs mechanically: snapshot present
+  * but `gen=N` missing → roll the staged dir forward (the snapshot is
+  * only ever written after staging completed); staged dir present but
+  * no snapshot → roll back and re-run the delta; landed generation
+  * with no snapshot (a bootstrap kill) → rebuild the snapshot from the
+  * landed text, of which state is a pure function. [[ingestDelta]]
+  * validates chain/landed consistency up front so an unrepaired crash
+  * fails loudly instead of silently re-admitting near-dups.
   *
   * Per-delta cost: curate is map-only over the delta; the exact tier
-  * bloom-gates against the landed key table (one un-shuffled pass to
-  * build the filter; only probe-positives reach the exact semi-join);
-  * the
-  * near-dup tier probes the band index and fetches landed TEXT only for
-  * band-candidates (see [[IncrementalDedupe.neardupVerdicts]]); packing
-  * and the shard write touch only kept delta docs. Nothing is
-  * proportional to the landed corpus except the state-key/band unions,
-  * which are ~256 bytes per landed canonical.
+  * bloom-gates against the landed key table (filter sized from chain
+  * metadata — no counting pass; only probe-positives reach the exact
+  * semi-join); the near-dup tier probes the band index and fetches
+  * landed TEXT only for band-candidates through the pruned generation
+  * reads; packing and the shard write touch only kept delta docs.
+  * Nothing is proportional to the landed corpus except the
+  * state-key/band unions, which are ~256 bytes per landed canonical.
   *
   * Ordering contract (asserted): delta doc ids must be strictly greater
   * than every landed id, so "landed canonicals win" coincides with the
@@ -56,26 +82,38 @@ object IncrementalCorpusJob {
       nSequences: Long, totalTokens: Long,
       genDir: String, stateOutDir: String)
 
+  /** One generation's entry in a snapshot's `meta.json`: how many
+    * canonicals it landed and their id range (empty generation ⇒
+    * `nKeys == 0`, range `[0, -1]` — matches nothing). A compacted
+    * snapshot's meta carries one entry per covered generation, so
+    * compaction loses no pruning precision. */
+  case class GenMeta(gen: Int, nKeys: Long, minDocId: Long, maxDocId: Long)
+
   /** Full build of the initial corpus into `corpusDir/gen=0` plus the
-    * generation-0 state snapshot. */
+    * generation-0 state snapshot, through the same staged commit
+    * protocol as [[ingestDelta]] (stage → snapshot → rename). */
   def bootstrap(spark: SparkSession, docsDir: String, corpusDir: String,
       stateOutDir: String,
       minTokens: Int = 20, maxTokens: Int = 90,
       minQuality: Double = 0.58, dedupeThreshold: Double = 0.5,
       budgetTokens: Int = 2048, seed: Long = 7L,
       numShards: Int = 8): CorpusBuildJob.Report = {
-    val rep = CorpusBuildJob.run(spark, docsDir, s"$corpusDir/gen=0",
+    val staging = stagingDir(corpusDir, 0)
+    val rep = CorpusBuildJob.run(spark, docsDir, staging,
       minTokens, maxTokens, minQuality, dedupeThreshold, budgetTokens,
-      seed, numShards)
-    writeState(spark.read.parquet(s"$corpusDir/gen=0")
-      .select("doc_id", "text"), stateOutDir, single = false)
-    rep
+      seed, numShards, clusterById = true)
+    writeStateCommitted(spark,
+      spark.read.parquet(staging).select("doc_id", "text"),
+      generation = 0, stateOutDir, single = false)
+    commitGeneration(spark, corpusDir, 0)
+    rep.copy(outDir = s"$corpusDir/gen=0")
   }
 
   /** Ingest one delta batch as generation `generation`: curate →
     * exact-vs-state → near-dup-vs-state (transitive through the batch)
-    * → pack → shard write → state snapshot. `stateInDirs` is the chain
-    * of ALL prior snapshots (bootstrap's plus one per prior delta). */
+    * → pack → staged shard write → state snapshot → commit rename.
+    * `stateInDirs` is the chain of ALL prior snapshots (bootstrap's
+    * plus one per prior delta, or a [[compactState]] merge). */
   def ingestDelta(spark: SparkSession, deltaDocs: DataFrame,
       generation: Int, corpusDir: String,
       stateInDirs: Seq[String], stateOutDir: String,
@@ -86,14 +124,20 @@ object IncrementalCorpusJob {
     require(generation > 0, "generation 0 is bootstrap's")
     val delta = deltaDocs.select("doc_id", "lang", "text")
       .localCheckpoint()
+    val chainMeta = readChainMeta(spark, stateInDirs)
+    chainMeta.foreach(validateChain(spark, corpusDir, _, generation))
     val stateKeys = spark.read
       .parquet(stateInDirs.map(_ + "/keys"): _*).localCheckpoint()
     val stateBands = IncrementalDedupe.explodeBands(
       spark.read.parquet(stateInDirs.map(_ + "/bands"): _*), "doc_id")
 
     // ordering contract: landed ids all precede delta ids (keep-first
-    // parity with a full rebuild; both aggs run over small relations)
-    val maxLanded = stateKeys.agg(max("doc_id")).head.getLong(0)
+    // parity with a full rebuild). With chain metadata this is a
+    // driver-side comparison; without it (a pre-metadata chain) it
+    // falls back to one agg over the checkpointed key table.
+    val maxLanded = chainMeta
+      .map(_.filter(_.nKeys > 0).map(_.maxDocId).max)
+      .getOrElse(stateKeys.agg(max("doc_id")).head.getLong(0))
     val minDelta = delta.agg(min("doc_id")).head.getLong(0)
     require(minDelta > maxLanded,
       s"delta ids must follow landed ids (landed max $maxLanded, " +
@@ -113,12 +157,16 @@ object IncrementalCorpusJob {
     // shuffled), bloom-negatives are DEFINITIVELY fresh (no false
     // negatives), and only probe-positives reach the exact semi-join,
     // so the join input is |dupes| + 1%·|fresh| instead of |delta|.
+    // Sizing comes from chain metadata — the state chain is NOT
+    // re-counted per delta (that second pass was r13's cost bug).
     // Result identical to a plain anti-join by construction.
     val keyed = curated
       .withColumn("__k", IncrementalDedupe.exactKey(col("text")))
       .localCheckpoint()
+    val nLandedKeys = chainMeta.map(_.map(_.nKeys).sum)
+      .getOrElse(stateKeys.count())
     val bf = stateKeys.stat.bloomFilter("k",
-      math.max(stateKeys.count(), 1000L), 0.01)
+      math.max(nLandedKeys, 1000L), 0.01)
     val bfBc = spark.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bfBc.value.mightContainLong(k))
     val dupIds = keyed.filter(might(col("__k")))
@@ -128,35 +176,48 @@ object IncrementalCorpusJob {
       .drop("__k").localCheckpoint()
 
     // stage 3: near-dup tier vs landed band index; landed TEXT is read
-    // candidate-wise from the corpus itself (state stores no text)
-    val landedText = spark.read.parquet(corpusDir)
-      .select("doc_id", "text")
+    // candidate-wise — with chain metadata, through generation-pruned
+    // row-group-skipping reads (O(candidates) corpus I/O); without it,
+    // through the plain semi-join fetch (reads the corpus's two
+    // columns once)
+    val fetch: DataFrame => DataFrame = chainMeta match {
+      case Some(metas) =>
+        prunedTextFetch(spark, corpusDir, "doc_id", "text", metas)
+      case None => ids =>
+        spark.read.parquet(corpusDir).select("doc_id", "text")
+          .join(ids, Seq("doc_id"), "left_semi")
+    }
     val verdicts = IncrementalDedupe.neardupVerdicts(fresh, "doc_id",
-      "text", stateBands, landedText, dedupeThreshold).localCheckpoint()
+      "text", stateBands, fetch, dedupeThreshold).localCheckpoint()
     val kept = fresh.join(
       verdicts.filter(col("status") === "kept").select("doc_id"),
       "doc_id").localCheckpoint()
 
-    // stage 4: pack THIS generation's stream and land its shards. An
-    // all-dropped delta lands NO generation dir (a zero-row
-    // partitionBy write emits no files, so a later read could not
-    // infer its schema) — but it still gets a schema-ful empty state
-    // snapshot so the chain union stays readable.
+    // stage 4: pack THIS generation's stream and STAGE its shards
+    // (invisible to readers until the commit rename below). An
+    // all-dropped delta lands NO generation dir — but it still gets a
+    // schema-ful empty state snapshot so the chain union stays
+    // readable.
     val keptN = kept.count()
     val genDir = s"$corpusDir/gen=$generation"
     if (keptN > 0) {
+      val staging = stagingDir(corpusDir, generation)
       val packed = CorpusOps.packSequences(kept, "doc_id", "lang",
         "text", budgetTokens)
-      CorpusOps.writeShuffled(
+      CorpusOps.writeIdClustered(
         packed.join(kept.select("doc_id", "text"), "doc_id"),
-        "doc_id", seed + generation, numShards, genDir)
+        "doc_id", seed + generation, numShards, staging)
       // stage 5: state snapshot for this generation (additions only),
-      // built from the LANDED rows so a write-path bug cannot hide
-      writeState(spark.read.parquet(genDir).select("doc_id", "text"),
-        stateOutDir, single = false)
+      // built from the STAGED bytes (= the landed bytes after the
+      // rename) so a write-path bug cannot hide; then the commit
+      // rename makes the generation visible
+      writeStateCommitted(spark,
+        spark.read.parquet(staging).select("doc_id", "text"),
+        generation, stateOutDir, single = false)
+      commitGeneration(spark, corpusDir, generation)
     } else {
-      writeState(kept.select("doc_id", "text").limit(0), stateOutDir,
-        single = true)
+      writeStateCommitted(spark, kept.select("doc_id", "text").limit(0),
+        generation, stateOutDir, single = true)
     }
 
     // audit from the landed generation + the verdict relation
@@ -182,31 +243,266 @@ object IncrementalCorpusJob {
       genDir = genDir, stateOutDir = stateOutDir)
   }
 
+  /** The O(candidates) landed-text fetch: candidates are mapped to the
+    * generations whose id ranges contain them (a broadcast join against
+    * the ≤|generations|-row metadata relation), and each touched
+    * generation is read with a PUSHED id predicate — a per-generation
+    * range always, plus the exact id-IN list when the candidate set is
+    * small enough to collect (the `pqCosineTopKFromLayout` rerank
+    * precedent). Because generation files are id-clustered, those
+    * predicates prune at row-group level off parquet min/max footers;
+    * untouched generations are never opened at all. Driver-side data
+    * is O(|generations|) rows plus at most `maxInIds` collected ids —
+    * never O(corpus), never O(delta).
+    *
+    * The trailing left-semi join restores row-exactness over whatever
+    * the pruned scan let through (row groups are coarse). */
+  def prunedTextFetch(spark: SparkSession, corpusDir: String,
+      idCol: String, textCol: String, metas: Seq[GenMeta],
+      maxInIds: Int = 4096): DataFrame => DataFrame = { candIdsIn =>
+    // the candidate relation feeds 2-3 actions below — materialize once
+    val candIds = candIdsIn.localCheckpoint()
+    val ranges = metas.filter(_.nKeys > 0)
+    val empty = () => spark.read.parquet(corpusDir)
+      .select(col(idCol), col(textCol)).limit(0)
+    if (ranges.isEmpty) empty()
+    else {
+      val rangeDf = spark.createDataFrame(
+        ranges.map(m => (m.gen, m.minDocId, m.maxDocId)))
+        .toDF("__gen", "__lo", "__hi")
+      // ≤ one row per generation: which gens hold candidates, and the
+      // candidate id envelope within each
+      val perGen = candIds
+        .join(broadcast(rangeDf),
+          col(idCol).between(col("__lo"), col("__hi")))
+        .groupBy("__gen")
+        .agg(min(idCol).as("__mn"), max(idCol).as("__mx"),
+          count(lit(1)).as("__n"))
+        .collect()
+      if (perGen.isEmpty) empty()
+      else {
+        val totalCand = perGen.map(_.getAs[Long]("__n")).sum
+        // bounded collect: only when the whole candidate set fits the
+        // id-IN budget (point predicates prune sharper than the range
+        // envelope when candidates are sparse within a generation)
+        val idList: Option[Seq[Long]] =
+          if (totalCand <= maxInIds)
+            Some(candIds.collect().map(_.getLong(0)).toIndexedSeq)
+          else None
+        val parts = perGen.toSeq.map { r =>
+          val g = r.getAs[Int]("__gen")
+          val base = spark.read.parquet(s"$corpusDir/gen=$g")
+            .filter(col(idCol).between(
+              r.getAs[Long]("__mn"), r.getAs[Long]("__mx")))
+          idList.fold(base)(ids => base.filter(col(idCol).isin(ids: _*)))
+            .select(col(idCol), col(textCol))
+        }
+        parts.reduce(_ union _)
+          .join(candIds, Seq(idCol), "left_semi")
+      }
+    }
+  }
+
   /** Merge a snapshot chain into ONE snapshot — the manifest-compaction
     * analog of the generation model: after many generations the
     * chain's file count (not its bytes) is what costs, and compaction
     * is a pure union rewrite, content-identical by construction
-    * (asserted in IncrementalCorpusJobSpec). Subsequent ingests pass
-    * `Seq(compactedDir)` instead of the chain. */
+    * (asserted in IncrementalCorpusJobSpec). The merged `meta.json`
+    * keeps one entry PER COVERED GENERATION (a driver-side JSON merge —
+    * no state scan), so bloom sizing and fetch pruning lose nothing.
+    * Subsequent ingests pass `Seq(compactedDir)` instead of the
+    * chain. */
   def compactState(spark: SparkSession, stateInDirs: Seq[String],
       stateOutDir: String): Unit = {
     spark.read.parquet(stateInDirs.map(_ + "/keys"): _*)
       .write.mode("overwrite").parquet(s"$stateOutDir/keys")
     spark.read.parquet(stateInDirs.map(_ + "/bands"): _*)
       .write.mode("overwrite").parquet(s"$stateOutDir/bands")
+    readChainMeta(spark, stateInDirs).foreach(metas =>
+      writeMeta(spark, stateOutDir, metas.sortBy(_.gen)))
   }
 
-  /** `single = true` forces one write task so a ZERO-ROW snapshot still
-    * lands a schema-bearing parquet file (the task opens the file and
-    * writes the footer even with no rows). */
-  private def writeState(landed: DataFrame, stateDir: String,
-      single: Boolean): Unit = {
+  /** Repair a chain interrupted mid-commit. Returns what it did:
+    * `committed` (nothing to do), `rolled-forward` (snapshot landed but
+    * the gen rename didn't — finish it; safe because the snapshot is
+    * only ever written AFTER the staging write completed),
+    * `state-rebuilt` (generation landed but its snapshot is missing —
+    * rebuild it from the landed text, of which state is a pure
+    * function), `rolled-back` (staging/tmp leftovers with no committed
+    * snapshot — delete them; re-run the delta), or `committed-empty`
+    * (the snapshot says the generation landed nothing, so no dir is
+    * expected). */
+  def recover(spark: SparkSession, corpusDir: String, generation: Int,
+      stateDir: String): String = {
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genP = new Path(s"$corpusDir/gen=$generation")
+    val stagP = new Path(stagingDir(corpusDir, generation))
+    val tmpP = new Path(stateDir + ".tmp")
+    val stateP = new Path(stateDir)
+    def clean(): Unit = {
+      fs.delete(stagP, true); fs.delete(tmpP, true)
+    }
+    if (fs.exists(genP) && fs.exists(stateP)) { clean(); "committed" }
+    else if (fs.exists(genP)) {
+      // landed, snapshot missing (bootstrap-shaped kill): state is a
+      // pure function of the landed text — rebuild it
+      writeStateCommitted(spark,
+        spark.read.parquet(genP.toString).select("doc_id", "text"),
+        generation, stateDir, single = false)
+      clean(); "state-rebuilt"
+    } else if (fs.exists(stateP)) {
+      if (fs.exists(stagP)) {
+        // the commit rename didn't happen; staging is complete by the
+        // write protocol's ordering — roll forward
+        require(fs.rename(stagP, genP), s"rename $stagP -> $genP failed")
+        fs.delete(tmpP, true); "rolled-forward"
+      } else {
+        val meta = readChainMeta(spark, Seq(stateDir))
+        val isEmpty = meta.exists(_.forall(m =>
+          m.gen != generation || m.nKeys == 0))
+        if (isEmpty) { fs.delete(tmpP, true); "committed-empty" }
+        else throw new IllegalStateException(
+          s"snapshot $stateDir claims generation $generation landed " +
+            "canonicals but neither gen dir nor staging exists — " +
+            "chain is unrecoverable without re-ingesting the delta")
+      }
+    } else if (fs.exists(stagP) || fs.exists(tmpP)) {
+      clean(); "rolled-back"
+    } else "nothing-to-recover"
+  }
+
+  /** Chain/landed consistency gate run at the top of [[ingestDelta]]:
+    * every landed `gen=K` dir must be covered by the snapshot chain
+    * (else a crash left a generation invisible to dedupe state — the
+    * silent near-dup re-admission the commit protocol exists to
+    * prevent), and every chain entry claiming canonicals must have its
+    * generation landed. Fails loudly, naming [[recover]]. */
+  private def validateChain(spark: SparkSession, corpusDir: String,
+      metas: Seq[GenMeta], ingesting: Int): Unit = {
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landed: Set[Int] =
+      if (!fs.exists(new Path(corpusDir))) Set.empty
+      else fs.listStatus(new Path(corpusDir)).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen=") =>
+          s.stripPrefix("gen=").toInt }
+        .toSet
+    val covered = metas.map(_.gen).toSet
+    val nonEmpty = metas.filter(_.nKeys > 0).map(_.gen).toSet
+    val uncovered = landed -- covered
+    require(uncovered.isEmpty,
+      s"landed generation(s) ${uncovered.toSeq.sorted.mkString(",")} " +
+        "have no state snapshot in the chain — run " +
+        "IncrementalCorpusJob.recover (or pass their snapshots) before " +
+        "ingesting, else their near-dups would be re-admitted")
+    val ghost = nonEmpty -- landed
+    require(ghost.isEmpty,
+      s"chain snapshot(s) for generation(s) " +
+        s"${ghost.toSeq.sorted.mkString(",")} claim landed canonicals " +
+        "but no gen dir exists — run IncrementalCorpusJob.recover to " +
+        "roll the staged generation forward")
+    require(!covered.contains(ingesting) && !landed.contains(ingesting),
+      s"generation $ingesting already exists in the chain — " +
+        "re-ingesting a committed generation would duplicate it")
+  }
+
+  /** Write one generation's snapshot (keys, packed bands, meta) to
+    * `stateDir + ".tmp"`, then atomically rename into place — a
+    * half-written snapshot is never visible under the final name. */
+  private def writeStateCommitted(spark: SparkSession, landed: DataFrame,
+      generation: Int, stateDir: String, single: Boolean): Unit = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = stateDir + ".tmp"
+    fs.delete(new Path(tmp), true)
     val (keys, bands) = IncrementalDedupe.stateRows(landed,
       "doc_id", "text")
+    // single = true forces one write task so a ZERO-ROW snapshot still
+    // lands a schema-bearing parquet file (the task opens the file and
+    // writes the footer even with no rows)
     def w(df: DataFrame, p: String): Unit =
       (if (single) df.coalesce(1) else df)
         .write.mode("overwrite").parquet(p)
-    w(keys, s"$stateDir/keys")
-    w(bands, s"$stateDir/bands")
+    w(keys, s"$tmp/keys")
+    w(bands, s"$tmp/bands")
+    // this generation's metadata: one O(delta) agg over the snapshot's
+    // own keys — never the chain
+    val a = spark.read.parquet(s"$tmp/keys")
+      .agg(count(lit(1)), min("doc_id"), max("doc_id")).head
+    val gm =
+      if (a.getLong(0) == 0L) GenMeta(generation, 0L, 0L, -1L)
+      else GenMeta(generation, a.getLong(0), a.getLong(1), a.getLong(2))
+    writeMeta(spark, tmp, Seq(gm))
+    fs.delete(new Path(stateDir), true)
+    require(fs.rename(new Path(tmp), new Path(stateDir)),
+      s"rename $tmp -> $stateDir failed")
+  }
+
+  private def writeMeta(spark: SparkSession, stateDir: String,
+      gens: Seq[GenMeta]): Unit = {
+    val json = JsonMethods.compact(JsonMethods.render(
+      JObject("gens" -> JArray(gens.toList.map(g => JObject(
+        "gen" -> JInt(g.gen), "n_keys" -> JInt(g.nKeys),
+        "min_doc_id" -> JInt(g.minDocId),
+        "max_doc_id" -> JInt(g.maxDocId)))))))
+    val p = new Path(s"$stateDir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The chain's generation metadata, or None if ANY snapshot predates
+    * the metadata format (callers then fall back to state-scan
+    * derivations — correct, just not O(1)). */
+  def readChainMeta(spark: SparkSession,
+      stateInDirs: Seq[String]): Option[Seq[GenMeta]] = {
+    val per = stateInDirs.map { d =>
+      val p = new Path(s"$d/meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val items = JsonMethods.parse(txt) \ "gens" match {
+          case JArray(xs) => xs
+          case other => throw new IllegalStateException(
+            s"bad meta.json in $d: gens = $other")
+        }
+        Some(items.map { j =>
+          def l(f: String): Long = (j \ f) match {
+            case JInt(v) => v.toLong
+            case other => throw new IllegalStateException(
+              s"bad meta.json field $f in $d: $other")
+          }
+          GenMeta(l("gen").toInt, l("n_keys"), l("min_doc_id"),
+            l("max_doc_id"))
+        })
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+  }
+
+  /** Where generation `gen` stages before its commit rename: a sibling
+    * of `corpusDir` (same filesystem → atomic rename; outside the
+    * corpus root → never visible to a corpus read, with no reliance on
+    * hidden-path filtering). */
+  private def stagingDir(corpusDir: String, gen: Int): String =
+    s"${corpusDir.stripSuffix("/")}.staging/gen=$gen"
+
+  /** The commit point: rename the invisible staging dir to its final
+    * `gen=N` name. Idempotent against hadoop rename-into-existing-dir
+    * semantics by requiring the target absent. */
+  private def commitGeneration(spark: SparkSession, corpusDir: String,
+      generation: Int): Unit = {
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new Path(stagingDir(corpusDir, generation))
+    val dst = new Path(s"$corpusDir/gen=$generation")
+    require(!fs.exists(dst), s"$dst already exists — refusing to commit")
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
   }
 }

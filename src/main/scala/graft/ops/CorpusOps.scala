@@ -353,4 +353,25 @@ object CorpusOps {
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "shuffle_key")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Land the CORPUS-OF-RECORD layout: `numFiles` range partitions of
+    * `idCol`, each file internally ascending by `idCol`, so a point or
+    * range id predicate prunes at row-group level off parquet min/max
+    * footers — the property the incremental lifecycle's candidate-text
+    * fetch needs for O(candidates) verify I/O. [[writeShuffled]]'s
+    * hash-shard layout CANNOT serve that fetch: shard membership is a
+    * seeded permutation, so every shard file's id min/max spans nearly
+    * the whole generation and no range ever prunes.
+    *
+    * The training-loader concern doesn't vanish — the seeded
+    * `shuffle_key` column is retained in the data, so a loader (or the
+    * `pipeline_train_export` materialization, which IS [[writeShuffled]])
+    * re-derives the permutation order; the corpus of record just stops
+    * paying its layout for it. */
+  def writeIdClustered(docs: DataFrame, idCol: String, seed: Long,
+      numFiles: Int, outDir: String): Unit =
+    shuffleShard(docs, idCol, seed, numFiles).drop("shard")
+      .repartitionByRange(numFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(outDir)
 }

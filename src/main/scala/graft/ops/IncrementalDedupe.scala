@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * size — plus the exact-content key table (id, k). Per-delta cost is
   * |delta|·bands band-join probes + one exact-Jaccard verification per
   * surviving candidate; the landed corpus's TEXT is touched only for the
-  * candidate docs (semi-join pushdown before shingling), and base×base
+  * candidate docs — the verify fetch is pluggable, and the job tier
+  * plugs in a partition/row-group-pruned read over the id-clustered
+  * generation layout so per-delta corpus I/O is O(candidates), not
+  * O(corpus) (see `IncrementalCorpusJob.prunedTextFetch`). Base×base
   * pair work is never repeated. At cluster scale the state snapshots
   * would be bucketed by (band, band_sig) so the probe join co-locates
   * without shuffling the index.
@@ -75,6 +78,19 @@ object IncrementalDedupe {
     packed.select(col(idCol),
       posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
 
+  /** [[neardupVerdicts]] with the plain semi-join text fetch: correct
+    * anywhere, but the scan still READS the whole `landedDocs` relation
+    * (two columns of it) per delta — the row-group-pruned fetch the job
+    * tier uses is [[graft.jobs.IncrementalCorpusJob.prunedTextFetch]],
+    * which needs the id-clustered generation layout this overload
+    * cannot assume. */
+  def neardupVerdicts(delta: DataFrame, idCol: String, textCol: String,
+      stateBands: DataFrame, landedDocs: DataFrame,
+      threshold: Double): DataFrame =
+    neardupVerdicts(delta, idCol, textCol, stateBands,
+      (ids: DataFrame) => landedDocs.join(ids, Seq(idCol), "left_semi"),
+      threshold)
+
   /** Per-delta-doc near-dup verdict against the landed band index.
     *
     * Returns one row per delta doc: (idCol, status) with status ∈
@@ -85,16 +101,19 @@ object IncrementalDedupe {
     * within-delta self-join and the probe into the state index (the
     * minhashLshPairs barrier trick, extended to a second consumer).
     * Candidates carry only ids; landed text joins in candidate-wise
-    * (left_semi BEFORE shingling, so the corpus scan prunes to two
-    * columns and the shingle arrays of non-candidates are never built).
-    * Component finding runs on (long, long) pairs only.
+    * (BEFORE shingling, so the shingle arrays of non-candidates are
+    * never built). Component finding runs on (long, long) pairs only.
     *
-    * `landedDocs` must carry (idCol, textCol) for every id present in
-    * `stateBands` — in the job this is the landed shard output itself,
-    * so the "state" never duplicates text.
+    * `fetchText` receives the distinct candidate-id relation (one
+    * column, `idCol`) and must return (idCol, textCol) rows covering at
+    * least those ids (extra rows are harmless — verification joins on
+    * the candidate pair relation). The job tier passes a fetch that
+    * partition- and row-group-prunes the landed corpus down to
+    * O(candidates) I/O; the generic overload above passes a plain
+    * semi-join.
     */
   def neardupVerdicts(delta: DataFrame, idCol: String, textCol: String,
-      stateBands: DataFrame, landedDocs: DataFrame,
+      stateBands: DataFrame, fetchText: DataFrame => DataFrame,
       threshold: Double): DataFrame = {
     // one banded exchange, two consumers (self-join sides + state probe)
     val banded = TextDedupe.bandRows(delta, idCol, textCol)
@@ -116,8 +135,8 @@ object IncrementalDedupe {
         Seq("band", "band_sig"))
       .select("d1", "d2").distinct()
     // fetch ONLY candidate canonicals' text before shingling
-    val candBase = landedDocs.join(
-      baseCand.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val candBase = fetchText(
+      baseCand.select(col("d2").as(idCol)).distinct())
     val baseHits = TextDedupe.verifyJaccard(
         baseCand, delta, candBase, idCol, textCol, threshold)
       .select(col("d1").as("id")).distinct()

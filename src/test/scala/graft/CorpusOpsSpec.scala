@@ -330,6 +330,40 @@ class ClustersSpec extends SparkSpec {
     assert(total == 500L)
   }
 
+  test("writeIdClustered: id-ordered files over disjoint id ranges, " +
+      "shuffle_key preserved") {
+    import graft.ops.CorpusOps
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_clus").toString
+    CorpusOps.writeIdClustered((0L until 500L).toDF("doc_id"),
+      "doc_id", seed = 3L, numFiles = 4, out)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, "expected multiple range files")
+    // every file internally ascending by doc_id, and file id-ranges
+    // are pairwise disjoint (the row-group pruning property)
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"unsorted file $f")
+      (ids.min, ids.max, ids.length)
+    }
+    assert(ranges.map(_._3.toLong).sum == 500L)
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi < lo, "overlap")
+      case _ =>
+    }
+    // the seeded permutation column rides along (loader re-ordering),
+    // identical to what writeShuffled would have assigned
+    val keys = spark.read.parquet(out)
+      .select("doc_id", "shuffle_key").as[(Long, Long)].collect().toMap
+    val expect = CorpusOps.shuffleShard((0L until 500L).toDF("doc_id"),
+      "doc_id", 3L, 4).select("doc_id", "shuffle_key")
+      .as[(Long, Long)].collect().toMap
+    assert(keys == expect)
+  }
+
   test("star variant: 1000-link chain converges in O(log n) rounds") {
     // the adversarial worst case for min-label (needs 1000 rounds =
     // O(diameter)); large-star/small-star must close it within 16 rounds
