@@ -98,9 +98,13 @@ object Main {
 
     val outcomes = runner.runAll()
     outcomes.foreach {
-      case (jf, Right(r)) =>
+      case (jf, Right(r: runner.JobResult)) =>
         println(s"OK      $jf -> ${r.table} " +
           s"(${r.files.map(_.rows).filter(_ >= 0).sum} rows)")
+      case (jf, Right(c: runner.CorpusOutcome)) =>
+        println(s"OK      $jf -> ${c.genDir} " +
+          s"(${c.kind} gen=${c.generation}, ${c.nKept} docs, " +
+          s"${c.totalTokens} tokens)")
       case (jf, Left(err)) =>
         println(s"FAILED  $jf: $err")
     }

@@ -15,6 +15,12 @@ import graft.sink.{Catalog, JdbcSink, SinkOps}
   * ensure/truncate/upsert sink table → restamp resource description →
   * compute requested stats over the accumulated table → archive the input
   * to processed/ (or problems/ on failure), logging DUPES/PROCESSED/ELAPSED.
+  *
+  * Beyond the reference's one job shape, the queue also drives the corpus
+  * lifecycle: `"Kind":"CorpusBuild"` bootstraps a corpus
+  * ([[IncrementalCorpusJob.bootstrap]]) and `"Kind":"CorpusDelta"` ingests
+  * one generation ([[IncrementalCorpusJob.ingestDelta]]) — one-shot jobs
+  * whose job FILE archives on completion.
   */
 class JobRunner(
     spark: SparkSession,
@@ -36,7 +42,7 @@ class JobRunner(
 
   /** One sweep over the queue (`datapump.py:694-707`): every non-hidden
     * `*-job.json` in inputDir. Returns per-job outcomes. */
-  def runAll(): Seq[(String, Either[String, JobResult])] = {
+  def runAll(): Seq[(String, Either[String, Outcome])] = {
     val dir = Paths.get(inputDir)
     if (!Files.isDirectory(dir)) return Nil
     val jobFiles = Files.list(dir).iterator().asScala
@@ -56,22 +62,77 @@ class JobRunner(
     }
   }
 
+  sealed trait Outcome
   case class JobResult(table: String, files: Seq[FileResult])
+      extends Outcome
+  /** Outcome of a corpus-kind job: which generation landed where, and
+    * the funnel's bottom line. */
+  case class CorpusOutcome(kind: String, generation: Int, genDir: String,
+      nKept: Long, totalTokens: Long) extends Outcome
   case class FileResult(path: String, rows: Long, dupes: Long,
       elapsedSec: Double)
 
-  def runJobFile(jobFile: Path): Either[String, JobResult] =
-    Job.parse(new String(Files.readAllBytes(jobFile), "UTF-8")) match {
+  def runJobFile(jobFile: Path): Either[String, Outcome] =
+    Job.parseAny(new String(Files.readAllBytes(jobFile), "UTF-8")) match {
       case Left(err) =>
+        // a malformed document would re-parse and re-log every sweep
+        // forever — archive it out of the queue like a poisoned input
+        archive(jobFile.toString, problemsDir)
         log(s"$problemsDir/problems.log", s"$jobFile INVALID: $err")
         Left(err)
-      case Right(job) => Try(runJob(job)) match {
+      case Right(job: Job) => Try(runJob(job)) match {
         case Success(r) => Right(r)
         case Failure(e) =>
           log(s"$problemsDir/problems.log", s"$jobFile FAILED: ${e.getMessage}")
           Left(e.getMessage)
       }
+      // corpus kinds are ONE-SHOT: the job file itself is the queue item
+      // (there is no stream of input files to absorb), so it archives to
+      // processed/ on success and problems/ on failure — re-running a
+      // landed generation would anyway be refused by ingestDelta's
+      // chain-validation gate.
+      case Right(spec: CorpusBuildSpec) => runCorpus(jobFile,
+        s"CORPUSBUILD gen=0", Try {
+          val rep = IncrementalCorpusJob.bootstrap(spark, spec.inputDocs,
+            spec.corpusDir, spec.stateDir, spec.knobs.minTokens,
+            spec.knobs.maxTokens, spec.knobs.minQuality,
+            spec.knobs.dedupeThreshold, spec.knobs.budgetTokens,
+            spec.knobs.seed, spec.knobs.numShards)
+          CorpusOutcome("CorpusBuild", 0, rep.outDir, rep.nKept,
+            rep.totalTokens)
+        })
+      case Right(spec: CorpusDeltaSpec) => runCorpus(jobFile,
+        s"CORPUSDELTA gen=${spec.generation}", Try {
+          val delta = graft.Tables.documents(spark, spec.inputDocs)
+            .select("doc_id", "lang", "text")
+          val rep = IncrementalCorpusJob.ingestDelta(spark, delta,
+            spec.generation, spec.corpusDir, spec.stateDirs,
+            spec.stateOutDir, spec.knobs.minTokens, spec.knobs.maxTokens,
+            spec.knobs.minQuality, spec.knobs.dedupeThreshold,
+            spec.knobs.budgetTokens, spec.knobs.seed, spec.knobs.numShards)
+          CorpusOutcome("CorpusDelta", spec.generation, rep.genDir,
+            rep.nKept, rep.totalTokens)
+        })
     }
+
+  private def runCorpus(jobFile: Path, tag: String,
+      attempt: => Try[CorpusOutcome]): Either[String, Outcome] = {
+    val t0 = System.nanoTime()
+    attempt match {
+      case Success(out) =>
+        val dt = (System.nanoTime() - t0) / 1e9
+        archive(jobFile.toString, processedDir)
+        log(s"$processedDir/processed.log",
+          f"$jobFile $tag KEPT: ${out.nKept} TOKENS: ${out.totalTokens} " +
+            f"ELAPSED: $dt%.3f")
+        Right(out)
+      case Failure(e) =>
+        archive(jobFile.toString, problemsDir)
+        log(s"$problemsDir/problems.log",
+          s"$jobFile $tag FAILED: ${e.getMessage}")
+        Left(e.getMessage)
+    }
+  }
 
   def runJob(job: Job): JobResult = {
     val table = catalog.tableName(

@@ -93,6 +93,97 @@ class JobRunnerSpec extends SparkSpec {
       l.contains("DUPES: 1") && l.contains("PROCESSED: 2")))
   }
 
+  test("corpus kinds: queue drives bootstrap + delta end-to-end; " +
+      "job files archive; bad kinds and broken deltas hit problems/") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-corpusq")
+    val input = base.resolve("input"); Files.createDirectories(input)
+    val processed = base.resolve("processed").toString
+    val problems = base.resolve("problems").toString
+    val corpus = base.resolve("corpus").toString
+    val st0 = base.resolve("st0").toString
+    val st1 = base.resolve("st1").toString
+
+    // sliding 20-token docs with "the" at every i%20==15 position: all
+    // pass the lang gate, and J(doc(a), doc(a+3)) = 15/21 ≥ 0.5 makes
+    // 11 a near-dup of 10 within the delta (IncrementalCorpusJobSpec's
+    // w2/doc2 construction)
+    def w(i: Int) = if (i % 20 == 15) "the" else s"t$i"
+    def doc(lo: Int) = (lo to lo + 19).map(w).mkString(" ")
+    import sqlImplicits._
+    def docsDir(rows: (Long, String)*): String = {
+      val d = base.resolve(s"docs${rows.head._1}")
+      rows.toSeq.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      d.toString
+    }
+    val baseDocs = docsDir(1L -> doc(1), 2L -> doc(101))
+    val deltaDocs = docsDir(10L -> doc(41), 11L -> doc(44))
+
+    // queue order is lexicographic — build runs before delta
+    Files.write(input.resolve("a-build-job.json"),
+      s"""{"Kind":"CorpusBuild","InputDocs":"$baseDocs",
+         |"CorpusDir":"$corpus","StateDir":"$st0"}""".stripMargin.getBytes)
+    Files.write(input.resolve("b-delta-job.json"),
+      s"""{"Kind":"CorpusDelta","InputDocs":"$deltaDocs",
+         |"CorpusDir":"$corpus","Generation":1,
+         |"StateDirs":["$st0"],"StateOutDir":"$st1"}""".stripMargin.getBytes)
+    Files.write(input.resolve("c-bad-job.json"),
+      """{"Kind":"CorpusTeleport","InputDocs":"x"}""".getBytes)
+
+    val sink = JdbcSink("jdbc:derby:memory:corpusq;create=true")
+    val runner = new JobRunner(spark, sink, input.toString, processed,
+      problems)
+    val results = runner.runAll()
+    assert(results.size == 3, results.map(_._1).toString)
+    val byFile = results.map { case (f, r) =>
+      Paths.get(f).getFileName.toString -> r }.toMap
+    val build = byFile("a-build-job.json").toOption.get
+      .asInstanceOf[runner.CorpusOutcome]
+    assert(build.kind == "CorpusBuild" && build.nKept == 2, build.toString)
+    val delta = byFile("b-delta-job.json").toOption.get
+      .asInstanceOf[runner.CorpusOutcome]
+    // 10 is fresh; 11 near-dups 10 within the delta
+    assert(delta.kind == "CorpusDelta" && delta.generation == 1 &&
+      delta.nKept == 1, delta.toString)
+    assert(byFile("c-bad-job.json").isLeft)
+
+    // landed layout: both generations readable as one corpus, chain
+    // metadata coherent with the landed ids
+    val landed = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 2L, 10L))
+    val metas = graft.jobs.IncrementalCorpusJob
+      .readChainMeta(spark, Seq(st0, st1)).get
+    assert(metas.map(m => (m.gen, m.nKeys)).sorted == Seq((0, 2L), (1, 1L)))
+
+    // one-shot archive semantics: corpus job FILES moved out of the
+    // queue (success → processed/, failure → problems/); a re-sweep
+    // finds an empty queue and re-runs nothing
+    assert(Paths.get(processed, "a-build-job.json").toFile.exists)
+    assert(Paths.get(processed, "b-delta-job.json").toFile.exists)
+    assert(Paths.get(problems, "c-bad-job.json").toFile.exists)
+    assert(runner.runAll().isEmpty)
+    val plog = Files.readAllLines(Paths.get(processed, "processed.log"))
+      .asScala
+    assert(plog.exists(l => l.contains("CORPUSBUILD gen=0") &&
+      l.contains("KEPT: 2")), plog.toString)
+    assert(plog.exists(l => l.contains("CORPUSDELTA gen=1") &&
+      l.contains("KEPT: 1")), plog.toString)
+
+    // a delta over a generation that already landed is refused by the
+    // chain gate and its job file lands in problems/
+    Files.write(input.resolve("d-redo-job.json"),
+      s"""{"Kind":"CorpusDelta","InputDocs":"$deltaDocs",
+         |"CorpusDir":"$corpus","Generation":1,
+         |"StateDirs":["$st0","$st1"],"StateOutDir":"${st1}_b"}"""
+        .stripMargin.getBytes)
+    val redo = runner.runAll()
+    assert(redo.size == 1 && redo.head._2.isLeft)
+    assert(redo.head._2.swap.toOption.get.contains("already exists"))
+    assert(Paths.get(problems, "d-redo-job.json").toFile.exists)
+  }
+
   private implicit class JListAsScala[T](l: java.util.List[T]) {
     def asScala: Seq[T] = {
       val b = Seq.newBuilder[T]
