@@ -168,6 +168,32 @@ object IngestQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // §2.6 z-order layout as a SERVED consumer (not spec-only): orders
+    // lands once as a Layout.writeZOrdered(custkey × totalprice) fixture
+    // — 64 z-run files, each a compact rectangle stack of the value
+    // plane — and the query is a 2-D range rectangle over that layout.
+    // BOTH predicates reach the parquet scan as PushedFilters
+    // (ZOrderLayoutSpec pins this on the entry's own executed plan),
+    // so row groups prune on min/max footers in the two dimensions at
+    // once: the 100 TB shape where neither dimension is a partition
+    // column but both cut the scan. Result is layout-invariant, so the
+    // oracle is the same rectangle over the original table; cents sums
+    // in exact integer math (cross-engine half-up floor(x*100+0.5)).
+    "scan_zorder_prune" -> ((s, d) => {
+      val tmp = s"/tmp/graft_zorder_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      if (!Fixtures.exists(s, tmp)) {
+        graft.ops.Layout.writeZOrdered(Tables.orders(s, d),
+          "o_custkey", "o_totalprice", numFiles = 64, tmp)
+      }
+      s.read.parquet(tmp)
+        .filter(col("o_custkey").between(40, 90) &&
+          col("o_totalprice").between(100000.0, 250000.0))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("sum_cents"))
+    }),
+
     // §2.1 DYNAMIC partition pruning — static pruning's runtime sibling:
     // which partitions to read is decided by a DIM-side predicate
     // ("reprocess Mondays" against a calendar dim), so no literal date
@@ -493,6 +519,15 @@ object IngestQueries extends QueryPack {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
         |GROUP BY 1""".stripMargin,
+
+    "scan_zorder_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 40 AND 90
+        |  AND o_totalprice BETWEEN 100000 AND 250000
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // literal oracle pins Spark's PERMISSIVE semantics: unparseable
     // field / short row / extra token ⇒ quarantine; all-null and

@@ -117,4 +117,35 @@ class ZOrderLayoutSpec extends SparkSpec {
         s"zorder: x=$zoX y=$zoY 2d=$zo2")
     } finally spark.conf.set("spark.sql.adaptive.enabled", was)
   }
+
+  test("scan_zorder_prune registry entry: both rectangle predicates " +
+      "reach the layout's parquet scan, and row groups actually skip") {
+    assume(dir.isDefined, "no driver testdata dir on this machine")
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("scan_zorder_prune")(spark, dir.get)
+      val out = df.collect()
+      assert(out.nonEmpty)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.size == 1, scans.toString)
+      // both dimensions' range predicates are PUSHED to the scan —
+      // the property that lets parquet min/max footers prune over the
+      // z-clustered files
+      val pushed = scans.head.metadata("PushedFilters")
+      for (c <- Seq("o_custkey", "o_totalprice");
+           op <- Seq("GreaterThanOrEqual", "LessThanOrEqual"))
+        assert(pushed.contains(s"$op($c"), s"$op($c missing in $pushed")
+      // and the pruning is real: the scan reads a fraction of the
+      // table, not all of it (the rectangle is ~1/3 of custkey ×
+      // ~1/3 of price)
+      val total = spark.read.parquet(s"${dir.get}/orders.parquet").count()
+      val scanned = scans.head.metrics("numOutputRows").value
+      assert(scanned < (total * 3) / 4,
+        s"scan read $scanned of $total rows — no row-group skipping")
+      info(s"entry scan read $scanned of $total rows after pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
 }
