@@ -12,9 +12,10 @@ case class StatSpec(
 
 /** Anything the job queue can carry. The reference's queue knows one
   * document shape (the CSV→sink upsert job); graft keeps that shape as
-  * the `Kind`-less default and adds the corpus lifecycle as two further
-  * kinds (`"CorpusBuild"`, `"CorpusDelta"`) so [[IncrementalCorpusJob]]
-  * is driven by the same queue discipline that drives upserts. */
+  * the `Kind`-less default and adds the corpus lifecycle as further
+  * kinds (`"CorpusBuild"`, `"CorpusDelta"`, `"CorpusStream"`) so
+  * [[IncrementalCorpusJob]] and [[CorpusStreamJob]] are driven by the
+  * same queue discipline that drives upserts. */
 sealed trait QueueJob
 
 /** The reference's job document (`datapump.py:22-53` inline JSON Schema).
@@ -55,6 +56,17 @@ case class CorpusDeltaSpec(
     stateDirs: Seq[String], stateOutDir: String,
     knobs: CorpusKnobs) extends QueueJob
 
+/** `{"Kind":"CorpusStream"}`: drain every delta file currently in the
+  * landing dir into the corpus — [[CorpusStreamJob.run]]. RESIDENT
+  * like the reference's upsert jobs (its queue item is a directory
+  * producers keep appending to, not a one-shot input): the job file
+  * stays in the queue and each sweep drains whatever arrived since the
+  * last one — the stream checkpoint carries the high-water mark. */
+case class CorpusStreamSpec(
+    landingDir: String, corpusDir: String, stateRoot: String,
+    checkpointDir: String, knobs: CorpusKnobs,
+    maxFilesPerTrigger: Int = 1) extends QueueJob
+
 object Job {
 
   /** Parse any queue document: dispatch on the optional `Kind` field —
@@ -70,6 +82,7 @@ object Job {
       case JNothing | JString("Datapump") => parse(json)
       case JString("CorpusBuild") => parseCorpusBuild(jv)
       case JString("CorpusDelta") => parseCorpusDelta(jv)
+      case JString("CorpusStream") => parseCorpusStream(jv)
       case JString(k) => Left(s"unknown job Kind: '$k'")
       case other => Left(s"Kind must be a string, got $other")
     }
@@ -138,6 +151,17 @@ object Job {
       stateOut <- reqStr(jv, "StateOutDir")
       knobs <- parseKnobs(jv)
     } yield CorpusDeltaSpec(docs, corpus, gen, chain, stateOut, knobs)
+
+  private def parseCorpusStream(jv: JValue)
+      : Either[String, CorpusStreamSpec] =
+    for {
+      landing <- reqStr(jv, "LandingDir")
+      corpus <- reqStr(jv, "CorpusDir")
+      stateRoot <- reqStr(jv, "StateRoot")
+      ckpt <- reqStr(jv, "CheckpointDir")
+      knobs <- parseKnobs(jv)
+      mft <- optInt(jv, "MaxFilesPerTrigger", 1)
+    } yield CorpusStreamSpec(landing, corpus, stateRoot, ckpt, knobs, mft)
 
   /** Parse + validate a job JSON document, mirroring the reference's
     * jsonschema checks (`datapump.py:402-417`): required fields, Dedupe

@@ -20,7 +20,10 @@ import graft.sink.{Catalog, JdbcSink, SinkOps}
   * lifecycle: `"Kind":"CorpusBuild"` bootstraps a corpus
   * ([[IncrementalCorpusJob.bootstrap]]) and `"Kind":"CorpusDelta"` ingests
   * one generation ([[IncrementalCorpusJob.ingestDelta]]) — one-shot jobs
-  * whose job FILE archives on completion.
+  * whose job FILE archives on completion — while `"Kind":"CorpusStream"`
+  * stays RESIDENT and drains its landing dir each sweep
+  * ([[CorpusStreamJob.run]]), the exact queue posture of the reference's
+  * upsert jobs.
   */
 class JobRunner(
     spark: SparkSession,
@@ -69,6 +72,10 @@ class JobRunner(
     * the funnel's bottom line. */
   case class CorpusOutcome(kind: String, generation: Int, genDir: String,
       nKept: Long, totalTokens: Long) extends Outcome
+  /** Outcome of one CorpusStream sweep: the generations drained THIS
+    * sweep (empty = nothing new in the landing dir) and their totals. */
+  case class StreamOutcome(generations: Seq[Int], nKept: Long,
+      totalTokens: Long) extends Outcome
   case class FileResult(path: String, rows: Long, dupes: Long,
       elapsedSec: Double)
 
@@ -113,6 +120,28 @@ class JobRunner(
           CorpusOutcome("CorpusDelta", spec.generation, rep.genDir,
             rep.nKept, rep.totalTokens)
         })
+      // CorpusStream is RESIDENT like the reference's upsert jobs: the
+      // job file stays in the queue (only malformed JSON archives), and
+      // every sweep drains whatever new delta files landed since the
+      // last — failure logs to problems/ and retries next sweep, the
+      // upsert jobs' own discipline.
+      case Right(spec: CorpusStreamSpec) =>
+        Try(CorpusStreamJob.run(spark, spec.landingDir, spec.corpusDir,
+          spec.stateRoot, spec.checkpointDir, spec.knobs,
+          spec.maxFilesPerTrigger)) match {
+          case Success(reps) =>
+            log(s"$processedDir/processed.log",
+              s"$jobFile CORPUSSTREAM gens=" +
+                s"${reps.map(_.generation).mkString(",")} " +
+                s"KEPT: ${reps.map(_.nKept).sum} " +
+                s"TOKENS: ${reps.map(_.totalTokens).sum}")
+            Right(StreamOutcome(reps.map(_.generation),
+              reps.map(_.nKept).sum, reps.map(_.totalTokens).sum))
+          case Failure(e) =>
+            log(s"$problemsDir/problems.log",
+              s"$jobFile CORPUSSTREAM FAILED: ${e.getMessage}")
+            Left(e.getMessage)
+        }
     }
 
   private def runCorpus(jobFile: Path, tag: String,

@@ -184,6 +184,86 @@ class JobRunnerSpec extends SparkSpec {
     assert(Paths.get(problems, "d-redo-job.json").toFile.exists)
   }
 
+  test("CorpusStream kind is resident: each sweep drains only what " +
+      "arrived, the job file never archives, an empty sweep drains " +
+      "nothing") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-streamq")
+    val input = base.resolve("input"); Files.createDirectories(input)
+    val processed = base.resolve("processed").toString
+    val problems = base.resolve("problems").toString
+    val corpus = base.resolve("corpus").toString
+    val stateRoot = base.resolve("state").toString
+    val landing = base.resolve("landing"); Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+
+    def w(i: Int) = if (i % 20 == 15) "the" else s"t$i"
+    def doc(lo: Int) = (lo to lo + 19).map(w).mkString(" ")
+    import sqlImplicits._
+    def docsDf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .select("doc_id", "lang", "text")
+    val baseDir = base.resolve("basedocs")
+    docsDf(1L -> doc(1), 2L -> doc(101)).coalesce(1)
+      .write.parquet(s"$baseDir/documents.parquet")
+    def drop(name: String, mtimeSec: Long, rows: (Long, String)*): Unit = {
+      val stage = Files.createTempDirectory("graft-streamq-drop")
+      docsDf(rows: _*).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = Files.list(stage).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = landing.resolve(name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+    }
+
+    // queue: bootstrap (one-shot) sorts before the resident stream job
+    Files.write(input.resolve("a-build-job.json"),
+      s"""{"Kind":"CorpusBuild","InputDocs":"$baseDir",
+         |"CorpusDir":"$corpus","StateDir":"$stateRoot/snap=0"}"""
+        .stripMargin.getBytes)
+    Files.write(input.resolve("b-stream-job.json"),
+      s"""{"Kind":"CorpusStream","LandingDir":"$landing",
+         |"CorpusDir":"$corpus","StateRoot":"$stateRoot",
+         |"CheckpointDir":"$ckpt"}""".stripMargin.getBytes)
+    drop("d1.parquet", 1000, 10L -> doc(41), 11L -> doc(61))
+
+    val sink = JdbcSink("jdbc:derby:memory:streamq;create=true")
+    val runner = new JobRunner(spark, sink, input.toString, processed,
+      problems)
+    val s1 = runner.runAll()
+    assert(s1.size == 2, s1.map(_._1).toString)
+    val out1 = s1.collectFirst { case (f, Right(o))
+      if f.endsWith("b-stream-job.json") => o }.get
+      .asInstanceOf[runner.StreamOutcome]
+    assert(out1.generations == Seq(1) && out1.nKept == 2, out1.toString)
+
+    // resident: the stream job file is still in the queue, the build is
+    // archived; a new drop drains as the NEXT generation only
+    assert(input.resolve("b-stream-job.json").toFile.exists)
+    assert(Paths.get(processed, "a-build-job.json").toFile.exists)
+    drop("d2.parquet", 2000, 20L -> doc(201))
+    val s2 = runner.runAll()
+    assert(s2.size == 1)
+    val out2 = s2.head._2.toOption.get.asInstanceOf[runner.StreamOutcome]
+    assert(out2.generations == Seq(2) && out2.nKept == 1, out2.toString)
+
+    // an empty sweep drains nothing and the chain is untouched
+    val s3 = runner.runAll()
+    val out3 = s3.head._2.toOption.get.asInstanceOf[runner.StreamOutcome]
+    assert(out3.generations.isEmpty, out3.toString)
+    val landedIds = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landedIds == Seq(1L, 2L, 10L, 11L, 20L))
+    val plog = Files.readAllLines(Paths.get(processed, "processed.log"))
+      .asScala
+    assert(plog.exists(l => l.contains("b-stream-job.json") &&
+      l.contains("CORPUSSTREAM gens=1") && l.contains("KEPT: 2")),
+      plog.toString)
+  }
+
   private implicit class JListAsScala[T](l: java.util.List[T]) {
     def asScala: Seq[T] = {
       val b = Seq.newBuilder[T]
