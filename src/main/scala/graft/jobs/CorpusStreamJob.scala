@@ -28,11 +28,14 @@ import graft.jobs.IncrementalCorpusJob.{DeltaReport, GenMeta}
   *    skips it instead of landing it twice.
   * A kill anywhere in between is repaired at the next [[run]] by the
   * pre-pass ([[prepare]]: [[IncrementalCorpusJob.recover]] on the chain
-  * head and its successor) and the replay then no-ops. The one
-  * non-identity replays can produce: a batch whose docs ALL fail
-  * curation lands an empty snapshot, and replaying it after a
-  * checkpoint-commit kill re-curates it to a second empty snapshot —
-  * content-identical (nothing lands either time), one spare chain link.
+  * head and its successor) and the replay then no-ops. Replay
+  * recognition is EXACT: every snapshot records its batch's
+  * pre-curation id envelope ([[IncrementalCorpusJob.GenMeta]]), and
+  * file-source recovery reconstructs an uncommitted batch verbatim
+  * from its offset log — so a replay matches the head's envelope
+  * (even an all-dropped batch), while a NEW batch that merely covers
+  * the head's kept range does not and fails the ordering gate loudly
+  * instead of being silently swallowed.
   *
   * State-root layout (owned by this job): snapshots live at
   * `stateRoot/snap=N`, one per generation. [[compactChain]] merges the
@@ -93,11 +96,11 @@ object CorpusStreamJob {
   }
 
   /** Land one micro-batch as the next generation, or skip it: `None`
-    * when the batch is empty or is a REPLAY of the chain head (its id
-    * range covers the last landed generation's — the crash-recovery
-    * path, see class doc). A batch that overlaps landed ids without
-    * being that replay is an ordering violation and fails loudly —
-    * skipping it would silently drop producer data. */
+    * when the batch is empty or is a REPLAY of the chain head (its
+    * pre-curation id envelope equals the head's recorded one — the
+    * crash-recovery path, see class doc). A batch that overlaps landed
+    * ids without being that replay is an ordering violation and fails
+    * loudly — skipping it would silently drop producer data. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, stateRoot: String,
       knobs: CorpusKnobs = CorpusKnobs()): Option[DeltaReport] = {
@@ -116,15 +119,28 @@ object CorpusStreamJob {
     val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
     val landed = metas.filter(_.nKeys > 0)
     val landedMax = if (landed.isEmpty) -1L else landed.map(_.maxDocId).max
-    if (bMin <= landedMax) {
-      // overlap with landed ids: legal only as a replay of the chain
-      // head — the head's kept set is a subset of a replayed batch's ids
-      val head = landed.maxBy(_.gen)
-      require(head.minDocId >= bMin && head.maxDocId <= bMax,
+    // file-source recovery reconstructs an uncommitted batch EXACTLY
+    // from its offset log, so a replay's pre-curation id envelope
+    // equals the chain head's recorded one — including an all-dropped
+    // head, which kept-range tests could never recognize
+    val head = metas.maxBy(_.gen)
+    if (head.hasEnvelope && bMin == head.batchMin &&
+        bMax == head.batchMax) None
+    else if (bMin <= landedMax) {
+      // overlap with landed ids and NOT the head replay: on an
+      // envelope-recording chain this is always a producer ordering
+      // violation (a new batch merely COVERING the head's kept range
+      // must not be skipped — that loses its fresh docs); only a
+      // pre-envelope chain falls back to the kept-range subset test
+      val keptHead = landed.maxBy(_.gen)
+      require(!head.hasEnvelope &&
+        keptHead.minDocId >= bMin && keptHead.maxDocId <= bMax,
         s"batch id range [$bMin,$bMax] overlaps landed ids (max " +
-          s"$landedMax) but is not a replay of generation ${head.gen} " +
-          s"[${head.minDocId},${head.maxDocId}] — delta drops must " +
-          "arrive in doc-id order")
+          s"$landedMax) but is not a replay of generation ${head.gen}" +
+          (if (head.hasEnvelope)
+            s" (recorded envelope [${head.batchMin},${head.batchMax}])"
+          else "") +
+          " — delta drops must arrive in doc-id order")
       None
     } else Some(IncrementalCorpusJob.ingestDelta(spark, batch, nextGen,
       corpusDir, chain, s"$stateRoot/snap=$nextGen",

@@ -84,10 +84,20 @@ object IncrementalCorpusJob {
 
   /** One generation's entry in a snapshot's `meta.json`: how many
     * canonicals it landed and their id range (empty generation ⇒
-    * `nKeys == 0`, range `[0, -1]` — matches nothing). A compacted
+    * `nKeys == 0`, range `[0, -1]` — matches nothing), plus the full
+    * id ENVELOPE of the ingested batch BEFORE curation/dedupe
+    * (`batchMin`/`batchMax`; sentinel `[0, -1]` when unrecorded —
+    * bootstrap, or a pre-envelope chain). The envelope is what makes a
+    * crash-replayed batch exactly recognizable ([[graft.jobs.CorpusStreamJob]]):
+    * kept ranges alone cannot distinguish a replay from a new
+    * overlapping batch that happens to cover them. A compacted
     * snapshot's meta carries one entry per covered generation, so
-    * compaction loses no pruning precision. */
-  case class GenMeta(gen: Int, nKeys: Long, minDocId: Long, maxDocId: Long)
+    * compaction loses no pruning or replay precision. */
+  case class GenMeta(gen: Int, nKeys: Long, minDocId: Long, maxDocId: Long,
+      batchMin: Long = 0L, batchMax: Long = -1L) {
+    /** True when the ingested batch's id envelope was recorded. */
+    def hasEnvelope: Boolean = batchMax >= batchMin
+  }
 
   /** Full build of the initial corpus into `corpusDir/gen=0` plus the
     * generation-0 state snapshot, through the same staged commit
@@ -138,7 +148,8 @@ object IncrementalCorpusJob {
     val maxLanded = chainMeta
       .map(_.filter(_.nKeys > 0).map(_.maxDocId).max)
       .getOrElse(stateKeys.agg(max("doc_id")).head.getLong(0))
-    val minDelta = delta.agg(min("doc_id")).head.getLong(0)
+    val env = delta.agg(min("doc_id"), max("doc_id")).head
+    val (minDelta, maxDelta) = (env.getLong(0), env.getLong(1))
     require(minDelta > maxLanded,
       s"delta ids must follow landed ids (landed max $maxLanded, " +
         s"delta min $minDelta) — keep-first parity needs id-ordered " +
@@ -213,11 +224,13 @@ object IncrementalCorpusJob {
       // rename makes the generation visible
       writeStateCommitted(spark,
         spark.read.parquet(staging).select("doc_id", "text"),
-        generation, stateOutDir, single = false)
+        generation, stateOutDir, single = false,
+        envelope = Some((minDelta, maxDelta)))
       commitGeneration(spark, corpusDir, generation)
     } else {
       writeStateCommitted(spark, kept.select("doc_id", "text").limit(0),
-        generation, stateOutDir, single = true)
+        generation, stateOutDir, single = true,
+        envelope = Some((minDelta, maxDelta)))
     }
 
     // audit from the landed generation + the verdict relation
@@ -410,9 +423,13 @@ object IncrementalCorpusJob {
 
   /** Write one generation's snapshot (keys, packed bands, meta) to
     * `stateDir + ".tmp"`, then atomically rename into place — a
-    * half-written snapshot is never visible under the final name. */
+    * half-written snapshot is never visible under the final name.
+    * `envelope` is the ingested batch's pre-curation id range
+    * ([[GenMeta]]); None (bootstrap, state rebuilds) records the
+    * sentinel. */
   private def writeStateCommitted(spark: SparkSession, landed: DataFrame,
-      generation: Int, stateDir: String, single: Boolean): Unit = {
+      generation: Int, stateDir: String, single: Boolean,
+      envelope: Option[(Long, Long)] = None): Unit = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = stateDir + ".tmp"
@@ -431,9 +448,11 @@ object IncrementalCorpusJob {
     // own keys — never the chain
     val a = spark.read.parquet(s"$tmp/keys")
       .agg(count(lit(1)), min("doc_id"), max("doc_id")).head
+    val (bMin, bMax) = envelope.getOrElse((0L, -1L))
     val gm =
-      if (a.getLong(0) == 0L) GenMeta(generation, 0L, 0L, -1L)
-      else GenMeta(generation, a.getLong(0), a.getLong(1), a.getLong(2))
+      if (a.getLong(0) == 0L) GenMeta(generation, 0L, 0L, -1L, bMin, bMax)
+      else GenMeta(generation, a.getLong(0), a.getLong(1), a.getLong(2),
+        bMin, bMax)
     writeMeta(spark, tmp, Seq(gm))
     fs.delete(new Path(stateDir), true)
     require(fs.rename(new Path(tmp), new Path(stateDir)),
@@ -446,7 +465,9 @@ object IncrementalCorpusJob {
       JObject("gens" -> JArray(gens.toList.map(g => JObject(
         "gen" -> JInt(g.gen), "n_keys" -> JInt(g.nKeys),
         "min_doc_id" -> JInt(g.minDocId),
-        "max_doc_id" -> JInt(g.maxDocId)))))))
+        "max_doc_id" -> JInt(g.maxDocId),
+        "batch_min" -> JInt(g.batchMin),
+        "batch_max" -> JInt(g.batchMax)))))))
     val p = new Path(s"$stateDir/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -478,8 +499,16 @@ object IncrementalCorpusJob {
             case other => throw new IllegalStateException(
               s"bad meta.json field $f in $d: $other")
           }
+          // envelope fields default to the sentinel on pre-envelope
+          // chains — GenMeta.hasEnvelope is then false
+          def lOpt(f: String, dflt: Long): Long = (j \ f) match {
+            case JInt(v) => v.toLong
+            case JNothing => dflt
+            case other => throw new IllegalStateException(
+              s"bad meta.json field $f in $d: $other")
+          }
           GenMeta(l("gen").toInt, l("n_keys"), l("min_doc_id"),
-            l("max_doc_id"))
+            l("max_doc_id"), lOpt("batch_min", 0L), lOpt("batch_max", -1L))
         })
       }
     }

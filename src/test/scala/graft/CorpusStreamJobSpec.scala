@@ -132,6 +132,51 @@ class CorpusStreamJobSpec extends SparkSpec {
     assert(e.getMessage.contains("doc-id order"), e.getMessage)
   }
 
+  test("the recorded batch envelope makes replay recognition exact: " +
+      "an all-dropped batch's replay skips (no spare snapshot), and a " +
+      "new batch covering the head's kept range is refused, not " +
+      "swallowed") {
+    import org.apache.spark.sql.DataFrame
+    val baseDir = tmp("graft_cs_ebase")
+    mkDocs(1L to 30L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    val (corpus, stateRoot) = (tmp("graft_cs_ecorpus"), tmp("graft_cs_estate"))
+    IncrementalCorpusJob.bootstrap(spark, baseDir, corpus,
+      s"$stateRoot/snap=0", minTokens = 1, maxTokens = 10000,
+      minQuality = 0.0, numShards = 2)
+
+    // stopword-free text fails curate's lang gate → the batch lands
+    // NOTHING, but its snapshot still records the envelope
+    def badDocs(ids: Seq[Long]): DataFrame = {
+      import spark.implicits._
+      ids.map { i =>
+        (i, "en", (0 until 30).map(j => s"x${i}_$j").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+    }
+    val dropped = badDocs(31L to 40L)
+    val r1 = CorpusStreamJob.ingestBatch(spark, dropped, corpus,
+      stateRoot, openKnobs)
+    assert(r1.exists(r => r.generation == 1 && r.nKept == 0), r1.toString)
+    assert(CorpusStreamJob.chainDirs(spark, stateRoot).size == 2)
+    // replay: exact envelope match → skipped, chain does NOT grow a
+    // spare empty snapshot (the pre-envelope design's one wart)
+    assert(CorpusStreamJob.ingestBatch(spark, dropped, corpus,
+      stateRoot, openKnobs).isEmpty)
+    assert(CorpusStreamJob.chainDirs(spark, stateRoot).size == 2)
+
+    // a kept generation, then a NEW batch whose envelope covers its
+    // kept range: the kept-range subset test alone would silently
+    // swallow it (losing docs 40 and 51) — the envelope rule refuses
+    assert(CorpusStreamJob.ingestBatch(spark, mkDocs(41L to 50L),
+      corpus, stateRoot, openKnobs).exists(_.generation == 2))
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreamJob.ingestBatch(spark, mkDocs(40L to 51L), corpus,
+        stateRoot, openKnobs)
+    }
+    assert(e.getMessage.contains("recorded envelope"), e.getMessage)
+    assert(keptIds(corpus) == ((1L to 30L) ++ (41L to 50L)).toSet)
+  }
+
   test("ingestBatch refuses to stream into an un-bootstrapped state " +
       "root") {
     val e = intercept[IllegalArgumentException] {
