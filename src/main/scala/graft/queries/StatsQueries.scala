@@ -157,22 +157,24 @@ object StatsQueries extends QueryPack {
     "agg_benford" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.StableRound
-      import org.apache.spark.sql.expressions.Window
       val digits = Tables.orders(s, d)
         .withColumn("c",
           round(col("o_totalprice") * 100).cast("long"))
         .withColumn("digit",
           substring(col("c").cast("string"), 1, 1).cast("int"))
         .groupBy("digit").agg(count(lit(1)).as("n_d"))
-      // total via an unbounded window over the 9-row digit relation —
-      // a separate agg subtree would re-scan orders (self-referenced
-      // aggregates are recomputed, not reused); this keeps the plan at
-      // ONE corpus scan
-      digits
-        .withColumn("n", sum(col("n_d")).over(
-          Window.partitionBy(lit(1))
-            .rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+      // total as a 1-row broadcast crossJoin over the CHECKPOINTED
+      // 9-row digit relation: the checkpoint pins the corpus to ONE
+      // scan (self-referenced aggregates recompute their subtree —
+      // without it the total branch re-scans orders), and the
+      // materialized frame is ≤9 rows at any corpus size. (The
+      // previous form, `Window.partitionBy(lit(1))`, had its foldable
+      // partition key constant-folded away and planned as the
+      // single-task unpartitioned WindowExec this repo bans — the
+      // registry's last one.)
+      val digitsM = digits.localCheckpoint()
+      digitsM
+        .crossJoin(broadcast(digitsM.agg(sum(col("n_d")).as("n"))))
         .select(col("digit"), col("n_d"),
           StableRound.round6(col("n_d").cast("double")
             / col("n").cast("double")).as("share"),
