@@ -917,14 +917,35 @@ object VectorOps {
     * a pair straddling a cell boundary still shares a cell as long as
     * both rank it among their `nAssign` nearest — this is the recall
     * knob, spec-pinned to 1.0 recall vs the exact tier on clustered
-    * data). The within-cell self-join keys on the cell id, so the
-    * candidate block size is corpus/nCentroids expected — raise
-    * `nCentroids` ∝ corpus so blocks stay bounded — and the exact
-    * verify keeps precision at 1 regardless of the quantizer.
-    * Duplicate candidates from pairs sharing several cells collapse
-    * with one distinct on the verified output. Output matches
-    * [[pairwiseCosine]] (id1 < id2, round-6 cos_sim) whenever recall
-    * is 1. */
+    * data). The within-cell self-join keys on the cell id — the only
+    * exchange carries O(n·nAssign) vector rows, and the pair stream
+    * is GENERATED inside join partitions and pipelined straight into
+    * the codegen'd dot + threshold filter: candidate pairs are never
+    * materialized or shuffled. Duplicate candidates from pairs
+    * sharing several cells collapse with one distinct on the verified
+    * (small) output. The exact verify keeps precision at 1 regardless
+    * of the quantizer. Output matches [[pairwiseCosine]] (id1 < id2,
+    * round-6 cos_sim) whenever recall is 1.
+    *
+    * Parameter scaling, MEASURED (r14, sf0.01/sf0.1/sf1 embeddings at
+    * this repo's 0.45-threshold entry): recall 1.0 holds at (nc=16,
+    * na=6) at every SF and at (nc=32, na=8) at sf1, but every
+    * recall-1.0 setting found satisfies na² ≳ nc/2 — i.e. at a 0.45
+    * cosine threshold (≈63°, a semantic-similarity band) cell
+    * blocking does NOT prune asymptotically on this corpus: pair
+    * volume stays Θ(n²·na²/nc), and raising nc to √n scale (the
+    * classic IVF balance point) drops recall to 0.67–0.87 at every
+    * SF. That is a property of the THRESHOLD, not the plan — matching
+    * pairs 63° apart straddle any fine quantization. At real near-dup
+    * thresholds (≥0.9, ≈26°) blocking tightens and nc can scale with
+    * the corpus; for wide semantic bands the honest choices are a
+    * tighter threshold or an explicitly approximate (recall<1)
+    * contract. Also measured (r14): rewriting this as an ids-only
+    * candidate join + distinct-before-verify is 1.7× SLOWER at sf1
+    * (71.5 s vs 42 s isolated) — the distinct materializes and
+    * shuffles the Θ(n²) candidate stream that this form merely
+    * streams, and the ~2× duplicate-dot saving cannot pay for it.
+    * Keep the streaming shape. */
   def ivfPairwiseCosine(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCentroids: Int = 16, nAssign: Int = 3,
       seed: Long = 42L): DataFrame = {

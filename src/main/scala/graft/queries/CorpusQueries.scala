@@ -77,11 +77,15 @@ object CorpusQueries extends QueryPack {
     }),
 
     // the SCALE path of semantic dedup: same closure, but candidate
-    // pairs come from IVF-cell blocking (VectorOps.ivfPairwiseCosine)
-    // instead of all-pairs — a giant cluster can no longer degrade
-    // candidate gen to quadratic-in-corpus; the exact-cosine verify
-    // keeps the pair relation identical (oracle = the SAME exact-pair
-    // recursive CTE as dedupe_embed_clusters; recall pinned by spec)
+    // pairs come from IVF-cell blocking (VectorOps.ivfPairwiseCosine);
+    // the exact-cosine verify keeps the pair relation identical
+    // (oracle = the SAME exact-pair recursive CTE as
+    // dedupe_embed_clusters; recall pinned by spec). r14 measured
+    // honesty: at THIS entry's wide 0.45 threshold no recall-1.0
+    // quantizer setting prunes asymptotically (see the
+    // ivfPairwiseCosine scaladoc's measured grid) — blocking pays at
+    // near-dup thresholds (≥0.9), and this entry exists to exercise
+    // the blocked path end-to-end under the exact-oracle contract
     "dedupe_embed_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       // nAssign=6: at this entry's LOW threshold (0.45 cosine ≈ 63°,
