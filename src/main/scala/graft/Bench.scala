@@ -108,12 +108,18 @@ object Bench {
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
     val loadBefore = loadavg()
     (1 to passes).foreach { pass =>
-      // settle the heap between passes: the previous pass leaves ~all
-      // queries' garbage resident, and whichever query allocates first
-      // pays the collection otherwise (one GC here, not per query)
-      System.gc()
       ordered.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
+          // settle the heap BEFORE the timer starts, per entry: with
+          // one GC per pass, whichever entry ran after an
+          // allocation-heavy neighbor inherited its garbage and paid
+          // the collection inside its own timing — measured at sf1
+          // (r14): graph_clustering_coeff 116.5 s in-suite vs 16.2 s
+          // isolated, mm_decode_image 36.3 vs 10.5, purely from a new
+          // heavy entry ~10 sorted positions upstream. The pre-entry
+          // GC runs outside the timed window, so per-entry numbers
+          // are attribution-grade without 287 separate JVMs.
+          System.gc()
           val t0 = System.nanoTime()
           try {
             materialize(fn(spark, sfDir))
