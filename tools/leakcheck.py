@@ -57,6 +57,8 @@ def tracked_files():
                          check=True).stdout.splitlines()
     keep = []
     for f in out:
+        if f == "tools/leakcheck.py":
+            continue  # the category regexes match their own definitions
         if f.startswith(("src/", "tools/", "project/")) or \
            f in ("build.sbt",) or \
            (("/" not in f) and f.endswith((".md", ".scala", ".py"))):
