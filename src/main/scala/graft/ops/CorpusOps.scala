@@ -310,6 +310,100 @@ object CorpusOps {
           .as("nll_per_bigram"))
   }
 
+  /** Trained multinomial Naive-Bayes document classifier — the exact-math
+    * relative of the fasttext-style domain/quality filters every corpus
+    * build runs (CCNet's wiki-vs-crawl model, DataComp's quality
+    * classifier): train per-class word log-odds on a LABELED subset,
+    * score every document, argmax. Here the label column is supplied by
+    * the caller (the registry entry uses `lang` with a seeded id split —
+    * a real 5-class problem on this corpus); the same op is the
+    * "reference-corpus vs crawl" quality gate when the label is a
+    * curated/crawl flag.
+    *
+    * Model: add-one-smoothed multinomial NB.
+    *   score(d, c) = round6(ln(n_docs_c / n_docs)) +
+    *                 Σ_{w ∈ d} round6(ln((c(w,c) + 1) / (n_c + V)))
+    * with c(w,c) = 0 for words the class never saw, V = train vocab
+    * size, n_c = class token total. Every per-term ln is StableRound'd
+    * to 6 decimals and summed as EXACT DECIMAL (the text_lm_score
+    * discipline), so the only cross-engine libm comparison is a single
+    * per-(word,class) ln at round-6 granularity; the argmax tie-break
+    * is (score DESC, class ASC) via the min(struct(-score, class))
+    * idiom — deterministic in both engines.
+    *
+    * Scale shape: the count relations are word-keyed map-side-combined
+    * aggs (the tfidf exchange class, xxhash64-keyed by default — score
+    * is hash-invariant because it depends only on per-key counts, the
+    * [[gramKey]] argument); the (vocab × classes) log-prob relation is
+    * BROADCAST (vocabulary-bounded, not corpus-bounded) so the scoring
+    * pass is a map-side join over the token stream; per-(doc, class)
+    * partial sums map-side combine to ≤ |docs|·|classes| exchange rows;
+    * the argmax is one more combinable agg. The corpus text is scanned
+    * twice (train counts, scoring) and never shuffled. Docs with no
+    * tokens score prior-only; a class absent from the train split is
+    * simply never predicted (it has no prior row) — both engines agree
+    * by construction.
+    *
+    * Output: (idCol, pred, score, is_correct) — predicted class, its
+    * round-6 total log-score, and pred == label for the accuracy audit
+    * downstream gates read. */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, isTrain: Column,
+      hashKeys: Boolean = true): DataFrame = {
+    val dec = DecimalType(27, 6)
+    val tok = docs.select(col(idCol), col(labelCol),
+        explode(split(col(textCol), " ")).as("__w0"))
+      .filter(length(col("__w0")) > 0)
+      .select(col(idCol), col(labelCol), gramKey(col("__w0"), hashKeys).as("w"))
+    val trainDocs = docs.filter(isTrain)
+    val trainTok = tok.join(trainDocs.select(col(idCol)), Seq(idCol))
+    // per-class word counts, class token totals, vocab size, doc priors
+    val cwc = trainTok.groupBy(col(labelCol).as("cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val nc = cwc.groupBy("cls").agg(sum(col("cnt")).as("n_c"))
+    val vocab = cwc.select("w").distinct().agg(count(lit(1)).as("v"))
+    val priors = trainDocs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs_c"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("cls"), StableRound.round6(
+          log(col("n_docs_c").cast("double") / col("n_docs").cast("double")))
+        .cast(dec).as("prior"))
+    // (vocab × classes) log-probs, plus each class's unseen-word default
+    val classStats = nc
+      .crossJoin(broadcast(vocab))
+      .select(col("cls"), col("n_c"), col("v"),
+        StableRound.round6(log(lit(1.0) / (col("n_c") + col("v"))
+          .cast("double"))).cast(dec).as("lw_unseen"))
+    val wstats = cwc.join(classStats, "cls")
+      .select(col("cls"), col("w"), StableRound.round6(
+          log((col("cnt") + 1).cast("double")
+            / (col("n_c") + col("v")).cast("double")))
+        .cast(dec).as("lw"))
+    // score: token stream × classes, seen words via the broadcast
+    // log-prob relation, unseen via the class default — then one
+    // map-side-combinable sum per (doc, class)
+    val classes = classStats.select("cls", "lw_unseen")
+    val perDocClass = tok.select(col(idCol), col("w"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(wstats), Seq("cls", "w"), "left")
+      .select(col(idCol), col("cls"),
+        coalesce(col("lw"), col("lw_unseen")).as("t"))
+      .groupBy(idCol, "cls").agg(sum(col("t")).as("s_tok"))
+    // every (doc, class) pair exists even for token-less docs
+    val scored = docs.select(col(idCol), col(labelCol))
+      .crossJoin(broadcast(priors))
+      .join(perDocClass, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col(labelCol), col("cls"),
+        (col("prior") + coalesce(col("s_tok"), lit(0).cast(dec))).as("s"))
+    // argmax with (score DESC, class ASC) tie-break: min(struct(-s, cls))
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg(min(struct((col("s") * -1).as("ns"), col("cls"))).as("best"))
+      .select(col(idCol),
+        col("best.cls").as("pred"),
+        (col("best.ns").cast("double") * -1).as("score"),
+        (col("best.cls") === col(labelCol)).as("is_correct"))
+  }
+
   /** Deterministic seeded global shuffle + shard assignment — the
     * training-export layout step: a corpus is dealt into `numShards`
     * shard files in a reproducible pseudo-random order so every epoch

@@ -554,6 +554,24 @@ object CorpusQueries extends QueryPack {
             / col("n_tokens_bpe").cast("double")).as("compression"))
     }),
 
+    // TRAINED QUALITY/DOMAIN CLASSIFIER — the third train→apply journey
+    // (tokenizer, corpus lifecycle, now the model-based filter every
+    // production corpus build runs: CCNet's wiki-vs-crawl fasttext,
+    // DataComp's quality model — here the exact-math multinomial NB
+    // relative so the DuckDB oracle replays train AND apply
+    // bit-for-bit). Trains per-class word log-odds on the seeded
+    // doc_id%3!=0 split with `lang` as the 5-class label, scores EVERY
+    // document, argmaxes under the (score DESC, class ASC) total
+    // order. Per-term round-6 ln summed as exact DECIMAL (the
+    // text_lm_score discipline); vocab×classes log-prob relation
+    // broadcasts, so the scoring pass never shuffles text — see the
+    // CorpusOps.nbClassify scaladoc for the full scale shape.
+    "pipeline_classifier_nb" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.CorpusOps.nbClassify(docs, "doc_id", "text", "lang",
+        isTrain = pmod(col("doc_id"), lit(3)) =!= 0)
+    }),
+
     // INCREMENTAL near-dup dedupe — the landed-corpus-wins refinement of
     // dedupe_clusters, and the stage IncrementalCorpusJob runs per delta
     // batch: the base corpus (doc_id%3!=0) is cluster-deduped to its
@@ -1222,6 +1240,51 @@ object CorpusQueries extends QueryPack {
     "pipeline_tokenizer_train" -> tokenizerTrainSql,
 
     "pipeline_tokenizer_apply" -> tokenizerApplySql,
+
+    // NB train + apply replayed in full: every per-term ln mirrored
+    // expression-for-expression under the round-6 decimal bridge
+    // (division spelled identically — ln(CAST(a)/CAST(b)), unseen
+    // default ln(1.0/CAST(n_c+v)); NOT -ln(x), which differs in float);
+    // argmax = row_number under the same (score DESC, class ASC) order
+    "pipeline_classifier_nb" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |tokf AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+         |train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0),
+         |ttok AS (SELECT t.doc_id, tr.lang, t.w
+         |         FROM tokf t JOIN train tr USING (doc_id)),
+         |cwc AS (SELECT lang AS cls, w, count(*) AS cnt
+         |        FROM ttok GROUP BY 1, 2),
+         |nc AS (SELECT cls, sum(cnt) AS n_c FROM cwc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM cwc),
+         |nd AS (SELECT count(*) AS n_docs FROM train),
+         |priors AS (SELECT lang AS cls, CAST(${graft.StableRound.sql6(
+                "ln(CAST(count(*) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE))")}
+         |      AS DECIMAL(27,6)) AS prior
+         |    FROM train CROSS JOIN nd GROUP BY lang),
+         |cstats AS (SELECT nc.cls, nc.n_c, v.v, CAST(${graft.StableRound.sql6(
+                "ln(1.0 / CAST(n_c + v AS DOUBLE))")}
+         |      AS DECIMAL(27,6)) AS lw_unseen
+         |    FROM nc CROSS JOIN v),
+         |wstats AS (SELECT cwc.cls, cwc.w, CAST(${graft.StableRound.sql6(
+                "ln(CAST(cnt + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE))")}
+         |      AS DECIMAL(27,6)) AS lw
+         |    FROM cwc JOIN cstats USING (cls)),
+         |pdc AS (SELECT t.doc_id, c.cls,
+         |      sum(coalesce(ws.lw, c.lw_unseen)) AS s_tok
+         |    FROM tokf t CROSS JOIN cstats c
+         |    LEFT JOIN wstats ws ON ws.cls = c.cls AND ws.w = t.w
+         |    GROUP BY 1, 2),
+         |scored AS (SELECT d.doc_id, d.lang, p.cls,
+         |      p.prior + coalesce(pdc.s_tok, CAST(0 AS DECIMAL(27,6))) AS s
+         |    FROM documents d CROSS JOIN priors p
+         |    LEFT JOIN pdc ON pdc.doc_id = d.doc_id AND pdc.cls = p.cls),
+         |best AS (SELECT doc_id, lang, cls, s, row_number()
+         |      OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rk
+         |    FROM scored)
+         |SELECT doc_id, cls AS pred, CAST(s AS DOUBLE) AS score,
+         |  cls = lang AS is_correct
+         |FROM best WHERE rk = 1""".stripMargin,
 
     // both closures (base canonicals, delta components) as recursive
     // CTEs over the exact-Jaccard pair relation, split by doc_id%3 side;

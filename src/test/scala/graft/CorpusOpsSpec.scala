@@ -79,6 +79,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
 
+  test("nbClassify: disjoint-vocabulary classes separate; unseen words " +
+      "and token-less docs fall back to smoothing/prior; ties break by " +
+      "class name") {
+    // train: ids 1,2 (class ax: vocabulary a,b) and 3,4 (class by: c,d);
+    // test ids 30,60,90 — pure-a doc, pure-c doc, and an empty doc
+    val docs = Seq(
+      (1L, "a a b", "ax"), (2L, "a b b", "ax"),
+      (3L, "c d d", "by"), (4L, "c c d", "by"),
+      (30L, "a a a b", "by"),   // text says ax; label disagrees on purpose
+      (60L, "c d c", "by"),
+      (90L, "", "ax")           // no tokens: prior-only
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusOps.nbClassify(docs, "doc_id", "text", "lang",
+      isTrain = col("doc_id") < 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == 7, "every doc is scored, train and test alike")
+    assert(got(30L)._1 == "ax" && !got(30L)._3,
+      "a-vocabulary doc classifies ax regardless of its planted label")
+    assert(got(60L)._1 == "by" && got(60L)._3)
+    // empty doc: equal priors (2 train docs each) -> tie -> class ASC
+    assert(got(90L)._1 == "ax" && got(90L)._3)
+    // train docs classify themselves (disjoint vocabularies)
+    assert(got(1L)._1 == "ax" && got(3L)._1 == "by")
+    // hand-check doc 60 ("c d c"): V=4, n_by=6, c(c,by)=c(d,by)=3 so
+    // every token scores round6(ln((3+1)/(6+4))); score_by =
+    // round6(ln(1/2)) + 3·round6(ln(0.4))
+    val exp60 = BigDecimal(math.rint(math.log(0.5) * 1e6) / 1e6) +
+      BigDecimal(math.rint(math.log(0.4) * 1e6) / 1e6) * 3
+    assert(math.abs(got(60L)._2 - exp60.toDouble) < 1e-9,
+      s"got ${got(60L)._2}, expected $exp60")
+    // string-key path bit-equals the hashed default
+    val str = CorpusOps.nbClassify(docs, "doc_id", "text", "lang",
+      isTrain = col("doc_id") < 10L, hashKeys = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(str == got)
+  }
+
   test("mixtureSample sampled fraction tracks the computed rate") {
     val docs = (1 to 2000).map(i => (i.toLong, "only")).toDF("doc_id", "lang")
     val got = CorpusOps.mixtureSample(docs, "doc_id", "lang",
