@@ -447,6 +447,40 @@ object VectorOps {
       query, queryVecCol, k, centroids, nProbe)
   }
 
+  /** FILTERED ANN — the production retrieval shape (metadata predicate
+    * PLUS vector similarity): top-k cosine among corpus rows whose
+    * `labelCol` equals `labelVal`, answered from a layout partitioned
+    * by (label, cell). The categorical filter becomes a PARTITION
+    * dimension rather than a post-filter, which matters twice at scale:
+    * (a) I/O — both predicates resolve against directory names
+    * (`PartitionFilters: label = L, cell IN (probes)`), so the scan
+    * reads (probed cells of one label)/(labels × cells) of the corpus;
+    * (b) recall — filtering AFTER probing a label-agnostic layout
+    * starves top-k under selective predicates (a label owning 1% of
+    * rows yields ~k/100 eligible candidates per probe), while
+    * per-(label, cell) partitions make the search exactly an
+    * unfiltered IVF over that label's sub-corpus. One quantizer is
+    * trained on the WHOLE corpus (pass the ivfTrain result) — labels
+    * share geometry; only the layout is label-split. High-cardinality
+    * or range predicates belong in row-group stats (the z-order tier),
+    * not partitions — this op is the CATEGORICAL case. */
+  def ivfFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, labelVal: Int,
+      query: DataFrame, queryVecCol: String, k: Int,
+      centroids: Array[Array[Float]], nProbe: Int,
+      layoutDir: String): DataFrame = {
+    val success = new org.apache.hadoop.fs.Path(s"$layoutDir/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      vectors.withColumn("cell", ivfCell(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy(labelCol, "cell")
+        .parquet(layoutDir)
+    }
+    ivfQueryLayout(spark, layoutDir, idCol, vecCol, query, queryVecCol,
+      k, centroids, nProbe, extraFilter = col(labelCol) === labelVal)
+  }
+
   /** Maintenance compaction for an incrementally-built layout
     * (`cell=K/__batch_id=N` from the streaming ingests): rewrite to the
     * batch tier's flat `cell=K` shape — one listing entry per cell
@@ -482,8 +516,9 @@ object VectorOps {
   def ivfQueryLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
-      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
-    val corpus = spark.read.parquet(layoutDir)
+      centroids: Array[Array[Float]], nProbe: Int,
+      extraFilter: Column = lit(true)): DataFrame = {
+    val corpus = spark.read.parquet(layoutDir).filter(extraFilter)
     val qScored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct((-dot(col(queryVecCol), typedlit(c.toSeq))).as("neg"),
         lit(i).as("i"))

@@ -284,6 +284,30 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // FILTERED ANN — metadata predicate + similarity, the production
+    // retrieval shape (per-tenant / per-language / per-split search):
+    // top-10 among label=1 vectors from a layout partitioned by
+    // (label, cell), BOTH predicates pruning partitions. Filtering as a
+    // partition dimension (not a post-filter over a label-agnostic
+    // layout) is what keeps recall intact under selective predicates —
+    // see the ivfFilteredTopK scaladoc. The planted neighbors carry
+    // label 1, so the exact filtered top-10 is the planted set and the
+    // recall bound is sharp; oracle = brute-force top-10 under the same
+    // filter over the bit-identically re-derived corpus.
+    "vec_ann_filtered" -> ((s, d) => {
+      val (corpus, query) = plantedCorpusLabeled(s, d)
+      val centroids = VectorOps.ivfTrain(
+        corpus.select("vec_id", "embedding"), "embedding", 16)
+      val ann = VectorOps.ivfFilteredTopK(s, corpus, "vec_id",
+        "embedding", "label", 1, query, "embedding", k = 10, centroids,
+        nProbe = 4, layoutDir =
+          s"/tmp/graft_ivff_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+      val exact = VectorOps.cosineTopK(
+        corpus.filter(col("label") === 1).select("vec_id", "embedding"),
+        "vec_id", "embedding", query, "embedding", k = 10)
+      annotateRecall(ann, exact, k = 10, minRecall = 0.9)
+    }),
+
     // STREAMING PQ ingest: the compressed-index twin of
     // stream_vec_ingest — batches are encoded against the FROZEN
     // quantizers (trained up front with the batch tier's exact
@@ -397,6 +421,28 @@ object VectorQueries extends QueryPack {
             .cast("float")).as("embedding"))
     val corpus = emb.filter(col("vec_id") =!= 0)
       .select("vec_id", "embedding").union(planted)
+    (corpus, emb.filter(col("vec_id") === 0).select("embedding"))
+  }
+
+  /** [[plantedCorpus]] keeping the metadata `label` column: natural
+    * vectors carry their real label, the 12 planted neighbors are
+    * pinned to label 1 — so the exact FILTERED top-10 under label = 1
+    * is the planted set and filtered-ANN recall is a sharp quantity. */
+  private[graft] def plantedCorpusLabeled(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__base"))
+    val planted = emb.filter(col("vec_id").between(1, 12))
+      .crossJoin(broadcast(base))
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("__base"), col("embedding"),
+          (b, o) => (b.cast("double") + lit(0.03) * o.cast("double"))
+            .cast("float")).as("embedding"),
+        lit(1).as("label"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding", "label").union(planted)
     (corpus, emb.filter(col("vec_id") === 0).select("embedding"))
   }
 
@@ -578,6 +624,34 @@ object VectorQueries extends QueryPack {
         |ORDER BY list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) DESC, cn.vec_id
         |LIMIT 10""".stripMargin
 
+  /** Labeled twin of [[exactPlantedOracleSql]]: the planted corpus
+    * re-derived WITH labels (natural rows keep theirs, planted rows are
+    * pinned to 1 — the plantedCorpusLabeled contract), then the exact
+    * brute-force top-10 under the label = 1 filter. */
+  private def exactFilteredOracleSql: String =
+    """WITH pbase AS (SELECT embedding AS be FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT o.vec_id + 100000 AS vec_id,
+      |    list_transform(range(1, 65), i -> CAST(CAST(b.be[i] AS DOUBLE)
+      |      + 0.03*CAST(o.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding,
+      |    1 AS label
+      |  FROM embeddings o, pbase b WHERE o.vec_id BETWEEN 1 AND 12),
+      |corpus AS (SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE vec_id <> 0
+      |  UNION ALL SELECT vec_id, embedding, label FROM planted),
+      |cn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+      |  FROM (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |    FROM corpus WHERE label = 1)),
+      |qn AS (SELECT qe, sqrt(list_dot_product(qe, qe)) AS qnrm
+      |  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |    FROM embeddings WHERE vec_id = 0))
+      |SELECT cn.vec_id,
+      |  round(list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm), 6) AS cos_sim,
+      |  TRUE AS recall_ok
+      |FROM cn, qn
+      |ORDER BY list_dot_product(cn.e, qn.qe) / (cn.nrm * qn.qnrm) DESC, cn.vec_id
+      |LIMIT 10""".stripMargin
+
   private[queries] val vCte =
     """WITH v AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -662,6 +736,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_batch" -> lshBatchOracleSql,
     "vec_ann_ivf" -> exactPlantedOracleSql,
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
+    "vec_ann_filtered" -> exactFilteredOracleSql,
     "stream_vec_ingest" -> exactPlantedOracleSql,
     "stream_pq_ingest" -> exactPlantedOracleSql,
     "vec_ann_pq" -> exactPlantedOracleSql,

@@ -157,6 +157,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("ivfFilteredTopK: label filter + probes BOTH prune partitions, " +
+      "and the result equals brute force over the label's sub-corpus") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0)
+      .select("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val centroids = VectorOps.ivfTrain(
+      corpus.select("vec_id", "embedding"), "embedding", 8, seed = 42L)
+    val dir = s"/tmp/graft_ivff_spec_${System.nanoTime()}"
+    val got = VectorOps.ivfFilteredTopK(spark, corpus, "vec_id",
+      "embedding", "label", 2, q, "embedding", k = 10, centroids,
+      nProbe = 8, layoutDir = dir) // probe ALL cells: filtered exact
+    val exact = VectorOps.cosineTopK(
+      corpus.filter($"label" === 2).select("vec_id", "embedding"),
+      "vec_id", "embedding", q, "embedding", k = 10)
+    assert(got.as[(Long, Double)].collect().toSeq ==
+      exact.as[(Long, Double)].collect().toSeq)
+    // no off-label row can appear regardless of probes — the filter is
+    // structural (a partition dimension), not a post-hoc cut
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell")
+      && plan.contains("label"))
+    // selective-probe run still returns only label rows + prunes
+    val narrow = VectorOps.ivfFilteredTopK(spark, corpus, "vec_id",
+      "embedding", "label", 2, q, "embedding", k = 10, centroids,
+      nProbe = 2, layoutDir = dir)
+    val labelIds = corpus.filter($"label" === 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(narrow.as[(Long, Double)].collect()
+      .forall(r => labelIds.contains(r._1)))
+  }
+
   test("lshCosineTopKPruned (partitioned layout) equals inline LSH " +
       "and its plan prunes partitions") {
     val d = "/root/testdata/sf0.001"
