@@ -346,17 +346,39 @@ object CorpusOps {
     *
     * Output: (idCol, pred, score, is_correct) — predicted class, its
     * round-6 total log-score, and pred == label for the accuracy audit
-    * downstream gates read. */
+    * downstream gates read.
+    *
+    * Split as train → apply ([[nbTrainModel]] / [[nbApply]]) so the
+    * frozen model scores arriving documents in the streaming face
+    * without retraining per micro-batch; this composed form is
+    * apply(train(...)) with the model frames localCheckpointed
+    * (vocabulary-bounded), which also stops the batch plan re-deriving
+    * the count aggregations once per model branch. */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, isTrain: Column,
-      hashKeys: Boolean = true): DataFrame = {
+      hashKeys: Boolean = true): DataFrame =
+    nbApply(nbTrainModel(docs, idCol, textCol, labelCol, isTrain,
+      hashKeys), docs, idCol, textCol, labelCol, hashKeys)
+
+  /** The frozen NB model: three vocabulary-bounded frames, materialized
+    * (localCheckpoint) so apply-side plans — batch or per-micro-batch —
+    * never re-derive the training aggregations. */
+  case class NbModel(priors: DataFrame, classes: DataFrame,
+      wstats: DataFrame)
+
+  /** Train the [[nbClassify]] model on `docs.filter(isTrain)` — the
+    * count relations are word-keyed map-side-combined aggs; all three
+    * result frames are vocabulary- or class-bounded, never
+    * corpus-bounded. */
+  def nbTrainModel(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, isTrain: Column,
+      hashKeys: Boolean = true): NbModel = {
     val dec = DecimalType(27, 6)
-    val tok = docs.select(col(idCol), col(labelCol),
+    val trainDocs = docs.filter(isTrain)
+    val trainTok = trainDocs.select(col(idCol), col(labelCol),
         explode(split(col(textCol), " ")).as("__w0"))
       .filter(length(col("__w0")) > 0)
-      .select(col(idCol), col(labelCol), gramKey(col("__w0"), hashKeys).as("w"))
-    val trainDocs = docs.filter(isTrain)
-    val trainTok = tok.join(trainDocs.select(col(idCol)), Seq(idCol))
+      .select(col(labelCol), gramKey(col("__w0"), hashKeys).as("w"))
     // per-class word counts, class token totals, vocab size, doc priors
     val cwc = trainTok.groupBy(col(labelCol).as("cls"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -379,19 +401,35 @@ object CorpusOps {
           log((col("cnt") + 1).cast("double")
             / (col("n_c") + col("v")).cast("double")))
         .cast(dec).as("lw"))
+    NbModel(priors.localCheckpoint(),
+      classStats.select("cls", "lw_unseen").localCheckpoint(),
+      wstats.localCheckpoint())
+  }
+
+  /** Score `docs` under a frozen [[NbModel]] — the apply half of
+    * [[nbClassify]], shared verbatim by the streaming face (stateless
+    * per batch: broadcast model joins + combinable per-(doc, class)
+    * sums + the argmax agg; no state store, no watermark). */
+  def nbApply(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String,
+      hashKeys: Boolean = true): DataFrame = {
+    val dec = DecimalType(27, 6)
+    val tok = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("__w0"))
+      .filter(length(col("__w0")) > 0)
+      .select(col(idCol), gramKey(col("__w0"), hashKeys).as("w"))
     // score: token stream × classes, seen words via the broadcast
     // log-prob relation, unseen via the class default — then one
     // map-side-combinable sum per (doc, class)
-    val classes = classStats.select("cls", "lw_unseen")
-    val perDocClass = tok.select(col(idCol), col("w"))
-      .crossJoin(broadcast(classes))
-      .join(broadcast(wstats), Seq("cls", "w"), "left")
+    val perDocClass = tok
+      .crossJoin(broadcast(model.classes))
+      .join(broadcast(model.wstats), Seq("cls", "w"), "left")
       .select(col(idCol), col("cls"),
         coalesce(col("lw"), col("lw_unseen")).as("t"))
       .groupBy(idCol, "cls").agg(sum(col("t")).as("s_tok"))
     // every (doc, class) pair exists even for token-less docs
     val scored = docs.select(col(idCol), col(labelCol))
-      .crossJoin(broadcast(priors))
+      .crossJoin(broadcast(model.priors))
       .join(perDocClass, Seq(idCol, "cls"), "left")
       .select(col(idCol), col(labelCol), col("cls"),
         (col("prior") + coalesce(col("s_tok"), lit(0).cast(dec))).as("s"))

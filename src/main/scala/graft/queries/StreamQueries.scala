@@ -572,6 +572,35 @@ object StreamQueries extends QueryPack {
         outputMode = "append")
     }),
 
+    // streaming NB classification — the trained quality/domain filter
+    // in its deployed posture: the model is FROZEN batch-side
+    // (CorpusOps.nbTrainModel on the seeded split, the cadence a
+    // production filter retrains on) and every arriving micro-batch is
+    // scored statelessly against the broadcast model. One AvailableNow
+    // pass over the static corpus reproduces the batch entry exactly,
+    // so this shares pipeline_classifier_nb's oracle verbatim.
+    "stream_classify_nb" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_nbstream_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      Files.createDirectories(base)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchDocs = s.read.parquet(s"$d/documents.parquet")
+      val model = graft.ops.CorpusOps.nbTrainModel(batchDocs, "doc_id",
+        "text", "lang", isTrain = pmod(col("doc_id"), lit(3)) =!= 0)
+      val q = StreamOps.classifyEachBatch(
+        StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
+          batchDocs.schema),
+        model, "doc_id", "text", "lang",
+        s"$base/out", Some(s"$base/ckpt"))
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "pred", "score", "is_correct")
+    }),
+
     // streaming incremental NEAR-DUP dedupe — the MinHash tier of
     // stream_incremental_dedupe: a doc never lands when its verified
     // Jaccard against anything already landed (or a lower-id
@@ -1435,6 +1464,11 @@ object StreamQueries extends QueryPack {
     // survivors = docs with no lower-id exact-Jaccard≥0.5 partner (the
     // proven dedupe_minhash_lsh pair CTE — LSH recall on this corpus is
     // exact, pinned by that entry's own hash-green history)
+    // one AvailableNow pass over the static corpus ≡ the batch
+    // classifier — the model is frozen, scoring is stateless, so the
+    // streaming face shares the batch oracle verbatim
+    "stream_classify_nb" -> CorpusQueries.oracle("pipeline_classifier_nb"),
+
     "stream_neardup_dedupe" ->
       s"""SELECT doc_id, lang, text FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM (

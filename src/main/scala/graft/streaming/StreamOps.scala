@@ -950,6 +950,34 @@ object StreamOps {
     * FROZEN at stream start (the IVF contract — retraining means
     * re-landing); the batch tier's `ivfQueryLayout` answers queries from
     * the layout either tier wrote. */
+  /** Streaming NB classification — stream_classify_nb: micro-batches of
+    * documents scored against a FROZEN [[graft.ops.CorpusOps.NbModel]]
+    * (trained batch-side — exactly how a production ingest filter runs:
+    * the model updates on a slow cadence, the stream never retrains)
+    * and landed replay-exact under `__batch_id=N` with dynamic
+    * partition overwrite. Stateless per batch — broadcast model joins
+    * plus in-batch combinable aggs; no state store, no watermark — so
+    * replay idempotence needs only the partition discipline. */
+  def classifyEachBatch(stream: DataFrame,
+      model: graft.ops.CorpusOps.NbModel, idCol: String, textCol: String,
+      labelCol: String, outDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CorpusOps
+          .nbApply(model, batch, idCol, textCol, labelCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+      }
+      .start()
+  }
+
   def vecIngestEachBatch(stream: DataFrame, vecCol: String,
       centroids: Array[Array[Float]], layoutDir: String,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -464,6 +464,50 @@ class StreamingSpec extends SparkSpec {
     assert(top2.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("classifyEachBatch: frozen model scores successive drops; old " +
+      "batch outputs untouched; stream total equals batch nbApply") {
+    import graft.ops.CorpusOps
+    val base = java.nio.file.Files.createTempDirectory("graft-nbstream")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val trainDocs = Seq(
+      (1L, "a a b", "ax"), (2L, "a b b", "ax"),
+      (3L, "c d d", "by"), (4L, "c c d", "by")).toDF("doc_id", "text", "lang")
+    val model = CorpusOps.nbTrainModel(trainDocs, "doc_id", "text",
+      "lang", isTrain = lit(true))
+    val schema = trainDocs.schema
+    def runOnce(): Unit = {
+      val q = StreamOps.classifyEachBatch(
+        StreamOps.fileStreamParquet(spark, s"$src/*", schema),
+        model, "doc_id", "text", "lang", out, checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    def landed: Map[Long, (String, Boolean)] =
+      spark.read.parquet(out).select("doc_id", "pred", "is_correct")
+        .as[(Long, String, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq((30L, "a a a b", "ax")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$src/b1")
+    runOnce()
+    assert(landed == Map(30L -> (("ax", true))))
+    // epoch 2: only the new drop is scored; batch-1 output untouched
+    Seq((60L, "c d c", "by"), (90L, "", "ax"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$src/b2")
+    runOnce()
+    assert(landed == Map(30L -> (("ax", true)), 60L -> (("by", true)),
+      90L -> (("ax", true)))) // empty doc: prior tie -> class ASC
+    // the accumulated stream output equals one batch nbApply pass
+    val allDocs = Seq((30L, "a a a b", "ax"), (60L, "c d c", "by"),
+      (90L, "", "ax")).toDF("doc_id", "text", "lang")
+    val batch = CorpusOps.nbApply(model, allDocs, "doc_id", "text", "lang")
+      .select("doc_id", "pred", "score", "is_correct")
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "pred", "score", "is_correct")
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join matches across micro-batches and " +
       "emits each match exactly once") {
     implicit val sq = spark.sqlContext
