@@ -188,6 +188,17 @@ class VectorOpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(narrow.as[(Long, Double)].collect()
       .forall(r => labelIds.contains(r._1)))
+    // structural invariance — the entry's core claim: with the SAME
+    // quantizer, a corpus stripped of every off-label row yields the
+    // IDENTICAL narrow-probe result (off-label rows can never displace,
+    // shadow, or dilute a filtered search; the filter is a partition
+    // dimension, not a post-hoc cut over shared candidates)
+    val dir2 = s"/tmp/graft_ivff_spec2_${System.nanoTime()}"
+    val onlyLabel = VectorOps.ivfFilteredTopK(spark,
+      corpus.filter($"label" === 2), "vec_id", "embedding", "label", 2,
+      q, "embedding", k = 10, centroids, nProbe = 2, layoutDir = dir2)
+    assert(onlyLabel.as[(Long, Double)].collect().toSeq ==
+      narrow.as[(Long, Double)].collect().toSeq)
   }
 
   test("lshCosineTopKPruned (partitioned layout) equals inline LSH " +
