@@ -1218,6 +1218,39 @@ object VectorOps {
   def kmeansLloyd(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val spark = vecs.sparkSession
+    val (cents, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
+    val cstats = spark.createDataFrame(
+        cents.toSeq.map { case (cid, c) =>
+          (cid, c.map(v => v * v).sum, c.sum) })
+      .toDF("centroid_id", "c_norm2", "c_sum")
+    cstats.join(
+        lastAssign.groupBy(col("cid").as("centroid_id"))
+          .agg(count(lit(1)).as("n_members")),
+        Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("n_members"))
+      .select("centroid_id", "n_members", "c_norm2", "c_sum")
+  }
+
+  /** Final Lloyd assignment (id → cell) under the exact fixed-point
+    * recipe of [[kmeansLloyd]] — the single-cell partitioner of the
+    * SemDeDup-style bounded-recall dedup tier ([[CorpusQueries]]
+    * `dedupe_embed_semdedup`). Because every round is bit-identical on
+    * any engine, a DuckDB oracle can replay the rounds and reach the
+    * SAME cell per vector, which is what makes a hash-checkable oracle
+    * for a recall<1 blocking scheme possible at all. Returns one row
+    * per input vector: (idCol, cell). */
+  def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (_, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
+    lastAssign.select(col("vid").as(idCol), col("cid").as("cell"))
+  }
+
+  /** The shared Lloyd loop: quantize once, `iters` rounds of broadcast
+    * assignment + map-side-combined centroid update. Returns the final
+    * centroid model and the final assignment frame (vid, cid, x). */
+  private def lloydRounds(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (Array[(Long, Array[Long])], DataFrame) = {
+    val spark = vecs.sparkSession
     val vx = vecs.select(col(idCol).cast("long").as("vid"),
         transform(col(vecCol),
           e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
@@ -1257,15 +1290,6 @@ object VectorOps {
       }
       lastAssign = assign
     }
-    val cstats = spark.createDataFrame(
-        cents.toSeq.map { case (cid, c) =>
-          (cid, c.map(v => v * v).sum, c.sum) })
-      .toDF("centroid_id", "c_norm2", "c_sum")
-    cstats.join(
-        lastAssign.groupBy(col("cid").as("centroid_id"))
-          .agg(count(lit(1)).as("n_members")),
-        Seq("centroid_id"), "left")
-      .na.fill(0L, Seq("n_members"))
-      .select("centroid_id", "n_members", "c_norm2", "c_sum")
+    (cents, lastAssign)
   }
 }

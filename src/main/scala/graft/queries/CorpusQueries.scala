@@ -102,6 +102,41 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // The SUB-QUADRATIC semantic-dedup tier (SemDeDup, Abbas et al.
+    // 2023): every vector is assigned to exactly ONE k-means cell and
+    // pairs are scored only WITHIN a cell — cost k·(n/k)², i.e. n²/k
+    // for balanced cells, vs the Θ(n²) bound the r14 grid proved
+    // inescapable for any recall-1.0 blocking at this 0.45 threshold.
+    // Recall < 1 BY DESIGN (cross-cell near-dups are unseen); measured
+    // grid at this threshold (pair recall / candidate fraction,
+    // SemDedupSpec + PLANS §27):
+    //   k=4:  sf0.1 0.47 / 0.25      k=8: sf0.1 0.38 / 0.125
+    //   k=16: sf0.1 0.29 / 0.062     (sf0.001: 0.71 / 0.29 / 0.00)
+    // Shipped k=8, iters=3 — the knee of that curve, and the exact
+    // recipe vec_kmeans_lloyd's oracle already replays. At 100 TB, k
+    // grows with n to keep the cell population bounded (SemDeDup runs
+    // k≈10⁵ on LAION-scale), the cell id is a shuffle key so each
+    // cell's pairwise is partition-local, and the quantizer model stays
+    // k·dim driver-side.
+    // Hash-checkable DESPITE recall<1: cells come from the exact
+    // fixed-point Lloyd recipe (VectorOps.kmeansAssign), so the DuckDB
+    // oracle replays the same rounds bit-identically and restricts the
+    // exact pair relation to same-cell — the oracle agrees at every SF
+    // without needing recall 1.
+    "dedupe_embed_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cells = graft.ops.VectorOps.kmeansAssign(emb, "vec_id",
+        "embedding", k = 8, iters = 3)
+      val pairs = graft.ops.VectorOps.pairwiseCosine(
+        emb.join(cells, "vec_id"), "vec_id", "embedding",
+        threshold = 0.45, blockCol = Some("cell"))
+      Clusters.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // INCREMENTAL semantic dedup — the vector twin of dedupe_incremental:
     // an incoming embedding batch (vec_id%3==0) is checked against the
     // landed corpus WITHOUT rescoring corpus×corpus. Candidates come
@@ -770,6 +805,62 @@ object CorpusQueries extends QueryPack {
        |  (v = min(l)) AS is_keeper
        |FROM r GROUP BY v""".stripMargin
 
+  /** SemDeDup-tier oracle: replay the exact fixed-point Lloyd rounds
+    * (the same CTE machinery as vec_kmeans_lloyd, k=16, 3 rounds —
+    * bit-identical to VectorOps.kmeansAssign by construction), then the
+    * exact-cosine pair relation RESTRICTED to same final cell, then the
+    * same recursive-CTE closure as embedClustersSql. This is how a
+    * recall<1 blocking scheme stays hash-checkable: the oracle doesn't
+    * need recall 1, it needs the same cells. */
+  private def semdedupClustersSql: String = {
+    val lloydPre =
+      """lq AS (SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |    AS x FROM embeddings),
+        |lvx AS (SELECT vec_id, generate_subscripts(x, 1) AS pos,
+        |    unnest(x) AS q FROM lq),
+        |lc0 AS (SELECT vec_id AS cid, pos, q AS cq FROM lvx
+        |  WHERE vec_id < 8)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s""",
+         |ld$i AS (SELECT lvx.vec_id, c.cid,
+         |    sum((lvx.q - c.cq) * (lvx.q - c.cq)) AS dist
+         |  FROM lvx JOIN lc${i - 1} c USING (pos) GROUP BY 1, 2),
+         |la$i AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rk FROM ld$i) WHERE rk = 1),
+         |lu$i AS (SELECT a.cid, lvx.pos, sum(lvx.q) AS sq, count(*) AS n
+         |  FROM lvx JOIN la$i a USING (vec_id) GROUP BY 1, 2),
+         |lc$i AS (SELECT pc.cid, pc.pos,
+         |    CASE WHEN u.n IS NULL THEN pc.cq
+         |      ELSE (CAST(u.sq AS BIGINT)
+         |        - ((CAST(u.sq AS BIGINT) % u.n) + u.n) % u.n) // u.n
+         |    END AS cq
+         |  FROM lc${i - 1} pc LEFT JOIN lu$i u
+         |    ON u.cid = pc.cid AND u.pos = pc.pos)""".stripMargin
+    }.mkString
+    s"""WITH RECURSIVE
+       |p AS (SELECT id1, id2 FROM (
+       |${VectorQueries.vCte},
+       |$lloydPre$rounds
+       |SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |JOIN la3 ca ON ca.vec_id = a.vec_id
+       |JOIN la3 cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+       |)),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |      UNION ALL SELECT id2, id1 FROM p),
+       |r AS (
+       |  SELECT vec_id AS v, vec_id AS l FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+       |)
+       |SELECT v AS vec_id, min(l) AS cluster_id,
+       |  (v = min(l)) AS is_keeper
+       |FROM r GROUP BY v""".stripMargin
+  }
+
   /** The decontamination verdict as a full statement (own WITH scope) —
     * shared by the standalone entry and the composed pipeline oracle. */
   private def decontamSql: String =
@@ -994,6 +1085,10 @@ object CorpusQueries extends QueryPack {
     // (its candidate blocking is recall-1 on this corpus; exact verify
     // makes precision structural)
     "dedupe_embed_ivf" -> embedClustersSql,
+
+    // bounded-recall tier: its own Lloyd-replay oracle — NOT the exact
+    // closure (recall < 1 is the contract; see semdedupClustersSql)
+    "dedupe_embed_semdedup" -> semdedupClustersSql,
 
     // honest quadratic cross-set oracle for the IVF-blocked incremental
     // tier (recall-1 blocking => identical verdicts)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+/** Contract of the bounded-recall SemDeDup tier (`dedupe_embed_semdedup`):
+  *
+  *  - precision is STRUCTURAL (within-cell pairs are exact-cosine
+  *    verified, so every emitted pair is in the exact relation);
+  *  - the candidate volume is sub-quadratic (Σ n_c·(n_c−1)/2 well below
+  *    the brute-force n·(n−1)/2 — this is the whole point of the tier);
+  *  - recall against the exact pair relation is < 1 by design and must
+  *    sit in the measured band pinned here (drift below the floor means
+  *    the quantizer or the fixed-point recipe changed);
+  *  - the cell assignment is deterministic (bit-identical re-runs), the
+  *    property the DuckDB Lloyd-replay oracle rests on.
+  *
+  * Measured recall (pair-level, threshold 0.45, k=8, iters=3), pinned
+  * in the dedupe_embed_semdedup scaladoc and PLANS §27:
+  * sf0.001 = sf0.01 (same 500-vector table) and sf0.1 are asserted
+  * here; sf1 is measured by the isolated protocol and recorded in PLANS.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private def measure(sfDir: String): (Double, Double) = {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val exact = VectorOps.pairwiseCosine(emb, "vec_id", "embedding",
+      threshold = 0.45, blockCol = None)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = VectorOps.kmeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val sem = VectorOps.pairwiseCosine(emb.join(cells, "vec_id"),
+      "vec_id", "embedding", threshold = 0.45, blockCol = Some("cell"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision structural: every within-cell verified pair IS exact
+    assert(sem.subsetOf(exact),
+      s"semdedup emitted a pair outside the exact relation at $sfDir")
+    // sub-quadratic candidate volume: Σ n_c·(n_c−1)/2 vs n·(n−1)/2
+    val n = emb.count()
+    val cand = cells.groupBy("cell").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).collect()(0).getDouble(0)
+    val frac = cand / (n.toDouble * (n - 1) / 2)
+    val recall = sem.size.toDouble / exact.size
+    info(f"$sfDir: n=$n exact=${exact.size} sem=${sem.size} " +
+      f"recall=$recall%.3f candidate_frac=$frac%.3f")
+    (recall, frac)
+  }
+
+  test("semdedup tier: structural precision, sub-quadratic candidates, " +
+      "pinned recall band at sf0.001 and sf0.1") {
+    val (r1, f1) = measure("/root/testdata/sf0.001")
+    val (r2, f2) = measure("/root/testdata/sf0.1")
+    // candidate volume must be far below brute force — balanced k=8
+    // cells would give 1/8 = 0.125; allow skew up to 2× balanced
+    assert(f1 < 0.25 && f2 < 0.25,
+      s"candidate fraction not sub-quadratic: $f1 / $f2")
+    // recall floor: measured this session (sf0.001 = 2/7 = 0.286,
+    // sf0.1 = 54/144 = 0.375 — see PLANS §27); a drop below the floor
+    // means the quantizer/fixed-point recipe changed
+    assert(r1 >= 0.20 && r1 < 1.0, s"sf0.001 recall out of band: $r1")
+    assert(r2 >= 0.25 && r2 < 1.0, s"sf0.1 recall out of band: $r2")
+  }
+
+  test("cell assignment is deterministic across re-runs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val a = VectorOps.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = VectorOps.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+}
