@@ -25,6 +25,78 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * documented, not bugs).
   */
 object PlanAudit {
+
+  /** Expected scan shapes for every LAYOUT-SERVING registry entry —
+    * the invariants that make each layout worth its disk: a z-order
+    * layout that stops receiving its pushed range predicates, or a
+    * cell/label-partitioned ANN layout whose probes stop pruning
+    * partitions, still returns correct rows while silently reading the
+    * whole corpus. Each requirement is (scan-metadata key, needle):
+    * SOME FileScan in the entry's executed plan must carry the needle
+    * (case-insensitive) in that metadata value. Scan METADATA is
+    * checked, not the rendered plan string — plan rendering truncates
+    * long filter lists, metadata does not. Asserted per entry in
+    * PlanShapeSpec; also reported by this audit main. */
+  val expectedShapes: Map[String, Seq[(String, String)]] = Map(
+    // both rectangle dimensions pushed to the z-run layout's footers
+    "scan_zorder_prune" -> Seq(
+      ("PushedFilters", "GreaterThanOrEqual(o_custkey"),
+      ("PushedFilters", "LessThanOrEqual(o_custkey"),
+      ("PushedFilters", "GreaterThanOrEqual(o_totalprice"),
+      ("PushedFilters", "LessThanOrEqual(o_totalprice")),
+    // the day filter resolves against hive partition directories
+    "scan_partition_prune" -> Seq(("PartitionFilters", "event_date")),
+    // DYNAMIC pruning: the dim filter reaches the fact scan as a
+    // runtime subquery, not a literal
+    "join_partition_prune" -> Seq(("PartitionFilters", "dynamicpruning")),
+    // ANN layouts: probes (and the label predicate, where the layout
+    // has one) prune partitions
+    "vec_ann_lsh_pruned" -> Seq(("PartitionFilters", "bucket")),
+    "vec_ann_ivf_pruned" -> Seq(("PartitionFilters", "cell")),
+    "vec_ann_filtered" -> Seq(
+      ("PartitionFilters", "label"), ("PartitionFilters", "cell")),
+    "stream_vec_ingest" -> Seq(("PartitionFilters", "cell")),
+    "stream_vec_ingest_filtered" -> Seq(
+      ("PartitionFilters", "label"), ("PartitionFilters", "cell")),
+    // the PQ tiers' FINAL plan is the exact rerank: its layout scan
+    // must push the candidate-id IN list (row-group skipping over the
+    // id-sorted layout). The ADC stage's cell PartitionFilters are an
+    // earlier eager execution, pinned on that stage's own frame in
+    // VectorOpsSpec — not visible in the returned plan.
+    "vec_ann_ivfpq" -> Seq(("PushedFilters", "In(vec_id")),
+    "stream_pq_ingest" -> Seq(("PushedFilters", "In(vec_id")))
+
+  /** Every FileSourceScanExec under `p`, walking adaptive/staged
+    * subtrees and subqueries. */
+  def collectScans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val self = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children ++ other.subqueries
+    }
+    self ++ kids.flatMap(collectScans)
+  }
+
+  /** Violations of [[expectedShapes]] for `name`'s executed plan —
+    * empty when the entry has no expectation or every needle is
+    * carried by some scan. */
+  def shapeViolations(name: String, plan: SparkPlan): Seq[String] = {
+    val reqs = expectedShapes.getOrElse(name, Nil)
+    if (reqs.isEmpty) return Nil
+    val scans = collectScans(plan)
+    reqs.flatMap { case (key, needle) =>
+      val ok = scans.exists(_.metadata.get(key)
+        .exists(_.toLowerCase.contains(needle.toLowerCase)))
+      if (ok) None
+      else Some(s"$name: no FileScan whose $key contains '$needle' " +
+        s"(${scans.size} scans inspected)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -70,6 +142,8 @@ object PlanAudit {
         hits.foreach { case (kind, w) =>
           println(s"$name\t$kind\t${w.simpleStringWithNodeId().take(160)}")
         }
+        shapeViolations(name, df.queryExecution.executedPlan)
+          .foreach(v => println(s"$name\tShapeViolation\t$v"))
         if (only.isDefined) {
           // force execution so AQE finalizes, then report plan shape
           df.write.format("noop").mode("overwrite").save()

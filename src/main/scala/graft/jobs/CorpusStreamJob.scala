@@ -56,6 +56,20 @@ import graft.jobs.IncrementalCorpusJob.{DeltaReport, GenMeta}
   */
 object CorpusStreamJob {
 
+  /** A multi-batch sweep that failed PARTWAY: earlier batches in the
+    * sweep already landed generations (each is durably committed — the
+    * per-generation rename protocol doesn't roll back on a later
+    * batch's failure), so the error carries them for reconciliation.
+    * Without this, a failed sweep's landed generations would appear in
+    * neither the caller's return value nor processed.log — an operator
+    * reading problems.log could not tell how far the chain advanced. */
+  final class SweepFailedException(val landed: Seq[DeltaReport],
+      cause: Throwable) extends RuntimeException(
+    s"sweep failed after landing ${landed.size} generation(s)" +
+      (if (landed.isEmpty) ""
+       else landed.map(_.generation).mkString(" [", ", ", "]")) +
+      s": ${cause.getMessage}", cause)
+
   /** The landing-file schema (a file-source stream cannot infer):
     * exactly the `documents` projection the corpus jobs ingest. */
   val docSchema: StructType = StructType(Seq(
@@ -91,7 +105,16 @@ object CorpusStreamJob {
           .foreach(r => reports.synchronized { reports += r })
       }
       .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    try q.awaitTermination()
+    catch {
+      case e: Throwable =>
+        // generations landed by earlier batches of this sweep are
+        // durably committed — surface them with the failure so the
+        // chain's actual position is reconcilable from problems.log
+        throw new SweepFailedException(
+          reports.synchronized(reports.toList), e)
+    }
+    finally if (q.isActive) q.stop()
     reports.synchronized(reports.toList)
   }
 
@@ -115,17 +138,31 @@ object CorpusStreamJob {
         s"chain under $stateRoot is missing meta.json — stream-managed " +
           "chains always carry it; was a foreign snapshot dir mixed in?"))
     val nextGen = metas.map(_.gen).max + 1
-    val mm = batch.agg(min("doc_id"), max("doc_id")).head
-    val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+    val (bMin, bMax, bCnt, bHash) =
+      IncrementalCorpusJob.envelopeFingerprint(batch)
     val landed = metas.filter(_.nKeys > 0)
     val landedMax = if (landed.isEmpty) -1L else landed.map(_.maxDocId).max
     // file-source recovery reconstructs an uncommitted batch EXACTLY
     // from its offset log, so a replay's pre-curation id envelope
     // equals the chain head's recorded one — including an all-dropped
-    // head, which kept-range tests could never recognize
+    // head, which kept-range tests could never recognize. The content
+    // fingerprint (r15) closes the residual hole: a genuinely NEW
+    // batch whose [min,max] coincides with the head's envelope
+    // (possible after an all-dropped head when a producer re-drops the
+    // same id range with different content) must NOT be skipped — on a
+    // fingerprint-recording chain it fails the gate loudly instead.
     val head = metas.maxBy(_.gen)
     if (head.hasEnvelope && bMin == head.batchMin &&
-        bMax == head.batchMax) None
+        bMax == head.batchMax) {
+      require(!head.hasFingerprint ||
+        (bCnt == head.batchCount && bHash == head.batchHash),
+        s"batch matches generation ${head.gen}'s id envelope " +
+          s"[$bMin,$bMax] but not its content fingerprint (count " +
+          s"$bCnt vs ${head.batchCount}, hash $bHash vs " +
+          s"${head.batchHash}) — a new batch may not reuse a landed " +
+          "id range with different content")
+      None
+    }
     else if (bMin <= landedMax) {
       // overlap with landed ids and NOT the head replay: on an
       // envelope-recording chain this is always a producer ordering
@@ -166,9 +203,13 @@ object CorpusStreamJob {
         IncrementalCorpusJob.recover(spark, corpusDir, 0,
           s"$stateRoot/snap=0")
     } else {
+      // meta-less fallback parses the newest chain dir's own trailing
+      // number — `chain.size - 1` would equate directory count with
+      // max generation, which diverges on any chain holding a
+      // compact=K dir (or a gap) and would recover the wrong gens
       val maxGen = IncrementalCorpusJob.readChainMeta(spark, chain)
         .map(_.map(_.gen).max)
-        .getOrElse(chain.size - 1)
+        .getOrElse(new Path(chain.last).getName.split('=')(1).toInt)
       // the head's own snap dir may be superseded by a compact=K — only
       // recover through it when it is live (recover would otherwise
       // "rebuild" a duplicate snapshot the discovery rule then ignores)

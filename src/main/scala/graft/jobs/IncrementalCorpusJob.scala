@@ -92,11 +92,24 @@ object IncrementalCorpusJob {
     * kept ranges alone cannot distinguish a replay from a new
     * overlapping batch that happens to cover them. A compacted
     * snapshot's meta carries one entry per covered generation, so
-    * compaction loses no pruning or replay precision. */
+    * compaction loses no pruning or replay precision.
+    *
+    * `batchCount`/`batchHash` (r15) are a cheap CONTENT fingerprint of
+    * the same pre-curation batch (row count + order-insensitive
+    * bit_xor of per-row xxhash64): envelope equality alone cannot
+    * distinguish a replay from a genuinely new batch whose [min,max]
+    * happens to coincide with the head's (possible after an
+    * all-dropped head when a producer re-drops the same id range with
+    * different content). Sentinel `batchCount = -1` on pre-fingerprint
+    * chains and rebuilt snapshots — recognition then degrades to
+    * envelope-only, the pre-r15 behavior. */
   case class GenMeta(gen: Int, nKeys: Long, minDocId: Long, maxDocId: Long,
-      batchMin: Long = 0L, batchMax: Long = -1L) {
+      batchMin: Long = 0L, batchMax: Long = -1L,
+      batchCount: Long = -1L, batchHash: Long = 0L) {
     /** True when the ingested batch's id envelope was recorded. */
     def hasEnvelope: Boolean = batchMax >= batchMin
+    /** True when the ingested batch's content fingerprint was recorded. */
+    def hasFingerprint: Boolean = batchCount >= 0L
   }
 
   /** Full build of the initial corpus into `corpusDir/gen=0` plus the
@@ -148,8 +161,7 @@ object IncrementalCorpusJob {
     val maxLanded = chainMeta
       .map(_.filter(_.nKeys > 0).map(_.maxDocId).max)
       .getOrElse(stateKeys.agg(max("doc_id")).head.getLong(0))
-    val env = delta.agg(min("doc_id"), max("doc_id")).head
-    val (minDelta, maxDelta) = (env.getLong(0), env.getLong(1))
+    val (minDelta, maxDelta, fpCount, fpHash) = envelopeFingerprint(delta)
     require(minDelta > maxLanded,
       s"delta ids must follow landed ids (landed max $maxLanded, " +
         s"delta min $minDelta) — keep-first parity needs id-ordered " +
@@ -225,12 +237,14 @@ object IncrementalCorpusJob {
       writeStateCommitted(spark,
         spark.read.parquet(staging).select("doc_id", "text"),
         generation, stateOutDir, single = false,
-        envelope = Some((minDelta, maxDelta)))
+        envelope = Some((minDelta, maxDelta)),
+        fingerprint = Some((fpCount, fpHash)))
       commitGeneration(spark, corpusDir, generation)
     } else {
       writeStateCommitted(spark, kept.select("doc_id", "text").limit(0),
         generation, stateOutDir, single = true,
-        envelope = Some((minDelta, maxDelta)))
+        envelope = Some((minDelta, maxDelta)),
+        fingerprint = Some((fpCount, fpHash)))
     }
 
     // audit from the landed generation + the verdict relation
@@ -429,7 +443,8 @@ object IncrementalCorpusJob {
     * sentinel. */
   private def writeStateCommitted(spark: SparkSession, landed: DataFrame,
       generation: Int, stateDir: String, single: Boolean,
-      envelope: Option[(Long, Long)] = None): Unit = {
+      envelope: Option[(Long, Long)] = None,
+      fingerprint: Option[(Long, Long)] = None): Unit = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = stateDir + ".tmp"
@@ -449,14 +464,28 @@ object IncrementalCorpusJob {
     val a = spark.read.parquet(s"$tmp/keys")
       .agg(count(lit(1)), min("doc_id"), max("doc_id")).head
     val (bMin, bMax) = envelope.getOrElse((0L, -1L))
+    val (bCnt, bHash) = fingerprint.getOrElse((-1L, 0L))
     val gm =
-      if (a.getLong(0) == 0L) GenMeta(generation, 0L, 0L, -1L, bMin, bMax)
+      if (a.getLong(0) == 0L)
+        GenMeta(generation, 0L, 0L, -1L, bMin, bMax, bCnt, bHash)
       else GenMeta(generation, a.getLong(0), a.getLong(1), a.getLong(2),
-        bMin, bMax)
+        bMin, bMax, bCnt, bHash)
     writeMeta(spark, tmp, Seq(gm))
     fs.delete(new Path(stateDir), true)
     require(fs.rename(new Path(tmp), new Path(stateDir)),
       s"rename $tmp -> $stateDir failed")
+  }
+
+  /** One pass over a pre-curation batch: id envelope + content
+    * fingerprint `(min, max, count, order-insensitive bit_xor of
+    * per-row xxhash64(doc_id, lang, text))`. Shared by [[ingestDelta]]
+    * (which records it) and [[graft.jobs.CorpusStreamJob.ingestBatch]]
+    * (which compares it for replay recognition) so both sides compute
+    * the identical value. Caller guarantees a non-empty batch. */
+  def envelopeFingerprint(batch: DataFrame): (Long, Long, Long, Long) = {
+    val r = batch.agg(min("doc_id"), max("doc_id"), count(lit(1)),
+      expr("coalesce(bit_xor(xxhash64(doc_id, lang, text)), 0L)")).head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   private def writeMeta(spark: SparkSession, stateDir: String,
@@ -467,7 +496,9 @@ object IncrementalCorpusJob {
         "min_doc_id" -> JInt(g.minDocId),
         "max_doc_id" -> JInt(g.maxDocId),
         "batch_min" -> JInt(g.batchMin),
-        "batch_max" -> JInt(g.batchMax)))))))
+        "batch_max" -> JInt(g.batchMax),
+        "batch_count" -> JInt(g.batchCount),
+        "batch_hash" -> JInt(g.batchHash)))))))
     val p = new Path(s"$stateDir/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -508,7 +539,8 @@ object IncrementalCorpusJob {
               s"bad meta.json field $f in $d: $other")
           }
           GenMeta(l("gen").toInt, l("n_keys"), l("min_doc_id"),
-            l("max_doc_id"), lOpt("batch_min", 0L), lOpt("batch_max", -1L))
+            l("max_doc_id"), lOpt("batch_min", 0L), lOpt("batch_max", -1L),
+            lOpt("batch_count", -1L), lOpt("batch_hash", 0L))
         })
       }
     }

@@ -369,10 +369,20 @@ object CorpusOps {
   /** Train the [[nbClassify]] model on `docs.filter(isTrain)` — the
     * count relations are word-keyed map-side-combined aggs; all three
     * result frames are vocabulary- or class-bounded, never
-    * corpus-bounded. */
+    * corpus-bounded.
+    *
+    * Vocabulary-bounded is NOT constant-bounded: `wstats` is
+    * vocab×classes rows and [[nbApply]] BROADCASTS it, so a web-scale
+    * corpus (10⁸+ distinct terms) would blow the broadcast/driver
+    * limit even though the relation is corpus-size-independent.
+    * `maxVocab` is the standard fastText-filter escape: keep only the
+    * top-N terms by total training count (ties broken on term key, so
+    * the cap is deterministic); dropped terms score through each
+    * class's `lw_unseen` default exactly like genuinely unseen words.
+    * Default None preserves the exact uncapped model. */
   def nbTrainModel(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, isTrain: Column,
-      hashKeys: Boolean = true): NbModel = {
+      hashKeys: Boolean = true, maxVocab: Option[Int] = None): NbModel = {
     val dec = DecimalType(27, 6)
     val trainDocs = docs.filter(isTrain)
     val trainTok = trainDocs.select(col(idCol), col(labelCol),
@@ -380,9 +390,20 @@ object CorpusOps {
       .filter(length(col("__w0")) > 0)
       .select(col(labelCol), gramKey(col("__w0"), hashKeys).as("w"))
     // per-class word counts, class token totals, vocab size, doc priors
-    val cwc = trainTok.groupBy(col(labelCol).as("cls"), col("w"))
+    val cwcAll = trainTok.groupBy(col(labelCol).as("cls"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-    val nc = cwc.groupBy("cls").agg(sum(col("cnt")).as("n_c"))
+    val cwc = maxVocab match {
+      case Some(n) =>
+        val keep = cwcAll.groupBy("w").agg(sum("cnt").as("__tot"))
+          .orderBy(col("__tot").desc, col("w")).limit(n).select("w")
+        cwcAll.join(keep, "w")
+      case None => cwcAll
+    }
+    // class token totals come from the UNCAPPED counts: dropped terms
+    // keep their class mass (and classes whose whole vocabulary was
+    // capped away stay present, with every token scoring lw_unseen);
+    // only the smoothing denominator's V shrinks to the kept vocab
+    val nc = cwcAll.groupBy("cls").agg(sum(col("cnt")).as("n_c"))
     val vocab = cwc.select("w").distinct().agg(count(lit(1)).as("v"))
     val priors = trainDocs.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("n_docs_c"))
@@ -440,6 +461,55 @@ object CorpusOps {
         col("best.cls").as("pred"),
         (col("best.ns").cast("double") * -1).as("score"),
         (col("best.cls") === col(labelCol)).as("is_correct"))
+  }
+
+  /** Generation-versioned [[NbModel]] persistence — the retrain-cadence
+    * half of a production classifier (the corpus lifecycle's
+    * `gen=N` + atomic-rename precedent applied to models): each retrain
+    * commits as `dir/gen=N` via staged write + one rename, so a
+    * half-written model is never loadable and readers always see the
+    * newest COMMITTED generation. [[graft.streaming.StreamOps.classifyVersionedBatch]]
+    * binds each micro-batch to the generation it first scored under,
+    * which is what makes a crash-replayed batch score replay-identically
+    * even after a mid-stream swap. */
+  def nbSaveModel(spark: org.apache.spark.sql.SparkSession,
+      model: NbModel, dir: String, gen: Int): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/gen=$gen.tmp")
+    fs.delete(tmp, true)
+    model.priors.write.parquet(s"$tmp/priors")
+    model.classes.write.parquet(s"$tmp/classes")
+    model.wstats.write.parquet(s"$tmp/wstats")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/gen=$gen")
+    require(!fs.exists(dst), s"$dst already committed — model " +
+      "generations are immutable; retrain commits the NEXT gen")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    dst.toString
+  }
+
+  /** Load a committed model generation (frames localCheckpointed like
+    * a freshly-trained model, so per-batch apply plans stay flat). */
+  def nbLoadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Int): NbModel =
+    NbModel(
+      spark.read.parquet(s"$dir/gen=$gen/priors").localCheckpoint(),
+      spark.read.parquet(s"$dir/gen=$gen/classes").localCheckpoint(),
+      spark.read.parquet(s"$dir/gen=$gen/wstats").localCheckpoint())
+
+  /** Newest committed model generation under `dir` (in-flight `.tmp`
+    * stages are invisible by construction), or -1 when none. */
+  def nbLatestGen(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") &&
+          n.stripPrefix("gen=").forall(_.isDigit) =>
+        n.stripPrefix("gen=").toInt }
+      .maxOption.getOrElse(-1)
   }
 
   /** Deterministic seeded global shuffle + shard assignment — the

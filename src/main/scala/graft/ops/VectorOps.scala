@@ -472,10 +472,35 @@ object VectorOps {
       layoutDir: String): DataFrame = {
     val success = new org.apache.hadoop.fs.Path(s"$layoutDir/_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) {
+    // centroid fingerprint sidecar (underscore-prefixed → invisible to
+    // parquet listing, like _SUCCESS): a layout written under OLD
+    // centroids must not serve a query probing NEW ones — cell
+    // assignment and probe math would disagree, silently degrading
+    // recall. A fingerprint mismatch (or a pre-fingerprint layout)
+    // forces a rebuild. CORPUS content changes are the caller's cache
+    // key (key layoutDir on the source fixture, as the registry does —
+    // fingerprinting the corpus here would cost a full pass per query).
+    val fpPath = new org.apache.hadoop.fs.Path(s"$layoutDir/_centroids.fp")
+    val fpStr = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(4)
+      centroids.foreach(_.foreach { f =>
+        bb.clear(); bb.putFloat(f); md.update(bb.array())
+      })
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val fresh = fs.exists(success) && fs.exists(fpPath) && {
+      val in = fs.open(fpPath)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      got == fpStr
+    }
+    if (!fresh) {
       vectors.withColumn("cell", ivfCell(col(vecCol), centroids))
         .write.mode("overwrite").partitionBy(labelCol, "cell")
         .parquet(layoutDir)
+      val out = fs.create(fpPath, true)
+      try out.write(fpStr.getBytes("UTF-8")) finally out.close()
     }
     ivfQueryLayout(spark, layoutDir, idCol, vecCol, query, queryVecCol,
       k, centroids, nProbe, extraFilter = col(labelCol) === labelVal)

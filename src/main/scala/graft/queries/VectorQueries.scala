@@ -366,6 +366,42 @@ object VectorQueries extends QueryPack {
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
+    // STREAMING face of FILTERED ANN: the labeled planted corpus
+    // arrives as a stream and lands incrementally under
+    // (label, cell, __batch_id) — the continuous-ingest build of
+    // vec_ann_filtered's layout (which r14 built batch-only). Same
+    // frozen quantizer, same filtered query path (both predicates
+    // prune partitions), same oracle — so the entry pins that the
+    // incrementally-landed filtered layout answers identically to the
+    // batch-built one. Replay-exactness is the partition-overwrite
+    // discipline: a replayed batch rewrites exactly its own
+    // (label, cell, batch) partitions (StreamingSpec).
+    "stream_vec_ingest_filtered" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/tmp/graft_vecfstream_fixture")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val (corpus, query) = plantedCorpusLabeled(s, d)
+      val centroids = VectorOps.ivfTrain(
+        corpus.select("vec_id", "embedding"), "embedding", 16)
+      val src = s"$base/src"
+      val layout = s"$base/layout"
+      corpus.write.parquet(src)
+      val q = graft.streaming.StreamOps.vecIngestEachBatch(
+        graft.streaming.StreamOps.fileStreamParquet(s, src, corpus.schema),
+        "embedding", centroids, layout, labelCol = Some("label"))
+      q.awaitTermination()
+      val ann = VectorOps.ivfQueryLayout(s, layout, "vec_id", "embedding",
+        query, "embedding", k = 10, centroids, nProbe = 4,
+        extraFilter = col("label") === 1)
+      val exact = VectorOps.cosineTopK(
+        corpus.filter(col("label") === 1).select("vec_id", "embedding"),
+        "vec_id", "embedding", query, "embedding", k = 10)
+      annotateRecall(ann, exact, k = 10, minRecall = 0.9)
+    }),
+
     // full Lloyd's k-means training loop (k=8, 3 rounds) in exact
     // fixed-point integers — every round replayed by the oracle as CTE
     // stages, so the ENTIRE iterative trajectory (assignments, updates,
@@ -738,6 +774,10 @@ object VectorQueries extends QueryPack {
     "vec_ann_ivf_pruned" -> exactPlantedOracleSql,
     "vec_ann_filtered" -> exactFilteredOracleSql,
     "stream_vec_ingest" -> exactPlantedOracleSql,
+
+    // the streamed filtered layout must answer exactly like the
+    // batch-built one — same filtered-exact oracle as vec_ann_filtered
+    "stream_vec_ingest_filtered" -> exactFilteredOracleSql,
     "stream_pq_ingest" -> exactPlantedOracleSql,
     "vec_ann_pq" -> exactPlantedOracleSql,
     "vec_ann_ivfpq" -> exactPlantedOracleSql,

@@ -978,9 +978,95 @@ object StreamOps {
       .start()
   }
 
+  /** One micro-batch of MODEL-VERSIONED classification — the per-batch
+    * core of [[classifyVersionedEachBatch]], exposed so replay
+    * invariance is directly testable (the established batch-fn
+    * pattern). The batch scores under the model generation it FIRST
+    * scored under: the binding `modelDir/bindings/batch=N` commits via
+    * create-new + rename (rename onto an existing name fails on
+    * Hadoop filesystems, so exactly one binding ever wins); a
+    * crash-replayed batch reads its recorded binding and reproduces
+    * its original output bit-for-bit even when newer generations have
+    * committed since — batches BEFORE a swap and batches AFTER it each
+    * keep their own model forever. Output lands replay-exact under
+    * `__batch_id=N` with the generation stamped per row. */
+  def classifyVersionedBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, modelDir: String, idCol: String,
+      textCol: String, labelCol: String, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(modelDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val binding = new org.apache.hadoop.fs.Path(
+      s"$modelDir/bindings/batch=$batchId")
+    val gen: Int =
+      if (fs.exists(binding)) {
+        val in = fs.open(binding)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else {
+        val latest = graft.ops.CorpusOps.nbLatestGen(spark, modelDir)
+        require(latest >= 0, s"no committed model generation under " +
+          s"$modelDir — nbSaveModel one before streaming")
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$modelDir/bindings/.batch=$batchId.tmp-" +
+            java.util.UUID.randomUUID().toString)
+        val out = fs.create(tmp, false)
+        try out.write(latest.toString.getBytes("UTF-8"))
+        finally out.close()
+        if (fs.rename(tmp, binding)) latest
+        else { // lost the race to a concurrent replay — honor its pin
+          fs.delete(tmp, false)
+          val in = fs.open(binding)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toInt
+          finally in.close()
+        }
+      }
+    val model = graft.ops.CorpusOps.nbLoadModel(spark, modelDir, gen)
+    graft.ops.CorpusOps
+      .nbApply(model, batch, idCol, textCol, labelCol)
+      .withColumn("model_gen", lit(gen))
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(outDir)
+  }
+
+  /** Streaming classification under a RETRAINED-ON-A-CADENCE model —
+    * the production upgrade of [[classifyEachBatch]]'s frozen model:
+    * each batch resolves the newest committed `modelDir/gen=N`
+    * ([[graft.ops.CorpusOps.nbSaveModel]]'s atomic-rename protocol) and
+    * pins itself to it durably, so a mid-stream swap takes effect for
+    * NEW batches only and replay keeps every batch on its original
+    * model (see [[classifyVersionedBatch]]). */
+  def classifyVersionedEachBatch(stream: DataFrame, modelDir: String,
+      idCol: String, textCol: String, labelCol: String, outDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        classifyVersionedBatch(spark, batch, batchId, modelDir,
+          idCol, textCol, labelCol, outDir)
+      }
+      .start()
+  }
+
   def vecIngestEachBatch(stream: DataFrame, vecCol: String,
       centroids: Array[Array[Float]], layoutDir: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      labelCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // labelCol turns the landing into the FILTERED-ANN layout
+    // (stream_vec_ingest_filtered): partitions are (label, cell,
+    // __batch_id), so the r14 batch-built vec_ann_filtered layout stays
+    // maintainable under continuous ingest — still map-only per batch
+    // (label is an input column, cell a codegen'd projection), still
+    // replay-exact (a replayed batch dynamically overwrites exactly its
+    // own (label, cell, batch) partitions), and the filtered query path
+    // prunes BOTH dimensions unchanged.
+    val parts = labelCol.toSeq ++ Seq("cell", "__batch_id")
     val writer = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -993,7 +1079,7 @@ object StreamOps {
           .withColumn("__batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell", "__batch_id").parquet(layoutDir)
+          .partitionBy(parts: _*).parquet(layoutDir)
       }
       .start()
   }

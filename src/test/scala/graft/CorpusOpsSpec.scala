@@ -116,6 +116,28 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getDouble(2), r.getBoolean(3)))).toMap
     assert(str == got)
+
+    // maxVocab (the fastText-filter broadcast bound): top-2 terms by
+    // total count with w-ASC tie-break keep exactly {a, b} (all four
+    // terms count 3), so wstats is 2 rows — bounded by construction —
+    // and a dropped-vocab doc ("c d c") scores via lw_unseen for BOTH
+    // classes: equal token sums + equal priors → tie → class ASC
+    val capped = CorpusOps.nbTrainModel(docs, "doc_id", "text", "lang",
+      isTrain = col("doc_id") < 10L, hashKeys = false,
+      maxVocab = Some(2))
+    assert(capped.wstats.count() == 2)
+    assert(capped.wstats.select("w").as[String].collect().toSet ==
+      Set("a", "b"))
+    val cGot = CorpusOps.nbApply(capped, docs, "doc_id", "text", "lang",
+      hashKeys = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2)))).toMap
+    assert(cGot(60L)._1 == "ax", "all-unseen doc ties -> class ASC")
+    // V collapses to 2 under the cap: score = ln(1/2) + 3*ln(1/(6+2))
+    val expCap = BigDecimal(math.rint(math.log(0.5) * 1e6) / 1e6) +
+      BigDecimal(math.rint(math.log(1.0 / 8) * 1e6) / 1e6) * 3
+    assert(math.abs(cGot(60L)._2 - expCap.toDouble) < 1e-9,
+      s"got ${cGot(60L)._2}, expected $expCap")
   }
 
   test("mixtureSample sampled fraction tracks the computed rate") {

@@ -276,4 +276,37 @@ class CorpusStreamJobSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nothing to compact"), e.getMessage)
   }
+
+  test("the content fingerprint closes envelope-collision replay: a new " +
+      "batch reusing an all-dropped head's exact id range with " +
+      "different content is refused, while the true replay still skips") {
+    import org.apache.spark.sql.DataFrame
+    val baseDir = tmp("graft_cs_fbase")
+    mkDocs(1L to 30L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    val (corpus, stateRoot) = (tmp("graft_cs_fcorpus"), tmp("graft_cs_fstate"))
+    IncrementalCorpusJob.bootstrap(spark, baseDir, corpus,
+      s"$stateRoot/snap=0", minTokens = 1, maxTokens = 10000,
+      minQuality = 0.0, numShards = 2)
+    // stopword-free → all-dropped head recording envelope [31,40]
+    def noLang(ids: Seq[Long], tag: String): DataFrame = {
+      import spark.implicits._
+      ids.map { i =>
+        (i, "en", (0 until 30).map(j => s"$tag${i}_$j").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+    }
+    val dropped = noLang(31L to 40L, "x")
+    assert(CorpusStreamJob.ingestBatch(spark, dropped, corpus,
+      stateRoot, openKnobs).exists(_.nKept == 0))
+    // true replay (same bytes): envelope AND fingerprint match → skip
+    assert(CorpusStreamJob.ingestBatch(spark, dropped, corpus,
+      stateRoot, openKnobs).isEmpty)
+    // same envelope [31,40], different content: pre-r15 this was
+    // silently swallowed as a replay, losing the producer's documents
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreamJob.ingestBatch(spark, mkDocs(31L to 40L), corpus,
+        stateRoot, openKnobs)
+    }
+    assert(e.getMessage.contains("content fingerprint"), e.getMessage)
+  }
 }

@@ -464,6 +464,59 @@ class StreamingSpec extends SparkSpec {
     assert(top2.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("vecIngestEachBatch with labelCol: (label, cell) incremental " +
+      "landing is replay-exact and the filtered query prunes BOTH " +
+      "partition dimensions") {
+    import graft.ops.VectorOps
+    val base = java.nio.file.Files.createTempDirectory("graft-vecingf")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val layout = s"$base/layout"
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamOps.vecIngestEachBatch(
+        StreamOps.fileStreamParquet(spark, s"$src/*", schema),
+        "embedding", centroids, layout, checkpoint = Some(ckpt),
+        labelCol = Some("label"))
+      q.awaitTermination()
+    }
+    Seq((1L, Seq(0.9f, 0.1f), 1), (2L, Seq(0.1f, 0.9f), 1),
+        (3L, Seq(0.8f, 0.2f), 2))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$src/b1")
+    runOnce(s"$base/ckpt")
+    // second epoch accumulates under its own batch partitions
+    Seq((4L, Seq(0.7f, 0.3f), 2)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$src/b2")
+    runOnce(s"$base/ckpt")
+    def landed: Set[(Long, Int, Int)] =
+      spark.read.parquet(layout).select("vec_id", "label", "cell")
+        .as[(Long, Int, Int)].collect().toSet
+    val expect = Set((1L, 1, 0), (2L, 1, 1), (3L, 2, 0), (4L, 2, 0))
+    assert(landed == expect)
+    // replay-exactness: a FRESH checkpoint re-reads every source file
+    // (same content, new batch numbering) — dynamic partition overwrite
+    // rewrites each batch's own (label, cell, batch) partitions and the
+    // landed relation is unchanged
+    runOnce(s"$base/ckpt2")
+    assert(landed == expect)
+    // filtered query: label pins one partition branch, probes the other
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("embedding")
+    val got = VectorOps.ivfQueryLayout(spark, layout, "vec_id",
+      "embedding", q, "embedding", k = 2, centroids, nProbe = 1,
+      extraFilter = $"label" === 2)
+    assert(got.select("vec_id").as[Long].collect().toSet == Set(3L, 4L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label")
+      && plan.contains("cell"), plan.take(2000))
+  }
+
   test("classifyEachBatch: frozen model scores successive drops; old " +
       "batch outputs untouched; stream total equals batch nbApply") {
     import graft.ops.CorpusOps
@@ -506,6 +559,67 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "pred", "score", "is_correct")
       .as[(Long, String, Double, Boolean)].collect().toSet
     assert(streamed == batch)
+  }
+
+  test("classifyVersionedEachBatch: a mid-stream model swap takes " +
+      "effect for NEW batches only, and replay keeps each batch on the " +
+      "model generation it first scored under") {
+    import graft.ops.CorpusOps
+    val base = java.nio.file.Files.createTempDirectory("graft-nbver")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val modelDir = s"$base/model"
+    // gen 0: a-vocabulary -> ax;  gen 1: LABELS SWAPPED (a-vocab -> by),
+    // so which generation scored a batch is visible in its predictions
+    val t0 = Seq((1L, "a a b", "ax"), (2L, "a b b", "ax"),
+      (3L, "c d d", "by"), (4L, "c c d", "by")).toDF("doc_id", "text", "lang")
+    val t1 = Seq((1L, "a a b", "by"), (2L, "a b b", "by"),
+      (3L, "c d d", "ax"), (4L, "c c d", "ax")).toDF("doc_id", "text", "lang")
+    CorpusOps.nbSaveModel(spark,
+      CorpusOps.nbTrainModel(t0, "doc_id", "text", "lang", lit(true)),
+      modelDir, 0)
+    // committed generations are immutable
+    intercept[IllegalArgumentException] {
+      CorpusOps.nbSaveModel(spark,
+        CorpusOps.nbTrainModel(t0, "doc_id", "text", "lang", lit(true)),
+        modelDir, 0)
+    }
+    val schema = t0.schema
+    def runOnce(): Unit = {
+      val q = StreamOps.classifyVersionedEachBatch(
+        StreamOps.fileStreamParquet(spark, s"$src/*", schema),
+        modelDir, "doc_id", "text", "lang", out, checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    def landed: Map[Long, (String, Int)] =
+      spark.read.parquet(out).select("doc_id", "pred", "model_gen")
+        .as[(Long, String, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val b1 = Seq((30L, "a a a b", "ax")).toDF("doc_id", "text", "lang")
+    b1.write.parquet(s"$src/b1")
+    runOnce() // batch 0 under gen 0
+    assert(landed == Map(30L -> (("ax", 0))))
+    // SWAP: commit gen 1 between batches
+    CorpusOps.nbSaveModel(spark,
+      CorpusOps.nbTrainModel(t1, "doc_id", "text", "lang", lit(true)),
+      modelDir, 1)
+    val b2 = Seq((31L, "a a a b", "ax")).toDF("doc_id", "text", "lang")
+    b2.write.parquet(s"$src/b2")
+    runOnce() // batch 1 under gen 1: same text now scores by
+    assert(landed == Map(30L -> (("ax", 0)), 31L -> (("by", 1))))
+    // crash-replay of BOTH batches after the swap: the durable binding
+    // keeps batch 0 on gen 0 and batch 1 on gen 1 — outputs identical
+    val before = spark.read.parquet(out)
+      .select("doc_id", "pred", "score", "model_gen")
+      .as[(Long, String, Double, Int)].collect().toSet
+    StreamOps.classifyVersionedBatch(spark, b1, 0L, modelDir,
+      "doc_id", "text", "lang", out)
+    StreamOps.classifyVersionedBatch(spark, b2, 1L, modelDir,
+      "doc_id", "text", "lang", out)
+    val after = spark.read.parquet(out)
+      .select("doc_id", "pred", "score", "model_gen")
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(after == before)
   }
 
   test("stream-stream interval join matches across micro-batches and " +

@@ -201,6 +201,44 @@ class VectorOpsSpec extends SparkSpec {
       narrow.as[(Long, Double)].collect().toSeq)
   }
 
+  test("ivfFilteredTopK centroid fingerprint: same centroids reuse the " +
+      "layout, retrained centroids force a rebuild (no stale cells)") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter($"vec_id" =!= 0)
+      .select("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+    val centroids = VectorOps.ivfTrain(
+      corpus.select("vec_id", "embedding"), "embedding", 8, seed = 42L)
+    val dir = s"/tmp/graft_ivff_fp_${System.nanoTime()}"
+    def fp(): String = {
+      val src = scala.io.Source.fromFile(s"$dir/_centroids.fp", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    VectorOps.ivfFilteredTopK(spark, corpus, "vec_id", "embedding",
+      "label", 2, q, "embedding", 10, centroids, 8, dir).collect()
+    val f1 = fp()
+    val m1 = new java.io.File(s"$dir/_centroids.fp").lastModified()
+    // same centroids: layout reused (sidecar untouched)
+    VectorOps.ivfFilteredTopK(spark, corpus, "vec_id", "embedding",
+      "label", 2, q, "embedding", 10, centroids, 8, dir).collect()
+    assert(fp() == f1 &&
+      new java.io.File(s"$dir/_centroids.fp").lastModified() == m1)
+    // retrained (here: reordered) centroids: cell ids change, so a
+    // stale layout would disagree with the probe math — the
+    // fingerprint mismatch forces a rebuild and the result stays the
+    // label-filtered exact answer
+    val got = VectorOps.ivfFilteredTopK(spark, corpus, "vec_id",
+      "embedding", "label", 2, q, "embedding", 10, centroids.reverse,
+      8, dir)
+    assert(fp() != f1, "sidecar unchanged — stale layout was served")
+    val exact = VectorOps.cosineTopK(
+      corpus.filter($"label" === 2).select("vec_id", "embedding"),
+      "vec_id", "embedding", q, "embedding", k = 10)
+    assert(got.as[(Long, Double)].collect().toSeq ==
+      exact.as[(Long, Double)].collect().toSeq)
+  }
+
   test("lshCosineTopKPruned (partitioned layout) equals inline LSH " +
       "and its plan prunes partitions") {
     val d = "/root/testdata/sf0.001"
