@@ -507,10 +507,13 @@ object VectorOps {
   }
 
   /** Maintenance compaction for an incrementally-built layout
-    * (`cell=K/__batch_id=N` from the streaming ingests): rewrite to the
-    * batch tier's flat `cell=K` shape — one listing entry per cell
-    * instead of one per (cell, batch) — sorted by id within partitions
-    * for rerank row-group stats. OFFLINE op by contract: run between
+    * (`cell=K/__batch_id=N`, or `label=L/cell=K/__batch_id=N` from the
+    * filtered streaming ingest): drop ONLY the `__batch_id` dimension —
+    * one listing entry per (remaining dims) instead of one per batch —
+    * preserving every other partition dimension (detected from the
+    * directory tree, so a labeled layout keeps its label
+    * PartitionFilters), sorted by id within partitions for rerank
+    * row-group stats. OFFLINE op by contract: run between
     * streams, not under a live writer (the swap is write-new /
     * delete-old / rename, the standard index-rebuild window — unlike
     * the per-batch folds this needs no replay story because no epoch is
@@ -521,12 +524,30 @@ object VectorOps {
     val root = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(layoutDir + "__compact_tmp")
-    val hasCell = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("cell="))
+    // preserve EVERY partition dimension except the batch one: the
+    // streamed layouts are cell=K/__batch_id=N (label-agnostic) or
+    // label=L/cell=K/__batch_id=N (the filtered-ANN tier) — flattening
+    // a labeled layout to cell-only would silently drop the label
+    // PartitionFilters that tier exists for. Dimensions are detected
+    // from the directory tree itself (a `label` DATA column in an
+    // unpartitioned pq layout must not become a partition column).
+    def partDims(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      if (!fs.exists(p)) return Nil
+      val dirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      val names = dirs.map(_.getPath.getName)
+      if (names.nonEmpty && names.forall(_.contains("="))) {
+        val dim = names.head.takeWhile(_ != '=')
+        if (names.forall(_.startsWith(dim + "=")))
+          dim +: partDims(dirs.head.getPath)
+        else Nil
+      } else Nil
+    }
+    val dims = partDims(root).filterNot(_ == "__batch_id")
     val df = spark.read.parquet(layoutDir).drop("__batch_id")
-    if (hasCell)
-      df.sortWithinPartitions(col("cell"), col(idCol))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    if (dims.nonEmpty)
+      df.sortWithinPartitions((dims.map(col) :+ col(idCol)): _*)
+        .write.mode("overwrite").partitionBy(dims: _*).parquet(tmp.toString)
     else df.sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(root, true)

@@ -515,6 +515,24 @@ class StreamingSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("label")
       && plan.contains("cell"), plan.take(2000))
+    // maintenance compaction must PRESERVE the label dimension —
+    // flattening to cell-only would silently drop the filtered tier's
+    // label PartitionFilters
+    VectorOps.compactIvfLayout(spark, layout, "vec_id")
+    val lvl1 = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(lvl1.forall(_.startsWith("label=")), lvl1.mkString(","))
+    val lvl2 = new java.io.File(s"$layout/${lvl1.head}").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(lvl2.forall(_.startsWith("cell=")), lvl2.mkString(","))
+    assert(landed == expect)
+    val got2 = VectorOps.ivfQueryLayout(spark, layout, "vec_id",
+      "embedding", q, "embedding", k = 2, centroids, nProbe = 1,
+      extraFilter = $"label" === 2)
+    assert(got2.select("vec_id").as[Long].collect().toSet == Set(3L, 4L))
+    val plan2 = got2.queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters") && plan2.contains("label")
+      && plan2.contains("cell"), plan2.take(2000))
   }
 
   test("classifyEachBatch: frozen model scores successive drops; old " +
