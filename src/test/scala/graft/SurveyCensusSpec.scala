@@ -31,4 +31,15 @@ class SurveyCensusSpec extends AnyFunSuite {
       s"registry keys absent from SURVEY §2 (add a row): " +
         missing.toSeq.sorted.mkString(", "))
   }
+
+  test("oracleSql covers every queries key (and only those)") {
+    // a queries key with no oracle silently downgrades to the driver's
+    // weaker rows-only check; an oracle with no query is dead SQL
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty,
+      s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty,
+      s"oracles without a query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
 }
