@@ -476,15 +476,24 @@ object CorpusOps {
       model: NbModel, dir: String, gen: Int): String = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/gen=$gen.tmp")
-    fs.delete(tmp, true)
-    model.priors.write.parquet(s"$tmp/priors")
-    model.classes.write.parquet(s"$tmp/classes")
-    model.wstats.write.parquet(s"$tmp/wstats")
     val dst = new org.apache.hadoop.fs.Path(s"$dir/gen=$gen")
+    // immutability check FIRST — a duplicate-generation call must fail
+    // before paying the (potentially large) staged write, and must not
+    // leave an orphaned gen=N.tmp behind
     require(!fs.exists(dst), s"$dst already committed — model " +
       "generations are immutable; retrain commits the NEXT gen")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/gen=$gen.tmp")
+    fs.delete(tmp, true)
+    try {
+      model.priors.write.parquet(s"$tmp/priors")
+      model.classes.write.parquet(s"$tmp/classes")
+      model.wstats.write.parquet(s"$tmp/wstats")
+      require(!fs.exists(dst), s"$dst committed concurrently — model " +
+        "generations are immutable; retrain commits the NEXT gen")
+      require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    } catch {
+      case e: Throwable => fs.delete(tmp, true); throw e
+    }
     dst.toString
   }
 

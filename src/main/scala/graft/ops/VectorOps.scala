@@ -550,6 +550,19 @@ object VectorOps {
         .write.mode("overwrite").partitionBy(dims: _*).parquet(tmp.toString)
     else df.sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(tmp.toString)
+    // carry underscore-prefixed sidecars (e.g. the _centroids.fp
+    // freshness fingerprint) into the compacted layout — dropping one
+    // would make the next fingerprint-gated reader treat the freshly
+    // compacted layout as stale and rebuild it, discarding the
+    // compaction. _SUCCESS is excluded: the tmp write produced its own.
+    fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_") &&
+        s.getPath.getName != "_SUCCESS")
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmp, s.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
     fs.delete(root, true)
     require(fs.rename(tmp, root), s"rename $tmp -> $root failed")
   }
@@ -1276,6 +1289,20 @@ object VectorOps {
       .na.fill(0L, Seq("n_members"))
       .select("centroid_id", "n_members", "c_norm2", "c_sum")
   }
+
+  /** Corpus-size-derived cluster count for the SemDeDup tier:
+    * k = max(8, ⌈n / 250⌉), i.e. a TARGET CELL POPULATION of ~250
+    * vectors with a floor of 8 so tiny corpora keep the measured
+    * small-SF behavior. This is what makes the tier genuinely
+    * sub-quadratic: at fixed k the within-cell candidate volume is
+    * Σ n_c(n_c−1)/2 ≈ n²/k — a constant FRACTION of brute force, still
+    * Θ(n²) — whereas at fixed cell population it is ≈ n·target/2,
+    * LINEAR in n (SemDeDup, Abbas et al. 2023, scales k the same way:
+    * 50k clusters at LAION scale). Integer arithmetic (ceil via
+    * (n+249)/250) so the DuckDB oracle derives the IDENTICAL k with
+    * `GREATEST(8, (count(*) + 249) // 250)` — no float-ceil parity
+    * risk. */
+  def semdedupK(n: Long): Int = math.max(8L, (n + 249L) / 250L).toInt
 
   /** Final Lloyd assignment (id → cell) under the exact fixed-point
     * recipe of [[kmeansLloyd]] — the single-cell partitioner of the

@@ -104,29 +104,36 @@ object CorpusQueries extends QueryPack {
 
     // The SUB-QUADRATIC semantic-dedup tier (SemDeDup, Abbas et al.
     // 2023): every vector is assigned to exactly ONE k-means cell and
-    // pairs are scored only WITHIN a cell — cost k·(n/k)², i.e. n²/k
-    // for balanced cells, vs the Θ(n²) bound the r14 grid proved
-    // inescapable for any recall-1.0 blocking at this 0.45 threshold.
+    // pairs are scored only WITHIN a cell — vs the Θ(n²) bound the r14
+    // grid proved inescapable for any recall-1.0 blocking at this 0.45
+    // threshold. k SCALES WITH n (VectorOps.semdedupK: target cell
+    // population ≈250, floor 8), so candidate volume is ≈ n·250/2 —
+    // LINEAR in n — not the n²/k constant fraction a fixed k gives;
+    // SemDedupSpec asserts the cross-size candidate GROWTH directly
+    // (10× corpus ⇒ ≪100× candidates). At the in-suite SFs
+    // (n=500, 2000) the derived k is the floor 8, so the measured
+    // recall grid below still holds verbatim; at sf1 (n=8000) k=32.
     // Recall < 1 BY DESIGN (cross-cell near-dups are unseen); measured
     // grid at this threshold (pair recall / candidate fraction,
     // SemDedupSpec + PLANS §27):
     //   k=4:  sf0.1 0.47 / 0.25      k=8: sf0.1 0.38 / 0.125
     //   k=16: sf0.1 0.29 / 0.062     (sf0.001: 0.71 / 0.29 / 0.00)
-    // Shipped k=8, iters=3 — the knee of that curve, and the exact
-    // recipe vec_kmeans_lloyd's oracle already replays. At 100 TB, k
-    // grows with n to keep the cell population bounded (SemDeDup runs
-    // k≈10⁵ on LAION-scale), the cell id is a shuffle key so each
-    // cell's pairwise is partition-local, and the quantizer model stays
+    // iters=3 — the exact recipe vec_kmeans_lloyd's oracle already
+    // replays. At 100 TB the same rule holds (SemDeDup runs k≈10⁵ at
+    // LAION scale), the cell id is a shuffle key so each cell's
+    // pairwise is partition-local, and the quantizer model stays
     // k·dim driver-side.
     // Hash-checkable DESPITE recall<1: cells come from the exact
-    // fixed-point Lloyd recipe (VectorOps.kmeansAssign), so the DuckDB
-    // oracle replays the same rounds bit-identically and restricts the
-    // exact pair relation to same-cell — the oracle agrees at every SF
-    // without needing recall 1.
+    // fixed-point Lloyd recipe (VectorOps.kmeansAssign), and the DuckDB
+    // oracle derives the SAME k from count(*) (integer ceil — see
+    // semdedupK) then replays the same rounds bit-identically and
+    // restricts the exact pair relation to same-cell — the oracle
+    // agrees at every SF without needing recall 1.
     "dedupe_embed_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val k = graft.ops.VectorOps.semdedupK(emb.count())
       val cells = graft.ops.VectorOps.kmeansAssign(emb, "vec_id",
-        "embedding", k = 8, iters = 3)
+        "embedding", k = k, iters = 3)
       val pairs = graft.ops.VectorOps.pairwiseCosine(
         emb.join(cells, "vec_id"), "vec_id", "embedding",
         threshold = 0.45, blockCol = Some("cell"))
@@ -805,22 +812,27 @@ object CorpusQueries extends QueryPack {
        |  (v = min(l)) AS is_keeper
        |FROM r GROUP BY v""".stripMargin
 
-  /** SemDeDup-tier oracle: replay the exact fixed-point Lloyd rounds
-    * (the same CTE machinery as vec_kmeans_lloyd, k=16, 3 rounds —
-    * bit-identical to VectorOps.kmeansAssign by construction), then the
-    * exact-cosine pair relation RESTRICTED to same final cell, then the
-    * same recursive-CTE closure as embedClustersSql. This is how a
-    * recall<1 blocking scheme stays hash-checkable: the oracle doesn't
-    * need recall 1, it needs the same cells. */
+  /** SemDeDup-tier oracle: derive the SAME corpus-size-scaled k the
+    * Spark entry derives (integer-ceil `GREATEST(8, (count(*)+249)
+    * // 250)` ≡ VectorOps.semdedupK — no float-ceil parity risk),
+    * replay the exact fixed-point Lloyd rounds (the same CTE machinery
+    * as vec_kmeans_lloyd, derived k, 3 rounds — bit-identical to
+    * VectorOps.kmeansAssign by construction), then the exact-cosine
+    * pair relation RESTRICTED to same final cell, then the same
+    * recursive-CTE closure as embedClustersSql. This is how a recall<1
+    * blocking scheme stays hash-checkable: the oracle doesn't need
+    * recall 1, it needs the same cells. */
   private def semdedupClustersSql: String = {
     val lloydPre =
-      """lq AS (SELECT vec_id, list_transform(embedding,
+      """lk AS (SELECT GREATEST(8, (count(*) + 249) // 250) AS k
+        |  FROM embeddings),
+        |lq AS (SELECT vec_id, list_transform(embedding,
         |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
         |    AS x FROM embeddings),
         |lvx AS (SELECT vec_id, generate_subscripts(x, 1) AS pos,
         |    unnest(x) AS q FROM lq),
         |lc0 AS (SELECT vec_id AS cid, pos, q AS cq FROM lvx
-        |  WHERE vec_id < 8)""".stripMargin
+        |  WHERE vec_id < (SELECT k FROM lk))""".stripMargin
     val rounds = (1 to 3).map { i =>
       s""",
          |ld$i AS (SELECT lvx.vec_id, c.cid,

@@ -983,8 +983,11 @@ object StreamOps {
     * invariance is directly testable (the established batch-fn
     * pattern). The batch scores under the model generation it FIRST
     * scored under: the binding `modelDir/bindings/batch=N` commits via
-    * create-new + rename (rename onto an existing name fails on
-    * Hadoop filesystems, so exactly one binding ever wins); a
+    * EXCLUSIVE CREATE on the final path (`fs.create(_, overwrite =
+    * false)` throws when the file exists on HDFS and on the local
+    * filesystem alike — unlike rename, whose replace-on-collision
+    * semantics differ between HDFS and POSIX rename(2)), so exactly one
+    * binding ever wins and the loser re-reads the winner's pin; a
     * crash-replayed batch reads its recorded binding and reproduces
     * its original output bit-for-bit even when newer generations have
     * committed since — batches BEFORE a swap and batches AFTER it each
@@ -1006,19 +1009,22 @@ object StreamOps {
         val latest = graft.ops.CorpusOps.nbLatestGen(spark, modelDir)
         require(latest >= 0, s"no committed model generation under " +
           s"$modelDir — nbSaveModel one before streaming")
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$modelDir/bindings/.batch=$batchId.tmp-" +
-            java.util.UUID.randomUUID().toString)
-        val out = fs.create(tmp, false)
-        try out.write(latest.toString.getBytes("UTF-8"))
-        finally out.close()
-        if (fs.rename(tmp, binding)) latest
-        else { // lost the race to a concurrent replay — honor its pin
-          fs.delete(tmp, false)
-          val in = fs.open(binding)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toInt
-          finally in.close()
+        // exclusive create: on HDFS this is an atomic create-if-absent;
+        // on the local fs RawLocalFileSystem.create(overwrite = false)
+        // checks-and-throws, which (unlike rename, which POSIX silently
+        // replaces) makes the one-winner invariant hold on file:// too
+        try {
+          val out = fs.create(binding, false)
+          try out.write(latest.toString.getBytes("UTF-8"))
+          finally out.close()
+          latest
+        } catch {
+          case _: java.io.IOException if fs.exists(binding) =>
+            // lost the race to a concurrent replay — honor its pin
+            val in = fs.open(binding)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toInt
+            finally in.close()
         }
       }
     val model = graft.ops.CorpusOps.nbLoadModel(spark, modelDir, gen)

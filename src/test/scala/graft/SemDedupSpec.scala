@@ -15,6 +15,14 @@ import graft.ops.VectorOps
   *  - the cell assignment is deterministic (bit-identical re-runs), the
   *    property the DuckDB Lloyd-replay oracle rests on.
   *
+  * k is DERIVED FROM CORPUS SIZE ([[VectorOps.semdedupK]]: target cell
+  * population ≈250, floor 8) — the property that makes the tier
+  * sub-quadratic IN n rather than a constant fraction of brute force,
+  * asserted here directly as candidate GROWTH across a 10× corpus
+  * blow-up (≪ the 100× pair growth). At the in-suite SFs (n=500,
+  * 2000) the derived k is the floor 8, so the recall bands below are
+  * unchanged from the fixed-k measurements.
+  *
   * Measured recall (pair-level, threshold 0.45, k=8, iters=3), pinned
   * in the dedupe_embed_semdedup scaladoc and PLANS §27:
   * sf0.001 = sf0.01 (same 500-vector table) and sf0.1 are asserted
@@ -28,7 +36,7 @@ class SemDedupSpec extends SparkSpec {
       threshold = 0.45, blockCol = None)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cells = VectorOps.kmeansAssign(emb, "vec_id", "embedding",
-      k = 8, iters = 3)
+      k = VectorOps.semdedupK(emb.count()), iters = 3)
     val sem = VectorOps.pairwiseCosine(emb.join(cells, "vec_id"),
       "vec_id", "embedding", threshold = 0.45, blockCol = Some("cell"))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -63,6 +71,50 @@ class SemDedupSpec extends SparkSpec {
     // stopped blocking (or the threshold moved).
     assert(r1 >= 0.05 && r1 < 1.0, s"sf0.001 recall out of band: $r1")
     assert(r2 >= 0.10 && r2 < 1.0, s"sf0.1 recall out of band: $r2")
+  }
+
+  test("derived k: floor 8 below 2000, then one cell per 250 vectors") {
+    assert(VectorOps.semdedupK(1) == 8)
+    assert(VectorOps.semdedupK(500) == 8)
+    assert(VectorOps.semdedupK(2000) == 8)
+    assert(VectorOps.semdedupK(2001) == 9)
+    assert(VectorOps.semdedupK(8000) == 32)
+    assert(VectorOps.semdedupK(20000) == 80)
+  }
+
+  test("candidate volume grows ~linearly in n, not quadratically: " +
+      "10x corpus => well under 100x candidates") {
+    // 10× corpus from sf0.1 by cyclic rotation (the same replica idea
+    // the sf1 generator uses): replica r of vector v is v rolled r
+    // positions — same norm, same within-replica pair structure,
+    // genuinely different directions across replicas. No dependence on
+    // any fixture constant: the assertion is purely structural.
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val n1 = base.count()
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val big = base.crossJoin(
+        spark.range(10).toDF("r").withColumn("r", col("r").cast("int")))
+      .select((col("vec_id") + col("r").cast("long") * n1).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"))
+    val n2 = big.count()
+    assert(n2 == 10 * n1)
+    def candidates(emb: org.apache.spark.sql.DataFrame, n: Long): Double =
+      VectorOps.kmeansAssign(emb, "vec_id", "embedding",
+          k = VectorOps.semdedupK(n), iters = 3)
+        .groupBy("cell").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).head().getDouble(0)
+    val c1 = candidates(base, n1)
+    val c2 = candidates(big, n2)
+    val growth = c2 / c1
+    info(f"n=$n1 cand=$c1%.0f  n=$n2 cand=$c2%.0f  growth=$growth%.1fx " +
+      f"(pair growth = ${(n2.toDouble * (n2 - 1)) / (n1.toDouble * (n1 - 1))}%.0fx)")
+    // balanced cells would give exactly 10×; allow skew headroom but
+    // stay far below the 100× a fixed k would produce
+    assert(growth < 30.0,
+      s"candidate growth $growth not sub-quadratic (fixed-k regression?)")
   }
 
   test("cell assignment is deterministic across re-runs") {

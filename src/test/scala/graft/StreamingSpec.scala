@@ -449,8 +449,17 @@ class StreamingSpec extends SparkSpec {
       centroids, nProbe = 1)
     assert(top.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
     // offline maintenance compaction: flatten cell=K/__batch_id=N to the
-    // batch tier's cell=K shape — same rows, same query results
+    // batch tier's cell=K shape — same rows, same query results; any
+    // underscore-prefixed sidecar (the freshness-fingerprint protocol)
+    // must survive the swap or the next fingerprint-gated reader would
+    // rebuild the freshly compacted layout as stale
+    val fp = new java.io.File(s"$layout/_centroids.fp")
+    java.nio.file.Files.write(fp.toPath,
+      "fp-sentinel".getBytes("UTF-8"))
     VectorOps.compactIvfLayout(spark, layout, "vec_id")
+    assert(fp.exists() && new String(java.nio.file.Files
+        .readAllBytes(fp.toPath), "UTF-8") == "fp-sentinel",
+      "compaction dropped the _centroids.fp sidecar")
     val cellDirs = new java.io.File(layout).listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(cellDirs.forall(_.startsWith("cell=")), cellDirs.mkString(","))
@@ -596,12 +605,15 @@ class StreamingSpec extends SparkSpec {
     CorpusOps.nbSaveModel(spark,
       CorpusOps.nbTrainModel(t0, "doc_id", "text", "lang", lit(true)),
       modelDir, 0)
-    // committed generations are immutable
+    // committed generations are immutable — and the duplicate call
+    // fails BEFORE staging (no orphaned gen=0.tmp left behind)
     intercept[IllegalArgumentException] {
       CorpusOps.nbSaveModel(spark,
         CorpusOps.nbTrainModel(t0, "doc_id", "text", "lang", lit(true)),
         modelDir, 0)
     }
+    assert(!new java.io.File(s"$modelDir/gen=0.tmp").exists(),
+      "duplicate-generation save left an orphaned staging dir")
     val schema = t0.schema
     def runOnce(): Unit = {
       val q = StreamOps.classifyVersionedEachBatch(
