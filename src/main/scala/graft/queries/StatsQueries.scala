@@ -990,29 +990,23 @@ object StatsQueries extends QueryPack {
     // samplingHash LCG over o_orderkey·R + rep — NOT rand(), so the CI
     // is bit-reproducible across engines, reruns, and cluster sizes):
     // R = 64 replicas, each keeping the ~half of orders whose hash is
-    // even. Shape at scale: the explode is map-side (R rows per order,
-    // filtered to ~R/2) feeding a 64-group hash agg — map-side combine
-    // collapses each task to ≤64 partial rows, so the shuffle is
-    // O(64·tasks) regardless of corpus size; per-replica sums are exact
-    // cent DECIMALs; the CI bounds are DISCRETE order statistics (ceil-
-    // rank selection over the 64 replica means — no interpolation
-    // float), picked by the same cum≥rank min-selection agg_outlier_iqr
-    // uses.
+    // even. Shape at scale: ONE corpus-width pass — all 64 replica
+    // (sum, count) pairs fold into a single primitive 128-long typed-
+    // Aggregator buffer per task (Stats.bootstrapReplicas, the GramAgg
+    // trick; the r15 plan exploded the corpus 64× before the replica
+    // filter — a 64× scan-stage cost for the identical result), so the
+    // exchange moves one buffer per partition regardless of corpus
+    // size; per-replica sums are exact int64 cents; the CI bounds are
+    // DISCRETE order statistics (ceil-rank selection over the 64
+    // replica means — no interpolation float), picked by the same
+    // cum≥rank min-selection agg_outlier_iqr uses.
     "agg_bootstrap_ci" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
       import graft.StableRound
-      val dec = DecimalType(38, 0)
-      val reps = Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long").as("c"))
-        .select(col("o_orderkey"), col("c"),
-          explode(sequence(lit(0L), lit(63L))).as("rep"))
-        .filter(graft.ops.CorpusOps.samplingHash(
-          col("o_orderkey") * 64 + col("rep")) % 2 === 0)
-        .groupBy("rep")
-        .agg(count(lit(1)).as("nr"), sum(col("c").cast(dec)).as("sr"))
+      val reps = graft.ops.Stats.bootstrapReplicas(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("c")),
+          "o_orderkey", "c", reps = 64)
         .select(col("rep"), StableRound.round6(
           col("sr").cast("double") / col("nr").cast("double") / 100)
           .as("mean_r"))
