@@ -50,10 +50,28 @@ import org.apache.spark.sql.SparkSession
   * code regression. The 1-minute system load average is sampled before
   * and after the timed passes and the max is reported as `"loadavg"`,
   * making box contention self-identifying in the artifact itself.
+  *
+  * ISOLATED MODE (`SPARK_GRAFT_ISOLATE=1`): forks ONE child JVM per
+  * entry (each child is this same main with a 1-entry filter — warmup
+  * + median-of-N inside its own fresh heap) and merges the children's
+  * lines into one artifact of the identical shape. This is the
+  * attribution-grade protocol tools/isobench.sh ran by hand since r12,
+  * folded into the committed artifact itself: in-suite numbers share a
+  * JVM, so an allocation-heavy neighbor's heap state can bleed into a
+  * timing (three phantom >1.5× in-suite swings were re-adjudicated by
+  * hand in EACH of r13-r15); per-JVM numbers make phantom swings
+  * structurally impossible. Cost: one ~10s Spark session bring-up per
+  * entry, so this is the sf1 deep-measurement mode, not the per-round
+  * sf0.1 default. The merged line carries `"isolated":true` and the
+  * MAX child loadavg.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")) {
+      runIsolated(sfDir)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -181,6 +199,135 @@ object Bench {
       s""""errors":$compactErr,"passes":$passes,"loadavg":${num(load)},""" +
       s""""queries_file":"bench_out.json","sf":$sf}"""
     try spark.stop() catch { case _: Throwable => }
+    println(compact)
+    System.out.flush()
+  }
+
+  /** One child JVM per entry; merge the 1-entry lines into one artifact.
+    * Children run sequentially (a quiet box is the point) with the same
+    * add-opens set build.sbt forks tests with and the classpath derived
+    * from THIS class's code source + the Spark jars dir — correct under
+    * sbt runMain (layered classloaders hide the project from
+    * java.class.path) and under a plain `java -cp` alike. */
+  private def runIsolated(sfDir: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val codeSrc = SparkEntry.getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI.getPath
+    // under `sbt runMain` the jars' code sources are sbt's bg-jobs
+    // STAGING copies — the staged spark dir holds one jar, not the
+    // full distribution (no scala-library) — so prefer the real
+    // distribution dir when it exists; the code-source fallback keeps
+    // plain `java -cp` invocations location-independent
+    val sparkJarsDerived = new java.io.File(
+      classOf[SparkSession].getProtectionDomain.getCodeSource
+        .getLocation.toURI).getParent
+    val sparkJars =
+      if (new java.io.File("/opt/spark/jars").isDirectory) "/opt/spark/jars"
+      else sparkJarsDerived
+    val cp = s"$sparkJars/*:$codeSrc"
+    val addOpens = (Seq("java.lang", "java.lang.invoke",
+      "java.lang.reflect", "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic")
+      ++ Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar"))
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val timings = collection.mutable.Map.empty[String, Double]
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    var load = -1.0
+    var passes = 0
+    names.zipWithIndex.foreach { case (name, i) =>
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+        "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().remove("SPARK_GRAFT_ISOLATE")
+      sys.env.get("SPARK_GRAFT_CPUS")
+        .foreach(pb.environment().put("SPARK_GRAFT_CPUS", _))
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+        .foreach(pb.environment().put("SPARK_GRAFT_BENCH_PASSES", _))
+      pb.redirectErrorStream(false)
+      if (sys.env.get("SPARK_GRAFT_ISOLATE_DEBUG").contains("1")) {
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[isolate-debug] ${cmd.mkString(" ")}")
+      } else pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      // each child writes its own bench_out.json — sandbox it per child
+      // so the merged parent artifact is the only bench_out.json left
+      val childDir = java.nio.file.Files
+        .createTempDirectory(s"graft-iso-$name").toFile
+      pb.directory(childDir)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(
+        proc.getInputStream, "UTF-8").getLines().toList
+      val rc = proc.waitFor()
+      val parsed = out.headOption.flatMap { line =>
+        try Some(JsonMethods.parse(line)) catch { case _: Throwable => None }
+      }
+      parsed match {
+        case Some(j) =>
+          (j \ "queries") match {
+            case JObject(fs) => fs.foreach {
+              case (k, JDouble(v)) => timings(k) = v
+              case (k, JDecimal(v)) => timings(k) = v.toDouble
+              case _ =>
+            }
+            case _ =>
+          }
+          (j \ "errors") match {
+            case JObject(fs) => fs.foreach {
+              case (k, JString(v)) => errors(k) = v
+              case _ =>
+            }
+            case _ =>
+          }
+          (j \ "loadavg") match {
+            case JDouble(v) => load = math.max(load, v)
+            case JDecimal(v) => load = math.max(load, v.toDouble)
+            case _ =>
+          }
+          (j \ "passes") match {
+            case JInt(v) => passes = v.toInt
+            case _ =>
+          }
+        case None =>
+          errors(name) = s"child JVM rc=$rc, no parseable JSON line"
+      }
+      System.err.println(s"[isolate ${i + 1}/${names.size}] $name " +
+        timings.get(name).map(v => f"$v%.2fs").getOrElse("FAILED"))
+    }
+    def num(v: Double): String = "%.4f".formatLocal(Locale.US, v)
+    val qs = timings.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"passes":$passes,"isolated":true,""" +
+      s""""loadavg":${num(load)},"sf":$sf}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => }
+    println(line)
+    val top = timings.toSeq.sortBy(-_._2).take(30)
+    val topQs = top.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val compactErr = if (errJson.length <= 400) errJson
+      else "{\"error_count\":" + errors.size + "}"
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$topQs,"queries_omitted":${timings.size - top.size},""" +
+      s""""errors":$compactErr,"passes":$passes,"isolated":true,""" +
+      s""""loadavg":${num(load)},"queries_file":"bench_out.json","sf":$sf}"""
     println(compact)
     System.out.flush()
   }
