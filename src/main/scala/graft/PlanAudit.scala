@@ -66,6 +66,84 @@ object PlanAudit {
     "vec_ann_ivfpq" -> Seq(("PushedFilters", "In(vec_id")),
     "stream_pq_ingest" -> Seq(("PushedFilters", "In(vec_id")))
 
+  /** Node-level plan invariants — the join/window twins of
+    * [[expectedShapes]]'s scan rows (VERDICT r15 ask #5): shapes whose
+    * loss keeps results correct while silently changing the 100 TB
+    * cost class (a bucketed join that starts shuffling, a rank filter
+    * that stops pushing below the exchange, a dim join that falls back
+    * to shuffle). Rules match EXACT class simple names over every node
+    * of the executed plan (adaptive/staged subtrees and subqueries
+    * walked). Gated per entry by PlanShapeSpec. */
+  sealed trait NodeRule { def violation(nodes: Seq[SparkPlan]): Option[String] }
+
+  /** At least `atLeast` nodes of class `cls` anywhere in the plan. */
+  final case class NodePresent(cls: String, atLeast: Int = 1)
+      extends NodeRule {
+    def violation(nodes: Seq[SparkPlan]): Option[String] = {
+      val n = nodes.count(_.getClass.getSimpleName == cls)
+      if (n >= atLeast) None
+      else Some(s"expected >=$atLeast $cls node(s), found $n")
+    }
+  }
+
+  /** No node of class `cls` STRICTLY BELOW any node of class `root` —
+    * the subtree-scoped absence (an entry may legitimately shuffle
+    * elsewhere, e.g. a post-join aggregation on a different key). */
+  final case class NodeAbsentUnder(root: String, cls: String)
+      extends NodeRule {
+    def violation(nodes: Seq[SparkPlan]): Option[String] = {
+      val roots = nodes.filter(_.getClass.getSimpleName == root)
+      if (roots.isEmpty) return Some(s"no $root node to scope under")
+      val bad = roots.exists(r => collectNodes(r).drop(1)
+        .exists(_.getClass.getSimpleName == cls))
+      if (bad) Some(s"found a $cls under a $root") else None
+    }
+  }
+
+  val expectedNodes: Map[String, Seq[NodeRule]] = Map(
+    // co-located bucketed join: the SortMergeJoin reads both sides'
+    // buckets directly — no exchange BELOW the join, at any table size
+    // (the post-join groupBy on a different key may shuffle; that
+    // exchange is above the join and out of scope). A LOCAL SortExec
+    // per bucket is expected and accepted: since Spark 3.1 bucketed
+    // scans do not advertise bucket-local sort order unless
+    // spark.sql.legacy.bucketedTableScan.outputOrdering is enabled
+    // (advertising it costs a planning-time file listing — the wrong
+    // trade at 100 TB), so the join re-sorts each co-located bucket
+    // in place: shuffle-free, and near-free on the already-sorted runs.
+    "join_bucketed" -> Seq(
+      NodePresent("SortMergeJoinExec"),
+      NodeAbsentUnder("SortMergeJoinExec", "ShuffleExchangeExec")),
+    // rank-filter pushdown: the rk<=3 filter must plan as a
+    // WindowGroupLimit PAIR (Partial below the exchange, Final above),
+    // so each map task forwards <=3 rows per doc and the shuffle
+    // carries O(docs*k), not the full (doc, token) relation
+    "text_keywords_tfidf" -> Seq(
+      NodePresent("WindowGroupLimitExec", atLeast = 2)),
+    // the two tiny dims (nation, region) ride broadcast joins — a
+    // fallback to shuffle would move the fact relation for a
+    // 25/5-row dim
+    "agg_star_schema" -> Seq(
+      NodePresent("BroadcastHashJoinExec", atLeast = 2)),
+    // null-safe (<=>) equi-join against the tiny banded dim: broadcast
+    // hash join supports the null-safe key directly — losing it would
+    // shuffle the fact side for a 5-row dim
+    "join_null_safe" -> Seq(NodePresent("BroadcastHashJoinExec")))
+    // agg_bloom_join has no node row: its broadcast is the ~KB filter
+    // INSIDE the probe UDF (not a plan node), and the within_fpp output
+    // column already hash-pins the pre-filter semantics.
+
+  /** Every node under `p`, walking adaptive/staged subtrees and
+    * subqueries (self included, pre-order). */
+  def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children ++ other.subqueries
+    }
+    p +: kids.flatMap(collectNodes)
+  }
+
   /** Every FileSourceScanExec under `p`, walking adaptive/staged
     * subtrees and subqueries. */
   def collectScans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
@@ -86,15 +164,22 @@ object PlanAudit {
     * carried by some scan. */
   def shapeViolations(name: String, plan: SparkPlan): Seq[String] = {
     val reqs = expectedShapes.getOrElse(name, Nil)
-    if (reqs.isEmpty) return Nil
-    val scans = collectScans(plan)
-    reqs.flatMap { case (key, needle) =>
-      val ok = scans.exists(_.metadata.get(key)
-        .exists(_.toLowerCase.contains(needle.toLowerCase)))
-      if (ok) None
-      else Some(s"$name: no FileScan whose $key contains '$needle' " +
-        s"(${scans.size} scans inspected)")
+    val scanViolations = if (reqs.isEmpty) Nil else {
+      val scans = collectScans(plan)
+      reqs.flatMap { case (key, needle) =>
+        val ok = scans.exists(_.metadata.get(key)
+          .exists(_.toLowerCase.contains(needle.toLowerCase)))
+        if (ok) None
+        else Some(s"$name: no FileScan whose $key contains '$needle' " +
+          s"(${scans.size} scans inspected)")
+      }
     }
+    val nodeRules = expectedNodes.getOrElse(name, Nil)
+    val nodeViolations = if (nodeRules.isEmpty) Nil else {
+      val nodes = collectNodes(plan)
+      nodeRules.flatMap(_.violation(nodes).map(v => s"$name: $v"))
+    }
+    scanViolations ++ nodeViolations
   }
 
   def main(args: Array[String]): Unit = {

@@ -702,15 +702,23 @@ object RelationalQueries extends QueryPack {
     // Bucketed co-located join — the 100 TB join layout story: both sides
     // are LANDED bucketed (+ sorted) on the join key via bucketBy/
     // saveAsTable, so every later join on that key is exchange-free — the
-    // SortMergeJoin reads co-located buckets directly (no Exchange, no
-    // Sort, on either side; JoinsSpec asserts the plan). The one-time
-    // bucketed write is the amortized cost; repeated joins are shuffle-free.
+    // SortMergeJoin reads co-located buckets directly with no Exchange on
+    // either side (PlanAudit.expectedNodes gates the plan). The one-time
+    // bucketed write is the amortized cost; repeated joins are
+    // shuffle-free. A LOCAL per-bucket SortExec remains by design:
+    // Spark ≥3.1 only advertises bucket sort order under the legacy
+    // outputOrdering conf, whose price is a planning-time file listing —
+    // wrong at 100 TB; the local sort is shuffle-free and near-free on
+    // the already-sorted runs. The pre-write repartition on the bucket
+    // column uses the SAME murmur-pmod hash bucketBy does, so each
+    // bucket lands as ONE file (no small-file fan-out per task).
     "join_bucketed" -> ((s, d) => {
       val key = Fixtures.key(s, s"$d/orders.parquet")
-      def ensure(name: String, df: org.apache.spark.sql.DataFrame,
+      def ensure(name: String, df0: org.apache.spark.sql.DataFrame,
           bucketCol: String): org.apache.spark.sql.DataFrame = {
-        val tbl = s"graft_b_${name}_$key"
-        val path = s"/tmp/graft_bucket_fixture/$key/$name"
+        val df = df0.repartition(8, col(bucketCol))
+        val tbl = s"graft_b1_${name}_$key"
+        val path = s"/tmp/graft_bucket_fixture_1f/$key/$name"
         if (!s.catalog.tableExists(tbl)) {
           if (Fixtures.exists(s, path)) {
             // layout already on disk from an earlier session: re-attach it

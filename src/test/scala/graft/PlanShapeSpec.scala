@@ -13,16 +13,29 @@ class PlanShapeSpec extends SparkSpec {
     .find(d => new java.io.File(d).isDirectory)
 
   test("every layout-serving entry's executed plan carries its expected " +
-      "scan shape (PlanAudit.expectedShapes)") {
+      "scan shape (PlanAudit.expectedShapes) and node shape " +
+      "(PlanAudit.expectedNodes)") {
     assume(dir.isDefined, "no driver testdata dir on this machine")
-    val violations = PlanAudit.expectedShapes.keys.toSeq.sorted.flatMap {
-      name =>
-        val df = SparkEntry.queries(name)(spark, dir.get)
-        // force execution so layouts land and AQE finalizes the plan
-        assert(df.collect().nonEmpty, s"$name returned no rows")
-        PlanAudit.shapeViolations(name, df.queryExecution.executedPlan)
+    val names = (PlanAudit.expectedShapes.keySet
+      ++ PlanAudit.expectedNodes.keySet).toSeq.sorted
+    val violations = names.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir.get)
+      // force execution so layouts land and AQE finalizes the plan
+      assert(df.collect().nonEmpty, s"$name returned no rows")
+      PlanAudit.shapeViolations(name, df.queryExecution.executedPlan)
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("node rules report violations (the gate can fail)") {
+    assume(dir.isDefined, "no driver testdata dir on this machine")
+    // negative control: a bare scan has no SortMergeJoin to satisfy
+    // join_bucketed's presence rule
+    val df = Tables.orders(spark, dir.get)
+    df.collect()
+    val v = PlanAudit.shapeViolations("join_bucketed",
+      df.queryExecution.executedPlan)
+    assert(v.nonEmpty && v.exists(_.contains("SortMergeJoinExec")))
   }
 
   test("shapeViolations reports a missing needle (the gate can fail)") {
