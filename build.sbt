@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Optional live-Postgres integration (tools/pg_calibrate.sh): when a
+// PostgreSQL JDBC driver jar is supplied via SPARK_GRAFT_PG_JDBC_JAR
+// (the offline image ships none), put it on the test and run
+// classpaths so the SPARK_GRAFT_PG_URL-gated JdbcSinkSpec case and
+// `runMain graft.sink.SinkCalibrate jdbc <url>` can use it.
+Test / unmanagedJars ++= sys.env.get("SPARK_GRAFT_PG_JDBC_JAR")
+  .map(p => Attributed.blank(file(p))).toSeq
+Runtime / unmanagedJars ++= sys.env.get("SPARK_GRAFT_PG_JDBC_JAR")
+  .map(p => Attributed.blank(file(p))).toSeq
 // Pass the forked JVM's stdout through raw instead of via sbt's logger:
 // the logger prefixes every line with "[info] ", which breaks machines
 // parsing Bench's single JSON output line from the process stdout.

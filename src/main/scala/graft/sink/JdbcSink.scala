@@ -73,6 +73,19 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     * the index on both dialects). No-op if the table exists. */
   def ensureTable(table: String, schema: StructType, pk: Seq[String]): Unit = {
     if (tableExists(table)) return
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(createTableSql(table, schema, pk))
+      st.close()
+    } finally c.close()
+  }
+
+  /** The exact CREATE statement [[ensureTable]] executes — exposed (like
+    * [[upsertSql]]) so the calibration harness can validate the
+    * generated dialect against a real server via psql. */
+  private[graft] def createTableSql(table: String, schema: StructType,
+      pk: Seq[String]): String = {
     val cols = schema.fields.map { f =>
       val notNull = if (pk.contains(f.name)) " NOT NULL" else ""
       s""""${f.name}" ${sqlType(f.dataType)}$notNull"""
@@ -80,12 +93,7 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     val pkClause =
       if (pk.nonEmpty) s""", PRIMARY KEY (${pk.map(c => s""""$c"""").mkString(", ")})"""
       else ""
-    val c = connect()
-    try {
-      val st = c.createStatement()
-      st.executeUpdate(s"""CREATE TABLE "$table" ($cols$pkClause)""")
-      st.close()
-    } finally c.close()
+    s"""CREATE TABLE "$table" ($cols$pkClause)"""
   }
 
   /** Full truncate (`datastore_delete` with no filter, datapump.py:545). */
@@ -93,12 +101,15 @@ case class JdbcSink(url: String, user: String = "", password: String = "")
     val c = connect()
     try {
       val st = c.createStatement()
-      st.executeUpdate(
-        if (isDerby) s"""DELETE FROM "$table""""
-        else s"""TRUNCATE TABLE "$table"""")
+      st.executeUpdate(truncateSql(table))
       st.close()
     } finally c.close()
   }
+
+  /** The exact statement [[truncate]] executes (dialect-sensitive). */
+  private[graft] def truncateSql(table: String): String =
+    if (isDerby) s"""DELETE FROM "$table""""
+    else s"""TRUNCATE TABLE "$table""""
 
   /** Distributed batched PK upsert. Incoming batches must be PK-deduped
     * (the engine always dedupes before the sink, like the reference —
