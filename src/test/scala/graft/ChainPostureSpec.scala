@@ -12,7 +12,7 @@ import graft.jobs.{ChainPosture, CorpusStreamJob, IncrementalCorpusJob}
   * is recorded in PLANS round 15. */
 class ChainPostureSpec extends SparkSpec {
 
-  private val dir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val dir = Seq(sfDir("0.001"), sfDir("0.01"))
     .find(d => new java.io.File(d).isDirectory)
 
   test("24 generations with compaction every 8: flat per-delta time, " +

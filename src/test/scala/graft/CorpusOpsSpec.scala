@@ -249,7 +249,7 @@ class SubstringLmSpec extends SparkSpec {
     // strings; every downstream use is count/min/membership, so the
     // results must be IDENTICAL up to 64-bit collisions — pinned here on
     // the sf0.001 documents table (500 real docs), not toy fixtures
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sfDir("0.001"))
     def sorted(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect().toSeq
     assert(

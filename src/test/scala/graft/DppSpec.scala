@@ -10,7 +10,7 @@ class DppSpec extends SparkSpec {
 
   test("join_partition_prune fact scan carries a dynamicpruning filter") {
     val df = SparkEntry.queries("join_partition_prune")(
-      spark, "/root/testdata/sf0.001")
+      spark, sfDir("0.001"))
     // plan BEFORE execution already carries the pruning subquery; run it
     // too so the assertion covers the adaptive (final) plan string
     val rows = df.collect()

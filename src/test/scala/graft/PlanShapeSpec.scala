@@ -9,7 +9,7 @@ package graft
   * results would still be correct, the 100 TB cost story would not. */
 class PlanShapeSpec extends SparkSpec {
 
-  private val dir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val dir = Seq(sfDir("0.001"), sfDir("0.01"))
     .find(d => new java.io.File(d).isDirectory)
 
   test("every layout-serving entry's executed plan carries its expected " +

@@ -116,7 +116,7 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("property: pivot cells conserve the per-group totals") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val piv = SparkEntry.queries("agg_pivot")(spark, d)
       .withColumn("cells", col("n_f") + col("n_o") + col("n_p"))
     val totals = Tables.orders(spark, d)
@@ -127,7 +127,7 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("property: stratified sample is reproducible for a fixed seed") {
-    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val events = Tables.events(spark, sfDir("0.001"))
     val fr = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
       "signup" -> 0.25, "error" -> 0.0)
     def ids() = events.stat.sampleBy("event_type", fr, seed = 7L)

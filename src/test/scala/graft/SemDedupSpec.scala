@@ -56,8 +56,8 @@ class SemDedupSpec extends SparkSpec {
 
   test("semdedup tier: structural precision, sub-quadratic candidates, " +
       "pinned recall band at sf0.001 and sf0.1") {
-    val (r1, f1) = measure("/root/testdata/sf0.001")
-    val (r2, f2) = measure("/root/testdata/sf0.1")
+    val (r1, f1) = measure(sfDir("0.001"))
+    val (r2, f2) = measure(sfDir("0.1"))
     // candidate volume must be far below brute force — balanced k=8
     // cells would give 1/8 = 0.125; allow skew up to 2× balanced
     assert(f1 < 0.25 && f2 < 0.25,
@@ -89,7 +89,7 @@ class SemDedupSpec extends SparkSpec {
     // positions — same norm, same within-replica pair structure,
     // genuinely different directions across replicas. No dependence on
     // any fixture constant: the assertion is purely structural.
-    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val base = Tables.embeddings(spark, sfDir("0.1"))
       .select("vec_id", "embedding")
     val n1 = base.count()
     val dim = base.select(size(col("embedding"))).head().getInt(0)
@@ -118,7 +118,7 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("cell assignment is deterministic across re-runs") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, sfDir("0.001"))
       .select("vec_id", "embedding")
     val a = VectorOps.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

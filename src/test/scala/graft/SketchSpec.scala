@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpec {
 
-  private val d = "/root/testdata/sf0.01"
+  private val d = sfDir("0.01")
 
   test("approx_count_distinct is within 5% of exact") {
     val row = Tables.lineitem(spark, d).agg(

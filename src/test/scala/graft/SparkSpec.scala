@@ -8,6 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sqlImplicits: org.apache.spark.sql.SQLImplicits = spark.implicits
+
+  /** Driver-testdata root, overridable for the regeneration drill
+    * (`SPARK_GRAFT_TESTDATA=/tmp/variant sbt test` must stay green on a
+    * freshly regenerated corpus — the r8→r9 lesson institutionalized).
+    * Every spec that reads driver testdata goes through [[sfDir]]. */
+  lazy val testdataRoot: String = sys.env.get("SPARK_GRAFT_TESTDATA")
+    .orElse(sys.props.get("graft.testdata"))
+    .getOrElse("/root/testdata")
+
+  /** `sfDir("0.001")` → `<root>/sf0.001`. */
+  def sfDir(sf: String): String = s"$testdataRoot/sf$sf"
 }
 
 object SparkSpec {

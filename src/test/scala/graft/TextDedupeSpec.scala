@@ -50,7 +50,7 @@ class TextDedupeSpec extends SparkSpec {
       "corpus (incl. empty/multi-space edge cases)") {
     val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, " lead"),
       (5L, "trail "), (6L, "a b c d e")).toDF("doc_id", "text")
-    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = Tables.documents(spark, sfDir("0.001"))
       .select("doc_id", "text").unionByName(edge)
     val diff = corpus.select(
       TextDedupe.simhash($"text").as("fused"),
@@ -65,7 +65,7 @@ class TextDedupeSpec extends SparkSpec {
     val edge = Seq((1L, ""), (2L, "a b"), (3L, "a b c"), (4L, "a  b c d"),
       (5L, "x x x x x"), (6L, " lead tok here"), (7L, "trail tok here "))
       .toDF("doc_id", "text")
-    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = Tables.documents(spark, sfDir("0.001"))
       .select("doc_id", "text").unionByName(edge)
     val diff = corpus.select(
       TextDedupe.shingles(col("text")).as("fused"),
@@ -120,7 +120,7 @@ class TextDedupeSpec extends SparkSpec {
   test("codegen MinHashSig equals the composed HOF signature on real " +
       "corpus text (incl. empty-shingle null)") {
     import org.apache.spark.sql.functions.{col, not}
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sfDir("0.001"))
       .select(col("doc_id"), col("text"))
       .unionByName(Seq((900001L, "one two")).toDF("doc_id", "text"))
     val both = docs.select(col("doc_id"),

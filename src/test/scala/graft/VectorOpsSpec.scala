@@ -97,7 +97,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("annCosineTopK candidates carry exact cosine scores (subset of " +
       "brute force) and find genuinely near duplicates") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val q = emb.filter($"vec_id" === 0).select("embedding")
     val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
@@ -115,7 +115,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("ivfCosineTopK candidates carry exact cosine scores and probing " +
       "all cells degenerates to exact top-k") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val q = emb.filter($"vec_id" === 0).select("embedding")
     val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
@@ -141,7 +141,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("ivfCosineTopKPruned (partitioned layout) equals in-memory IVF " +
       "and its plan prunes partitions") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0).select("embedding")
@@ -159,7 +159,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("ivfFilteredTopK: label filter + probes BOTH prune partitions, " +
       "and the result equals brute force over the label's sub-corpus") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0)
       .select("vec_id", "embedding", "label")
@@ -203,7 +203,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("ivfFilteredTopK centroid fingerprint: same centroids reuse the " +
       "layout, retrained centroids force a rebuild (no stale cells)") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0)
       .select("vec_id", "embedding", "label")
@@ -241,7 +241,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("lshCosineTopKPruned (partitioned layout) equals inline LSH " +
       "and its plan prunes partitions") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0).select("embedding")
@@ -259,7 +259,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("persisted PQ layout: equals inline PQ and IVF+PQ; ADC scan reads " +
       "only (id, codes); floats fetched via pushed id-IN filter") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0).select("embedding")
@@ -315,7 +315,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("codegen'd PqEncode equals the composed-Column encoder exactly") {
     import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, sfDir("0.001"))
     val model = VectorOps.pqTrainModel(emb, "embedding", nCentroids = 0)
     // normalized inputs, like both encode call sites produce
     val unit = transform(col("embedding"),
@@ -355,7 +355,7 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("ivfTrain is deterministic and centroids are unit-norm") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val c1 = VectorOps.ivfTrain(emb, "embedding", 8, seed = 7L)
     val c2 = VectorOps.ivfTrain(emb, "embedding", 8, seed = 7L)
@@ -367,7 +367,7 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("ann with full probe distance degenerates to exact top-k") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val q = emb.filter($"vec_id" === 0).select("embedding")
     val exact = VectorOps.cosineTopK(emb.filter($"vec_id" =!= 0),
@@ -382,7 +382,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("annCosineTopKBatch slices equal single-query annCosineTopK " +
       "per query (same planes, same buckets)") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < 3).select("vec_id", "embedding")
@@ -401,7 +401,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("PQ: codes are bounded small ints, training is deterministic, " +
       "and rerank-all degenerates to exact top-k") {
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val emb = Tables.embeddings(spark, d)
     val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0).select("embedding")
@@ -435,7 +435,7 @@ class VectorOpsSpec extends SparkSpec {
   test("planted corpus has true neighbors and ANN recall@10 is genuinely " +
       "asserted — including the negative control") {
     import graft.queries.VectorQueries
-    val d = "/root/testdata/sf0.001"
+    val d = sfDir("0.001")
     val (corpus, query) = VectorQueries.plantedCorpus(spark, d)
     // the fixture does what it claims: >= 10 true neighbors at cos >= 0.99
     // (the raw synthetic corpus maxes out at 0.513, so recall on it was
