@@ -1277,7 +1277,7 @@ object VectorOps {
   def kmeansLloyd(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val spark = vecs.sparkSession
-    val (cents, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
+    val (cents, _, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
     val cstats = spark.createDataFrame(
         cents.toSeq.map { case (cid, c) =>
           (cid, c.map(v => v * v).sum, c.sum) })
@@ -1314,15 +1314,86 @@ object VectorOps {
     * per input vector: (idCol, cell). */
   def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    val (_, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
+    val (_, _, lastAssign) = lloydRounds(vecs, idCol, vecCol, k, iters)
     lastAssign.select(col("vid").as(idCol), col("cid").as("cell"))
   }
 
+  /** The FROZEN quantizer that reproduces [[kmeansAssign]]'s cells one
+    * vector at a time: the PRE-update centroids of the final Lloyd
+    * round (the table `lastAssign` was scored against — the post-update
+    * model would assign differently). Persist/broadcast these and
+    * [[assignCells]] lands any later batch in exactly the cell the
+    * batch run would have chosen — the streaming face of the SemDeDup
+    * tier rests on this. */
+  def kmeansQuantizer(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[(Long, Array[Long])] =
+    lloydRounds(vecs, idCol, vecCol, k, iters)._2
+
+  /** Assign each vector to its nearest quantizer cell (exact integer
+    * distance, ties on centroid id — the [[lloydRounds]] scoring rule,
+    * shared so batch and streaming tiers cannot drift). Returns
+    * (idCol, cell). */
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Long])]): DataFrame = {
+    val spark = vecs.sparkSession
+    val vx = vecs.select(col(idCol).cast("long").as("vid"),
+      transform(col(vecCol),
+        e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("x"))
+    val cdf = spark.createDataFrame(
+        cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("cid", "c")
+    vx.crossJoin(broadcast(cdf))
+      .select(col("vid"),
+        struct(
+          aggregate(zip_with(col("x"), col("c"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+            .as("dist"),
+          col("cid")).as("dc"))
+      .groupBy("vid")
+      .agg(min(col("dc")).as("dc"))
+      .select(col("vid").as(idCol), col("dc.cid").as("cell"))
+  }
+
+  /** MULTI-PROBE final assignment: each vector's `nAssign` nearest
+    * cells under the same frozen-quantizer scoring as [[kmeansAssign]]
+    * (rank = (dist, cid), exactly the oracle's row_number order), one
+    * row per (id, cell). nAssign=1 reproduces kmeansAssign's relation.
+    * This is SemDeDup-style soft assignment: blocking on ANY shared
+    * cell raises pair recall at ~nAssign× candidate volume. */
+  def kmeansAssignN(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nAssign: Int): DataFrame = {
+    val cents = kmeansQuantizer(vecs, idCol, vecCol, k, iters)
+    val spark = vecs.sparkSession
+    val vx = vecs.select(col(idCol).cast("long").as("vid"),
+      transform(col(vecCol),
+        e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("x"))
+    val cdf = spark.createDataFrame(
+        cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("cid", "c")
+    // per-vid top-n (dist, cid) structs via a bounded sorted-prefix agg:
+    // collect k candidate structs per vid is fine for k ~ O(100), but
+    // slice(sort_array(...)) keeps it declarative and partial-aggregable
+    vx.crossJoin(broadcast(cdf))
+      .select(col("vid"),
+        struct(
+          aggregate(zip_with(col("x"), col("c"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+            .as("dist"),
+          col("cid")).as("dc"))
+      .groupBy("vid")
+      .agg(slice(sort_array(collect_list(col("dc"))), 1, nAssign).as("top"))
+      .select(col("vid").as(idCol), explode(col("top")).as("dc"))
+      .select(col(idCol), col("dc.cid").as("cell"))
+  }
+
   /** The shared Lloyd loop: quantize once, `iters` rounds of broadcast
-    * assignment + map-side-combined centroid update. Returns the final
-    * centroid model and the final assignment frame (vid, cid, x). */
+    * assignment + map-side-combined centroid update. Returns (final
+    * post-update centroid model, the PRE-update final-round centroids
+    * `lastAssign` was scored against, the final assignment frame
+    * (vid, cid, x)). */
   private def lloydRounds(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): (Array[(Long, Array[Long])], DataFrame) = {
+      k: Int, iters: Int)
+      : (Array[(Long, Array[Long])], Array[(Long, Array[Long])], DataFrame) = {
     val spark = vecs.sparkSession
     val vx = vecs.select(col(idCol).cast("long").as("vid"),
         transform(col(vecCol),
@@ -1332,8 +1403,10 @@ object VectorOps {
     var cents: Array[(Long, Array[Long])] = vx.filter(col("vid") < k)
       .orderBy("vid").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var preFinal: Array[(Long, Array[Long])] = cents
     var lastAssign: DataFrame = null
     for (_ <- 1 to iters) {
+      preFinal = cents
       val cdf = spark.createDataFrame(
           cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "c")
@@ -1363,6 +1436,6 @@ object VectorOps {
       }
       lastAssign = assign
     }
-    (cents, lastAssign)
+    (cents, preFinal, lastAssign)
   }
 }

@@ -822,7 +822,7 @@ object CorpusQueries extends QueryPack {
     * recursive-CTE closure as embedClustersSql. This is how a recall<1
     * blocking scheme stays hash-checkable: the oracle doesn't need
     * recall 1, it needs the same cells. */
-  private def semdedupClustersSql: String = {
+  private[queries] def semdedupClustersSql: String = {
     val lloydPre =
       """lk AS (SELECT GREATEST(8, (count(*) + 249) // 250) AS k
         |  FROM embeddings),

@@ -854,6 +854,66 @@ object StreamQueries extends QueryPack {
         .select(col("vec_id"), size(col("embedding")).as("n_dims"))
     }),
 
+    // STREAMING SemDeDup — the streaming posture of the corpus-scale
+    // semantic tier (dedupe_embed_semdedup): the k-scaled quantizer
+    // (k = semdedupK(n), the exact frozen pre-update Lloyd centroids)
+    // is trained batch-side and PERSISTED; each micro-batch assigns its
+    // vectors to cells against that frozen model, verifies exact cosine
+    // against earlier-batch landed vectors of the SAME cell (the layout
+    // read prunes on BOTH (cell, __batch_id) partition dimensions) plus
+    // its same-cell batch mates, and lands pairs + vectors replay-
+    // idempotently. Because per-vector cells equal the batch tier's and
+    // the per-batch pair sets tile the same-cell pair relation, the
+    // accumulated pairs equal dedupe_embed_semdedup's pair relation for
+    // ANY batching — so the final closure shares that entry's
+    // Lloyd-replay oracle verbatim.
+    "stream_embed_semdedup" -> ((s, d) => {
+      val base = Paths.get("/tmp/graft_semdedup_stream_fixture")
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+      val src = base.resolve("src").toString
+      val quantDir = base.resolve("quantizer").toString
+      val layout = base.resolve("layout").toString
+      val pairsDir = base.resolve("pairs").toString
+      val ckpt = base.resolve("ckpt").toString
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val k = graft.ops.VectorOps.semdedupK(emb.count())
+      // train + PERSIST the quantizer, then stream against the loaded copy
+      val cents = graft.ops.VectorOps.kmeansQuantizer(
+        emb, "vec_id", "embedding", k, iters = 3)
+      s.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+        .toDF("cid", "c").write.parquet(quantDir)
+      val frozen = s.read.parquet(quantDir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def runOnce(): Unit = {
+        val q = StreamOps.semdedupEachBatch(
+          StreamOps.fileStreamParquet(s, src, schema),
+          "vec_id", "embedding", frozen, threshold = 0.45,
+          layout, pairsDir, ckpt)
+        q.awaitTermination()
+      }
+      (0 until 3).foreach { r =>
+        emb.filter(pmod(col("vec_id"), lit(3)) === r)
+          .write.mode("append").parquet(src)
+        runOnce()
+      }
+      val pairs = s.read.parquet(pairsDir).select("id1", "id2")
+      graft.ops.Clusters.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // streaming data-quality gate: two checkpointed micro-batches land
     // per-batch (rule, n_violations) report partitions; the read side
     // sums across batches, which must equal the batch-free computation
@@ -1487,6 +1547,10 @@ object StreamQueries extends QueryPack {
     "stream_embed_dedupe" ->
       """SELECT CAST(id AS BIGINT) AS vec_id, CAST(4 AS INTEGER) AS n_dims
         |FROM (VALUES (1), (2), (4)) AS t(id)""".stripMargin,
+
+    // the streaming tier reproduces the batch tier's pair relation for
+    // any batching, so the oracle is the batch tier's Lloyd replay
+    "stream_embed_semdedup" -> CorpusQueries.semdedupClustersSql,
 
     "stream_dq_checks" ->
       """SELECT rule, CAST(n AS BIGINT) AS n_violations, n = 0 AS pass

@@ -716,6 +716,112 @@ object StreamOps {
       }
       .start()
 
+  /** Landed same-cell candidates for one streaming-SemDeDup batch: the
+    * (cell, __batch_id)-partitioned layout filtered to the batch's own
+    * cells AND to STRICTLY EARLIER batches. Both predicates resolve
+    * against partition directories (PartitionFilters — gated in
+    * StreamingSpec on this frame, the eager-stage twin of the
+    * vec_ann_ivfpq note in PlanAudit.expectedShapes), so a batch reads
+    * only the cells it probes, never the corpus. The earlier-batch
+    * bound is the replay story: a crash-replayed batch recomputes its
+    * original pair set even after later batches landed. */
+  def semdedupLanded(spark: SparkSession, layoutDir: String,
+      idCol: String, vecCol: String, cells: Seq[Long],
+      batchId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(layoutDir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(vecCol,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(cells: _*) && col("__batch_id") < batchId)
+      .select(col(idCol), col(vecCol), col("cell").cast("long").as("cell"))
+  }
+
+  /** One micro-batch of the STREAMING SemDeDup tier — the streaming
+    * posture of `dedupe_embed_semdedup`: cells come from a FROZEN
+    * persisted quantizer ([[graft.ops.VectorOps.kmeansQuantizer]] — the
+    * pre-update final-round Lloyd centroids, so each vector lands in
+    * exactly the cell the batch tier assigns it, independent of
+    * batching), candidates are (earlier-batch landed ∪ batch mates)
+    * restricted to the SAME cell, and the exact-cosine verify uses the
+    * batch tier's expression verbatim. The union of per-batch pair sets
+    * over any batching of the corpus — including the one-batch replay a
+    * fresh checkpoint produces — is the batch tier's same-cell pair
+    * relation EXACTLY, which is why the entry shares the batch tier's
+    * Lloyd-replay oracle. Pairs land under `__batch_id=N` and vectors
+    * under `cell=K/__batch_id=N`, both dynamic-overwrite idempotent. */
+  def semdedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, cents: Array[(Long, Array[Long])],
+      threshold: Double, layoutDir: String, pairsDir: String): Unit = {
+    import graft.ops.VectorOps
+    val cells = VectorOps.assignCells(batch, idCol, vecCol, cents)
+    val bx = VectorOps.withNorm(
+        batch.select(col(idCol).cast("long").as(idCol), col(vecCol)), vecCol)
+      .join(cells, idCol)
+      .persist()
+    try {
+      // the probe list is bounded by k (cells, not vectors)
+      val batchCells = bx.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val lx = VectorOps.withNorm(
+        semdedupLanded(spark, layoutDir, idCol, vecCol, batchCells,
+          batchId), vecCol)
+      val b = bx.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+        col("__norm").as("bn"), col("cell"))
+      val l = lx.select(col(idCol).as("lid"), col(vecCol).as("lv"),
+        col("__norm").as("ln"), col("cell"))
+      val cross = b.join(l, "cell")
+        .filter(VectorOps.dot(col("bv"), col("lv"))
+          / (col("bn") * col("ln")) >= threshold)
+        .select(least(col("bid"), col("lid")).as("id1"),
+          greatest(col("bid"), col("lid")).as("id2"))
+      val a2 = bx.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+        col("__norm").as("n2"), col("cell").as("cell2"))
+      val mates = b.join(a2, col("cell") === col("cell2")
+          && col("bid") < col("id2"))
+        .filter(VectorOps.dot(col("bv"), col("v2"))
+          / (col("bn") * col("n2")) >= threshold)
+        .select(col("bid").as("id1"), col("id2"))
+      cross.union(mates)
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(pairsDir)
+      bx.select(col(idCol), col(vecCol), col("cell"))
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "__batch_id").parquet(layoutDir)
+    } finally bx.unpersist()
+  }
+
+  /** Streaming SemDeDup driver: [[semdedupBatch]] per micro-batch under
+    * AvailableNow (see that method for the replay/oracle contract). */
+  def semdedupEachBatch(stream: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Long])], threshold: Double,
+      layoutDir: String, pairsDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semdedupBatch(spark, batch, batchId, idCol, vecCol, cents,
+          threshold, layoutDir, pairsDir)
+      }
+      .start()
+  }
+
   /** Streaming SEQUENCE PACKING — the incremental twin of
     * `CorpusOps.packSequences`: continuous ingestion keeps APPENDING to
     * each group's contiguous token stream (concat-then-chunk layout)

@@ -987,4 +987,62 @@ class StreamingSpec extends SparkSpec {
     StreamOps.dqReportBatch(b1.limit(0), rules, out, 2L)
     assert(report == first)
   }
+
+  test("streaming SemDeDup: pair relation tiles the batch tier's for any " +
+      "batching, replay leaves the pair SET unchanged, and the landed " +
+      "read prunes BOTH (cell, __batch_id) partition dimensions") {
+    import sqlImplicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-semdedup-st")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val layout = s"$base/layout"; val pairsDir = s"$base/pairs"
+    // frozen 2-cell quantizer in the integer-quantized (1e4) space
+    val cents = Array(
+      (0L, Array(10000L, 0L, 0L, 0L)), (1L, Array(0L, 10000L, 0L, 0L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def runOnce(ckpt: String): Unit =
+      StreamOps.semdedupEachBatch(
+        StreamOps.fileStreamParquet(spark, s"$src/*", schema),
+        "vec_id", "embedding", cents, threshold = 0.95,
+        layout, pairsDir, ckpt).awaitTermination()
+    // batch 0: two far-apart vectors, one per cell — no pairs
+    Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src.toString)
+    runOnce(s"$base/ckpt")
+    // batch 1: 3 ~ 1 (cross-batch cell 0, cos≈.982), 5 ~ 3 (batch
+    // mates, cos≈.963), 4 ~ 2 (cross-batch cell 1, cos≈.995), while
+    // (1,5) at cos≈.90 stays BELOW the 0.95 threshold — precision is
+    // the verify's, not the blocking's
+    Seq((3L, Seq(0.98f, 0.19f, 0f, 0f)), (4L, Seq(0.1f, 0.99f, 0f, 0f)),
+        (5L, Seq(0.9f, 0.43f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src.toString)
+    runOnce(s"$base/ckpt")
+    def pairSet: Set[(Long, Long)] = spark.read.parquet(pairsDir)
+      .select("id1", "id2").distinct()
+      .as[(Long, Long)].collect().toSet
+    val expect = Set((1L, 3L), (2L, 4L), (3L, 5L))
+    assert(pairSet == expect, s"got $pairSet")
+    // layout landed under cell=K/__batch_id=N
+    val lvl1 = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(lvl1.forall(_.startsWith("cell=")), lvl1.mkString(","))
+    // replay with a FRESH checkpoint: every file re-read as ONE batch 0
+    // (new numbering) — the one-batch tiling finds the same pairs as
+    // mates, dynamic overwrite rewrites partition 0, and the pair SET
+    // (what the closure consumes) is unchanged
+    runOnce(s"$base/ckpt2")
+    assert(pairSet == expect, s"replay changed the pair set: $pairSet")
+    // the landed-candidate read prunes on BOTH partition dimensions
+    val probe = StreamOps.semdedupLanded(spark, layout, "vec_id",
+      "embedding", Seq(0L), batchId = 1L)
+    probe.collect()
+    val scans = PlanAudit.collectScans(probe.queryExecution.executedPlan)
+    val pf = scans.flatMap(_.metadata.get("PartitionFilters")).mkString
+    assert(pf.contains("cell") && pf.contains("__batch_id"),
+      s"landed read did not prune both dims: $pf")
+  }
 }
