@@ -144,6 +144,36 @@ object CorpusQueries extends QueryPack {
           (col("id") === col("label")).as("is_keeper"))
     }),
 
+    // MULTI-PROBE SemDeDup (SemDeDup-style soft assignment): each vector
+    // blocks into its TWO nearest cells and a pair is a candidate when
+    // ANY cell is shared — the measured recall/cost frontier (grid in
+    // PLANS §31, threshold 0.45, derived k):
+    //   sf1 (n=8000, k=32): nAssign=1 recall 0.19 @ cand frac 0.031,
+    //   nAssign=2 0.47 @ 0.123, nAssign=3 0.71 @ 0.261
+    //   sf0.1 (n=2000, k=8): 0.375 @ 0.125 / 0.80 @ 0.46 / 0.94 @ 0.82
+    // Candidate volume scales ~nAssign² at fixed k but stays LINEAR in
+    // n under the k-scaling rule (cells still bound the blocking), so
+    // this tier buys ~2.5× the recall for ~4× the (linear) cost —
+    // shipped as its own entry; the default tier stays nAssign=1.
+    // Oracle: the same Lloyd replay with the final assignment widened
+    // to rk<=2 and the pair relation DISTINCT-ed (a pair sharing both
+    // cells would match twice).
+    "dedupe_embed_semdedup_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val k = graft.ops.VectorOps.semdedupK(emb.count())
+      val cells = graft.ops.VectorOps.kmeansAssignN(emb, "vec_id",
+        "embedding", k = k, iters = 3, nAssign = 2)
+      val pairs = graft.ops.VectorOps.pairwiseCosine(
+        emb.join(cells, "vec_id"), "vec_id", "embedding",
+        threshold = 0.45, blockCol = Some("cell"))
+        .select("id1", "id2").distinct()
+      Clusters.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // INCREMENTAL semantic dedup — the vector twin of dedupe_incremental:
     // an incoming embedding batch (vec_id%3==0) is checked against the
     // landed corpus WITHOUT rescoring corpus×corpus. Candidates come
@@ -821,8 +851,17 @@ object CorpusQueries extends QueryPack {
     * pair relation RESTRICTED to same final cell, then the same
     * recursive-CTE closure as embedClustersSql. This is how a recall<1
     * blocking scheme stays hash-checkable: the oracle doesn't need
-    * recall 1, it needs the same cells. */
-  private[queries] def semdedupClustersSql: String = {
+    * recall 1, it needs the same cells.
+    *
+    * `nAssign` > 1 replays the MULTI-PROBE tier: the final assignment
+    * keeps each vector's nAssign nearest cells (row_number over
+    * (dist, cid) — the same total order kmeansAssignN's sorted-struct
+    * slice uses), a pair is a candidate when ANY cell is shared, and
+    * the pair relation is DISTINCT-ed because a pair sharing both its
+    * cells would otherwise match twice. */
+  private[queries] def semdedupClustersSql: String = semdedupSql(1)
+
+  private[queries] def semdedupSql(nAssign: Int): String = {
     val lloydPre =
       """lk AS (SELECT GREATEST(8, (count(*) + 249) // 250) AS k
         |  FROM embeddings),
@@ -851,14 +890,22 @@ object CorpusQueries extends QueryPack {
          |  FROM lc${i - 1} pc LEFT JOIN lu$i u
          |    ON u.cid = pc.cid AND u.pos = pc.pos)""".stripMargin
     }.mkString
+    val (assignCte, distinctKw) =
+      if (nAssign == 1) ("la3", "")
+      else (s""",
+         |lam AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rk FROM ld3) WHERE rk <= $nAssign)"""
+        .stripMargin, "DISTINCT ")
+    val finalAssign = if (nAssign == 1) "la3" else "lam"
     s"""WITH RECURSIVE
-       |p AS (SELECT id1, id2 FROM (
+       |p AS (SELECT ${distinctKw}id1, id2 FROM (
        |${VectorQueries.vCte},
-       |$lloydPre$rounds
+       |$lloydPre$rounds${if (nAssign == 1) "" else assignCte}
        |SELECT a.vec_id AS id1, b.vec_id AS id2
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |JOIN la3 ca ON ca.vec_id = a.vec_id
-       |JOIN la3 cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+       |JOIN $finalAssign ca ON ca.vec_id = a.vec_id
+       |JOIN $finalAssign cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
        |)),
        |e AS (SELECT id1 AS src, id2 AS dst FROM p
@@ -1101,6 +1148,7 @@ object CorpusQueries extends QueryPack {
     // bounded-recall tier: its own Lloyd-replay oracle — NOT the exact
     // closure (recall < 1 is the contract; see semdedupClustersSql)
     "dedupe_embed_semdedup" -> semdedupClustersSql,
+    "dedupe_embed_semdedup_mp" -> semdedupSql(2),
 
     // honest quadratic cross-set oracle for the IVF-blocked incremental
     // tier (recall-1 blocking => identical verdicts)

@@ -117,6 +117,31 @@ class SemDedupSpec extends SparkSpec {
       s"candidate growth $growth not sub-quadratic (fixed-k regression?)")
   }
 
+  test("multi-probe (nAssign=2) pair relation is a STRICT superset of " +
+      "single-probe: the nearest cell is among the top-2, so every " +
+      "single-probe pair survives; measured recall lift is the bonus") {
+    val emb = Tables.embeddings(spark, sfDir("0.1"))
+      .select("vec_id", "embedding")
+    val k = VectorOps.semdedupK(emb.count())
+    def pairs(nAssign: Int): Set[(Long, Long)] = {
+      val cells =
+        if (nAssign == 1) VectorOps.kmeansAssign(
+          emb, "vec_id", "embedding", k, 3)
+        else VectorOps.kmeansAssignN(
+          emb, "vec_id", "embedding", k, 3, nAssign)
+      VectorOps.pairwiseCosine(emb.join(cells, "vec_id"),
+          "vec_id", "embedding", threshold = 0.45, blockCol = Some("cell"))
+        .select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val single = pairs(1)
+    val multi = pairs(2)
+    assert(single.subsetOf(multi),
+      s"multi-probe lost ${(single -- multi).size} single-probe pairs")
+    info(s"single=${single.size} multi=${multi.size} " +
+      s"(+${multi.size - single.size} recovered cross-cell pairs)")
+  }
+
   test("cell assignment is deterministic across re-runs") {
     val emb = Tables.embeddings(spark, sfDir("0.001"))
       .select("vec_id", "embedding")
