@@ -1333,26 +1333,36 @@ object VectorOps {
     * distance, ties on centroid id — the [[lloydRounds]] scoring rule,
     * shared so batch and streaming tiers cannot drift). Returns
     * (idCol, cell). */
-  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Long, Array[Long])]): DataFrame = {
-    val spark = vecs.sparkSession
-    val vx = vecs.select(col(idCol).cast("long").as("vid"),
-      transform(col(vecCol),
-        e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("x"))
-    val cdf = spark.createDataFrame(
-        cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-      .toDF("cid", "c")
-    vx.crossJoin(broadcast(cdf))
-      .select(col("vid"),
-        struct(
-          aggregate(zip_with(col("x"), col("c"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
-            .as("dist"),
-          col("cid")).as("dc"))
-      .groupBy("vid")
-      .agg(min(col("dc")).as("dc"))
-      .select(col("vid").as(idCol), col("dc.cid").as("cell"))
+  /** All per-cell (dist, cid) structs for one quantized vector `x`
+    * against a centroid-table LITERAL — the MAP-ONLY scoring shared by
+    * [[assignCells]] / [[kmeansAssignN]] / [[lloydRounds]]: no row
+    * blow-up, no exchange, argmin/top-n is array_min/array_sort over
+    * this array (struct ordering = (dist, cid), the same total order
+    * the previous crossJoin + groupBy-min plan produced, so results
+    * are bit-identical). The literal is k·dim longs — fine to k~10³;
+    * a 10⁵-cell quantizer would broadcast instead (documented, not
+    * needed at any tested scale). */
+  private def distStructs(x: Column,
+      cents: Array[(Long, Array[Long])]): Column = {
+    val centsLit = typedlit(cents.toSeq.sortBy(_._1)
+      .map { case (cid, c) => (cid, c.toSeq) })
+    transform(centsLit, cs =>
+      struct(
+        aggregate(zip_with(x, cs.getField("_2"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+          .as("dist"),
+        cs.getField("_1").as("cid")))
   }
+
+  private def quantized(vecCol: String): Column =
+    transform(col(vecCol),
+      e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
+
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Long])]): DataFrame =
+    vecs.select(col(idCol).cast("long").as(idCol),
+      array_min(distStructs(quantized(vecCol), cents))
+        .getField("cid").as("cell"))
 
   /** MULTI-PROBE final assignment: each vector's `nAssign` nearest
     * cells under the same frozen-quantizer scoring as [[kmeansAssign]]
@@ -1363,42 +1373,27 @@ object VectorOps {
   def kmeansAssignN(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, nAssign: Int): DataFrame = {
     val cents = kmeansQuantizer(vecs, idCol, vecCol, k, iters)
-    val spark = vecs.sparkSession
-    val vx = vecs.select(col(idCol).cast("long").as("vid"),
-      transform(col(vecCol),
-        e => floor(e.cast("double") * 10000d + 0.5d).cast("long")).as("x"))
-    val cdf = spark.createDataFrame(
-        cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-      .toDF("cid", "c")
-    // per-vid top-n (dist, cid) structs via a bounded sorted-prefix agg:
-    // collect k candidate structs per vid is fine for k ~ O(100), but
-    // slice(sort_array(...)) keeps it declarative and partial-aggregable
-    vx.crossJoin(broadcast(cdf))
-      .select(col("vid"),
-        struct(
-          aggregate(zip_with(col("x"), col("c"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
-            .as("dist"),
-          col("cid")).as("dc"))
-      .groupBy("vid")
-      .agg(slice(sort_array(collect_list(col("dc"))), 1, nAssign).as("top"))
-      .select(col("vid").as(idCol), explode(col("top")).as("dc"))
+    // map-only: per-row sort of the k (dist, cid) structs + prefix —
+    // no row blow-up, no exchange (array_sort = the same (dist, cid)
+    // total order the oracle's row_number replays)
+    vecs.select(col(idCol).cast("long").as(idCol),
+        explode(slice(array_sort(
+          distStructs(quantized(vecCol), cents)), 1, nAssign)).as("dc"))
       .select(col(idCol), col("dc.cid").as("cell"))
   }
 
-  /** The shared Lloyd loop: quantize once, `iters` rounds of broadcast
-    * assignment + map-side-combined centroid update. Returns (final
-    * post-update centroid model, the PRE-update final-round centroids
-    * `lastAssign` was scored against, the final assignment frame
-    * (vid, cid, x)). */
+  /** The shared Lloyd loop: quantize once, `iters` rounds of MAP-ONLY
+    * assignment (argmin over a centroid-table literal — no row
+    * blow-up, no exchange; the struct order reproduces the previous
+    * crossJoin + groupBy-min plan bit-for-bit) + map-side-combined
+    * centroid update. Returns (final post-update centroid model, the
+    * PRE-update final-round centroids `lastAssign` was scored against,
+    * the final assignment frame (vid, cid, x)). */
   private def lloydRounds(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int)
       : (Array[(Long, Array[Long])], Array[(Long, Array[Long])], DataFrame) = {
-    val spark = vecs.sparkSession
     val vx = vecs.select(col(idCol).cast("long").as("vid"),
-        transform(col(vecCol),
-          e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
-          .as("x"))
+        quantized(vecCol).as("x"))
       .localCheckpoint()
     var cents: Array[(Long, Array[Long])] = vx.filter(col("vid") < k)
       .orderBy("vid").collect()
@@ -1407,19 +1402,11 @@ object VectorOps {
     var lastAssign: DataFrame = null
     for (_ <- 1 to iters) {
       preFinal = cents
-      val cdf = spark.createDataFrame(
-          cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-        .toDF("cid", "c")
-      val assign = vx.crossJoin(broadcast(cdf))
-        .select(col("vid"), col("x"),
-          struct(
-            aggregate(zip_with(col("x"), col("c"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
-              .as("dist"),
-            col("cid")).as("dc"))
-        .groupBy("vid")
-        .agg(min(col("dc")).as("dc"), first(col("x")).as("x"))
-        .select(col("vid"), col("dc.cid").as("cid"), col("x"))
+      val assign = vx
+        .select(col("vid"),
+          array_min(distStructs(col("x"), cents))
+            .getField("cid").as("cid"),
+          col("x"))
         .localCheckpoint()
       val upd = assign
         .select(col("cid"), posexplode(col("x")).as(Seq("pos", "q")))
