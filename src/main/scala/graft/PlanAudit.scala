@@ -86,6 +86,16 @@ object PlanAudit {
     }
   }
 
+  /** No node of class `cls` ANYWHERE in the plan — the whole-plan
+    * absence for entries that must stay map-only (a shuffle appearing
+    * in a Generate-over-scan pipeline is a silent cost-class change). */
+  final case class NodeAbsent(cls: String) extends NodeRule {
+    def violation(nodes: Seq[SparkPlan]): Option[String] = {
+      val n = nodes.count(_.getClass.getSimpleName == cls)
+      if (n == 0) None else Some(s"expected no $cls node, found $n")
+    }
+  }
+
   /** No node of class `cls` STRICTLY BELOW any node of class `root` —
     * the subtree-scoped absence (an entry may legitimately shuffle
     * elsewhere, e.g. a post-join aggregation on a different key). */
@@ -128,7 +138,16 @@ object PlanAudit {
     // null-safe (<=>) equi-join against the tiny banded dim: broadcast
     // hash join supports the null-safe key directly — losing it would
     // shuffle the fact side for a 5-row dim
-    "join_null_safe" -> Seq(NodePresent("BroadcastHashJoinExec")))
+    "join_null_safe" -> Seq(NodePresent("BroadcastHashJoinExec")),
+    // the chunker is scan → Generate → project, MAP-ONLY by design:
+    // any exchange appearing here means the chunk law stopped being a
+    // per-row expression (the whole point of block chunking at 100 TB)
+    "text_chunk_overlap" -> Seq(
+      NodePresent("GenerateExec"), NodeAbsent("ShuffleExchangeExec")),
+    // batch MMR re-attaches candidate vectors by BROADCASTING the
+    // bounded |queries|·m candidate list into the corpus scan — a
+    // fallback to shuffle would move the vector corpus to fetch m rows
+    "vec_mmr_rerank_batch" -> Seq(NodePresent("BroadcastHashJoinExec")))
     // agg_bloom_join has no node row: its broadcast is the ~KB filter
     // INSIDE the probe UDF (not a plan node), and the within_fpp output
     // column already hash-pins the pre-filter semantics.

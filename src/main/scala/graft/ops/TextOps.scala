@@ -21,6 +21,33 @@ object TextOps {
   def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
 
+  /** Fixed-size token chunks with overlap (RAG / context-window prep).
+    * Chunk law: ids 0..⌈n/stride⌉−1; chunk i covers tokens
+    * [i·stride, i·stride+window) clipped at n — every start < n so no
+    * empty chunks, every token covered, tail chunk may be short. Plan:
+    * scan → one Generate (explode over the chunk-id sequence) → per-row
+    * slice/join — map-only, no shuffle, output rows bounded by
+    * corpus-tokens/stride; trivially 100 TB-safe. */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride > 0,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(0L),
+          floor((size(col("__ts")).cast("long") + (stride - 1))
+            / lit(stride)) - 1))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        slice(col("__ts"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(window))
+          .as("__c"))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Per-document stats: token count, distinct tokens, mean token length,
     * stopword ratio. Pure per-row expressions — fully parallel, no shuffle. */
   def textStats(docs: DataFrame, idCol: String, textCol: String,

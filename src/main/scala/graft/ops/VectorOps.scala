@@ -1425,4 +1425,200 @@ object VectorOps {
     }
     (cents, preFinal, lastAssign)
   }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: greedily pick `k` of the top-`m`-by-relevance
+    * candidates, each step maximizing λ·rel(q,i) − (1−λ)·max_{s∈S} sim(i,s)
+    * — the retrieval-side answer to "the top results are all near-dups of
+    * each other" that pairs with the dedupe tiers on the serving path.
+    *
+    * Exactness: λ is carried as the exact rational 7/10 so every greedy
+    * comparison is INTEGER math — rel and pairwise cosines snap to the
+    * round6 fixed-point grid (1e-6 longs) in DataFrame land, scores are
+    * 7·rel6 − 3·maxsim6 in 1e-7 units, ties break to the lower id. No
+    * float comparison anywhere in the selection ⇒ bit-identical in any
+    * engine (the DuckDB oracle replays the same k chained argmax steps).
+    *
+    * Scale shape: relevance scoring is the standard top-m candidate pass
+    * (here brute-force: broadcast 1-row query crossJoin +
+    * TakeOrderedAndProject; at corpus scale the ANN layouts produce the
+    * same bounded candidate frame). The m·(m−1)/2 pairwise sims are
+    * computed distributed on the m-row frame; only (id, rel6) and
+    * (i, j, sim6) longs — O(m²), never vectors — reach the driver for the
+    * greedy loop (the bounded-candidate-collect pattern; for a query
+    * BATCH, key both frames by query_id and run this loop per group in
+    * flatMapGroups instead). */
+  def mmrRerank(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, m: Int, k: Int)
+      : DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def i6(c: Column): Column =
+      floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
+    val v = withNorm(vectors, vecCol)
+    val q = withNorm(query, queryVecCol)
+      .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    // top-m by (rel6 DESC, id): rank on the SNAPPED value so the oracle's
+    // ordering is replayed exactly even when raw cosines differ in ulps
+    val cand = v.crossJoin(broadcast(q))
+      .select(col(idCol).cast("long").as("vid"),
+        i6(dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("ri"),
+        col(vecCol).as("__v"))
+      .orderBy(col("ri").desc, col("vid"))
+      .limit(m)
+      .localCheckpoint()
+    val cn = withNorm(cand, "__v")
+    val a = cn.select(col("vid").as("i"), col("__v").as("va"),
+      col("__norm").as("na"))
+    val b = cn.select(col("vid").as("j"), col("__v").as("vb"),
+      col("__norm").as("nb"))
+    val sims = a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        i6(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("si"))
+    val candL = cand.select(col("vid"), col("ri")).as[(Long, Long)].collect()
+    val simM = sims.as[(Long, Long, Long)].collect()
+      .map { case (i, j, si) => ((i, j), si) }.toMap
+    mmrGreedy(candL.toSeq, simM, k)
+      .toDF("rank", "vec_id", "relI", "msI")
+      .select(Seq(col("rank"), col("vec_id")) ++ mmrScored: _*)
+  }
+
+  /** The integer MMR greedy shared by [[mmrRerank]] and
+    * [[mmrRerankBatch]]: pick min(k, |cands|) winners of
+    * max(7·ri − 3·max_{s∈S} sim) with ties to the lower id — pure long
+    * comparisons, engine-replayable. `sims` keys are (lo, hi) id pairs. */
+  private def mmrGreedy(cands: Seq[(Long, Long)],
+      sims: Map[(Long, Long), Long], k: Int): Seq[(Int, Long, Long, Long)] = {
+    def sim(x: Long, y: Long): Long =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer.from(cands)
+    for (r <- 1 to math.min(k, cands.length)) {
+      val best = remaining.map { case (vid, ri) =>
+        val ms = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => sim(vid, s._2)).max
+        (7L * ri - 3L * ms, vid, ri, ms)
+      }.minBy(t => (-t._1, t._2))
+      selected += ((r, best._2, best._3, best._4))
+      remaining.filterInPlace(_._1 != best._2)
+    }
+    selected.toSeq
+  }
+
+  /** Final double assembly from the fixed-point greedy columns — exact
+    * integer-valued doubles divided by decimal powers, identical in any
+    * engine. */
+  private def mmrScored: Seq[Column] = Seq(
+    (col("relI").cast("double") / 1e6).as("relevance"),
+    ((lit(7L) * col("relI") - lit(3L) * col("msI")).cast("double") / 1e7)
+      .as("mmr_score"))
+
+  private[graft] case class MmrGroup(query_id: Long,
+      cands: Seq[(Long, Long)], sims: Seq[((Long, Long), Long)])
+
+  /** Batch MMR: [[mmrRerank]] with NOTHING on the driver — one greedy per
+    * query key, run inside flatMap on a packed per-query (cands, sims)
+    * relation. Stages: (1) snapped relevance + per-query top-m rank — the
+    * shuffle moves (query, id, rel6) longs only, never vectors
+    * (cosineTopKBatch's shape); (2) candidate vectors re-attached map-only
+    * by broadcasting the bounded |queries|·m candidate list into the
+    * corpus scan; (3) per-query pair sims — quadratic in m inside each
+    * query group, never across the corpus; (4) collect_list-packed per
+    * query and the same integer greedy as the single-query form, per
+    * group, in parallel across queries. 100 TB posture: corpus scale
+    * only enters stages 1-2 (scan-shaped); everything after is
+    * |queries|·m² longs partitioned by query. */
+  def mmrRerankBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, m: Int, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def i6(c: Column): Column =
+      floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
+    val v = withNorm(vectors, vecCol)
+    val q = withNorm(queries, qVecCol)
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    val cand = v.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol).cast("long").as("vid"),
+        i6(dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("ri"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ri").desc, col("vid"))))
+      .filter(col("rk") <= m)
+      .select("query_id", "vid", "ri")
+    val candV = v.join(broadcast(cand), col(idCol) === col("vid"))
+      .select(col("query_id"), col("vid"), col("ri"),
+        col(vecCol).as("__v"), col("__norm").as("__n"))
+    val bs = candV.select(col("query_id").as("__qb"), col("vid").as("j"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val sims = candV
+      .join(bs, col("query_id") === col("__qb") && col("vid") < col("j"))
+      .select(col("query_id"), col("vid").as("i"), col("j"),
+        i6(dot(col("__v"), col("vb")) / (col("__n") * col("nb"))).as("si"))
+    val packed = candV.groupBy("query_id")
+      .agg(collect_list(struct(col("vid").as("_1"), col("ri").as("_2")))
+        .as("cands"))
+      .join(sims.groupBy("query_id")
+        .agg(collect_list(struct(
+          struct(col("i").as("_1"), col("j").as("_2")).as("_1"),
+          col("si").as("_2"))).as("sims")),
+        Seq("query_id"), "left")
+    packed.as[MmrGroup].flatMap { g =>
+      val simM = Option(g.sims).getOrElse(Seq.empty).toMap
+      mmrGreedy(g.cands, simM, k)
+        .map { case (r, vid, ri, ms) => (g.query_id, r, vid, ri, ms) }
+    }.toDF("query_id", "rank", "vec_id", "relI", "msI")
+      .select(Seq(col("query_id"), col("rank"), col("vec_id")) ++
+        mmrScored: _*)
+  }
+
+  /** Embedding-distribution drift between two corpus snapshots: per key
+    * (e.g. label / domain / time bucket), the cosine and L2 distance
+    * between the snapshot centroids — the monitoring primitive that
+    * catches an embedding-model swap or a source-mix shift before it
+    * poisons the ANN layouts downstream.
+    *
+    * `inFirst` is a boolean Column over the input rows assigning each
+    * vector to snapshot A (true) or B (false). Exactness recipe is
+    * vec_silhouette's: per-dim centroids snap to round6, every cross-term
+    * (ca·cb, ca², cb², (ca−cb)²) snaps to the 1e-6 fixed-point grid and
+    * sums as LONGS (order-free), and only the final scalar assembly runs
+    * in double — identical in any engine.
+    *
+    * Scale shape: one posexplode scan → partial-aggregated (key, dim)
+    * means (map-side combine; shuffle = |keys|·d rows, never vectors) →
+    * |keys|·d-row term relation → |keys|-row join with the count frame.
+    * No collect, no quadratic stage; 100 TB-safe by construction. */
+  def centroidDrift(vectors: DataFrame, keyCol: String, vecCol: String,
+      inFirst: Column): DataFrame = {
+    def f6(c: Column): Column =
+      floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
+    def D(c: Column): Column = c.cast("double") / 1e6
+    val x = vectors
+      .select(col(keyCol), inFirst.as("__a"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__raw")))
+      .select(col(keyCol), col("__a"), col("__pos"),
+        col("__raw").cast("double").as("__v"))
+    val cent = x.groupBy(keyCol, "__pos").agg(
+      graft.StableRound.round6(avg(when(col("__a"), col("__v")))).as("ca"),
+      graft.StableRound.round6(avg(when(!col("__a"), col("__v")))).as("cb"))
+    val sums = cent.select(col(keyCol),
+        f6(col("ca") * col("cb")).as("tab"),
+        f6(col("ca") * col("ca")).as("taa"),
+        f6(col("cb") * col("cb")).as("tbb"),
+        f6((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("td"))
+      .groupBy(keyCol).agg(sum("tab").as("s_ab"), sum("taa").as("s_aa"),
+        sum("tbb").as("s_bb"), sum("td").as("s_d"))
+    val counts = vectors.groupBy(keyCol).agg(
+      count(when(inFirst, 1)).as("n_a"),
+      count(when(!inFirst, 1)).as("n_b"))
+    sums.join(counts, keyCol)
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        graft.StableRound.round6(D(col("s_ab")) /
+          (sqrt(D(col("s_aa"))) * sqrt(D(col("s_bb"))))).as("cos_shift"),
+        graft.StableRound.round6(sqrt(D(col("s_d")))).as("l2_shift"))
+  }
 }

@@ -505,6 +505,38 @@ object TextQueries extends QueryPack {
             / kD).as("intercept"),
           graft.StableRound.round6(covn * covn / (varx * vary)).as("r2"))
     }),
+
+    // RAG / context-window prep: fixed-size token chunks with overlap
+    // (window 32 tokens, stride 24 ⇒ 8-token overlap) — see
+    // TextOps.chunkOverlap for the chunk law both engines replay.
+    "text_chunk_overlap" -> ((s, d) =>
+      TextOps.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)),
+
+    // chunk-level (block) dedupe accounting: disjoint 32-token blocks
+    // (window = stride), a block is "duplicated" when its text occurs in
+    // ≥2 DISTINCT docs — the RefinedWeb-style sub-document screen that
+    // catches near-dup docs sharing long aligned spans (27 such blocks
+    // in this corpus despite zero doc-level exact dups). Alignment
+    // tradeoff by design: block hashing only sees stride-aligned repeats
+    // (that's what makes it one scan + one 8-byte-key shuffle);
+    // unaligned spans are dedupe_substring's gram-keyed territory.
+    // Scale shape: chunks carry tokenHash60 LONGS into the groupBy and
+    // the count join-back — strings never shuffle.
+    "dedupe_chunks" -> ((s, d) => {
+      val ch = TextOps.chunkOverlap(Tables.documents(s, d), "doc_id",
+          "text", window = 32, stride = 32)
+        .select(col("doc_id"),
+          TextDedupe.tokenHash60(col("chunk_text")).as("h"))
+      val counts = ch.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      ch.join(counts, "h").groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("nd") >= 2, 1)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          graft.StableRound.round4(col("n_dup_chunks").cast("double")
+            / col("n_chunks").cast("double")).as("dup_chunk_ratio"))
+    }),
   )
 
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
@@ -949,5 +981,37 @@ object TextQueries extends QueryPack {
               s"$covn * $covn / ($varx * $vary)")} AS r2
          |FROM su, v""".stripMargin
     },
+
+    // same chunk law: ids 0..⌈n/24⌉−1 (integer ceil via (n+23)//24),
+    // 1-based inclusive slice [i·24+1, min(i·24+32, n)]
+    "text_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_id, i * 24 AS chunk_start,
+        |    ts[CAST(i * 24 + 1 AS BIGINT)
+        |       : CAST(least(i * 24 + 32, len(ts)) AS BIGINT)] AS cts
+        |  FROM tok, unnest(range(0, (len(ts) + 23) // 24)) AS t(i))
+        |SELECT doc_id, chunk_id, chunk_start,
+        |  len(cts) AS n_chunk_tokens,
+        |  array_to_string(cts, ' ') AS chunk_text
+        |FROM ch""".stripMargin,
+
+    // disjoint 32-token blocks + the same 60-bit polynomial chunk hash
+    "dedupe_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |ch AS (SELECT doc_id, array_to_string(
+        |    ts[CAST(i * 32 + 1 AS BIGINT)
+        |       : CAST(least(i * 32 + 32, len(ts)) AS BIGINT)], ' ') AS ct
+        |  FROM tok, unnest(range(0, (len(ts) + 31) // 32)) AS t(i)),
+        |h AS (SELECT doc_id, ${tokenHash60Sql("ct")} AS h FROM ch),
+        |c AS (SELECT h AS hh, count(DISTINCT doc_id) AS nd
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup_chunks,
+        |  ${graft.StableRound.sql4(
+             "count(CASE WHEN nd >= 2 THEN 1 END) " +
+               "/ CAST(count(*) AS DOUBLE)")} AS dup_chunk_ratio
+        |FROM h JOIN c ON h.h = c.hh GROUP BY doc_id""".stripMargin,
   )
 }

@@ -431,6 +431,37 @@ object VectorQueries extends QueryPack {
     "vec_pca_power" -> ((s, d) =>
       VectorOps.pcaPowerTop(Tables.embeddings(s, d), "vec_id", "embedding",
         iters = 3, k = 20)),
+
+    // MMR diversified re-ranking (λ = 7/10, top-16 candidates, pick 5):
+    // the serving-side diversity pass over the same brute/ANN candidate
+    // machinery — integer greedy, oracle replays the 5 argmax steps as
+    // chained CTEs. On this corpus it genuinely reorders: the 2nd-most-
+    // relevant vector drops to rank 5 (its cosine to rank 1 dominates).
+    "vec_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.mmrRerank(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "embedding", m = 16, k = 5)
+    }),
+
+    // embedding-distribution drift between two snapshots (vec_id parity
+    // stands in for "last week vs this week"): per label, cosine + L2
+    // between snapshot centroids — the model-swap / source-mix monitor.
+    "vec_drift_centroid" -> ((s, d) =>
+      VectorOps.centroidDrift(Tables.embeddings(s, d), "label",
+        "embedding", col("vec_id") % 2 === 0)),
+
+    // batch MMR: 3 queries re-ranked fully cluster-side (per-query
+    // greedy in flatMap over a packed candidate relation — nothing on
+    // the driver); oracle = the single-query chain replayed per query.
+    "vec_mmr_rerank_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.mmrRerankBatch(
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+        "vec_id", "embedding", m = 16, k = 5)
+    }),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -966,5 +997,126 @@ object VectorQueries extends QueryPack {
         |  CAST(sum(a.q * b.q) AS BIGINT) AS gram
         |FROM vx a JOIN vx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
         |GROUP BY 1, 2""".stripMargin,
+
+    "vec_mmr_rerank" -> mmrOracleSql(m = 16, k = 5),
+
+    "vec_mmr_rerank_batch" -> mmrBatchOracleSql(m = 16, k = 5,
+      queryIds = Seq(0, 1, 2), corpusPred = "n.vec_id >= 3"),
+
+    // vec_silhouette's fixed-point recipe: round6 per-dim snapshot means,
+    // 1e-6 long cross-terms, exact integer sums, double only in the
+    // final scalar assembly
+    "vec_drift_centroid" -> {
+      def s6(e: String) = graft.StableRound.sql6(e)
+      s"""WITH x AS (SELECT vec_id, label, i - 1 AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (SELECT label, pos,
+        |    ${s6("avg(CASE WHEN vec_id % 2 = 0 THEN v END)")} AS ca,
+        |    ${s6("avg(CASE WHEN vec_id % 2 <> 0 THEN v END)")} AS cb
+        |  FROM x GROUP BY 1, 2),
+        |t AS (SELECT label,
+        |    sum(CAST(floor(${s6("ca * cb")} * 1000000 + 0.5) AS BIGINT))
+        |      AS s_ab,
+        |    sum(CAST(floor(${s6("ca * ca")} * 1000000 + 0.5) AS BIGINT))
+        |      AS s_aa,
+        |    sum(CAST(floor(${s6("cb * cb")} * 1000000 + 0.5) AS BIGINT))
+        |      AS s_bb,
+        |    sum(CAST(floor(${s6("(ca - cb) * (ca - cb)")} * 1000000 + 0.5)
+        |      AS BIGINT)) AS s_d
+        |  FROM cent GROUP BY label),
+        |c AS (SELECT label AS cl,
+        |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS n_b
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  ${s6("(CAST(s_ab AS DOUBLE) / 1000000.0) " +
+             "/ (sqrt(CAST(s_aa AS DOUBLE) / 1000000.0) " +
+             "* sqrt(CAST(s_bb AS DOUBLE) / 1000000.0))")} AS cos_shift,
+        |  ${s6("sqrt(CAST(s_d AS DOUBLE) / 1000000.0)")} AS l2_shift
+        |FROM t JOIN c ON t.label = c.cl""".stripMargin
+    },
   )
+
+  /** Shared head of every MMR oracle: double-cast vectors + norms. */
+  private val mmrHeadSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+      |""".stripMargin
+
+  /** One greedy chain (CTE names suffixed `$sfx`): cand = top-m by
+    * snapped relevance against query vector `qid`, sims = the m·(m−1)/2
+    * snapped pair cosines, then step r picks
+    * max(7·ri − 3·max_sim_to_selected) over the not-yet-selected —
+    * integers end to end, ties to the lower vec_id, exactly the loop
+    * VectorOps.mmrGreedy runs. */
+  private def mmrChainSql(m: Int, k: Int, qid: Int, corpusPred: String,
+      sfx: String): String = {
+    def i6(e: String) =
+      s"CAST(floor(${graft.StableRound.sql6(e)} * 1000000 + 0.5) AS BIGINT)"
+    val head =
+      s"""q$sfx AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = $qid),
+        |cand$sfx AS (SELECT n.vec_id,
+        |    ${i6(s"list_dot_product(n.e, q$sfx.qe) / (n.nrm * q$sfx.qn)")}
+        |      AS ri
+        |  FROM n, q$sfx WHERE $corpusPred
+        |  ORDER BY ri DESC, n.vec_id LIMIT $m),
+        |sims$sfx AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |    ${i6("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS si
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM cand$sfx)
+        |    AND b.vec_id IN (SELECT vec_id FROM cand$sfx)),
+        |sym$sfx AS (SELECT i, j, si FROM sims$sfx
+        |  UNION ALL SELECT j AS i, i AS j, si FROM sims$sfx),
+        |s${sfx}_1 AS (SELECT vec_id, ri, CAST(0 AS BIGINT) AS ms
+        |  FROM cand$sfx ORDER BY 7 * ri DESC, vec_id LIMIT 1),
+        |sel${sfx}_1 AS (SELECT vec_id FROM s${sfx}_1)""".stripMargin
+    val steps = (2 to k).map { r =>
+      s""",
+        |p${sfx}_$r AS (SELECT c.vec_id, c.ri, max(y.si) AS ms
+        |  FROM cand$sfx c JOIN sym$sfx y ON y.i = c.vec_id
+        |    AND y.j IN (SELECT vec_id FROM sel${sfx}_${r - 1})
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${sfx}_${r - 1})
+        |  GROUP BY 1, 2),
+        |s${sfx}_$r AS (SELECT vec_id, ri, ms FROM p${sfx}_$r
+        |  ORDER BY 7 * ri - 3 * ms DESC, vec_id LIMIT 1),
+        |sel${sfx}_$r AS (SELECT vec_id FROM sel${sfx}_${r - 1}
+        |  UNION ALL SELECT vec_id FROM s${sfx}_$r)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  private def mmrScoredSql(union: String): String =
+    s"""SELECT * FROM (SELECT rank, vec_id,
+       |  CAST(ri AS DOUBLE) / 1000000.0 AS relevance,
+       |  CAST(7 * ri - 3 * ms AS DOUBLE) / 10000000.0 AS mmr_score
+       |FROM ($union))""".stripMargin
+
+  private def mmrOracleSql(m: Int, k: Int): String = {
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS rank, vec_id, ri, ms FROM s0_$r")
+      .mkString("\nUNION ALL\n")
+    mmrHeadSql + ",\n" +
+      mmrChainSql(m, k, qid = 0, corpusPred = "n.vec_id <> 0", sfx = "0") +
+      "\n" + mmrScoredSql(union)
+  }
+
+  /** The batch oracle is the single-query chain replayed once per query
+    * id (CTE suffix = the query id), unioned with a query_id column. */
+  private def mmrBatchOracleSql(m: Int, k: Int, queryIds: Seq[Int],
+      corpusPred: String): String = {
+    val chains = queryIds
+      .map(t => mmrChainSql(m, k, qid = t, corpusPred, sfx = t.toString))
+      .mkString(",\n")
+    val union = (for (t <- queryIds; r <- 1 to k) yield
+      s"SELECT $t AS query_id, $r AS rank, vec_id, ri, ms FROM s${t}_$r")
+      .mkString("\nUNION ALL\n")
+    mmrHeadSql + ",\n" + chains + "\n" +
+      s"""SELECT * FROM (SELECT query_id, rank, vec_id,
+         |  CAST(ri AS DOUBLE) / 1000000.0 AS relevance,
+         |  CAST(7 * ri - 3 * ms AS DOUBLE) / 10000000.0 AS mmr_score
+         |FROM ($union))""".stripMargin
+  }
 }
