@@ -332,6 +332,28 @@ object GraphQueries extends QueryPack {
           (col("id") === col("label")).as("is_rep"))
     }),
 
+    // community detection by deterministic synchronous label propagation
+    // (3 rounds, ties to the smallest label — the determinism is what
+    // lets DuckDB replay the trajectory): finer than components (LPA
+    // splits a connected blob into dense cores), the grouping a corpus
+    // pipeline uses to stratify near-duplicate families or co-purchase
+    // modules. Community size joined back on the final labels.
+    "graph_label_propagation" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+      val labels = GraphOps.labelPropagation(g, "u", "v", iters = 3)
+        .localCheckpoint() // community-size join reads it twice
+      val sizes = labels.groupBy("label")
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("part_id"),
+          col("label").as("community_id"), col("community_size"))
+    }),
+
     // association rules over the repeat-co-purchase pairs: support,
     // directional confidence, lift — the market-basket report
     // (Agrawal/Srikant's metrics, pair itemsets). Every ratio is exact
@@ -559,6 +581,31 @@ object GraphQueries extends QueryPack {
         |SELECT v AS part_id, min(l) AS component_id,
         |  (v = min(l)) AS is_rep
         |FROM r GROUP BY v""".stripMargin,
+
+    // the 3 synchronous LPA rounds as chained CTEs; argmax = row_number
+    // over (count DESC, label ASC) — the same deterministic tie-break
+    // GraphOps.labelPropagation's max_by struct encodes
+    "graph_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        s""",
+          |n$r AS (SELECT s.x, l.lbl, count(*) AS c
+          |  FROM sym s JOIN l${r - 1} l ON l.x = s.y GROUP BY 1, 2),
+          |l$r AS (SELECT x, lbl FROM (SELECT x, lbl,
+          |    row_number() OVER (PARTITION BY x ORDER BY c DESC, lbl)
+          |      AS rn FROM n$r) WHERE rn = 1)""".stripMargin
+      }.mkString
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u AS x, v AS y FROM g
+        |  UNION ALL SELECT v, u FROM g),
+        |l0 AS (SELECT DISTINCT x, x AS lbl FROM sym)$rounds,
+        |cs AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+        |SELECT l3.x AS part_id, l3.lbl AS community_id, cs.community_size
+        |FROM l3 JOIN cs ON l3.lbl = cs.lbl""".stripMargin
+    },
 
     "agg_market_basket" -> {
       def r6(e: String) = graft.StableRound.sql6(e)

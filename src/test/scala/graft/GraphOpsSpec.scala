@@ -158,4 +158,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 3L, 3.0)), got(1L).toString)
     assert(got(3L) == ((3L, 1L, 1.0)), got(3L).toString)
   }
+
+  test("labelPropagation: two bridged triangles settle into two " +
+      "communities (finer than components)") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3—4: one connected
+    // component, but 3 deterministic LPA rounds (hand-replayed: ties to
+    // the smallest label) split it at the bridge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = GraphOps.labelPropagation(edges, "u", "v", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+  }
+
+  test("labelPropagation: a clique collapses to its smallest id") {
+    val edges = (for (i <- 1 to 4; j <- (i + 1) to 4)
+      yield (i.toLong, j.toLong)).toDF("u", "v")
+    val got = GraphOps.labelPropagation(edges, "u", "v", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L), got.toString)
+  }
 }
