@@ -1594,9 +1594,6 @@ object VectorOps {
     * No collect, no quadratic stage; 100 TB-safe by construction. */
   def centroidDrift(vectors: DataFrame, keyCol: String, vecCol: String,
       inFirst: Column): DataFrame = {
-    def f6(c: Column): Column =
-      floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
-    def D(c: Column): Column = c.cast("double") / 1e6
     val x = vectors
       .select(col(keyCol), inFirst.as("__a"),
         posexplode(col(vecCol)).as(Seq("__pos", "__raw")))
@@ -1605,6 +1602,21 @@ object VectorOps {
     val cent = x.groupBy(keyCol, "__pos").agg(
       graft.StableRound.round6(avg(when(col("__a"), col("__v")))).as("ca"),
       graft.StableRound.round6(avg(when(!col("__a"), col("__v")))).as("cb"))
+    val counts = vectors.groupBy(keyCol).agg(
+      count(when(inFirst, 1)).as("n_a"),
+      count(when(!inFirst, 1)).as("n_b"))
+    driftAssemble(cent, counts, keyCol)
+  }
+
+  /** Final assembly shared by [[centroidDrift]] and its streaming face:
+    * from the per-(key, dim) rounded centroid pair (ca, cb) and the
+    * per-key (n_a, n_b) counts, the fixed-point cross-terms sum as longs
+    * and only the final scalar runs in double. */
+  private[graft] def driftAssemble(cent: DataFrame, counts: DataFrame,
+      keyCol: String): DataFrame = {
+    def f6(c: Column): Column =
+      floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
+    def D(c: Column): Column = c.cast("double") / 1e6
     val sums = cent.select(col(keyCol),
         f6(col("ca") * col("cb")).as("tab"),
         f6(col("ca") * col("ca")).as("taa"),
@@ -1612,9 +1624,6 @@ object VectorOps {
         f6((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("td"))
       .groupBy(keyCol).agg(sum("tab").as("s_ab"), sum("taa").as("s_aa"),
         sum("tbb").as("s_bb"), sum("td").as("s_d"))
-    val counts = vectors.groupBy(keyCol).agg(
-      count(when(inFirst, 1)).as("n_a"),
-      count(when(!inFirst, 1)).as("n_b"))
     sums.join(counts, keyCol)
       .select(col(keyCol), col("n_a"), col("n_b"),
         graft.StableRound.round6(D(col("s_ab")) /

@@ -462,6 +462,47 @@ object VectorQueries extends QueryPack {
         emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
         "vec_id", "embedding", m = 16, k = 5)
     }),
+
+    // STREAMING face of the drift monitor: snapshot B arrives as a file
+    // stream and accumulates per-(label, dim) sums/counts in the state
+    // store (complete mode — state is |labels|·d rows of scalars, never
+    // vectors); the reference snapshot A is a batch-side centroid
+    // relation. The end state reproduces the batch entry's centroids
+    // exactly (round6 absorbs summation-order ulps on both faces), so
+    // this shares vec_drift_centroid's oracle VERBATIM — the live
+    // monitor is pinned to answer like the offline one.
+    "stream_drift_centroid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val snapB = emb.filter(col("vec_id") % 2 =!= 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_driftstream").toString
+      val src = s"$dir/src"
+      snapB.write.parquet(src)
+      val aggedB = graft.streaming.StreamOps.runToMemory(
+        graft.streaming.StreamOps.fileStreamParquet(s, src, snapB.schema)
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "raw")))
+          .select(col("label"), col("pos"),
+            col("raw").cast("double").as("v"))
+          .groupBy("label", "pos")
+          .agg(sum("v").as("sb"), count(lit(1)).as("nb")),
+        outputMode = "complete")
+      val centB = aggedB.select(col("label"), col("pos"),
+        graft.StableRound.round6(col("sb") / col("nb")).as("cb"))
+      val snapA = emb.filter(col("vec_id") % 2 === 0)
+      val centA = snapA
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "raw")))
+        .select(col("label"), col("pos"),
+          col("raw").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(graft.StableRound.round6(avg(col("v"))).as("ca"))
+      val counts = snapA.groupBy("label").agg(count(lit(1)).as("n_a"))
+        .join(aggedB.filter(col("pos") === 0)
+          .groupBy("label").agg(sum("nb").as("n_b")), "label")
+      VectorOps.driftAssemble(centA.join(centB, Seq("label", "pos")),
+        counts, "label")
+    }),
   )
 
   /** The ANN test corpus with PLANTED near-duplicates: the raw synthetic
@@ -1006,7 +1047,14 @@ object VectorQueries extends QueryPack {
     // vec_silhouette's fixed-point recipe: round6 per-dim snapshot means,
     // 1e-6 long cross-terms, exact integer sums, double only in the
     // final scalar assembly
-    "vec_drift_centroid" -> {
+    "vec_drift_centroid" -> driftOracleSql,
+
+    // the streaming face must answer exactly like the batch monitor:
+    // AvailableNow end state ≡ batch ⇒ the oracle is shared verbatim
+    "stream_drift_centroid" -> driftOracleSql,
+  )
+
+  private lazy val driftOracleSql: String = {
       def s6(e: String) = graft.StableRound.sql6(e)
       s"""WITH x AS (SELECT vec_id, label, i - 1 AS pos,
         |    CAST(embedding[i] AS DOUBLE) AS v
@@ -1035,8 +1083,7 @@ object VectorQueries extends QueryPack {
              "* sqrt(CAST(s_bb AS DOUBLE) / 1000000.0))")} AS cos_shift,
         |  ${s6("sqrt(CAST(s_d AS DOUBLE) / 1000000.0)")} AS l2_shift
         |FROM t JOIN c ON t.label = c.cl""".stripMargin
-    },
-  )
+  }
 
   /** Shared head of every MMR oracle: double-cast vectors + norms. */
   private val mmrHeadSql: String =

@@ -116,6 +116,17 @@ class RerankDriftChunkSpec extends SparkSpec {
     assert(out(1) == ((1, 1L, 1L, -1.0, 10.0)), s"label1 ${out(1)}")
   }
 
+  test("stream_drift_centroid ≡ vec_drift_centroid (live face answers " +
+      "like the offline monitor)") {
+    import graft.queries.VectorQueries
+    val dir = sfDir("0.001")
+    val batch = VectorQueries.queries("vec_drift_centroid")(spark, dir)
+      .as[(Int, Long, Long, Double, Double)].collect().toSet
+    val stream = VectorQueries.queries("stream_drift_centroid")(spark, dir)
+      .as[(Int, Long, Long, Double, Double)].collect().toSet
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+
   test("centroidDrift: snapshot counts split the corpus") {
     val out = VectorOps.centroidDrift(
       Tables.embeddings(spark, sfDir("0.001")), "label", "embedding",
