@@ -345,6 +345,7 @@ object GraphQueries extends QueryPack {
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
+        .localCheckpoint() // symmetrization inside LPA reads it twice
       val labels = GraphOps.labelPropagation(g, "u", "v", iters = 3)
         .localCheckpoint() // community-size join reads it twice
       val sizes = labels.groupBy("label")

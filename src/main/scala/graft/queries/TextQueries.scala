@@ -528,6 +528,7 @@ object TextQueries extends QueryPack {
           "text", window = 32, stride = 32)
         .select(col("doc_id"),
           TextDedupe.tokenHash60(col("chunk_text")).as("h"))
+        .localCheckpoint() // count + join-back: hash each chunk ONCE
       val counts = ch.groupBy("h")
         .agg(count_distinct(col("doc_id")).as("nd"))
       ch.join(counts, "h").groupBy("doc_id").agg(
