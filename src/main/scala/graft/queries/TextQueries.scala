@@ -538,6 +538,48 @@ object TextQueries extends QueryPack {
           graft.StableRound.round4(col("n_dup_chunks").cast("double")
             / col("n_chunks").cast("double")).as("dup_chunk_ratio"))
     }),
+
+    // STREAMING incremental chunk dedupe — the sub-document twin of
+    // stream_incremental_dedupe: the corpus arrives in two doc_id-ordered
+    // drops; each micro-batch's blocks are probed against the persisted
+    // (hash, first_doc) index plus batch-mates, a doc is kept iff fewer
+    // than half its blocks were already observed on a lower-id doc. The
+    // integer law tiles for any doc_id-ordered batching, so the oracle is
+    // the ONE-SHOT batch SQL over the whole documents table — the live
+    // dedupe is pinned to answer like the offline pass.
+    "stream_dedupe_chunks" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/tmp/graft_chunkdedupe_fixture")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val src = base.resolve("src").toString
+      val idxDir = base.resolve("index").toString
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val half = docs.agg(max("doc_id")).head().getLong(0) / 2
+      def runOnce(): Unit = {
+        val q = graft.streaming.StreamOps.chunkDedupeEachBatch(
+          graft.streaming.StreamOps.fileStreamParquet(s, src, schema),
+          "doc_id", "text", idxDir, outDir, ckpt)
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") <= half)
+        .write.mode("append").parquet(src)
+      runOnce()
+      docs.filter(col("doc_id") > half)
+        .write.mode("append").parquet(src)
+      runOnce()
+      s.read.parquet(outDir)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "keep")
+    }),
   )
 
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
@@ -1014,5 +1056,22 @@ object TextQueries extends QueryPack {
              "count(CASE WHEN nd >= 2 THEN 1 END) " +
                "/ CAST(count(*) AS DOUBLE)")} AS dup_chunk_ratio
         |FROM h JOIN c ON h.h = c.hh GROUP BY doc_id""".stripMargin,
+
+    // the streaming face answers like the one-shot batch pass: a block
+    // is duplicated iff min(doc_id) over its hash is strictly smaller
+    // (observed-index law, batching-invariant for doc_id-ordered drops)
+    "stream_dedupe_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |ch AS (SELECT doc_id, array_to_string(
+        |    ts[CAST(i * 32 + 1 AS BIGINT)
+        |       : CAST(least(i * 32 + 32, len(ts)) AS BIGINT)], ' ') AS ct
+        |  FROM tok, unnest(range(0, (len(ts) + 31) // 32)) AS t(i)),
+        |h AS (SELECT doc_id, ${tokenHash60Sql("ct")} AS h FROM ch),
+        |m AS (SELECT h AS hh, min(doc_id) AS md FROM h GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(CASE WHEN md < doc_id THEN 1 END) AS n_dup_chunks,
+        |  (2 * count(CASE WHEN md < doc_id THEN 1 END) < count(*)) AS keep
+        |FROM h JOIN m ON h.h = m.hh GROUP BY doc_id""".stripMargin,
   )
 }

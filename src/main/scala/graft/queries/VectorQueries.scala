@@ -474,9 +474,16 @@ object VectorQueries extends QueryPack {
     "stream_drift_centroid" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val snapB = emb.filter(col("vec_id") % 2 =!= 0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_driftstream").toString
-      val src = s"$dir/src"
+      // fixed fixture root, delete-then-rewrite per run (the
+      // vecstream-fixture discipline — no tmp accumulation across
+      // bench passes)
+      val base = java.nio.file.Paths.get("/tmp/graft_driftstream_fixture")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val src = s"$base/src"
       snapB.write.parquet(src)
       val aggedB = graft.streaming.StreamOps.runToMemory(
         graft.streaming.StreamOps.fileStreamParquet(s, src, snapB.schema)

@@ -469,6 +469,75 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of the streaming CHUNK-level (block) dedupe — the
+    * sub-document twin of [[incrementalDedupeBatch]], gating on the
+    * fraction of a doc's disjoint 32-token blocks already OBSERVED on a
+    * lower-id doc (landed in a prior batch, or a batch-mate). Law per
+    * chunk: duplicated iff min(doc_id) over its tokenHash60 across
+    * (prior index ∪ this batch) < doc_id; per doc: keep iff
+    * 2·n_dup_chunks < n_chunks — all integer, so for any doc_id-ordered
+    * batching the landed verdicts TILE the batch relation (the oracle is
+    * the one-shot batch SQL over the whole corpus, shared for any split).
+    *
+    * Replay-idempotent by the proven construction: verdicts and the
+    * (hash, first_doc) index both land partitioned by `__batch_id` with
+    * dynamic overwrite, and the cross-batch probe reads partitions
+    * `!= batchId` only. Index rows are per-batch minima; the probe takes
+    * the min across batches at read time — 8-byte keys, strings never
+    * land or shuffle. */
+  def chunkDedupeBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, outDir: String,
+      window: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val h = graft.ops.TextOps.chunkOverlap(batch, idCol, textCol,
+        window = window, stride = window)
+      .select(col(idCol),
+        graft.ops.TextDedupe.tokenHash60(col("chunk_text")).as("h"))
+      .persist()
+    try {
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior = prefixedIds(fs, idxPath, "__batch_id=")
+        .filter(_ != batchId)
+      val batchMin = h.groupBy("h").agg(min(col(idCol)).as("bm"))
+      val withPrior =
+        if (prior.isEmpty) batchMin.withColumn("pm", lit(null).cast("long"))
+        else batchMin.join(
+          spark.read.parquet(indexDir)
+            .filter(col("__batch_id").isin(prior: _*))
+            .groupBy("h").agg(min("first_doc").as("pm")),
+          Seq("h"), "left")
+      val verdicts = h.join(withPrior, "h")
+        .withColumn("__dup",
+          least(col("bm"), coalesce(col("pm"), col("bm"))) < col(idCol))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("__dup"), 1)).as("n_dup_chunks"))
+        .withColumn("keep", col("n_dup_chunks") * 2 < col("n_chunks"))
+      verdicts.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(outDir)
+      batchMin.select(col("h"), col("bm").as("first_doc"))
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(indexDir)
+    } finally h.unpersist()
+  }
+
+  def chunkDedupeEachBatch(stream: DataFrame, idCol: String,
+      textCol: String, indexDir: String, outDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        chunkDedupeBatch(batch, batchId, idCol, textCol, indexDir, outDir)
+      }
+      .start()
+
   /** One micro-batch of the streaming NEAR-DUP dedupe — the MinHash
     * tier of [[incrementalDedupeBatch]] (which gates on exact
     * normalized-text keys; this gates on verified Jaccard ≥

@@ -172,6 +172,39 @@ class RerankDriftChunkSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)), s"doc2 ${out(2L)}")   // unaligned
   }
 
+  test("chunkDedupeBatch: keep law, cross-batch index probe, and " +
+      "replay idempotence") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("chunkdd").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val a = (1 to 64).map(i => s"a$i")   // doc 0: 2 blocks
+    val b = (1 to 32).map(i => s"b$i")
+    val c = (1 to 16).map(i => s"c$i")
+    // batch 0: doc 0 lands fresh; doc 1 shares doc 0's 2nd block
+    // (batch-mate probe) among its 3 blocks → 1 of 3 dup → keep
+    StreamOps.chunkDedupeBatch(
+      Seq(doc(0L, a), doc(1L, b ++ a.slice(32, 64) ++ c))
+        .toDF("doc_id", "text"), 0L, "doc_id", "text", idx, out)
+    // batch 1: doc 2 = doc 0's both blocks verbatim (cross-batch index
+    // probe) → 2 of 2 dup → dropped
+    StreamOps.chunkDedupeBatch(
+      Seq(doc(2L, a)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, out)
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val first = read()
+    assert(first == Set((0L, 2L, 0L, true), (1L, 3L, 1L, true),
+      (2L, 2L, 2L, false)), first.toString)
+    // replay batch 1 (same id, same rows): at-least-once execution must
+    // leave the landed verdicts bit-identical
+    StreamOps.chunkDedupeBatch(
+      Seq(doc(2L, a)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, out)
+    assert(read() == first, "replay changed the landed verdicts")
+  }
+
   test("chunkOverlap: coverage + overlap reconstruction on driver docs") {
     val dir = sfDir("0.001")
     val out = TextQueries.queries("text_chunk_overlap")(spark, dir)
