@@ -547,6 +547,56 @@ object TextQueries extends QueryPack {
     // integer law tiles for any doc_id-ordered batching, so the oracle is
     // the ONE-SHOT batch SQL over the whole documents table — the live
     // dedupe is pinned to answer like the offline pass.
+    // the COMPOSED cleanup every corpus build actually runs, as one
+    // call with a per-stage attrition report: exact-normalized dedupe
+    // (keep min id per normalized text) → chunk/block dedupe (drop docs
+    // with ≥ half their 32-token blocks observed on a lower-id
+    // survivor) → near-dup dedupe (drop the higher id of any surviving
+    // lang-blocked pair with 3-shingle Jaccard ≥ 0.5, exact-verified).
+    // Each stage runs ONLY on the previous stage's survivors — the
+    // cascade order (cheap exact → mid block → expensive near-dup) is
+    // the cost discipline that makes the composed pass affordable at
+    // 100 TB: every tier shrinks the relation the next, more expensive
+    // tier must score. One summary row; all counts integers.
+    "pipeline_dedupe_cascade" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val s1 = docs
+        .withColumn("__keeper", min(col("doc_id")).over(
+          Window.partitionBy(length(norm), xxhash64(norm))))
+        .filter(col("doc_id") === col("__keeper")).drop("__keeper")
+        .localCheckpoint() // feeds the chunk index AND the s2 join
+      val ch = TextOps.chunkOverlap(s1, "doc_id", "text",
+          window = 32, stride = 32)
+        .select(col("doc_id"),
+          TextDedupe.tokenHash60(col("chunk_text")).as("h"))
+        .localCheckpoint()
+      val cd = ch
+        .join(ch.groupBy("h").agg(min("doc_id").as("md")), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("nc"),
+          count(when(col("md") < col("doc_id"), 1)).as("ndup"))
+      val s2 = s1.join(cd, "doc_id")
+        .filter(col("ndup") * 2 < col("nc"))
+        .select("doc_id", "text", "lang")
+        .localCheckpoint() // feeds the pair join AND the s3 anti-join
+      val drops = TextDedupe.ngramJaccardPairs(s2, "doc_id", "text",
+          threshold = 0.5, blockCol = Some("lang"), broadcastDfreq = true)
+        .select(col("d2").as("doc_id")).distinct()
+      val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+      val c0 = docs.agg(count(lit(1)).as("n_input"))
+      val c1 = s1.agg(count(lit(1)).as("n_s1"))
+      val c2 = s2.agg(count(lit(1)).as("n_s2"))
+      val c3 = s3.agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_kept"))
+      c0.crossJoin(c1).crossJoin(c2).crossJoin(c3).select(
+        col("n_input"),
+        (col("n_input") - col("n_s1")).as("n_exact_dropped"),
+        (col("n_s1") - col("n_s2")).as("n_chunk_dropped"),
+        (col("n_s2") - col("n_kept")).as("n_neardup_dropped"),
+        col("n_kept"), col("tokens_kept"))
+    }),
+
     "stream_dedupe_chunks" -> ((s, d) => {
       val base = java.nio.file.Paths.get("/tmp/graft_chunkdedupe_fixture")
       if (java.nio.file.Files.exists(base)) {
@@ -1073,5 +1123,58 @@ object TextQueries extends QueryPack {
         |  count(CASE WHEN md < doc_id THEN 1 END) AS n_dup_chunks,
         |  (2 * count(CASE WHEN md < doc_id THEN 1 END) < count(*)) AS keep
         |FROM h JOIN m ON h.h = m.hh GROUP BY doc_id""".stripMargin,
+
+    // the three stage laws replayed in sequence, each over the previous
+    // stage's survivors; jaccard threshold under the SAME round4 law as
+    // the shingle pair relation
+    "pipeline_dedupe_cascade" ->
+      s"""WITH d AS (SELECT doc_id, text, lang,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      min(doc_id) OVER (PARTITION BY nrm) AS keeper FROM d)
+        |  WHERE doc_id = keeper),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM s1),
+        |ch AS (SELECT doc_id, array_to_string(
+        |    ts[CAST(i * 32 + 1 AS BIGINT)
+        |       : CAST(least(i * 32 + 32, len(ts)) AS BIGINT)], ' ') AS ct
+        |  FROM tok, unnest(range(0, (len(ts) + 31) // 32)) AS t(i)),
+        |h AS (SELECT doc_id, ${tokenHash60Sql("ct")} AS h FROM ch),
+        |m AS (SELECT h AS hh, min(doc_id) AS md FROM h GROUP BY 1),
+        |cd AS (SELECT doc_id, count(*) AS nc,
+        |    count(CASE WHEN md < doc_id THEN 1 END) AS ndup
+        |  FROM h JOIN m ON h.h = m.hh GROUP BY doc_id),
+        |s2 AS (SELECT s1.doc_id, s1.text, s1.lang FROM s1
+        |  JOIN cd ON s1.doc_id = cd.doc_id WHERE 2 * ndup < nc),
+        |t2 AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        |  FROM s2),
+        |sh AS (SELECT DISTINCT doc_id, lang, s FROM (
+        |  SELECT doc_id, lang,
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM t2, unnest(range(1, len(ts) - 1)) AS t(i))),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dr AS (SELECT DISTINCT d2 FROM pr
+        |  JOIN sizes z1 ON pr.d1 = z1.doc_id
+        |  JOIN sizes z2 ON pr.d2 = z2.doc_id
+        |  WHERE CAST(round(CAST(inter / (z1.nsh + z2.nsh - inter)
+        |      AS DECIMAL(27,12)), 4) AS DOUBLE) >= 0.5),
+        |s3 AS (SELECT doc_id, text FROM s2
+        |  WHERE doc_id NOT IN (SELECT d2 FROM dr))
+        |SELECT
+        |  (SELECT count(*) FROM documents) AS n_input,
+        |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM s1)
+        |    AS n_exact_dropped,
+        |  (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2)
+        |    AS n_chunk_dropped,
+        |  (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3)
+        |    AS n_neardup_dropped,
+        |  (SELECT count(*) FROM s3) AS n_kept,
+        |  (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    FROM s3) AS tokens_kept""".stripMargin,
   )
 }

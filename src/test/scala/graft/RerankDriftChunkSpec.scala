@@ -172,6 +172,32 @@ class RerankDriftChunkSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)), s"doc2 ${out(2L)}")   // unaligned
   }
 
+  test("pipeline_dedupe_cascade: each stage drops exactly its own dup " +
+      "kind, in cheap-to-expensive order") {
+    val a = (1 to 64).map(i => s"a$i")
+    val b = (1 to 32).map(i => s"b$i")
+    val c = (1 to 64).map(i => s"c$i")
+    // doc 3: near-dup of doc 0 (4 sparse mutations → every block
+    // differs, but shingle Jaccard = 52/72 ≈ 0.72 ≥ 0.5)
+    val nearDup = a.zipWithIndex.map { case (t, i) =>
+      if ((i + 1) % 16 == 0) s"x${i + 1}" else t }
+    val docs = Seq(
+      (0L, a.mkString(" ")),        // survives everything
+      (1L, a.mkString(" ")),        // exact copy → stage 1
+      (2L, (a.take(32) ++ b ++ a.slice(32, 64)).mkString(" ")),
+                                    // 2 of 3 blocks dup → stage 2
+      (3L, nearDup.mkString(" ")),  // near-dup → stage 3
+      (4L, c.mkString(" ")))        // fresh → kept
+    val dir = java.nio.file.Files.createTempDirectory("cascade").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextQueries.queries("pipeline_dedupe_cascade")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(row == ((5L, 1L, 1L, 1L, 2L, 128L)), row.toString)
+  }
+
   test("chunkDedupeBatch: keep law, cross-batch index probe, and " +
       "replay idempotence") {
     import graft.streaming.StreamOps
