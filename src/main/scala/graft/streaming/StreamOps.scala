@@ -487,7 +487,7 @@ object StreamOps {
     * land or shuffle. */
   def chunkDedupeBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexDir: String, outDir: String,
-      window: Int = 32): Unit = {
+      window: Int = 32, compactAfter: Int = 16): Unit = {
     val spark = batch.sparkSession
     val h = graft.ops.TextOps.chunkOverlap(batch, idCol, textCol,
         window = window, stride = window)
@@ -497,6 +497,24 @@ object StreamOps {
     try {
       val idxPath = new org.apache.hadoop.fs.Path(indexDir)
       val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compact BEFORE the probe (incrementalDedupeBatch's discipline):
+      // fold old per-batch partitions into one generation partition,
+      // keeping min(first_doc) per hash — set-of-minima preserving, so
+      // a replay that re-runs the fold still probes the same relation
+      val gen = -(batchId + 2)
+      val foldable = prefixedIds(fs, idxPath, "__batch_id=")
+        .filter(id => id != batchId && id != gen)
+      if (compactAfter > 0 && foldable.size > compactAfter) {
+        spark.read.parquet(indexDir)
+          .filter(col("__batch_id").isin(foldable: _*))
+          .groupBy("h").agg(min("first_doc").as("first_doc"))
+          .withColumn("__batch_id", lit(gen))
+          .write.mode("append").partitionBy("__batch_id").parquet(indexDir)
+        foldable.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(idxPath,
+            s"__batch_id=$id"), true)
+        }
+      }
       val prior = prefixedIds(fs, idxPath, "__batch_id=")
         .filter(_ != batchId)
       val batchMin = h.groupBy("h").agg(min(col(idCol)).as("bm"))

@@ -229,6 +229,18 @@ class RerankDriftChunkSpec extends SparkSpec {
       Seq(doc(2L, a)).toDF("doc_id", "text"), 1L, "doc_id", "text",
       idx, out)
     assert(read() == first, "replay changed the landed verdicts")
+    // compaction (threshold 1 forces a fold before batch 2's probe):
+    // the folded index must gate EXACTLY like the per-batch partitions —
+    // doc 3 repeats doc 0's blocks and is still dropped
+    StreamOps.chunkDedupeBatch(
+      Seq(doc(3L, a)).toDF("doc_id", "text"), 2L, "doc_id", "text",
+      idx, out, compactAfter = 1)
+    val after = read()
+    assert(after == first + ((3L, 2L, 2L, false)), after.toString)
+    val parts = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("__batch_id=")).toSet
+    assert(parts.exists(_.startsWith("__batch_id=-")),
+      s"no folded generation partition in $parts")
   }
 
   test("chunkOverlap: coverage + overlap reconstruction on driver docs") {
