@@ -143,11 +143,14 @@ object PlanAudit {
     // any exchange appearing here means the chunk law stopped being a
     // per-row expression (the whole point of block chunking at 100 TB)
     "text_chunk_overlap" -> Seq(
-      NodePresent("GenerateExec"), NodeAbsent("ShuffleExchangeExec")),
-    // batch MMR re-attaches candidate vectors by BROADCASTING the
-    // bounded |queries|·m candidate list into the corpus scan — a
-    // fallback to shuffle would move the vector corpus to fetch m rows
-    "vec_mmr_rerank_batch" -> Seq(NodePresent("BroadcastHashJoinExec")))
+      NodePresent("GenerateExec"), NodeAbsent("ShuffleExchangeExec")))
+    // vec_mmr_rerank_batch has no node row: its corpus-side joins
+    // (candidate re-attach) carry an EXPLICIT broadcast() hint — which
+    // Spark honors unconditionally, so it cannot silently degrade — and
+    // execute eagerly inside the bounded-frame localCheckpoints, so the
+    // returned plan only shows the post-checkpoint m²-row stages (any
+    // BroadcastHashJoin visible there would be the sims self-join, not
+    // the invariant; asserting it would gate the wrong node).
     // agg_bloom_join has no node row: its broadcast is the ~KB filter
     // INSIDE the probe UDF (not a plan node), and the within_fpp output
     // column already hash-pins the pre-filter semantics.

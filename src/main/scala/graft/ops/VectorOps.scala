@@ -1541,6 +1541,10 @@ object VectorOps {
     val q = withNorm(queries, qVecCol)
       .select(col(qIdCol).cast("long").as("query_id"),
         col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"))
+    // both frames are bounded (|queries|·m rows) — materialize them so
+    // the CORPUS scan in their lineage runs exactly once each (without
+    // the checkpoints every downstream consumer re-executes it: the
+    // audit counted 9 corpus scans in this plan)
     val cand = v.crossJoin(broadcast(q))
       .select(col("query_id"), col(idCol).cast("long").as("vid"),
         i6(dot(col(vecCol), col("__qvec")) /
@@ -1549,9 +1553,11 @@ object VectorOps {
         Window.partitionBy("query_id").orderBy(col("ri").desc, col("vid"))))
       .filter(col("rk") <= m)
       .select("query_id", "vid", "ri")
+      .localCheckpoint()
     val candV = v.join(broadcast(cand), col(idCol) === col("vid"))
       .select(col("query_id"), col("vid"), col("ri"),
         col(vecCol).as("__v"), col("__norm").as("__n"))
+      .localCheckpoint()
     val bs = candV.select(col("query_id").as("__qb"), col("vid").as("j"),
       col("__v").as("vb"), col("__n").as("nb"))
     val sims = candV
