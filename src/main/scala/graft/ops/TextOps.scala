@@ -33,6 +33,12 @@ object TextOps {
     require(window >= stride && stride > 0,
       s"need window >= stride > 0, got window=$window stride=$stride")
     docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      // n = 0 must yield ZERO chunks: without the guard,
+      // sequence(0, ceil(0/stride)-1) = sequence(0, -1) counts DOWN in
+      // Spark and emits two garbage chunk ids. Unreachable through
+      // tokens() (split never returns an empty array) but the op's
+      // contract shouldn't depend on that.
+      .filter(size(col("__ts")) > 0)
       .select(col(idCol), col("__ts"),
         explode(sequence(lit(0L),
           floor((size(col("__ts")).cast("long") + (stride - 1))

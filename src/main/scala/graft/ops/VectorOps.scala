@@ -1605,12 +1605,20 @@ object VectorOps {
         posexplode(col(vecCol)).as(Seq("__pos", "__raw")))
       .select(col(keyCol), col("__a"), col("__pos"),
         col("__raw").cast("double").as("__v"))
+    // counts ride the SAME per-(key, dim) aggregation (each vector
+    // contributes one row to every dim, so any dim's conditional count
+    // is the snapshot size — max across dims recovers it): ONE corpus
+    // scan total. Precondition: vectors are non-empty arrays (pinned by
+    // TestdataGuardSpec) — an empty-embedding row would contribute no
+    // dims and drop out of the counts.
     val cent = x.groupBy(keyCol, "__pos").agg(
       graft.StableRound.round6(avg(when(col("__a"), col("__v")))).as("ca"),
-      graft.StableRound.round6(avg(when(!col("__a"), col("__v")))).as("cb"))
-    val counts = vectors.groupBy(keyCol).agg(
-      count(when(inFirst, 1)).as("n_a"),
-      count(when(!inFirst, 1)).as("n_b"))
+      graft.StableRound.round6(avg(when(!col("__a"), col("__v")))).as("cb"),
+      count(when(col("__a"), 1)).as("__na"),
+      count(when(!col("__a"), 1)).as("__nb"))
+      .localCheckpoint() // bounded keys·d rows; feeds counts AND sums
+    val counts = cent.groupBy(keyCol).agg(
+      max("__na").as("n_a"), max("__nb").as("n_b"))
     driftAssemble(cent, counts, keyCol)
   }
 

@@ -32,4 +32,21 @@ object Fixtures {
     val p = new Path(s"$dir/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Recursively delete `/tmp/<name>` if present and return its path —
+    * the streaming entries' per-run scratch discipline (fixed root, so
+    * bench passes never accumulate tmp dirs), with the Files.walk
+    * stream properly closed. */
+  def freshDir(name: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(s"/tmp/$name")
+    if (java.nio.file.Files.exists(base)) {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    base
+  }
 }

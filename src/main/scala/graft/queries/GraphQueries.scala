@@ -342,7 +342,11 @@ object GraphQueries extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+      // requireExact: the oracle enumerates UNCAPPED a.p < b.p pairs —
+      // fail loudly if a basket outgrows the cap (the triangle-count
+      // discipline, ADVICE r12)
+      val g = GraphOps.coOccurrencePairs(items, "o", "p",
+          requireExact = true)
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
         .localCheckpoint() // symmetrization inside LPA reads it twice

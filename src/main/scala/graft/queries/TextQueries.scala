@@ -598,12 +598,7 @@ object TextQueries extends QueryPack {
     }),
 
     "stream_dedupe_chunks" -> ((s, d) => {
-      val base = java.nio.file.Paths.get("/tmp/graft_chunkdedupe_fixture")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_chunkdedupe_fixture")
       val src = base.resolve("src").toString
       val idxDir = base.resolve("index").toString
       val outDir = base.resolve("out").toString

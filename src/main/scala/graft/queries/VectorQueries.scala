@@ -474,15 +474,7 @@ object VectorQueries extends QueryPack {
     "stream_drift_centroid" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val snapB = emb.filter(col("vec_id") % 2 =!= 0)
-      // fixed fixture root, delete-then-rewrite per run (the
-      // vecstream-fixture discipline — no tmp accumulation across
-      // bench passes)
-      val base = java.nio.file.Paths.get("/tmp/graft_driftstream_fixture")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_driftstream_fixture")
       val src = s"$base/src"
       snapB.write.parquet(src)
       val aggedB = graft.streaming.StreamOps.runToMemory(
@@ -504,10 +496,17 @@ object VectorQueries extends QueryPack {
           col("raw").cast("double").as("v"))
         .groupBy("label", "pos")
         .agg(graft.StableRound.round6(avg(col("v"))).as("ca"))
+      // FULL outer joins: a label present in only one snapshot must
+      // still emit its row (counts with the absent side 0, null shifts)
+      // exactly like the batch face and the shared oracle — inner joins
+      // here would silently drop single-snapshot labels
       val counts = snapA.groupBy("label").agg(count(lit(1)).as("n_a"))
         .join(aggedB.filter(col("pos") === 0)
-          .groupBy("label").agg(sum("nb").as("n_b")), "label")
-      VectorOps.driftAssemble(centA.join(centB, Seq("label", "pos")),
+          .groupBy("label").agg(sum("nb").as("n_b")),
+          Seq("label"), "full")
+        .na.fill(0L, Seq("n_a", "n_b"))
+      VectorOps.driftAssemble(
+        centA.join(centB, Seq("label", "pos"), "full"),
         counts, "label")
     }),
   )

@@ -99,21 +99,43 @@ class RerankDriftChunkSpec extends SparkSpec {
 
   // ---- centroid drift --------------------------------------------------
 
-  test("centroidDrift: identical snapshots pin 1/0, negated pin -1/2|c|") {
+  test("centroidDrift: identical snapshots pin 1/0, negated pin -1/2|c|, " +
+      "single-snapshot labels emit with null shifts") {
     // label 0: A = B = {[3,4]} → cos 1, l2 0
     // label 1: A = {[3,4]}, B = {[-3,-4]} → cos −1, l2 = 2·5 = 10
+    // label 2: A only → (n_a=1, n_b=0, null, null) — must not drop
     val vecs = Seq(
       (0L, Array(3.0f, 4.0f), 0),
       (1L, Array(3.0f, 4.0f), 0),
       (2L, Array(3.0f, 4.0f), 1),
-      (3L, Array(-3.0f, -4.0f), 1))
+      (3L, Array(-3.0f, -4.0f), 1),
+      (4L, Array(1.0f, 0.0f), 2))
     val out = VectorOps.centroidDrift(
       vecs.toDF("vec_id", "embedding", "label"), "label", "embedding",
       col("vec_id") % 2 === 0)
       .orderBy("label")
-      .as[(Int, Long, Long, Double, Double)].collect()
-    assert(out(0) == ((0, 1L, 1L, 1.0, 0.0)), s"label0 ${out(0)}")
-    assert(out(1) == ((1, 1L, 1L, -1.0, 10.0)), s"label1 ${out(1)}")
+      .as[(Int, Long, Long, Option[Double], Option[Double])].collect()
+    assert(out(0) == ((0, 1L, 1L, Some(1.0), Some(0.0))), s"l0 ${out(0)}")
+    assert(out(1) == ((1, 1L, 1L, Some(-1.0), Some(10.0))), s"l1 ${out(1)}")
+    assert(out(2) == ((2, 1L, 0L, None, None)), s"l2 ${out(2)}")
+  }
+
+  test("stream_drift_centroid keeps single-snapshot labels too") {
+    import graft.queries.VectorQueries
+    // label 2 exists only in snapshot A (even id), label 3 only in B
+    val dir = java.nio.file.Files.createTempDirectory("sdrift").toString
+    Seq((0L, Array(3.0f, 4.0f), 0), (1L, Array(3.0f, 4.0f), 0),
+        (4L, Array(1.0f, 0.0f), 2), (5L, Array(0.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val batch = VectorQueries.queries("vec_drift_centroid")(spark, dir)
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    val stream = VectorQueries.queries("stream_drift_centroid")(spark, dir)
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(batch.map(_._1) == Set(0, 2, 3), batch.toString)
+    assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
   test("stream_drift_centroid ≡ vec_drift_centroid (live face answers " +
