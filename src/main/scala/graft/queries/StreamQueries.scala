@@ -339,12 +339,9 @@ object StreamQueries extends QueryPack {
     // filtered from the result.
     "stream_sessionize" -> ((s, d) => {
       import scala.jdk.CollectionConverters._
-      val base = Paths.get("/tmp/graft_sessionize_fixture")
+      val base = Fixtures.freshDir("graft_sessionize_fixture")
       // fresh fixture+checkpoint every call: a remembered checkpoint
       // would replay nothing and emit an empty increment
-      if (Files.exists(base))
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
       val src = base.resolve("src"); Files.createDirectories(src)
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
@@ -480,14 +477,9 @@ object StreamQueries extends QueryPack {
     // the exact literal expectation, so a broken drop (extra/bumped window
     // row) and broken finalization (missing row) both fail the compare.
     "stream_late_data" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_late_fixture")
+      val base = Fixtures.freshDir("graft_late_fixture")
       // fresh fixture every call: the checkpoint must not remember a
       // previous run or no batches would fire at all
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
       val src = base.resolve("src"); Files.createDirectories(src)
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
@@ -580,12 +572,7 @@ object StreamQueries extends QueryPack {
     // pass over the static corpus reproduces the batch entry exactly,
     // so this shares pipeline_classifier_nb's oracle verbatim.
     "stream_classify_nb" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_nbstream_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_nbstream_fixture")
       Files.createDirectories(base)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchDocs = s.read.parquet(s"$d/documents.parquet")
@@ -608,12 +595,7 @@ object StreamQueries extends QueryPack {
     // corpus ⇒ survivors = docs with no lower-id near-dup — the same
     // exact-Jaccard pair relation as dedupe_minhash_lsh's oracle
     "stream_neardup_dedupe" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_neardup_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_neardup_fixture")
       Files.createDirectories(base)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -703,12 +685,7 @@ object StreamQueries extends QueryPack {
     // table — exact under any batch split, so the oracle IS
     // join_asof's.
     "stream_asof_enrich" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_asofstream_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_asofstream_fixture")
       val outDir = base.resolve("out").toString
       val q = StreamOps.asofEnrichEachBatch(
         eventsStream(s, d).select("event_id", "user_id", "ts"),
@@ -730,12 +707,7 @@ object StreamQueries extends QueryPack {
     // batch, same effective ts, so the assembled dimension must equal
     // the batch merge exactly (the oracle IS sink_scd2's).
     "stream_scd2" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_scd2_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_scd2_fixture")
       val dimDir = base.resolve("dim").toString
       val srcDir = base.resolve("src").toString
       val c = Tables.customer(s, d)
@@ -772,12 +744,7 @@ object StreamQueries extends QueryPack {
     }),
 
     "stream_incremental_dedupe" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_incdedup_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_incdedup_fixture")
       val src = base.resolve("src"); Files.createDirectories(src)
       val keyDir = base.resolve("keys").toString
       val outDir = base.resolve("out").toString
@@ -816,12 +783,7 @@ object StreamQueries extends QueryPack {
     // Quantizer trains once on batch 0 and persists, so cell ids are
     // stable across runs and replays.
     "stream_embed_dedupe" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_embeddedupe_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_embeddedupe_fixture")
       val src = base.resolve("src").toString
       val cellDir = base.resolve("cells").toString
       val outDir = base.resolve("out").toString
@@ -868,12 +830,7 @@ object StreamQueries extends QueryPack {
     // ANY batching — so the final closure shares that entry's
     // Lloyd-replay oracle verbatim.
     "stream_embed_semdedup" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_semdedup_stream_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_semdedup_stream_fixture")
       val src = base.resolve("src").toString
       val quantDir = base.resolve("quantizer").toString
       val layout = base.resolve("layout").toString
@@ -921,12 +878,7 @@ object StreamQueries extends QueryPack {
     // three failing rules, one passing). Batch 1's bad timestamp proves
     // the accumulation is really per-batch, not a rescan.
     "stream_dq_checks" -> ((s, d) => {
-      val base = Paths.get("/tmp/graft_streamdq_fixture")
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_streamdq_fixture")
       val src = base.resolve("src"); Files.createDirectories(src)
       val outDir = base.resolve("report").toString
       val ckpt = base.resolve("ckpt").toString

@@ -316,12 +316,7 @@ object VectorQueries extends QueryPack {
     // (id, codes) + bounded exact rerank, and must reproduce the exact
     // top-10 on the planted corpus.
     "stream_pq_ingest" -> ((s, d) => {
-      val base = java.nio.file.Paths.get("/tmp/graft_pqstream_fixture")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_pqstream_fixture")
       val (corpus, query) = plantedCorpus(s, d)
       val model = VectorOps.pqTrainModel(corpus, "embedding",
         nCentroids = 16)
@@ -346,12 +341,7 @@ object VectorQueries extends QueryPack {
     // top-10 by construction) pins that incremental ingest loses
     // nothing vs the batch landing.
     "stream_vec_ingest" -> ((s, d) => {
-      val base = java.nio.file.Paths.get("/tmp/graft_vecstream_fixture")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_vecstream_fixture")
       val (corpus, query) = plantedCorpus(s, d)
       val centroids = VectorOps.ivfTrain(corpus, "embedding", 16)
       val src = s"$base/src"
@@ -377,12 +367,7 @@ object VectorQueries extends QueryPack {
     // discipline: a replayed batch rewrites exactly its own
     // (label, cell, batch) partitions (StreamingSpec).
     "stream_vec_ingest_filtered" -> ((s, d) => {
-      val base = java.nio.file.Paths.get("/tmp/graft_vecfstream_fixture")
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val base = Fixtures.freshDir("graft_vecfstream_fixture")
       val (corpus, query) = plantedCorpusLabeled(s, d)
       val centroids = VectorOps.ivfTrain(
         corpus.select("vec_id", "embedding"), "embedding", 16)
