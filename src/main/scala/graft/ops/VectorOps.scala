@@ -1456,6 +1456,13 @@ object VectorOps {
     def i6(c: Column): Column =
       floor(graft.StableRound.round6(c) * 1e6 + 0.5).cast("long")
     val v = withNorm(vectors, vecCol)
+    // the greedy below assumes ONE query vector; >1 rows would
+    // crossJoin duplicate candidate ids with mixed relevances and the
+    // selection would silently return garbage — fail loudly instead
+    // (ADVICE r16). limit(2) bounds the guard's job at 2 rows.
+    val nq = query.limit(2).count()
+    require(nq == 1, s"mmrRerank expects exactly one query row, got " +
+      s"${if (nq == 0) "0" else ">=2"} — use mmrRerankBatch for batches")
     val q = withNorm(query, queryVecCol)
       .select(col(queryVecCol).as("__qvec"), col("__norm").as("__qnorm"))
     // top-m by (rel6 DESC, id): rank on the SNAPPED value so the oracle's
