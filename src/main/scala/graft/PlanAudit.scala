@@ -96,6 +96,41 @@ object PlanAudit {
     }
   }
 
+  /** No literal anywhere in the plan's expression trees holding more
+    * than `maxLeaves` primitive values (arrays/structs counted DEEP:
+    * an array of k structs each carrying a d-long vector counts k·d) —
+    * the centroid-relation discipline (VERDICT r16): a model table
+    * baked into the expression tree plans fine at bounded k but breaks
+    * codegen/planning once k scales with the corpus, so scaled models
+    * must arrive as broadcast-joined RELATIONS. Gated in SemDedupSpec
+    * on the lazy assignment probe (the production Lloyd frames execute
+    * eagerly inside checkpoints and never appear in entry plans). */
+  final case class NoWideLiteral(maxLeaves: Int) extends NodeRule {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    private def leaves(v: Any, dt: DataType): Long = (v, dt) match {
+      case (null, _) => 0L
+      case (a: ArrayData, ArrayType(et, _)) =>
+        (0 until a.numElements())
+          .map(i => leaves(a.get(i, et), et)).sum
+      case (r: InternalRow, st: StructType) =>
+        st.fields.zipWithIndex
+          .map { case (f, i) => leaves(r.get(i, f.dataType), f.dataType) }
+          .sum
+      case _ => 1L
+    }
+    def violation(nodes: Seq[SparkPlan]): Option[String] = {
+      val wide = nodes.flatMap(_.expressions).flatMap(_.collect {
+        case l: Literal => leaves(l.value, l.dataType)
+      }).filter(_ > maxLeaves)
+      if (wide.isEmpty) None
+      else Some(s"literal(s) wider than $maxLeaves leaves: " +
+        wide.sorted.reverse.take(3).mkString(","))
+    }
+  }
+
   /** No node of class `cls` STRICTLY BELOW any node of class `root` —
     * the subtree-scoped absence (an entry may legitimately shuffle
     * elsewhere, e.g. a post-join aggregation on a different key). */

@@ -111,28 +111,36 @@ object CorpusQueries extends QueryPack {
     // LINEAR in n — not the n²/k constant fraction a fixed k gives;
     // SemDedupSpec asserts the cross-size candidate GROWTH directly
     // (10× corpus ⇒ ≪100× candidates). At the in-suite SFs
-    // (n=500, 2000) the derived k is the floor 8, so the measured
-    // recall grid below still holds verbatim; at sf1 (n=8000) k=32.
-    // Recall < 1 BY DESIGN (cross-cell near-dups are unseen); measured
-    // grid at this threshold (pair recall / candidate fraction,
+    // (n=500, 2000) the derived k is the floor 8; at sf1 (n=8000) k=32.
+    // Recall < 1 BY DESIGN (cross-cell near-dups are unseen; the
+    // two-level argmin adds a second bounded approximation — a vector
+    // whose true nearest centroid lives in another super-cell lands
+    // coarser, which only re-buckets, never mis-reports: precision
+    // stays structural via the exact verify). Measured under the
+    // two-level recipe (pair recall / candidate fraction,
     // SemDedupSpec + PLANS §27):
-    //   k=4:  sf0.1 0.47 / 0.25      k=8: sf0.1 0.38 / 0.125
-    //   k=16: sf0.1 0.29 / 0.062     (sf0.001: 0.71 / 0.29 / 0.00)
-    // iters=3 — the exact recipe vec_kmeans_lloyd's oracle already
-    // replays. At 100 TB the same rule holds (SemDeDup runs k≈10⁵ at
-    // LAION scale), the cell id is a shuffle key so each cell's
-    // pairwise is partition-local, and the quantizer model stays
-    // k·dim driver-side.
+    //   sf0.001 (k=8, g=3): 0.429 / 0.226   sf0.1: 0.333 / 0.190
+    // iters=3, and the ASSIGNMENT itself is sub-quadratic: two-level
+    // coarse-to-fine argmin (VectorOps.superK: g=⌈√k⌉ super-cells over
+    // the centroids, one probed super-cell per vector — n·√k distance
+    // evals per pass, Θ(n^1.5) with the derived k, vs the one-level
+    // n·k = Θ(n²/250) that was round 16's weak mark), with the
+    // centroid model a broadcast-joined k-row RELATION end to end (no
+    // expression-tree literal, no per-round k·d driver collect). At
+    // 100 TB the same rule holds (SemDeDup runs k≈10⁵ at LAION scale),
+    // the cell id is a shuffle key so each cell's pairwise is
+    // partition-local, and the model stays a distributed table.
     // Hash-checkable DESPITE recall<1: cells come from the exact
-    // fixed-point Lloyd recipe (VectorOps.kmeansAssign), and the DuckDB
-    // oracle derives the SAME k from count(*) (integer ceil — see
-    // semdedupK) then replays the same rounds bit-identically and
-    // restricts the exact pair relation to same-cell — the oracle
-    // agrees at every SF without needing recall 1.
+    // fixed-point Lloyd recipe (VectorOps.semdedupCells), and the
+    // DuckDB oracle derives the SAME k from count(*) and the SAME g by
+    // integer search (no float-ceil parity risk) then replays the
+    // two-level rounds bit-identically and restricts the exact pair
+    // relation to same-cell — the oracle agrees at every SF without
+    // needing recall 1.
     "dedupe_embed_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val k = graft.ops.VectorOps.semdedupK(emb.count())
-      val cells = graft.ops.VectorOps.kmeansAssign(emb, "vec_id",
+      val cells = graft.ops.VectorOps.semdedupCells(emb, "vec_id",
         "embedding", k = k, iters = 3)
       val pairs = graft.ops.VectorOps.pairwiseCosine(
         emb.join(cells, "vec_id"), "vec_id", "embedding",
@@ -155,13 +163,14 @@ object CorpusQueries extends QueryPack {
     // n under the k-scaling rule (cells still bound the blocking), so
     // this tier buys ~2.5× the recall for ~4× the (linear) cost —
     // shipped as its own entry; the default tier stays nAssign=1.
-    // Oracle: the same Lloyd replay with the final assignment widened
-    // to rk<=2 and the pair relation DISTINCT-ed (a pair sharing both
-    // cells would match twice).
+    // Oracle: the same two-level Lloyd replay with the final (fine)
+    // assignment widened to rk<=2 within the probed super-cell and the
+    // pair relation DISTINCT-ed (a pair sharing both cells would match
+    // twice).
     "dedupe_embed_semdedup_mp" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val k = graft.ops.VectorOps.semdedupK(emb.count())
-      val cells = graft.ops.VectorOps.kmeansAssignN(emb, "vec_id",
+      val cells = graft.ops.VectorOps.semdedupCellsN(emb, "vec_id",
         "embedding", k = k, iters = 3, nAssign = 2)
       val pairs = graft.ops.VectorOps.pairwiseCosine(
         emb.join(cells, "vec_id"), "vec_id", "embedding",
@@ -844,27 +853,36 @@ object CorpusQueries extends QueryPack {
 
   /** SemDeDup-tier oracle: derive the SAME corpus-size-scaled k the
     * Spark entry derives (integer-ceil `GREATEST(8, (count(*)+249)
-    * // 250)` ≡ VectorOps.semdedupK — no float-ceil parity risk),
-    * replay the exact fixed-point Lloyd rounds (the same CTE machinery
-    * as vec_kmeans_lloyd, derived k, 3 rounds — bit-identical to
-    * VectorOps.kmeansAssign by construction), then the exact-cosine
+    * // 250)` ≡ VectorOps.semdedupK) and the SAME super-cell count g
+    * (smallest integer with g² ≥ k, by integer search over a
+    * row_number stream ≡ VectorOps.superK — no float-sqrt parity
+    * risk), replay the exact fixed-point TWO-LEVEL Lloyd rounds
+    * (per round: coarse argmin of every vector AND every centroid
+    * against the g super-centroids, then fine argmin within the
+    * probed super-cell only — bit-identical to
+    * VectorOps.semdedupCells by construction), then the exact-cosine
     * pair relation RESTRICTED to same final cell, then the same
     * recursive-CTE closure as embedClustersSql. This is how a recall<1
     * blocking scheme stays hash-checkable: the oracle doesn't need
     * recall 1, it needs the same cells.
     *
-    * `nAssign` > 1 replays the MULTI-PROBE tier: the final assignment
-    * keeps each vector's nAssign nearest cells (row_number over
-    * (dist, cid) — the same total order kmeansAssignN's sorted-struct
-    * slice uses), a pair is a candidate when ANY cell is shared, and
-    * the pair relation is DISTINCT-ed because a pair sharing both its
-    * cells would otherwise match twice. */
+    * `nAssign` > 1 replays the MULTI-PROBE tier: the final FINE
+    * assignment keeps each vector's nAssign nearest cells within its
+    * probed super-cell (row_number over (dist, cid) — the same total
+    * order semdedupAssignFrozen's sorted-struct slice uses), a pair is
+    * a candidate when ANY cell is shared, and the pair relation is
+    * DISTINCT-ed because a pair sharing both its cells would otherwise
+    * match twice. */
   private[queries] def semdedupClustersSql: String = semdedupSql(1)
 
   private[queries] def semdedupSql(nAssign: Int): String = {
     val lloydPre =
       """lk AS (SELECT GREATEST(8, (count(*) + 249) // 250) AS k
         |  FROM embeddings),
+        |lg AS (SELECT min(i) AS g FROM (
+        |    SELECT row_number() OVER (ORDER BY vec_id) AS i
+        |    FROM embeddings) t
+        |  WHERE i * i >= (SELECT k FROM lk)),
         |lq AS (SELECT vec_id, list_transform(embedding,
         |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
         |    AS x FROM embeddings),
@@ -874,9 +892,27 @@ object CorpusQueries extends QueryPack {
         |  WHERE vec_id < (SELECT k FROM lk))""".stripMargin
     val rounds = (1 to 3).map { i =>
       s""",
-         |ld$i AS (SELECT lvx.vec_id, c.cid,
+         |lgd$i AS (SELECT lvx.vec_id, s.cid AS sid,
+         |    sum((lvx.q - s.cq) * (lvx.q - s.cq)) AS dist
+         |  FROM lvx JOIN lc${i - 1} s USING (pos)
+         |  WHERE s.cid < (SELECT g FROM lg) GROUP BY 1, 2),
+         |lga$i AS (SELECT vec_id, sid FROM (
+         |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, sid) AS rk FROM lgd$i) WHERE rk = 1),
+         |lcd$i AS (SELECT c.cid, s.cid AS sid,
+         |    sum((c.cq - s.cq) * (c.cq - s.cq)) AS dist
+         |  FROM lc${i - 1} c JOIN lc${i - 1} s USING (pos)
+         |  WHERE s.cid < (SELECT g FROM lg) GROUP BY 1, 2),
+         |lcg$i AS (SELECT cid, sid FROM (
+         |    SELECT cid, sid, row_number() OVER (PARTITION BY cid
+         |      ORDER BY dist, sid) AS rk FROM lcd$i) WHERE rk = 1),
+         |ld$i AS (SELECT lvx.vec_id, cg.cid,
          |    sum((lvx.q - c.cq) * (lvx.q - c.cq)) AS dist
-         |  FROM lvx JOIN lc${i - 1} c USING (pos) GROUP BY 1, 2),
+         |  FROM lvx
+         |  JOIN lga$i a USING (vec_id)
+         |  JOIN lcg$i cg ON cg.sid = a.sid
+         |  JOIN lc${i - 1} c ON c.cid = cg.cid AND c.pos = lvx.pos
+         |  GROUP BY 1, 2),
          |la$i AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY dist, cid) AS rk FROM ld$i) WHERE rk = 1),

@@ -838,13 +838,12 @@ object StreamQueries extends QueryPack {
       val ckpt = base.resolve("ckpt").toString
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val k = graft.ops.VectorOps.semdedupK(emb.count())
-      // train + PERSIST the quantizer, then stream against the loaded copy
-      val cents = graft.ops.VectorOps.kmeansQuantizer(
-        emb, "vec_id", "embedding", k, iters = 3)
-      s.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-        .toDF("cid", "c").write.parquet(quantDir)
-      val frozen = s.read.parquet(quantDir).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      // train + PERSIST the quantizer RELATION, then stream against the
+      // loaded table — the model is never collected (k scales with n)
+      graft.ops.VectorOps.semdedupQuantizer(
+          emb, "vec_id", "embedding", k, iters = 3)
+        .write.parquet(quantDir)
+      val frozen = s.read.parquet(quantDir)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),

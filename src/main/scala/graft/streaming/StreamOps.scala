@@ -835,10 +835,14 @@ object StreamOps {
 
   /** One micro-batch of the STREAMING SemDeDup tier — the streaming
     * posture of `dedupe_embed_semdedup`: cells come from a FROZEN
-    * persisted quantizer ([[graft.ops.VectorOps.kmeansQuantizer]] — the
-    * pre-update final-round Lloyd centroids, so each vector lands in
-    * exactly the cell the batch tier assigns it, independent of
-    * batching), candidates are (earlier-batch landed ∪ batch mates)
+    * persisted quantizer RELATION
+    * ([[graft.ops.VectorOps.semdedupQuantizer]] — the pre-update
+    * final-round Lloyd centroids as a k-row (cid, c) table, assigned
+    * two-level via [[graft.ops.VectorOps.semdedupAssignFrozen]], so
+    * each vector lands in exactly the cell the batch tier assigns it,
+    * independent of batching, and the model is never collected or
+    * baked into an expression literal — k scales with the corpus),
+    * candidates are (earlier-batch landed ∪ batch mates)
     * restricted to the SAME cell, and the exact-cosine verify uses the
     * batch tier's expression verbatim. The union of per-batch pair sets
     * over any batching of the corpus — including the one-batch replay a
@@ -847,10 +851,11 @@ object StreamOps {
     * Lloyd-replay oracle. Pairs land under `__batch_id=N` and vectors
     * under `cell=K/__batch_id=N`, both dynamic-overwrite idempotent. */
   def semdedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      idCol: String, vecCol: String, cents: Array[(Long, Array[Long])],
+      idCol: String, vecCol: String, quant: DataFrame,
       threshold: Double, layoutDir: String, pairsDir: String): Unit = {
     import graft.ops.VectorOps
-    val cells = VectorOps.assignCells(batch, idCol, vecCol, cents)
+    val cells = VectorOps.semdedupAssignFrozen(batch, idCol, vecCol,
+      quant, nAssign = 1)
     val bx = VectorOps.withNorm(
         batch.select(col(idCol).cast("long").as(idCol), col(vecCol)), vecCol)
       .join(cells, idCol)
@@ -894,7 +899,7 @@ object StreamOps {
   /** Streaming SemDeDup driver: [[semdedupBatch]] per micro-batch under
     * AvailableNow (see that method for the replay/oracle contract). */
   def semdedupEachBatch(stream: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Long, Array[Long])], threshold: Double,
+      quant: DataFrame, threshold: Double,
       layoutDir: String, pairsDir: String, ckptDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
@@ -903,7 +908,7 @@ object StreamOps {
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        semdedupBatch(spark, batch, batchId, idCol, vecCol, cents,
+        semdedupBatch(spark, batch, batchId, idCol, vecCol, quant,
           threshold, layoutDir, pairsDir)
       }
       .start()

@@ -35,7 +35,7 @@ class SemDedupSpec extends SparkSpec {
     val exact = VectorOps.pairwiseCosine(emb, "vec_id", "embedding",
       threshold = 0.45, blockCol = None)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cells = VectorOps.kmeansAssign(emb, "vec_id", "embedding",
+    val cells = VectorOps.semdedupCells(emb, "vec_id", "embedding",
       k = VectorOps.semdedupK(emb.count()), iters = 3)
     val sem = VectorOps.pairwiseCosine(emb.join(cells, "vec_id"),
       "vec_id", "embedding", threshold = 0.45, blockCol = Some("cell"))
@@ -102,7 +102,7 @@ class SemDedupSpec extends SparkSpec {
     val n2 = big.count()
     assert(n2 == 10 * n1)
     def candidates(emb: org.apache.spark.sql.DataFrame, n: Long): Double =
-      VectorOps.kmeansAssign(emb, "vec_id", "embedding",
+      VectorOps.semdedupCells(emb, "vec_id", "embedding",
           k = VectorOps.semdedupK(n), iters = 3)
         .groupBy("cell").count()
         .agg(sum(expr("count * (count - 1) / 2"))).head().getDouble(0)
@@ -125,9 +125,9 @@ class SemDedupSpec extends SparkSpec {
     val k = VectorOps.semdedupK(emb.count())
     def pairs(nAssign: Int): Set[(Long, Long)] = {
       val cells =
-        if (nAssign == 1) VectorOps.kmeansAssign(
+        if (nAssign == 1) VectorOps.semdedupCells(
           emb, "vec_id", "embedding", k, 3)
-        else VectorOps.kmeansAssignN(
+        else VectorOps.semdedupCellsN(
           emb, "vec_id", "embedding", k, 3, nAssign)
       VectorOps.pairwiseCosine(emb.join(cells, "vec_id"),
           "vec_id", "embedding", threshold = 0.45, blockCol = Some("cell"))
@@ -142,12 +142,57 @@ class SemDedupSpec extends SparkSpec {
       s"(+${multi.size - single.size} recovered cross-cell pairs)")
   }
 
+  test("TOTAL distance-eval growth is ~n^1.5, not quadratic: 10x corpus " +
+      "=> well under 100x assignment work (the round-16 gap: candidates " +
+      "were linear while Lloyd assignment was still n*k)") {
+    val base = Tables.embeddings(spark, sfDir("0.1"))
+      .select("vec_id", "embedding")
+    val n1 = base.count()
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val big = base.crossJoin(
+        spark.range(10).toDF("r").withColumn("r", col("r").cast("int")))
+      .select((col("vec_id") + col("r").cast("long") * n1).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"))
+    val n2 = big.count()
+    val e1 = VectorOps.semdedupDistanceEvals(base, "vec_id", "embedding",
+      VectorOps.semdedupK(n1), iters = 3)
+    val e2 = VectorOps.semdedupDistanceEvals(big, "vec_id", "embedding",
+      VectorOps.semdedupK(n2), iters = 3)
+    val growth = e2.toDouble / e1
+    info(f"n=$n1 evals=$e1  n=$n2 evals=$e2  growth=$growth%.1fx " +
+      f"(n^1.5 growth = ${math.pow(10, 1.5)}%.1fx, n^2 = 100x)")
+    // ideal n^1.5 is 31.6x for a 10x corpus; allow skew headroom (a
+    // popular super-cell inflates the fine term) but stay far below
+    // the 100x a one-level assignment would produce
+    assert(growth < 45.0,
+      s"distance-eval growth $growth not ~n^1.5 (one-level regression?)")
+  }
+
+  test("the assignment plan carries NO wide literal: the centroid model " +
+      "arrives as a broadcast-joined relation, never an expression tree " +
+      "(k-entry literals break planning once k scales with the corpus)") {
+    val emb = Tables.embeddings(spark, sfDir("0.1"))
+      .select("vec_id", "embedding")
+    val probe = VectorOps.semdedupAssignProbe(emb, "vec_id", "embedding",
+      k = VectorOps.semdedupK(emb.count()))
+    val nodes = PlanAudit.collectNodes(probe.queryExecution.executedPlan)
+    // d=64-long vectors appear only as DATA; nothing wider than one
+    // vector's worth of leaves may be a literal
+    PlanAudit.NoWideLiteral(maxLeaves = 256).violation(nodes).foreach(v =>
+      fail(s"semdedup assignment probe: $v"))
+    // and the probe really assigns (sanity that the gate gates the
+    // real pipeline, not an empty frame)
+    assert(probe.count() == emb.count())
+  }
+
   test("cell assignment is deterministic across re-runs") {
     val emb = Tables.embeddings(spark, sfDir("0.001"))
       .select("vec_id", "embedding")
-    val a = VectorOps.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+    val a = VectorOps.semdedupCells(emb, "vec_id", "embedding", 8, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val b = VectorOps.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+    val b = VectorOps.semdedupCells(emb, "vec_id", "embedding", 8, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }

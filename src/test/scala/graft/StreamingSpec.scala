@@ -995,9 +995,12 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-semdedup-st")
     val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
     val layout = s"$base/layout"; val pairsDir = s"$base/pairs"
-    // frozen 2-cell quantizer in the integer-quantized (1e4) space
-    val cents = Array(
-      (0L, Array(10000L, 0L, 0L, 0L)), (1L, Array(0L, 10000L, 0L, 0L)))
+    // frozen 2-cell quantizer RELATION in the integer-quantized (1e4)
+    // space (k=2 ⇒ g=2: every centroid is its own super-cell, so the
+    // two-level assignment degenerates to the exact argmin)
+    val cents = Seq(
+      (0L, Seq(10000L, 0L, 0L, 0L)), (1L, Seq(0L, 10000L, 0L, 0L)))
+      .toDF("cid", "c")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
