@@ -77,24 +77,37 @@ object CorpusQueries extends QueryPack {
     }),
 
     // the SCALE path of semantic dedup: same closure, but candidate
-    // pairs come from IVF-cell blocking (VectorOps.ivfPairwiseCosine);
-    // the exact-cosine verify keeps the pair relation identical
-    // (oracle = the SAME exact-pair recursive CTE as
-    // dedupe_embed_clusters; recall pinned by spec). r14 measured
-    // honesty: at THIS entry's wide 0.45 threshold no recall-1.0
-    // quantizer setting prunes asymptotically (see the
-    // ivfPairwiseCosine scaladoc's measured grid) — blocking pays at
-    // near-dup thresholds (≥0.9), and this entry exists to exercise
-    // the blocked path end-to-end under the exact-oracle contract
+    // IVF-cell blocking IN THE REGIME WHERE IT PAYS (r16 re-scope):
+    // near-dup threshold 0.9 (≈26°), quantizer scaled with the corpus
+    // (nCentroids = ⌈√m⌉ — the classic IVF balance point), nAssign=3
+    // multi-probe. Candidate volume is Θ(m^1.5) (measured fraction
+    // 0.32 / 0.17 / 0.089 at m = 600 / 2400 / 9600 — shrinking as
+    // na²/√m), vs the r14 finding that at the semantic 0.45 band NO
+    // recall-1.0 blocking prunes (that band's scale tier is SemDeDup
+    // above, recall<1 by contract). The testdata has no natural pairs
+    // above cosine 0.65, so the corpus PLANTS near-dups the oracle
+    // derives identically: every vec_id%5==0 gains a copy (id + n)
+    // with coordinate 0 HALVED — a float-exact (exponent decrement)
+    // perturbation both engines reproduce bit-for-bit, cos ≈ 0.998.
+    // Exact-cosine verify keeps precision structural; recall measured
+    // 1.0 at sf0.001/0.01/0.1 AND sf1 (this grid: nAssign=2 misses 2
+    // of 1600 pairs at sf1, 3 misses none), so the exact-pair oracle
+    // hash-checks the blocked result.
     "dedupe_embed_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      // nAssign=6: at this entry's LOW threshold (0.45 cosine ≈ 63°,
-      // a semantic-similarity band, not near-dup) matching pairs sit
-      // far apart, so each vector probes 6/16 cells for recall 1
-      // (measured 0 missed pairs at all three SFs); at near-dup
-      // thresholds (≥0.9) nAssign 2-3 suffices and blocking tightens
+      val emb0 = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val n = emb0.count()
+      val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+      val planted = emb0.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + n).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(0.5f))
+              .cast("float")),
+            slice(col("embedding"), 2, dim - 1)).as("embedding"))
+      val emb = emb0.union(planted)
+      val m = n + (n + 4) / 5
       val pairs = graft.ops.VectorOps.ivfPairwiseCosine(emb, "vec_id",
-        "embedding", threshold = 0.45, nCentroids = 16, nAssign = 6)
+        "embedding", threshold = 0.9,
+        nCentroids = graft.ops.VectorOps.superK(m.toInt), nAssign = 3)
       Clusters.connectedComponents(
         emb.select(col("vec_id").as("id")),
         pairs.select(col("id1").as("src"), col("id2").as("dst")))
@@ -829,9 +842,45 @@ object CorpusQueries extends QueryPack {
             "/ CAST(n_tokens_bpe AS DOUBLE)")} AS compression
        |FROM dd JOIN pl USING (lang)""".stripMargin
 
-  /** Exact embedding-cosine connected components — shared by
-    * dedupe_embed_clusters and the IVF-blocked tier (which must agree
-    * with the exact closure whenever its candidate recall is 1). */
+  /** dedupe_embed_ivf oracle: derive the SAME planted-near-dup corpus
+    * the entry builds (every vec_id%5==0 copied under id+n with
+    * coordinate 0 halved — float-exact in both engines), then the
+    * exact cosine-0.9 pair relation + recursive closure. The blocked
+    * Spark result hash-matches because recall is measured 1.0 (grid in
+    * the entry comment / PLANS) — precision is the exact verify's. */
+  private def ivfPlantedSql: String =
+    """WITH RECURSIVE
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |corp AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT n FROM nn) AS vec_id,
+      |    [CAST(embedding[1] * 0.5 AS FLOAT)] || embedding[2:]
+      |      AS embedding
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |cv AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM corp),
+      |cn AS (SELECT vec_id, e,
+      |    sqrt(list_dot_product(e, e)) AS nrm FROM cv),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      |      FROM cn a JOIN cn b ON a.vec_id < b.vec_id
+      |      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9),
+      |e AS (SELECT id1 AS src, id2 AS dst FROM p
+      |      UNION ALL SELECT id2, id1 FROM p),
+      |r AS (
+      |  SELECT vec_id AS v, vec_id AS l FROM corp
+      |  UNION
+      |  SELECT e.dst AS v, r.l AS l FROM r JOIN e ON e.src = r.v
+      |)
+      |SELECT v AS vec_id, min(l) AS cluster_id,
+      |  (v = min(l)) AS is_keeper
+      |FROM r GROUP BY v""".stripMargin
+
+  /** Exact embedding-cosine connected components — the Θ(n²) ORACLE
+    * tier dedupe_embed_clusters (the anchor the blocked tiers verify
+    * against at test scale; at corpus scale use the SemDeDup or IVF
+    * entries above). */
   private def embedClustersSql: String =
     s"""WITH RECURSIVE
        |p AS (SELECT id1, id2 FROM (
@@ -1179,7 +1228,7 @@ object CorpusQueries extends QueryPack {
     // the IVF-blocked tier must converge to the SAME exact closure
     // (its candidate blocking is recall-1 on this corpus; exact verify
     // makes precision structural)
-    "dedupe_embed_ivf" -> embedClustersSql,
+    "dedupe_embed_ivf" -> ivfPlantedSql,
 
     // bounded-recall tier: its own Lloyd-replay oracle — NOT the exact
     // closure (recall < 1 is the contract; see semdedupClustersSql)

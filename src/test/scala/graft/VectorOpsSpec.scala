@@ -62,6 +62,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("a___cell"), s"expected cell join key in:\n$plan")
   }
 
+  test("ivf near-dup regime (dedupe_embed_ivf's r17 re-scope): at " +
+      "threshold 0.9 with nCentroids=ceil(sqrt(m)), nAssign=3, the " +
+      "planted corpus blocks at recall 1.0 with candidate fraction " +
+      "well below 1 (the regime where blocking PAYS — at the 0.45 " +
+      "semantic band r14 proved no recall-1.0 blocking prunes)") {
+    import org.apache.spark.sql.functions._
+    val emb0 = Tables.embeddings(spark, sfDir("0.1"))
+      .select("vec_id", "embedding")
+    val n = emb0.count()
+    val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+    val planted = emb0.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + n).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) * lit(0.5f))
+            .cast("float")),
+          slice(col("embedding"), 2, dim - 1)).as("embedding"))
+    val emb = emb0.union(planted)
+    val m = n + (n + 4) / 5
+    val nc = VectorOps.superK(m.toInt)
+    val exact = VectorOps.pairwiseCosine(emb, "vec_id", "embedding",
+        threshold = 0.9, blockCol = None)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.size == (n + 4) / 5,
+      s"every planted pair must clear 0.9: ${exact.size}")
+    val got = VectorOps.ivfPairwiseCosine(emb, "vec_id", "embedding",
+        threshold = 0.9, nCentroids = nc, nAssign = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == exact,
+      s"recall/precision must be 1.0: missed ${(exact -- got).size}, " +
+        s"extra ${(got -- exact).size}")
+    // candidate fraction: pairs sharing >=1 of the 3 probed cells
+    val cents = VectorOps.ivfTrain(emb, "embedding", nc, seed = 42L)
+    val cells = VectorOps.multiAssign(
+        VectorOps.withNorm(emb, "embedding"), "embedding", cents, 3)
+      .select(col("vec_id"), col("__cell"))
+    val cand = cells.as("a").join(cells.as("b"),
+        col("a.__cell") === col("b.__cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val frac = cand.toDouble / (m.toDouble * (m - 1) / 2)
+    info(f"m=$m nc=$nc pairs=${exact.size} cand_frac=$frac%.3f")
+    // measured 0.174 at m=2400 (shrinks as na^2/sqrt(m): 0.089 at sf1)
+    assert(frac < 0.3, s"blocking stopped pruning: cand_frac=$frac")
+  }
+
   test("ivfCosineMatches: cross-set matches equal the brute-force cross " +
       "join on clustered data; corpus is never self-joined") {
     val rnd = new scala.util.Random(11)
