@@ -198,6 +198,71 @@ object TextOps {
       (regexp_count(col(textCol), lit(EmailRe)) +
         regexp_count(col(textCol), lit(PhoneRe))).as("n_pii"))
 
+  /** Collapse runs of whitespace and trim — the normalization every
+    * HTML-extraction step below shares. */
+  private def collapseWs(c: Column): Column =
+    regexp_replace(trim(c), "\\s+", " ")
+
+  /** Decode the five basic HTML entities (&amp; LAST so escaped
+    * ampersands don't double-decode). */
+  private def unescapeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+
+  /** Escape text for embedding in HTML (&amp; FIRST) — the builder
+    * twin of [[unescapeEntities]]; round-trips any input. */
+  def escapeHtml(c: Column): Column =
+    regexp_replace(regexp_replace(
+      regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** The <title> text of an HTML page (whitespace-collapsed; empty
+    * string when absent). */
+  def htmlTitle(html: Column): Column =
+    collapseWs(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** MAIN-CONTENT extraction from HTML — the web-crawl front door
+    * every CCNet/RefinedWeb-style corpus build runs before curation
+    * (boilerplate/chrome removal; cites the jusText/boilerpipe
+    * link-density family). Deterministic, zero dependencies, and pure
+    * column expressions (one regex pipeline per row — map-only, no
+    * shuffle, no UDF), so the stage composes into `text_curate` /
+    * `pipeline_dedupe_cascade` at any scale:
+    *
+    *  1. drop comments, then <script>/<style>/<title> WITH contents;
+    *  2. split into blocks at block-level tag boundaries (div, p, nav,
+    *     footer, li, h1-6, ...);
+    *  3. per block: strip inline tags, collapse whitespace, and
+    *     compute LINK DENSITY = anchor-text chars / block chars;
+    *     blocks that are more than half link text (2·linkLen >
+    *     textLen — integer compare, no float) are boilerplate chrome
+    *     (nav bars, related-links boxes, footers) and are dropped
+    *     WHEREVER they sit in the page;
+    *  4. join survivors, collapse whitespace, decode basic entities.
+    */
+  def htmlMainText(html: Column): Column = {
+    val clean = regexp_replace(
+      regexp_replace(html, "(?s)<!--.*?-->", " "),
+      "(?is)<(script|style|title)[^>]*>.*?</\\1>", " ")
+    val blocks = split(clean,
+      "(?i)</?(?:html|head|body|div|p|nav|footer|header|section|" +
+        "article|aside|ul|ol|li|h[1-6]|table|tr|td|br)[^>]*>")
+    val scored = transform(blocks, b => {
+      val nb = collapseWs(regexp_replace(b, "<[^>]+>", " "))
+      val linkLen = aggregate(
+        transform(
+          regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+          a => length(collapseWs(a))),
+        lit(0), (acc, x) => acc + x)
+      struct(nb.as("t"), linkLen.as("l"))
+    })
+    val kept = filter(scored, s =>
+      length(s.getField("t")) > 0 &&
+        s.getField("l") * 2 <= length(s.getField("t")))
+    unescapeEntities(collapseWs(
+      array_join(transform(kept, s => s.getField("t")), " ")))
+  }
+
   /** Rolling polynomial fingerprint over characters:
     * h = fold(h*31 + codepoint) mod 1e9+7. Deterministic and engine-neutral
     * (expressible identically in DuckDB for the oracle), unlike xxhash64. */

@@ -513,6 +513,39 @@ object TextQueries extends QueryPack {
       TextOps.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
         window = 32, stride = 24)),
 
+    // THE WEB-CRAWL FRONT DOOR (r16 What's-missing #2): main-content
+    // extraction from HTML — the stage every CCNet/RefinedWeb-style
+    // corpus build runs BEFORE text_curate. The mm_decode_image
+    // fixture discipline: each document is wrapped into a full
+    // synthetic page (title, style, script with hostile < > && inside,
+    // nav bar, a mid-article related-links box, footer — all chrome
+    // built from LINKS so the link-density rule, not position, must
+    // remove it; the body text is HTML-escaped on the way in), so the
+    // closed-form expected extract is the whitespace-normalized
+    // original text + the planted trailing paragraph, which the oracle
+    // states DIRECTLY without parsing any HTML — the extractor is
+    // verified end-to-end (escape → wrap → extract ≡ normalize).
+    // Map-only column expressions; composes into the curation cascade
+    // (TextOpsSpec pins htmlMainText → curate ≡ curate on plain text).
+    "text_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { font: 12px; }</style>" +
+          "<script>var t = \"x < y && z > w\";</script></head>" +
+          "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav><div><p>"),
+        TextOps.escapeHtml(col("text")),
+        lit("</p><ul><li><a href=\"/r1\">Related one</a></li>" +
+          "<li><a href=\"/r2\">Related two</a></li></ul>" +
+          "<p>End of article.</p></div>" +
+          "<footer><a href=\"/t\">Terms</a> | " +
+          "<a href=\"/p\">Privacy</a></footer></body></html>"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          TextOps.htmlTitle(html).as("title"),
+          TextOps.htmlMainText(html).as("main_text"))
+    }),
+
     // chunk-level (block) dedupe accounting: disjoint 32-token blocks
     // (window = stride), a block is "duplicated" when its text occurs in
     // ≥2 DISTINCT docs — the RefinedWeb-style sub-document screen that
@@ -1083,6 +1116,18 @@ object TextQueries extends QueryPack {
         |  len(cts) AS n_chunk_tokens,
         |  array_to_string(cts, ' ') AS chunk_text
         |FROM ch""".stripMargin,
+
+    // the closed-form expected extract: escape -> wrap -> extract must
+    // round-trip to the whitespace-normalized text + the planted
+    // trailing paragraph; the title is the planted literal. NO HTML is
+    // parsed here — that the Spark side's parse reproduces this is the
+    // whole check.
+    "text_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g')
+        |    || ' End of article.' AS main_text
+        |FROM documents""".stripMargin,
 
     // disjoint 32-token blocks + the same 60-bit polynomial chunk hash
     "dedupe_chunks" ->

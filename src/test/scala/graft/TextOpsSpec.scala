@@ -46,4 +46,82 @@ class TextOpsSpec extends SparkSpec {
     assert(got(6L) == ((Some("duplicate"), false))) // 1 keeps, 6 rejects
     assert(got(7L) == ((Some("too_long"), false)))
   }
+
+  test("htmlMainText: drops script/style/comments with contents, strips " +
+      "tags, decodes entities, and removes high-link-density chrome " +
+      "wherever it sits — keeps low-density prose with inline links") {
+    val pages = Seq(
+      // chrome + content + mid-article link box + footer
+      (1L, "<html><head><title> My  Title </title><style>p{a:1}</style>" +
+        "<script>if (a < b && c > d) { x(\"<p>\"); }</script></head>" +
+        "<body><nav><a href='/'>Home</a> <a href='/x'>About</a></nav>" +
+        "<div><p>Alpha beta   gamma.</p>" +
+        "<ul><li><a href='/r'>Rel one</a></li><li><a>Rel two</a></li></ul>" +
+        "<p>Delta ends.</p></div>" +
+        "<footer><a>Terms</a> | <a>Privacy</a></footer></body></html>"),
+      // entities round-trip; inline anchor INSIDE prose is kept (low density)
+      (2L, "<body><p>x &lt;tag&gt; &amp;&amp; y &quot;q&quot; &#39;s&#39; " +
+        "see <a href='/d'>docs</a> for more words here</p></body>"),
+      // comment spanning lines; empty blocks produce nothing
+      (3L, "<body><!-- hidden\n<p>ghost</p> --><div></div><p>Solo.</p></body>"),
+      // no body/blocks at all
+      (4L, "plain text, no markup"),
+      (5L, ""))
+      .toDF("id", "html")
+    val got = pages.select(col("id"),
+        TextOps.htmlTitle(col("html")).as("t"),
+        TextOps.htmlMainText(col("html")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == (("My Title", "Alpha beta gamma. Delta ends.")))
+    assert(got(2L) ==
+      (("", "x <tag> && y \"q\" 's' see docs for more words here")))
+    assert(got(3L) == (("", "Solo.")))
+    assert(got(4L) == (("", "plain text, no markup")))
+    assert(got(5L) == (("", "")))
+  }
+
+  test("escapeHtml -> wrap -> htmlMainText round-trips hostile text " +
+      "(the text_html_extract entry's closed-form oracle law)") {
+    val hostile = Seq(
+      (1L, "a < b && b > c"),
+      (2L, "tags like <script>alert('x')</script> stay TEXT"),
+      (3L, "amp & lt &lt; already-escaped &amp; mix"))
+      .toDF("id", "text")
+    val wrapped = hostile.select(col("id"),
+      concat(lit("<body><nav><a href='/'>Home</a> <a>About</a></nav><p>"),
+        TextOps.escapeHtml(col("text")),
+        lit("</p><footer><a>Terms</a> | <a>Privacy</a></footer></body>"))
+        .as("html"))
+    val got = wrapped.select(col("id"),
+        TextOps.htmlMainText(col("html")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a < b && b > c")
+    assert(got(2L) == "tags like <script>alert('x')</script> stay TEXT")
+    assert(got(3L) == "amp & lt &lt; already-escaped &amp; mix")
+  }
+
+  test("cascade composition: htmlMainText feeding curate equals curate " +
+      "on the plain normalized text (the front door composes)") {
+    val docs = Tables.documents(spark, sfDir("0.001"))
+      .select("doc_id", "text", "lang")
+    val html = docs.select(col("doc_id"), col("lang"),
+      concat(lit("<body><nav><a href='/'>Home</a> <a>About</a></nav><p>"),
+        TextOps.escapeHtml(col("text")),
+        lit("</p><footer><a>Terms</a> | <a>Privacy</a></footer></body>"))
+        .as("html"))
+    val extracted = html.select(col("doc_id"), col("lang"),
+      TextOps.htmlMainText(col("html")).as("text"))
+    def runCurate(d: org.apache.spark.sql.DataFrame) =
+      TextOps.curate(d, "doc_id", "text",
+          minTokens = 5, maxTokens = 100000, minQuality = 0.3)
+        .select("doc_id", "keep", "reject_reason")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.getString(2)))).toSet
+    val viaHtml = runCurate(extracted)
+    val direct = runCurate(docs.select(col("doc_id"), col("lang"),
+      regexp_replace(trim(col("text")), "\\s+", " ").as("text")))
+    assert(viaHtml == direct,
+      "curation verdicts diverge between extracted and plain text")
+  }
 }
