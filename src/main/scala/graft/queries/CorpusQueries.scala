@@ -697,7 +697,7 @@ object CorpusQueries extends QueryPack {
   private def incStateFixture(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val dir = s"/tmp/graft_incstate/${Fixtures.key(s, s"$d/documents.parquet")}"
+    val dir = s"${Fixtures.root}/graft_incstate/${Fixtures.key(s, s"$d/documents.parquet")}"
     if (!Fixtures.exists(s, s"$dir/landed")) {
       val base = Tables.documents(s, d).select("doc_id", "text")
         .filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -720,7 +720,7 @@ object CorpusQueries extends QueryPack {
     * source-keyed fixture dir and read back on subsequent calls. */
   private def bpeVocabFixture(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val dir = s"/tmp/graft_bpe_vocab/${Fixtures.key(s, s"$d/documents.parquet")}"
+    val dir = s"${Fixtures.root}/graft_bpe_vocab/${Fixtures.key(s, s"$d/documents.parquet")}"
     if (!Fixtures.exists(s, dir))
       bpeTrain(s, d, 8)._1.write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)

@@ -15,6 +15,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Fixtures {
 
+  /** Root directory for all runtime fixtures and streaming scratch dirs.
+    * Defaults to /tmp; override with SPARK_GRAFT_FIXTURE_DIR to survive
+    * box resets (VERDICT r16 #8: a fresh box otherwise pays a silent
+    * full fixture rebuild INSIDE timed bench paths). Read once — the
+    * env cannot change mid-JVM. */
+  val root: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/tmp").stripSuffix("/")
+
+  /** Fixture-build observability: [[exists]] counts every miss (a miss
+    * is always followed by a build at the call sites), so Bench can
+    * report builds that happened inside a timed pass — a rebuilt
+    * fixture inflates an entry's timing without being a code change. */
+  private val misses = new java.util.concurrent.atomic.AtomicLong(0)
+  def missCount: Long = misses.get()
+
   /** 16-hex-char fingerprint of `srcPath`'s (uri, length, mtime). */
   def key(spark: SparkSession, srcPath: String): String = {
     val p = new Path(srcPath)
@@ -30,15 +45,21 @@ object Fixtures {
     * checked through the Hadoop FS. */
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val there =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!there) {
+      misses.incrementAndGet()
+      System.err.println(s"[fixture-build] $dir")
+    }
+    there
   }
 
-  /** Recursively delete `/tmp/<name>` if present and return its path —
+  /** Recursively delete `<root>/<name>` if present and return its path —
     * the streaming entries' per-run scratch discipline (fixed root, so
     * bench passes never accumulate tmp dirs), with the Files.walk
     * stream properly closed. */
   def freshDir(name: String): java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(s"/tmp/$name")
+    val base = java.nio.file.Paths.get(s"$root/$name")
     if (java.nio.file.Files.exists(base)) {
       val walk = java.nio.file.Files.walk(base)
       try {

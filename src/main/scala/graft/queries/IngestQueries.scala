@@ -23,7 +23,7 @@ object IngestQueries extends QueryPack {
     "scan_csv_glob" -> ((s, d) => {
       // fixture keyed on the SOURCE's content fingerprint (uri+len+mtime):
       // regenerating the dataset at the same path invalidates the cache
-      val tmp = s"/tmp/graft_csv_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_csv_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         val fmts = CsvIngest.DefaultFormats
         val m = pmod(col("event_id"), lit(4))
@@ -48,7 +48,7 @@ object IngestQueries extends QueryPack {
     // a mis-set quote or charset corrupts values and fails the hash —
     // the whole write→read→infer loop runs in the non-default dialect
     "scan_csv_delim" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv_delim_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_csv_delim_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         Tables.events(s, d)
           .filter(pmod(col("event_id"), lit(7)) === 0)
@@ -72,7 +72,7 @@ object IngestQueries extends QueryPack {
     // so each record spans many physical lines and the quoted-field
     // reassembly is what's under test end-to-end.
     "scan_csv_multiline" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv_ml_fixture/${Fixtures.key(s, s"$d/documents.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_csv_ml_fixture/${Fixtures.key(s, s"$d/documents.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(11)) === 0)
@@ -92,7 +92,7 @@ object IngestQueries extends QueryPack {
     // text cells, null event_types omitted (sparse refs), timestamps as
     // ISO strings through the same all-or-nothing inference as CSV
     "scan_xlsx" -> ((s, d) => {
-      val tmp = s"/tmp/graft_xlsx_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_xlsx_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         val dir = Paths.get(tmp)
         Files.createDirectories(dir)
@@ -131,7 +131,7 @@ object IngestQueries extends QueryPack {
     // (the reference's quirky-but-real semantics: newest file is processed
     // FIRST, so the oldest file's rows land LAST and win — datapump.py:426)
     "scan_order_mtime" -> ((s, d) => {
-      val dir = Paths.get("/tmp/graft_mtime_fixture")
+      val dir = Paths.get(s"${Fixtures.root}/graft_mtime_fixture")
       Files.createDirectories(dir)
       val files = Seq(
         ("f1.csv", "k,v\n1,10.5\n2,20.5\n", 1700000000000L),
@@ -156,7 +156,7 @@ object IngestQueries extends QueryPack {
     // resolves against directory names, visible as PartitionFilters in
     // the physical plan — zero data files from other days are opened).
     "scan_partition_prune" -> ((s, d) => {
-      val tmp = s"/tmp/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         Tables.events(s, d)
           .withColumn("event_date", to_date(col("ts")))
@@ -180,7 +180,7 @@ object IngestQueries extends QueryPack {
     // oracle is the same rectangle over the original table; cents sums
     // in exact integer math (cross-engine half-up floor(x*100+0.5)).
     "scan_zorder_prune" -> ((s, d) => {
-      val tmp = s"/tmp/graft_zorder_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_zorder_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         graft.ops.Layout.writeZOrdered(Tables.orders(s, d),
           "o_custkey", "o_totalprice", numFiles = 64, tmp)
@@ -207,7 +207,7 @@ object IngestQueries extends QueryPack {
     // dims whose only filter is isnotnull (an agg/limit dim, say), a
     // planner contract this entry deliberately stays inside.
     "join_partition_prune" -> ((s, d) => {
-      val tmp = s"/tmp/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_part_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         Tables.events(s, d)
           .withColumn("event_date", to_date(col("ts")))
@@ -232,7 +232,7 @@ object IngestQueries extends QueryPack {
     // = clean rows + the quarantine count; literal-VALUES oracle pins
     // which lines are malformed vs merely null-valued.
     "scan_corrupt_quarantine" -> ((s, d) => {
-      val dir = Paths.get("/tmp/graft_quarantine_fixture")
+      val dir = Paths.get(s"${Fixtures.root}/graft_quarantine_fixture")
       Files.createDirectories(dir)
       Files.write(dir.resolve("data.csv"),
         ("k,v,ts\n" +
@@ -263,7 +263,7 @@ object IngestQueries extends QueryPack {
     // A pinned schema (never inference) is the 100 TB contract: inference
     // would scan the corpus twice and can drift between files.
     "scan_jsonl" -> ((s, d) => {
-      val tmp = s"/tmp/graft_jsonl_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_jsonl_fixture/${Fixtures.key(s, s"$d/events.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         Tables.events(s, d)
           .select(to_json(struct(col("event_id"), col("user_id"),
@@ -282,7 +282,7 @@ object IngestQueries extends QueryPack {
     // schemas ((k,a) and (k,b)).
     "scan_schema_merge" -> ((s, d) => {
       val tmp =
-        s"/tmp/graft_merge_fixture/${Fixtures.key(s, s"$d/region.parquet")}"
+        s"${Fixtures.root}/graft_merge_fixture/${Fixtures.key(s, s"$d/region.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         val r = Tables.region(s, d)
         r.select(col("r_regionkey").as("k"), col("r_name").as("a"))
@@ -306,8 +306,8 @@ object IngestQueries extends QueryPack {
     // source table — compaction must be a pure layout change.
     "sink_compact" -> ((s, d) => {
       val key = Fixtures.key(s, s"$d/events.parquet")
-      val frag = s"/tmp/graft_compact_fixture/$key/fragmented"
-      val out = s"/tmp/graft_compact_fixture/$key/compacted"
+      val frag = s"${Fixtures.root}/graft_compact_fixture/$key/fragmented"
+      val out = s"${Fixtures.root}/graft_compact_fixture/$key/compacted"
       if (!Fixtures.exists(s, frag)) {
         Tables.events(s, d).select("event_id", "user_id", "value")
           .repartition(32).write.mode("overwrite").parquet(frag)
@@ -357,7 +357,7 @@ object IngestQueries extends QueryPack {
     // pipeline is under test (the oracle reads the parquet source). The
     // fixture is content-keyed like the CSV round-trips.
     "scan_orc" -> ((s, d) => {
-      val tmp = s"/tmp/graft_orc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_orc_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp))
         Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice",
@@ -372,7 +372,7 @@ object IngestQueries extends QueryPack {
     // never produces the single-giant-file layout that would need
     // block splitting.
     "scan_avro" -> ((s, d) => {
-      val tmp = s"/tmp/graft_avro_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_avro_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp)) {
         graft.ingest.AvroIngest.writeAvro(
           Tables.orders(s, d)
@@ -393,7 +393,7 @@ object IngestQueries extends QueryPack {
     // (the correction derives from the source, not the layout), which
     // is what makes partition-scoped backfills safe to retry at 100 TB.
     "sink_overwrite_dynamic" -> ((s, d) => {
-      val tmp = s"/tmp/graft_dynow_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_dynow_fixture/${Fixtures.key(s, s"$d/orders.parquet")}"
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
       if (!Fixtures.exists(s, tmp))

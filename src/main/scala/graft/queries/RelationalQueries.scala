@@ -718,7 +718,7 @@ object RelationalQueries extends QueryPack {
           bucketCol: String): org.apache.spark.sql.DataFrame = {
         val df = df0.repartition(8, col(bucketCol))
         val tbl = s"graft_b1_${name}_$key"
-        val path = s"/tmp/graft_bucket_fixture_1f/$key/$name"
+        val path = s"${Fixtures.root}/graft_bucket_fixture_1f/$key/$name"
         if (!s.catalog.tableExists(tbl)) {
           if (Fixtures.exists(s, path)) {
             // layout already on disk from an earlier session: re-attach it

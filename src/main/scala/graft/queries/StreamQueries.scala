@@ -643,7 +643,7 @@ object StreamQueries extends QueryPack {
           col("o_totalprice") + 70.0, "U", 3L, 3L))
         .unionByName(chg(k % 30 === 0, k + 3000000L, col("o_custkey"),
           lit(2.0), "I", 1L, 4L))
-      val tmp = s"/tmp/graft_cdc_fixture_seq/${Fixtures.key(s, s"$d/orders.parquet")}"
+      val tmp = s"${Fixtures.root}/graft_cdc_fixture_seq/${Fixtures.key(s, s"$d/orders.parquet")}"
       if (!Fixtures.exists(s, tmp))
         changes.write.mode("overwrite").parquet(tmp)
       val sink = graft.sink.JdbcSink("jdbc:derby:memory:streamcdc;create=true")
@@ -916,7 +916,7 @@ object StreamQueries extends QueryPack {
     // CSV file stream with a deterministic runtime fixture; oracle is a
     // literal VALUES table. Exercises schema-pinned streaming CSV ingest.
     "stream_ingest_files" -> ((s, d) => {
-      val dir = Paths.get("/tmp/graft_stream_fixture")
+      val dir = Paths.get(s"${Fixtures.root}/graft_stream_fixture")
       Files.createDirectories(dir)
       Seq(("a.csv", "k,v\n1,10.5\n2,20.5\n"), ("b.csv", "k,v\n3,30.5\n"))
         .foreach { case (n, content) =>

@@ -176,7 +176,7 @@ object VectorQueries extends QueryPack {
       val ann = VectorOps.lshCosineTopKPruned(s, corpus, "vec_id",
         "embedding", query, "embedding", k = 10, nBits = 8, dim = 64,
         probe = 1, layoutDir =
-          s"/tmp/graft_lsh_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+          s"${Fixtures.root}/graft_lsh_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
@@ -206,7 +206,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_pq" -> ((s, d) => {
       val (corpus, query) = plantedCorpus(s, d)
       val dir =
-        s"/tmp/graft_pq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
+        s"${Fixtures.root}/graft_pq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
       val model = VectorOps.pqLayoutEnsure(s, corpus, "vec_id", "embedding",
         dir, nCentroids = 0, m = 8, kCent = 16)
       val ann = VectorOps.pqCosineTopKFromLayout(s, dir, model,
@@ -222,7 +222,7 @@ object VectorQueries extends QueryPack {
     "vec_ann_ivfpq" -> ((s, d) => {
       val (corpus, query) = plantedCorpus(s, d)
       val dir =
-        s"/tmp/graft_ivfpq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
+        s"${Fixtures.root}/graft_ivfpq_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}"
       val model = VectorOps.pqLayoutEnsure(s, corpus, "vec_id", "embedding",
         dir, nCentroids = 16, m = 8, kCent = 16)
       val ann = VectorOps.pqCosineTopKFromLayout(s, dir, model,
@@ -280,7 +280,7 @@ object VectorQueries extends QueryPack {
       val ann = VectorOps.ivfCosineTopKPruned(s, corpus, "vec_id",
         "embedding", query, "embedding", k = 10, centroids, nProbe = 4,
         layoutDir =
-          s"/tmp/graft_ivf_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+          s"${Fixtures.root}/graft_ivf_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
       annotateRecall(ann, exactTop10(corpus, query), k = 10, minRecall = 0.9)
     }),
 
@@ -301,7 +301,7 @@ object VectorQueries extends QueryPack {
       val ann = VectorOps.ivfFilteredTopK(s, corpus, "vec_id",
         "embedding", "label", 1, query, "embedding", k = 10, centroids,
         nProbe = 4, layoutDir =
-          s"/tmp/graft_ivff_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
+          s"${Fixtures.root}/graft_ivff_planted/${Fixtures.key(s, s"$d/embeddings.parquet")}")
       val exact = VectorOps.cosineTopK(
         corpus.filter(col("label") === 1).select("vec_id", "embedding"),
         "vec_id", "embedding", query, "embedding", k = 10)
