@@ -66,7 +66,18 @@ import org.apache.spark.sql.SparkSession
   * MAX child loadavg.
   */
 object Bench {
+  // 1-minute system load average; -1.0 if the JVM can't provide one
+  private def loadavg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    // sampled at PROCESS ENTRY, before any Spark work: the bench's own
+    // warmup drives a 32-thread box's 1-min loadavg well above any
+    // sane threshold, so the contention verdict must reflect what was
+    // running BEFORE us (co-tenants), not our own load
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")) {
       runIsolated(sfDir)
@@ -109,12 +120,6 @@ object Bench {
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => System.err.println(s"[warmup] $name failed") }
     }
-
-    // 1-minute system load average; -1.0 if the JVM can't provide one
-    def loadavg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
 
     // timed passes: median-of-N per query. A failure is recorded (first
     // exception wins) and the query is NOT retried on later passes — a
@@ -171,11 +176,11 @@ object Bench {
     // reader never mistakes contention for regression
     val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
       .flatMap(_.toDoubleOption).getOrElse(3.0)
-    val contended = load > loadMax
+    val contended = loadStart > loadMax
     if (contended)
-      System.err.println(f"[bench] WARNING: loadavg $load%.2f exceeds " +
-        f"$loadMax%.1f — numbers are contention-inflated, prefer an " +
-        "isolated (SPARK_GRAFT_ISOLATE=1) artifact for comparison")
+      System.err.println(f"[bench] WARNING: pre-run loadavg $loadStart%.2f " +
+        f"exceeds $loadMax%.1f — numbers are contention-inflated, prefer " +
+        "an isolated (SPARK_GRAFT_ISOLATE=1) artifact for comparison")
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -197,7 +202,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"passes":$passes,"loadavg":${num(load)},""" +
-      s""""contended":$contended,"fixture_builds":$fixtureBuilds,"sf":$sf}"""
+      s""""loadavg_start":${num(loadStart)},"contended":$contended,""" +
+      s""""fixture_builds":$fixtureBuilds,"sf":$sf}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => }
@@ -218,7 +224,8 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$topQs,"queries_omitted":${results.size - top.size},""" +
       s""""errors":$compactErr,"passes":$passes,"loadavg":${num(load)},""" +
-      s""""contended":$contended,"fixture_builds":$fixtureBuilds,""" +
+      s""""loadavg_start":${num(loadStart)},"contended":$contended,""" +
+      s""""fixture_builds":$fixtureBuilds,""" +
       s""""queries_file":"bench_out.json","sf":$sf}"""
     try spark.stop() catch { case _: Throwable => }
     println(compact)
@@ -234,6 +241,9 @@ object Bench {
   private def runIsolated(sfDir: String): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    val loadStart = loadavg()
+    val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
+      .flatMap(_.toDoubleOption).getOrElse(3.0)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -264,7 +274,7 @@ object Bench {
     var load = -1.0
     var passes = 0
     var fixtureBuilds = 0L
-    var contended = false
+    val contended = loadStart > loadMax
     names.zipWithIndex.foreach { case (name, i) =>
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
         "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")).toArray
@@ -327,10 +337,7 @@ object Bench {
             case JInt(v) => fixtureBuilds += v.toLong
             case _ =>
           }
-          (j \ "contended") match {
-            case JBool(v) => contended ||= v
-            case _ =>
-          }
+
         case None =>
           errors(name) = s"child JVM rc=$rc, no parseable JSON line"
       }
@@ -349,7 +356,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"passes":$passes,"isolated":true,""" +
-      s""""loadavg":${num(load)},"contended":$contended,""" +
+      s""""loadavg":${num(load)},"loadavg_start":${num(loadStart)},""" +
+      s""""contended":$contended,""" +
       s""""fixture_builds":$fixtureBuilds,"sf":$sf}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
@@ -364,8 +372,8 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$topQs,"queries_omitted":${timings.size - top.size},""" +
       s""""errors":$compactErr,"passes":$passes,"isolated":true,""" +
-      s""""loadavg":${num(load)},"contended":$contended,""" +
-      s""""fixture_builds":$fixtureBuilds,""" +
+      s""""loadavg":${num(load)},"loadavg_start":${num(loadStart)},""" +
+      s""""contended":$contended,"fixture_builds":$fixtureBuilds,""" +
       s""""queries_file":"bench_out.json","sf":$sf}"""
     println(compact)
     System.out.flush()
