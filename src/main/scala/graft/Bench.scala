@@ -275,8 +275,12 @@ object Bench {
     var passes = 0
     var fixtureBuilds = 0L
     val contended = loadStart > loadMax
+    // child heap: default 8g matches the r12+ protocol; sf10-class runs
+    // need executor-standard memory per core (2GB/thread — the 100 TB
+    // sizing a real cluster gives each executor), set via env
+    val childXmx = sys.env.getOrElse("SPARK_GRAFT_CHILD_XMX", "8g")
     names.zipWithIndex.foreach { case (name, i) =>
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$childXmx",
         "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)

@@ -81,8 +81,14 @@ object GraphQueries extends QueryPack {
       // memory — the same plan runs as shuffle joins keyed on src/dst
       // with edge-linear rows in flight (shape pinned by GraphOpsSpec).
       val m = edges.count()
+      // shuffle width scales with m (GraphOps.trianglePartitions): the
+      // probe join's per-task payload carries both endpoints' adjacency
+      // arrays, so a fixed session width turns a 10x edge set into 10x
+      // heavier tasks (the r17 sf10 OOM); None below the bound keeps
+      // small-SF plans byte-identical
       val nT = GraphOps.edgeIteratorTriangles(oriented,
-        broadcastAdj = m <= 50000000L)
+        broadcastAdj = m <= 50000000L,
+        parts = GraphOps.trianglePartitions(s, m))
       nV.crossJoin(nE).crossJoin(nP).crossJoin(nT)
     }),
 
@@ -116,8 +122,10 @@ object GraphQueries extends QueryPack {
           .as("dst"))
         .localCheckpoint()
       val m = edges.count()
+      // same data-scaled width as graph_triangle_count (r17 sf10 fix)
       val tri = GraphOps.perNodeTriangles(oriented,
-        broadcastAdj = m <= 50000000L)
+        broadcastAdj = m <= 50000000L,
+        parts = GraphOps.trianglePartitions(s, m))
       deg.join(tri, Seq("x"), "left")
         .na.fill(0L, Seq("n_tri"))
         .select(col("x"), col("deg").cast("long").as("deg"),
