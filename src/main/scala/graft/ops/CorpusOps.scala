@@ -310,6 +310,56 @@ object CorpusOps {
           .as("nll_per_bigram"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by how much more
+    * likely its hashed-token bag is under a TARGET distribution (the
+    * high-quality / in-domain subset) than under the RAW corpus
+    * distribution — the principled replacement for hand-tuned source
+    * mixtures when assembling a pre-training corpus.
+    *
+    * Model: tokens hash into `buckets` bins via the engine-neutral
+    * [[TextDedupe.tokenHash60]]; with add-one smoothing
+    *   p_T(b) = (c_T(b)+1)/(N_T+B),  p_R(b) = (c_R(b)+1)/(N_R+B)
+    * and log w(d) = Σ_{tok ∈ d} [ln p_T(b(tok)) − ln p_R(b(tok))].
+    * Each per-bucket ln is StableRound'd to 6 decimals and the per-doc
+    * sum runs as EXACT DECIMAL (the text_lm_score discipline), so the
+    * only cross-engine libm surface is one ln per (bucket, side) at
+    * round-6 granularity. `selected` = log w > 0 (decimal compare):
+    * the doc reads more target-like than corpus-average.
+    *
+    * Scale shape: ONE token-level scan builds both count relations
+    * (c_T via conditional sum inside the same map-side-combined
+    * groupBy); the B-row score table broadcasts; the only exchanges
+    * are B-row partial-agg combines and the (id, decimal) per-doc sum.
+    * Document text never shuffles. B is a constant (default 256) —
+    * driver/broadcast state is O(B), independent of corpus size.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    val tok = docs
+      .select(col(idCol), isTarget.cast("long").as("__t"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), col("__t"),
+        pmod(TextDedupe.tokenHash60(col("__w")), lit(buckets.toLong))
+          .as("b"))
+    val counts = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"), sum(col("__t")).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    def lnP(c: Column, n: Column): Column =
+      StableRound.round6(log((c + 1).cast("double")
+        / (n + buckets).cast("double"))).cast(DecimalType(27, 6))
+    val scores = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (lnP(col("ct"), col("nt")) - lnP(col("cr"), col("nr"))).as("s"))
+    val perDoc = tok.join(broadcast(scores), "b")
+      .groupBy(idCol).agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).as("lw"))
+    perDoc.select(col(idCol), col("n_tokens"),
+      StableRound.round6(col("lw").cast("double") / col("n_tokens"))
+        .as("lw_per_token"),
+      (col("lw") > 0).as("selected"))
+  }
+
   /** Trained multinomial Naive-Bayes document classifier — the exact-math
     * relative of the fasttext-style domain/quality filters every corpus
     * build runs (CCNet's wiki-vs-crawl model, DataComp's quality

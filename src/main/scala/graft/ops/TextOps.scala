@@ -263,6 +263,59 @@ object TextOps {
       array_join(transform(kept, s => s.getField("t")), " ")))
   }
 
+  /** Unicode canonicalization — the pass a crawl corpus runs BEFORE any
+    * hashing/dedupe stage, because decomposed accents (e + U+0301) and
+    * zero-width characters make visually identical sentences hash apart
+    * (reference scope: datapump.py normalizes only via pandas str ops;
+    * this is the Unicode-correct superset a multi-source corpus needs).
+    * Steps, in order:
+    *
+    *  1. NFC composition via the native codegen'd [[graft.functions.NfcNormalize]]
+    *     (already-normalized text is detected in one scan and returned
+    *     without copying — the hot path for clean corpora);
+    *  2. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM);
+    *  3. NBSP → space (java \s does not match U+00A0);
+    *  4. collapse whitespace runs and trim.
+    *
+    * Map-only column expressions; the DuckDB oracle replays steps 2-4
+    * with the same regexes over `nfc_normalize()`. */
+  def normalizeUnicode(text: Column): Column =
+    collapseWs(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalize.nfcNormalize(text),
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+      "\\x{00A0}", " "))
+
+  /** URL canonicalization for URL-level dedupe — the C4/CCNet front-door
+    * twin of [[normalizeUnicode]]: the same landing page arrives from a
+    * crawl frontier as scheme/host case variants, default ports,
+    * tracking params, fragments and trailing slashes. Rules (each a
+    * deterministic column expression, shared verbatim with the DuckDB
+    * oracle):
+    *
+    *  1. drop the fragment (`#...`);
+    *  2. drop `utm_*` tracking params, KEEPING all other query params
+    *     in their original order (split → filter → rejoin — no regex
+    *     lookbehind, so the same logic runs on RE2-based engines);
+    *  3. lowercase the `scheme://host[:port]` prefix (never the path);
+    *  4. drop explicit default ports `:80`/`:443`;
+    *  5. strip trailing slashes from the path.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"),
+      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !p.startsWith("utm_"))
+    val q = array_join(kept, "&")
+    val prefix = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
+    val rest = base.substr(length(prefix) + 1, length(base))
+    val host = regexp_replace(lower(prefix), ":(443|80)$", "")
+    val path = regexp_replace(rest, "/+$", "")
+    concat(host, path, when(length(q) > 0, concat(lit("?"), q))
+      .otherwise(lit("")))
+  }
+
   /** Rolling polynomial fingerprint over characters:
     * h = fold(h*31 + codepoint) mod 1e9+7. Deterministic and engine-neutral
     * (expressible identically in DuckDB for the oracle), unlike xxhash64. */

@@ -228,6 +228,19 @@ object CorpusQueries extends QueryPack {
     "text_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // DSIR importance weights (Xie et al. 2023) — score every document
+    // by hashed-token-bag likelihood ratio target-vs-corpus; the
+    // principled replacement for hand-tuned source mixtures (the data-
+    // SELECTION face of the mixture tier: sample_mixture reweights
+    // sources, this scores documents). Target = three named sources
+    // (the "curated domain"); B=256 buckets over the engine-neutral
+    // tokenHash60, per-bucket lns round6'd, per-doc sums exact decimal
+    // (the text_lm_score discipline). One token scan builds both count
+    // relations; the B-row score table broadcasts — text never shuffles.
+    "sample_dsir" -> ((s, d) =>
+      CorpusOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("source").isin("src1", "src2", "src3"))),
+
     // THE COMPOSED PRE-TRAINING PIPELINE — the real corpus build runs
     // curate → gopher → decontaminate → cluster-dedupe → mixture as ONE
     // job ending in a one-row report. Composition shape (and why it
@@ -1293,6 +1306,34 @@ object CorpusQueries extends QueryPack {
          |  ${graft.StableRound.sql6("CAST(s AS DOUBLE) / n_bigrams")}
          |    AS nll_per_bigram
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // same DSIR law: identical engine-neutral token hash, round6'd
+    // per-bucket lns, exact-decimal per-doc sums
+    "sample_dsir" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    (CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END)
+         |      AS t,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |tb AS (SELECT doc_id, t,
+         |    ${TextQueries.tokenHash60Sql("w")} % 256 AS b FROM tok),
+         |cnt AS (SELECT b, count(*) AS cr, sum(t) AS ct FROM tb GROUP BY 1),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+         |sc AS (SELECT b,
+         |    CAST(${graft.StableRound.sql6(
+                "ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))")}
+         |        AS DECIMAL(27,6))
+         |    - CAST(${graft.StableRound.sql6(
+                "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))")}
+         |        AS DECIMAL(27,6)) AS s
+         |  FROM cnt CROSS JOIN tot),
+         |pd AS (SELECT tb.doc_id, count(*) AS n_tokens, sum(sc.s) AS lw
+         |  FROM tb JOIN sc USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  ${graft.StableRound.sql6("CAST(lw AS DOUBLE) / n_tokens")}
+         |    AS lw_per_token,
+         |  lw > 0 AS selected
+         |FROM pd""".stripMargin,
 
     // The composed pipeline, stage oracles embedded as SUBQUERIES (each
     // keeps its own WITH scope, so CTE names cannot collide) — the

@@ -169,6 +169,37 @@ object ScalarQueries extends QueryPack {
       g.select(col("o_orderkey"), col("zx"), col("zy"),
         graft.ops.Layout.zValue(col("zx"), col("zy"), 16).as("zval"))
     }),
+
+    // URL-level dedupe — the C4/CCNet frontier-collapse stage that runs
+    // BEFORE any document is fetched twice: canonicalize (drop fragment,
+    // strip utm_* tracking params keeping others in order, lowercase
+    // scheme://host, drop default ports, strip trailing slashes) and
+    // keep-first by canonical form. The fixture plants every variant
+    // class from event parities (case/port/slash/utm/fragment), so each
+    // canonical group collapses 1-to-many and non-utm params (`ref=`)
+    // survive — the oracle replays the identical rule chain (split →
+    // list_filter → rejoin; no lookbehind, RE2-safe). Map-only
+    // canonicalization; the only shuffle is the canonical-key groupBy
+    // carrying (url, id) rows — document/page bodies never move.
+    "dedupe_url" -> ((s, d) => {
+      val id = col("event_id")
+      val dirty = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS://Data.Example.COM"))
+          .otherwise(lit("https://data.example.com")),
+        when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("event_type"), lit("/item/"),
+        pmod(id, lit(40)).cast("string"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(3)) === 0,
+          lit("?utm_source=feed&utm_campaign=daily"))
+          .when(pmod(id, lit(3)) === 1, lit("?ref=home&utm_medium=social"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit("#section-2")).otherwise(lit("")))
+      Tables.events(s, d)
+        .select(id, graft.ops.TextOps.canonicalizeUrl(dirty).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_variants"),
+          min("event_id").as("first_event_id"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -301,5 +332,39 @@ object ScalarQueries extends QueryPack {
          |  FROM orders, b)
          |SELECT o_orderkey, zx, zy, ($inter) AS zval FROM g""".stripMargin
     },
+
+    // the identical canonicalization rule chain: split_part for
+    // fragment/query, list_filter for utm_* (keeps param order),
+    // lowercase + default-port drop on the scheme://host prefix only,
+    // trailing-slash strip on the path
+    "dedupe_url" ->
+      """WITH u AS (SELECT event_id,
+        |  (CASE WHEN event_id % 2 = 0 THEN 'HTTPS://Data.Example.COM'
+        |        ELSE 'https://data.example.com' END)
+        |  || (CASE WHEN event_id % 3 = 0 THEN ':443' ELSE '' END)
+        |  || '/' || event_type || '/item/' || CAST(event_id % 40 AS VARCHAR)
+        |  || (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN event_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=daily'
+        |           WHEN event_id % 3 = 1 THEN '?ref=home&utm_medium=social'
+        |           ELSE '' END)
+        |  || (CASE WHEN event_id % 5 = 0 THEN '#section-2' ELSE '' END)
+        |  AS dirty FROM events),
+        |p AS (SELECT event_id,
+        |    split_part(split_part(dirty, '#', 1), '?', 1) AS base,
+        |    array_to_string(list_filter(
+        |      string_split(split_part(split_part(dirty, '#', 1), '?', 2), '&'),
+        |      q -> len(q) > 0 AND NOT starts_with(q, 'utm_')), '&') AS q
+        |  FROM u),
+        |c AS (SELECT event_id,
+        |    regexp_replace(lower(
+        |      regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*')),
+        |      ':(443|80)$', '')
+        |    || regexp_replace(substr(base, length(
+        |      regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*')) + 1),
+        |      '/+$', '')
+        |    || (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END) AS url
+        |  FROM p)
+        |SELECT url, count(*) AS n_variants, min(event_id) AS first_event_id
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

@@ -564,6 +564,29 @@ object StreamQueries extends QueryPack {
         outputMode = "append")
     }),
 
+    // the web-crawl front door in its streaming posture: crawled pages
+    // arrive as a file stream and main-content extraction is a
+    // STATELESS per-row projection (the same column-expression pipeline
+    // as batch — no state store, no watermark), so one AvailableNow
+    // pass over the static corpus reproduces text_html_extract exactly
+    // and the closed-form oracle is shared verbatim. This is the shape
+    // a continuous crawl ingest runs at any scale: extraction
+    // parallelism = file-source partitioning, zero shuffle.
+    "stream_html_extract" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = s.read.parquet(s"$d/documents.parquet")
+      val pages = StreamOps.fileStreamParquet(
+          s, s"$d/documents.parque*", batch.schema)
+        .select(col("doc_id"), col("text"))
+      StreamOps.runToMemory(
+        pages.select(col("doc_id"),
+          graft.ops.TextOps.htmlTitle(TextQueries.syntheticPageHtml)
+            .as("title"),
+          graft.ops.TextOps.htmlMainText(TextQueries.syntheticPageHtml)
+            .as("main_text")),
+        outputMode = "append")
+    }),
+
     // streaming NB classification — the trained quality/domain filter
     // in its deployed posture: the model is FROZEN batch-side
     // (CorpusOps.nbTrainModel on the seeded split, the cadence a
@@ -1471,6 +1494,10 @@ object StreamQueries extends QueryPack {
         |SELECT doc_id, lang, n_tokens, start_offset,
         |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id
         |FROM packed""".stripMargin),
+
+    // stateless projection — one AvailableNow pass ≡ the batch extract,
+    // closed-form oracle shared verbatim
+    "stream_html_extract" -> TextQueries.htmlExtractOracleSql,
 
     // survivors = docs with no lower-id exact-Jaccard≥0.5 partner (the
     // proven dedupe_minhash_lsh pair CTE — LSH recall on this corpus is

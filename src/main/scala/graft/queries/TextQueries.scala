@@ -527,23 +527,31 @@ object TextQueries extends QueryPack {
     // verified end-to-end (escape → wrap → extract ≡ normalize).
     // Map-only column expressions; composes into the curation cascade
     // (TextOpsSpec pins htmlMainText → curate ≡ curate on plain text).
-    "text_html_extract" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>body { font: 12px; }</style>" +
-          "<script>var t = \"x < y && z > w\";</script></head>" +
-          "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></nav><div><p>"),
-        TextOps.escapeHtml(col("text")),
-        lit("</p><ul><li><a href=\"/r1\">Related one</a></li>" +
-          "<li><a href=\"/r2\">Related two</a></li></ul>" +
-          "<p>End of article.</p></div>" +
-          "<footer><a href=\"/t\">Terms</a> | " +
-          "<a href=\"/p\">Privacy</a></footer></body></html>"))
+    "text_html_extract" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .select(col("doc_id"),
-          TextOps.htmlTitle(html).as("title"),
-          TextOps.htmlMainText(html).as("main_text"))
+          TextOps.htmlTitle(syntheticPageHtml).as("title"),
+          TextOps.htmlMainText(syntheticPageHtml).as("main_text"))),
+
+    // Unicode canonicalization — the normalize pass that runs right
+    // after text_html_extract and BEFORE any hashing/dedupe stage
+    // (decomposed accents and zero-width characters make identical
+    // sentences hash apart). Fixture discipline: every document is
+    // wrapped with all four dirt classes (NFC-decomposed accents,
+    // ZWSP, NBSP, whitespace runs), so the oracle states the expected
+    // clean text in CLOSED FORM (composed é = chr(233)) without calling
+    // any normalizer — decompose → wrap → normalize ≡ closed form
+    // verifies the chain end to end. Map-only column expressions; the
+    // NFC step is the native codegen'd NfcNormalize expression (already-
+    // normalized text returns without copying — the clean-corpus path).
+    "text_normalize_unicode" -> ((s, d) => {
+      val dirty = concat(
+        lit("Cafe\u0301\u200B \u00A0 "), col("text"),
+        lit("  fin de ligne\u0301 "))
+      Tables.documents(s, d).select(col("doc_id"),
+        length(dirty).as("n_chars_dirty"),
+        TextOps.normalizeUnicode(dirty).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")))
     }),
 
     // chunk-level (block) dedupe accounting: disjoint 32-token blocks
@@ -663,6 +671,34 @@ object TextQueries extends QueryPack {
   /** The curate relation (doc_id, text, reject_reason, keep) in DuckDB —
     * shared by the per-doc verdict oracle and the one-pass report
     * oracle, so the rule chain exists in exactly one SQL rendering. */
+  /** The synthetic full page the html-extract fixture wraps each document
+    * into (title, style, script with hostile < > && content, nav bar,
+    * mid-article related-links box, footer — all chrome built from LINKS
+    * so the link-density rule, not position, must remove it). Shared by
+    * the batch and streaming entries, over a frame with (doc_id, text). */
+  private[queries] def syntheticPageHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body { font: 12px; }</style>" +
+        "<script>var t = \"x < y && z > w\";</script></head>" +
+        "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav><div><p>"),
+      TextOps.escapeHtml(col("text")),
+      lit("</p><ul><li><a href=\"/r1\">Related one</a></li>" +
+        "<li><a href=\"/r2\">Related two</a></li></ul>" +
+        "<p>End of article.</p></div>" +
+        "<footer><a href=\"/t\">Terms</a> | " +
+        "<a href=\"/p\">Privacy</a></footer></body></html>"))
+
+  /** Closed-form expected extract (no HTML parsed) — shared verbatim by
+    * the batch and streaming oracle rows. */
+  private[queries] val htmlExtractOracleSql: String =
+    """SELECT doc_id,
+      |  'Doc ' || doc_id AS title,
+      |  regexp_replace(trim(text), '\s+', ' ', 'g')
+      |    || ' End of article.' AS main_text
+      |FROM documents""".stripMargin
+
   private[queries] def curateCteSql: String = curateCteSql(true)
 
   /** `withDup = false` drops the corpus-wide keeper window and the
@@ -714,7 +750,7 @@ object TextQueries extends QueryPack {
 
   /** tokenHash60 in DuckDB: the same two polynomial folds, combined
     * identically; all intermediates < 2^36 so no overflow either side. */
-  private def tokenHash60Sql(tok: String): String = {
+  private[queries] def tokenHash60Sql(tok: String): String = {
     def poly(base: Int, mod: Long): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split($tok, ''),
@@ -1122,12 +1158,23 @@ object TextQueries extends QueryPack {
     // trailing paragraph; the title is the planted literal. NO HTML is
     // parsed here — that the Spark side's parse reproduces this is the
     // whole check.
-    "text_html_extract" ->
-      """SELECT doc_id,
-        |  'Doc ' || doc_id AS title,
-        |  regexp_replace(trim(text), '\s+', ' ', 'g')
-        |    || ' End of article.' AS main_text
-        |FROM documents""".stripMargin,
+    "text_html_extract" -> htmlExtractOracleSql,
+
+    // closed form: NFC composes e+U+0301 into é (chr(233)), zero-widths
+    // vanish, NBSP becomes space, runs collapse — stated WITHOUT calling
+    // any normalizer. chr(769)=combining acute, chr(8203)=ZWSP,
+    // chr(160)=NBSP.
+    "text_normalize_unicode" ->
+      """WITH f AS (SELECT doc_id,
+        |    'Cafe' || chr(769) || chr(8203) || ' ' || chr(160) || ' '
+        |      || text || '  fin de ligne' || chr(769) || ' ' AS dirty,
+        |    'Caf' || chr(233) || ' '
+        |      || regexp_replace(trim(text), '\s+', ' ', 'g')
+        |      || ' fin de lign' || chr(233) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, length(dirty) AS n_chars_dirty, clean_text,
+        |  length(clean_text) AS n_chars_clean
+        |FROM f""".stripMargin,
 
     // disjoint 32-token blocks + the same 60-bit polynomial chunk hash
     "dedupe_chunks" ->

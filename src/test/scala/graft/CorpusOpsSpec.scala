@@ -9,6 +9,45 @@ class CorpusOpsSpec extends SparkSpec {
   private def seqText(from: Int, n: Int): String =
     (from until from + n).map("w" + _).mkString(" ")
 
+  test("dsirWeights: scores order pure-target > mixed > pure-raw, token " +
+      "counts are exact, and selected agrees with the score sign") {
+    // two disjoint vocabularies: the target subset writes only t-words,
+    // the rest only r-words, plus one mixed doc outside the target. At
+    // tiny corpus size the B=256 Laplace smoothing dominates absolute
+    // magnitudes (and target ⊂ corpus forces cr ≥ ct per bucket), so the
+    // scale-invariant property is the ORDERING of the likelihood-ratio
+    // scores, not their sign. Disjoint vocab needs disjoint buckets —
+    // checked explicitly (both engines hash identically regardless).
+    val docs = Seq(
+      (1L, "ta tb tc ta", true),
+      (2L, "tb tc td tb ta", true),
+      (3L, "ra rb rc rd ra rb", false),
+      (4L, "rc rd ra rb", false),
+      (5L, "ta tb ra", false) // target-leaning mixed doc, outside target
+    ).toDF("doc_id", "text", "is_t")
+    val buckets = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(pmod(graft.ops.TextDedupe.tokenHash60(col("w")),
+        lit(256L)).as("b"), col("w")).distinct()
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assume(buckets.filter(_._1.startsWith("t")).values.toSet
+      .intersect(buckets.filter(_._1.startsWith("r")).values.toSet)
+      .isEmpty, "vocab bucket collision — pick different words")
+    val got = CorpusOps.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == 5)
+    assert(got(1L)._1 == 4 && got(2L)._1 == 5 && got(3L)._1 == 6)
+    // likelihood-ratio ordering: pure target vocab > mixed > pure raw
+    assert(got(1L)._2 > got(5L)._2 && got(2L)._2 > got(5L)._2)
+    assert(got(5L)._2 > got(3L)._2 && got(5L)._2 > got(4L)._2)
+    // selected == (log weight > 0); per-token rounding keeps the sign
+    // whenever the score is not vanishingly small
+    got.values.foreach { case (_, lwPerTok, sel) =>
+      if (math.abs(lwPerTok) > 1e-5) assert(sel == (lwPerTok > 0))
+    }
+  }
+
   test("decontaminate flags exactly the training docs sharing a 13-gram " +
       "with an eval doc") {
     val evalText = seqText(0, 20)                 // eval doc, ids % 5 == 0

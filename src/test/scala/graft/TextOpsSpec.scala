@@ -21,6 +21,53 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == (("<EMAIL> and <PHONE> both", 2)))
   }
 
+  test("normalizeUnicode: NFC composition, zero-width strip, NBSP, " +
+      "whitespace collapse — and clean text is returned unchanged") {
+    val df = Seq(
+      (1L, "Cafe\u0301 au lait"),            // decomposed acute -> \u00E9
+      (2L, "a\u200Bb c\u200C\u200Dd\uFEFFe"),  // all four zero-widths vanish
+      (3L, "x\u00A0y"),                       // NBSP -> space
+      (4L, "  a \t b\n\nc  "),                // runs collapse + trim
+      (5L, "already clean"),
+      (6L, "Who\u0308le co\u0308o\u0301rdinate")  // multiple marks compose
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.normalizeUnicode(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Caf\u00E9 au lait")
+    assert(got(2L) == "ab cde")
+    assert(got(3L) == "x y")
+    assert(got(4L) == "a b c")
+    assert(got(5L) == "already clean")
+    assert(got(6L) == "Wh\u00F6le c\u00F6\u00F3rdinate")
+    // interpreted path (null-safe eval outside codegen) agrees
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("Cafe\u0301")))
+    assert(e.eval(null).toString == "Caf\u00E9")
+  }
+
+  test("canonicalizeUrl: fragment, utm params, case, default ports, " +
+      "trailing slashes — non-utm params survive in order") {
+    val cases = Seq(
+      ("HTTPS://Ex.COM:443/A/b/?utm_source=x&id=7&utm_medium=y#frag",
+        "https://ex.com/A/b?id=7"),
+      ("http://ex.com:80/path/", "http://ex.com/path"),
+      ("http://ex.com:8080/path", "http://ex.com:8080/path"), // kept
+      ("https://ex.com/?utm_campaign=z", "https://ex.com"),
+      ("https://ex.com/a?ref=home&utm_medium=s&page=2",
+        "https://ex.com/a?ref=home&page=2"),
+      ("https://ex.com/a//", "https://ex.com/a"),
+      ("https://ex.com", "https://ex.com"))
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("i", "u")
+    val got = df.select(col("i"), TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i) == want, s"url $u")
+    }
+  }
+
   test("curate: every rule fires, in precedence order, and dups keep " +
       "the min id") {
     val en = "the quick brown fox jumps over one lazy dog and a cat " +
