@@ -335,11 +335,69 @@ object CorpusOps {
     * driver/broadcast state is O(B), independent of corpus size.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 256): DataFrame = {
+      isTarget: Column, buckets: Int = 256): DataFrame =
+    dsirApply(dsirScores(docs, textCol, isTarget, buckets),
+      docs, idCol, textCol, buckets)
+
+  /** Token-budget waterfilling across domains — the allocation step of a
+    * mixture build: given per-domain token counts n_s and a total budget
+    * T = (2·N) div 5 (40% of the corpus, integer), find the largest cap
+    * c such that Σ min(n_s, c) ≤ T, allocate min(n_s, c) per domain, and
+    * hand the integer remainder one token each to the smallest capped
+    * domains first (deterministic (n_s, domain) total order). Exactly
+    * Σ alloc = min(T, N). This is the closed-form integer form of the
+    * water-filling mixtures DoReMi-style pipelines tune iteratively.
+    *
+    * Scale shape: the corpus pays ONE map-side-combined token-count agg;
+    * everything after runs on the m-row domain relation (m = #domains,
+    * tens — the single-partition windows are bounded by m, never by
+    * corpus size; all arithmetic is integer so the oracle replay is
+    * exact at any magnitude). */
+  def tokenBudgetWaterfill(docs: DataFrame, textCol: String,
+      domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(domainCol)
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val totals = counts.agg(sum("n_tokens").as("n_total"),
+      count(lit(1)).as("m"))
+    val w = Window.orderBy(col("n_tokens"), col(domainCol))
+    val ranked = counts.crossJoin(broadcast(totals))
+      .withColumn("t", expr("(2 * n_total) div 5"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // feeds the i*-row aggregate AND the final join
+    // i* = the last rank whose full allocation is affordable for all
+    // remaining domains; max(struct) is safe because i is ascending
+    val star = ranked.agg(
+      max(when(col("pfx") + col("n_tokens") * (col("m") - col("i"))
+        <= col("t"), struct(col("i"), col("pfx"))))
+        .as("st"))
+      .select(coalesce(col("st.i"), lit(0L)).as("istar"),
+        coalesce(col("st.pfx"), lit(0L)).as("pstar"))
+    ranked.crossJoin(broadcast(star))
+      .withColumn("cap", when(col("m") > col("istar"),
+        expr("(t - pstar) div (m - istar)")).otherwise(lit(0L)))
+      .withColumn("rem", col("t") - col("pstar")
+        - col("cap") * (col("m") - col("istar")))
+      .select(col(domainCol), col("n_tokens"),
+        when(col("i") <= col("istar"), col("n_tokens"))
+          .otherwise(col("cap") +
+            when(col("i") - col("istar") <= col("rem"), lit(1L))
+              .otherwise(lit(0L))).as("alloc_tokens"),
+        (col("i") > col("istar")).as("capped"))
+  }
+
+  /** The FIT half of [[dsirWeights]]: the B-row (bucket, score) relation
+    * with score = round6(ln p_T(b)) − round6(ln p_R(b)) as exact
+    * DECIMAL(28,6). This is the frozen artifact a deployed DSIR filter
+    * ships — O(B) rows regardless of corpus size. */
+  def dsirScores(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 256): DataFrame = {
     val tok = docs
-      .select(col(idCol), isTarget.cast("long").as("__t"),
+      .select(isTarget.cast("long").as("__t"),
         explode(split(col(textCol), " ")).as("__w"))
-      .select(col(idCol), col("__t"),
+      .select(col("__t"),
         pmod(TextDedupe.tokenHash60(col("__w")), lit(buckets.toLong))
           .as("b"))
     val counts = tok.groupBy("b")
@@ -348,12 +406,32 @@ object CorpusOps {
     def lnP(c: Column, n: Column): Column =
       StableRound.round6(log((c + 1).cast("double")
         / (n + buckets).cast("double"))).cast(DecimalType(27, 6))
-    val scores = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"),
         (lnP(col("ct"), col("nt")) - lnP(col("cr"), col("nr"))).as("s"))
-    val perDoc = tok.join(broadcast(scores), "b")
+  }
+
+  /** The APPLY half of [[dsirWeights]]: score a document frame against a
+    * frozen (bucket, score) relation. Tokens absent from the fit corpus
+    * hash to buckets the relation may lack — they contribute the
+    * smoothing floor 0 via the left join's coalesce (both lns collapse
+    * to the same +1/(N+B) term difference only when counts exist; an
+    * unseen bucket's ratio is ln((0+1)/(Nt+B)) − ln((0+1)/(Nr+B)), a
+    * CONSTANT the fit side never emits — so the apply side recomputes
+    * nothing and treats missing buckets as weight-neutral, the
+    * conservative deployment choice). */
+  def dsirApply(scores: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    val tok = docs
+      .select(col(idCol),
+        explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol),
+        pmod(TextDedupe.tokenHash60(col("__w")), lit(buckets.toLong))
+          .as("b"))
+    val perDoc = tok.join(broadcast(scores), Seq("b"), "left")
       .groupBy(idCol).agg(count(lit(1)).as("n_tokens"),
-        sum(col("s")).as("lw"))
+        sum(coalesce(col("s"), lit(BigDecimal(0)).cast(DecimalType(27, 6))))
+          .as("lw"))
     perDoc.select(col(idCol), col("n_tokens"),
       StableRound.round6(col("lw").cast("double") / col("n_tokens"))
         .as("lw_per_token"),

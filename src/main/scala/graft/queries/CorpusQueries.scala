@@ -241,6 +241,15 @@ object CorpusQueries extends QueryPack {
       CorpusOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("source").isin("src1", "src2", "src3"))),
 
+    // the allocation step of a mixture build: waterfill a 40% token
+    // budget across sources (largest cap c with Σ min(n_s, c) ≤ T,
+    // integer remainder to the smallest capped domains first) — the
+    // closed-form integer form of DoReMi-style mixture tuning. One
+    // corpus token-count agg; everything after is m-row arithmetic.
+    "pipeline_token_budget" -> ((s, d) =>
+      CorpusOps.tokenBudgetWaterfill(Tables.documents(s, d), "text",
+        "source")),
+
     // THE COMPOSED PRE-TRAINING PIPELINE — the real corpus build runs
     // curate → gopher → decontaminate → cluster-dedupe → mixture as ONE
     // job ending in a one-row report. Composition shape (and why it
@@ -1334,6 +1343,34 @@ object CorpusQueries extends QueryPack {
          |    AS lw_per_token,
          |  lw > 0 AS selected
          |FROM pd""".stripMargin,
+
+    // same integer waterfill law: i* by the affordability predicate,
+    // cap and remainder by integer division — exact at any magnitude
+    "pipeline_token_budget" ->
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT sum(n_tokens) AS n_total, count(*) AS m FROM c),
+        |r AS (SELECT source, n_tokens, (2 * n_total) // 5 AS t, m,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+        |      AS i,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        |  FROM c CROSS JOIN tt),
+        |st AS (SELECT coalesce(max(i), 0) AS istar,
+        |    coalesce(max_by(pfx, i), 0) AS pstar
+        |  FROM r WHERE pfx + n_tokens * (m - i) <= t),
+        |f AS (SELECT r.*, istar, pstar,
+        |    (CASE WHEN m > istar THEN (t - pstar) // (m - istar)
+        |          ELSE 0 END) AS cap
+        |  FROM r CROSS JOIN st)
+        |SELECT source, n_tokens,
+        |  CAST(CASE WHEN i <= istar THEN n_tokens
+        |        ELSE cap + (CASE WHEN i - istar
+        |            <= t - pstar - cap * (m - istar) THEN 1 ELSE 0 END)
+        |   END AS BIGINT) AS alloc_tokens,
+        |  i > istar AS capped
+        |FROM f""".stripMargin,
 
     // The composed pipeline, stage oracles embedded as SUBQUERIES (each
     // keeps its own WITH scope, so CTE names cannot collide) — the

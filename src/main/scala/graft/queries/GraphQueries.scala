@@ -340,6 +340,23 @@ object GraphQueries extends QueryPack {
           (col("id") === col("label")).as("is_rep"))
     }),
 
+    // k-core decomposition (k=3, 5 synchronous peel rounds) of the same
+    // co-purchase graph — the densest-substructure screen degree alone
+    // can't see (a hub with 100 degree-1 neighbors has no 3-core). The
+    // entry is DEFINED as the 5-round peel so the oracle replays the
+    // trajectory exactly (the pagerank/LPA fixed-round discipline);
+    // GraphOpsSpec pins that 5 rounds IS the fixpoint on this graph
+    // (round 6 changes nothing) plus the closed-form triangle+tail law.
+    "graph_kcore" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+      GraphOps.kcorePeel(g, "u", "v", k = 3, rounds = 5)
+    }),
+
     // community detection by deterministic synchronous label propagation
     // (3 rounds, ties to the smallest label — the determinism is what
     // lets DuckDB replay the trajectory): finer than components (LPA
@@ -598,6 +615,25 @@ object GraphQueries extends QueryPack {
     // the 3 synchronous LPA rounds as chained CTEs; argmax = row_number
     // over (count DESC, label ASC) — the same deterministic tie-break
     // GraphOps.labelPropagation's max_by struct encodes
+    // the same 5 peel rounds as chained CTE stages
+    "graph_kcore" -> {
+      val rounds = (1 to 5).map { r =>
+        s""",
+          |kp$r AS (SELECT x FROM e${r - 1} GROUP BY x
+          |  HAVING count(*) >= 3),
+          |e$r AS (SELECT e.x, e.y FROM e${r - 1} e
+          |  JOIN kp$r a ON e.x = a.x JOIN kp$r b ON e.y = b.x)""".stripMargin
+      }.mkString
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT u AS x, v AS y FROM g
+        |  UNION ALL SELECT v, u FROM g)$rounds
+        |SELECT x AS id, count(*) AS core_degree FROM e5 GROUP BY 1""".stripMargin
+    },
+
     "graph_label_propagation" -> {
       val rounds = (1 to 3).map { r =>
         s""",

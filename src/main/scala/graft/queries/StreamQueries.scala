@@ -594,6 +594,28 @@ object StreamQueries extends QueryPack {
     // scored statelessly against the broadcast model. One AvailableNow
     // pass over the static corpus reproduces the batch entry exactly,
     // so this shares pipeline_classifier_nb's oracle verbatim.
+    // DSIR data selection in its deployed posture: the B-row score
+    // relation is frozen batch-side (the fit artifact), every arriving
+    // micro-batch scores statelessly against it — no cross-batch state
+    // (a document arrives whole), so one AvailableNow pass ≡ the batch
+    // sample_dsir and the oracle is shared verbatim.
+    "stream_dsir" -> ((s, d) => {
+      val base = Fixtures.freshDir("graft_dsirstream_fixture")
+      Files.createDirectories(base)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchDocs = s.read.parquet(s"$d/documents.parquet")
+      val scores = graft.ops.CorpusOps.dsirScores(batchDocs, "text",
+        isTarget = col("source").isin("src1", "src2", "src3"))
+        .localCheckpoint() // freeze: the fit never re-runs per batch
+      val q = StreamOps.dsirEachBatch(
+        StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
+          batchDocs.schema),
+        scores, "doc_id", "text", s"$base/out", Some(s"$base/ckpt"))
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "n_tokens", "lw_per_token", "selected")
+    }),
+
     "stream_classify_nb" -> ((s, d) => {
       val base = Fixtures.freshDir("graft_nbstream_fixture")
       Files.createDirectories(base)
@@ -1506,6 +1528,9 @@ object StreamQueries extends QueryPack {
     // classifier — the model is frozen, scoring is stateless, so the
     // streaming face shares the batch oracle verbatim
     "stream_classify_nb" -> CorpusQueries.oracle("pipeline_classifier_nb"),
+
+    // frozen fit + stateless per-batch apply ≡ the batch DSIR pass
+    "stream_dsir" -> CorpusQueries.oracle("sample_dsir"),
 
     "stream_neardup_dedupe" ->
       s"""SELECT doc_id, lang, text FROM documents

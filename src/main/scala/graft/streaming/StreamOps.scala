@@ -1176,6 +1176,35 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming DSIR scoring — the deployed posture of
+    * [[graft.ops.CorpusOps.dsirWeights]]: the B-row (bucket, score)
+    * relation is FROZEN batch-side (the fit artifact a production
+    * data-selection filter ships) and every arriving micro-batch is
+    * scored statelessly against it via [[graft.ops.CorpusOps.dsirApply]]
+    * inside foreachBatch — per-doc token sums are complete within the
+    * batch (a document arrives whole), so there is no cross-batch state
+    * and replay is idempotent through the dynamic-partition overwrite.
+    * One AvailableNow pass over the static corpus reproduces the batch
+    * entry exactly. */
+  def dsirEachBatch(stream: DataFrame, scores: DataFrame, idCol: String,
+      textCol: String, outDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CorpusOps
+          .dsirApply(scores, batch, idCol, textCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+      }
+      .start()
+  }
+
   /** One micro-batch of MODEL-VERSIONED classification — the per-batch
     * core of [[classifyVersionedEachBatch]], exposed so replay
     * invariance is directly testable (the established batch-fn

@@ -48,6 +48,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetWaterfill: closed-form cap and remainder, exact " +
+      "budget, full allocation below the waterline") {
+    // domain token counts 10/20/100/200 -> N=330, T=(2*330)//5=132;
+    // i*=2 (10 and 20 fully affordable), cap=(132-30)//2=51, rem=0
+    def words(n: Int): String = (1 to n).map("w" + _).mkString(" ")
+    val docs = Seq(
+      ("a", words(10)), ("b", words(20)),
+      ("c", words(60)), ("c", words(40)),
+      ("d", words(200))).toDF("source", "text")
+    val got = CorpusOps.tokenBudgetWaterfill(docs, "text", "source")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((10L, 10L, false)))
+    assert(got("b") == ((20L, 20L, false)))
+    assert(got("c") == ((100L, 51L, true)))
+    assert(got("d") == ((200L, 51L, true)))
+    assert(got.values.map(_._2).sum == 132L) // Σ alloc == T exactly
+    // remainder case: counts 10/20/21 -> N=51, T=20; i*=0, cap=6, rem=2
+    // -> smallest two capped domains get the extra token
+    val docs2 = Seq(("a", words(10)), ("b", words(20)), ("c", words(21)))
+      .toDF("source", "text")
+    val got2 = CorpusOps.tokenBudgetWaterfill(docs2, "text", "source")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got2 == Map("a" -> 7L, "b" -> 7L, "c" -> 6L))
+  }
+
   test("decontaminate flags exactly the training docs sharing a 13-gram " +
       "with an eval doc") {
     val evalText = seqText(0, 20)                 // eval doc, ids % 5 == 0

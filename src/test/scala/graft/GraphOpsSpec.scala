@@ -17,6 +17,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L)))
   }
 
+  test("kcorePeel: pendant chains peel away, the dense core survives " +
+      "with within-core degrees") {
+    // K4 (1-4 complete) + pendant path 4-5-6: the 3-core is exactly K4
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.kcorePeel(edges, "u", "v", k = 3, rounds = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k=2: the path dies (5 and 6 peel in successive rounds), K4 stays
+    val got2 = GraphOps.kcorePeel(edges, "u", "v", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k larger than any degree: empty, not an error
+    assert(GraphOps.kcorePeel(edges, "u", "v", k = 9, rounds = 2)
+      .count() == 0)
+  }
+
+  test("graph_kcore entry: 5 rounds is the fixpoint on the bench graph " +
+      "(round 6 changes nothing)") {
+    val items = Tables.lineitem(spark, sfDir("0.001"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val g = GraphOps.coOccurrencePairs(items, "o", "p")
+      .groupBy("u", "v").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2).select("u", "v").localCheckpoint()
+    val r5 = GraphOps.kcorePeel(g, "u", "v", k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toSet
+    val r6 = GraphOps.kcorePeel(g, "u", "v", k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(r5 == r6, "peel not converged at the entry's round count")
+    assert(r5.nonEmpty, "3-core unexpectedly empty — entry is vacuous")
+  }
+
   test("hub basket: expansion is capped, not quadratic, and the plan is " +
       "explode-based with no per-basket self-join") {
     // one pathological 5000-item hub basket + a normal 3-item basket
