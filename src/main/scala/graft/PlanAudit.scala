@@ -178,7 +178,16 @@ object PlanAudit {
     // any exchange appearing here means the chunk law stopped being a
     // per-row expression (the whole point of block chunking at 100 TB)
     "text_chunk_overlap" -> Seq(
-      NodePresent("GenerateExec"), NodeAbsent("ShuffleExchangeExec")))
+      NodePresent("GenerateExec"), NodeAbsent("ShuffleExchangeExec")),
+    // the two stateless front-door passes are pure per-row projections:
+    // an exchange in either means normalization/extraction stopped
+    // being map-only (the property that makes them free at crawl scale)
+    "text_normalize_unicode" -> Seq(NodeAbsent("ShuffleExchangeExec")),
+    "text_html_extract" -> Seq(NodeAbsent("ShuffleExchangeExec")),
+    // DSIR scoring: the B-row score relation must ride a BROADCAST join
+    // into the token stream — a sort-merge fallback would shuffle the
+    // exploded token relation (≈13× corpus text) to meet 256 rows
+    "sample_dsir" -> Seq(NodePresent("BroadcastHashJoinExec")))
     // vec_mmr_rerank_batch has no node row: its corpus-side joins
     // (candidate re-attach) carry an EXPLICIT broadcast() hint — which
     // Spark honors unconditionally, so it cannot silently degrade — and
