@@ -400,8 +400,12 @@ object CorpusOps {
       .select(col("__t"),
         pmod(TextDedupe.tokenHash60(col("__w")), lit(buckets.toLong))
           .as("b"))
+    // counts feeds two consumers (totals and the score projection) —
+    // materialize the B-row frame so the token scan runs exactly once
+    // (the scaladoc's "ONE token scan" is a real claim, not a hope)
     val counts = tok.groupBy("b")
       .agg(count(lit(1)).as("cr"), sum(col("__t")).as("ct"))
+      .localCheckpoint()
     val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     def lnP(c: Column, n: Column): Column =
       StableRound.round6(log((c + 1).cast("double")

@@ -303,8 +303,10 @@ object TextOps {
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
     val base = substring_index(noFrag, "?", 1)
+    // everything after the FIRST '?' (a second '?' belongs to a param
+    // value) — substring_index(…, -1) would take after the LAST one
     val query = when(noFrag.contains("?"),
-      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+      noFrag.substr(length(base) + 2, length(noFrag))).otherwise(lit(""))
     val kept = filter(split(query, "&"),
       p => length(p) > 0 && !p.startsWith("utm_"))
     val q = array_join(kept, "&")

@@ -58,7 +58,9 @@ class TextOpsSpec extends SparkSpec {
       ("https://ex.com/a?ref=home&utm_medium=s&page=2",
         "https://ex.com/a?ref=home&page=2"),
       ("https://ex.com/a//", "https://ex.com/a"),
-      ("https://ex.com", "https://ex.com"))
+      ("https://ex.com", "https://ex.com"),
+      // a second '?' belongs to a param VALUE — split at the first one
+      ("https://ex.com/a?q=x?y&utm_x=1", "https://ex.com/a?q=x?y"))
     val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
       .toDF("i", "u")
     val got = df.select(col("i"), TextOps.canonicalizeUrl(col("u")).as("c"))
