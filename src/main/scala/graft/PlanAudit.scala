@@ -187,7 +187,23 @@ object PlanAudit {
     // DSIR scoring: the B-row score relation must ride a BROADCAST join
     // into the token stream — a sort-merge fallback would shuffle the
     // exploded token relation (≈13× corpus text) to meet 256 rows
-    "sample_dsir" -> Seq(NodePresent("BroadcastHashJoinExec")))
+    "sample_dsir" -> Seq(NodePresent("BroadcastHashJoinExec")),
+    // BM25 top-k: the rk<=15 per-query cut must plan as a
+    // WindowGroupLimit pair so each map task forwards <=15 rows per
+    // query — losing it shuffles the full (query, doc) score relation
+    "text_bm25_topk" -> Seq(
+      NodePresent("WindowGroupLimitExec", atLeast = 2)),
+    // RRF fusion: same rank-cut discipline on the fused relation (the
+    // retriever-side cuts execute eagerly inside their own stages)
+    "vec_hybrid_rrf" -> Seq(
+      NodePresent("WindowGroupLimitExec", atLeast = 2)),
+    // binary-quantization ANN: both cuts plan as TakeOrderedAndProject
+    // (per-partition heap + bounded driver merge) and the whole probe
+    // is exchange-free — an exchange here means the 8-byte-signature
+    // prefilter started shuffling 256-byte vectors
+    "vec_ann_bq" -> Seq(
+      NodePresent("TakeOrderedAndProjectExec", atLeast = 2),
+      NodeAbsent("ShuffleExchangeExec")))
     // vec_mmr_rerank_batch has no node row: its corpus-side joins
     // (candidate re-attach) carry an EXPLICIT broadcast() hint — which
     // Spark honors unconditionally, so it cannot silently degrade — and

@@ -326,4 +326,99 @@ object TextOps {
     // dependent trailing-empty behavior); DuckDB's char split never does.
     aggregate(filter(split(text, ""), ch => length(ch) === 1), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  // ------------------------------------------------------------------
+  // BM25 lexical retrieval (Okapi BM25, Lucene idf variant). Split into
+  // FIT (corpus statistics) and APPLY (score docs against frozen stats)
+  // so the batch entry and the streaming face share one scorer — the
+  // nbTrainModel / dsirScores frozen-artifact discipline.
+  // ------------------------------------------------------------------
+
+  /** Corpus statistics for BM25 scoring, restricted to the query
+    * vocabulary: a (token, df) relation sized |query tokens| (broadcasts)
+    * plus a 1-row (n_docs, avgdl) frame. avgdl = sum(int)/count is exact
+    * in both engines, so the frozen artifact is engine-neutral.
+    *
+    * Plan: one exploded scan of the corpus, semi-joined to the broadcast
+    * query vocabulary BEFORE the df aggregation — the shuffle carries only
+    * (doc, query-token) hits, never the full posting list. */
+  def bm25Fit(corpus: DataFrame, idCol: String, textCol: String,
+      queryTokens: DataFrame): (DataFrame, DataFrame) = {
+    val tokq = tokenize(corpus, idCol, textCol)
+      .join(broadcast(queryTokens.select(col("token")).distinct()), "token")
+    val dfreq = tokq.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = corpus
+      .select(size(tokens(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+    (dfreq, stats)
+  }
+
+  /** The per-(query, doc, matched-term) tf relation — ONE exploded scan,
+    * query vocabulary broadcast-joined BEFORE the aggregation (the
+    * shuffle carries only matched hits, never the posting list), dl
+    * carried through via max (constant per doc — no second scan). */
+  private def bm25Tf(docs: DataFrame, idCol: String, textCol: String,
+      queryTokens: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"),
+        size(tokens(col(textCol))).cast("long").as("__dl"))
+      .join(broadcast(queryTokens.select(col("query_id"), col("token"))),
+        "token")
+      .groupBy(col("query_id"), col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+
+  /** Score a tf relation against frozen (df, n_docs/avgdl) stats.
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)) (always ≥ 0). Each
+    * per-term score is snapped to round6 micro-units (BIGINT) before the
+    * per-doc sum, so the total — and therefore the top-k ORDER — is exact
+    * integer arithmetic in both engines (the maxsim discipline; double
+    * summation order never matters). */
+  private def bm25Score(tf: DataFrame, idCol: String, dfreq: DataFrame,
+      stats: DataFrame, k1: Double, b: Double): DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / col("avgdl")))
+    val term6 = floor(StableRound.round6(idf * tfNorm) * 1e6 + 0.5)
+      .cast("long")
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol), term6.as("__s6"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__s6")).as("score6"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("bm25",
+        StableRound.round6(col("score6").cast("double") / 1e6))
+  }
+
+  /** Score documents against frozen BM25 stats for a (possibly
+    * multi-query) token set `queryTokens(query_id, token)` — the
+    * streaming/deployed face (stats from [[bm25Fit]] at index-build
+    * time). Output: (query_id, id, score6, n_terms, bm25). */
+  def bm25Apply(docs: DataFrame, idCol: String, textCol: String,
+      queryTokens: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Score(bm25Tf(docs, idCol, textCol, queryTokens), idCol,
+      dfreq, stats, k1, b)
+
+  /** Fit on `corpus` and score it in one call. TWO corpus scans total
+    * (the n_docs/avgdl aggregate and the tf explode) — df is derived
+    * from the materialized tf relation (bounded: docs × query-vocab
+    * hits), not a third scan. */
+  def bm25(corpus: DataFrame, idCol: String, textCol: String,
+      queryTokens: DataFrame, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val tf = bm25Tf(corpus, idCol, textCol, queryTokens)
+      .localCheckpoint() // two consumers: df derivation + scoring
+    val dfreq = tf.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = corpus
+      .select(size(tokens(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+    bm25Score(tf, idCol, dfreq, stats, k1, b)
+  }
 }

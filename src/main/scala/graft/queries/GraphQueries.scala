@@ -357,6 +357,28 @@ object GraphQueries extends QueryPack {
       GraphOps.kcorePeel(g, "u", "v", k = 3, rounds = 5)
     }),
 
+    // multi-source BFS layers (4 rounds) from the 3 smallest part ids of
+    // the co-purchase graph: hop distance to the nearest seed — the
+    // "blast radius" primitive (recall expansion from a seed set,
+    // contamination spread, recommendation distance). Defined as the
+    // 4-round relaxation so the oracle replays the trajectory as chained
+    // CTEs (the pagerank/kcore discipline); GraphOpsSpec pins a
+    // closed-form path graph and that round 5 changes nothing here.
+    "graph_bfs_layers" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p")
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+        .localCheckpoint() // seed derivation + symmetrization both read it
+      val seeds = g.select(col("u").as("id"))
+        .union(g.select(col("v").as("id")))
+        .distinct().orderBy("id").limit(3)
+      GraphOps.bfsLayers(g, "u", "v", seeds, "id", rounds = 4)
+        .select(col("id").as("part_id"), col("dist"))
+    }),
+
     // community detection by deterministic synchronous label propagation
     // (3 rounds, ties to the smallest label — the determinism is what
     // lets DuckDB replay the trajectory): finer than components (LPA
@@ -632,6 +654,28 @@ object GraphQueries extends QueryPack {
         |e0 AS (SELECT u AS x, v AS y FROM g
         |  UNION ALL SELECT v, u FROM g)$rounds
         |SELECT x AS id, count(*) AS core_degree FROM e5 GROUP BY 1""".stripMargin
+    },
+
+    "graph_bfs_layers" -> {
+      val rounds = (1 to 4).map { r =>
+        s""",
+          |d$r AS (SELECT id, min(dist) AS dist FROM (
+          |  SELECT id, dist FROM d${r - 1}
+          |  UNION ALL
+          |  SELECT s.y AS id, d.dist + 1 AS dist
+          |  FROM sym s JOIN d${r - 1} d ON s.x = d.id) GROUP BY id)"""
+          .stripMargin
+      }.mkString
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |g AS (SELECT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u AS x, v AS y FROM g
+        |  UNION ALL SELECT v, u FROM g),
+        |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM
+        |  (SELECT DISTINCT x AS id FROM sym ORDER BY 1 LIMIT 3))$rounds
+        |SELECT id AS part_id, dist FROM d4""".stripMargin
     },
 
     "graph_label_propagation" -> {

@@ -616,6 +616,30 @@ object StreamQueries extends QueryPack {
         .select("doc_id", "n_tokens", "lw_per_token", "selected")
     }),
 
+    // BM25 scoring in its deployed posture: the query-vocabulary df
+    // table, n_docs/avgdl and the query token sets are FROZEN batch-side
+    // (the index-build cadence) and every arriving micro-batch scores
+    // statelessly against the broadcast artifacts — a doc arrives whole,
+    // so its tf/dl are batch-local and one AvailableNow pass over the
+    // static corpus ≡ batch TextOps.bm25 (oracle = the shared lex CTE).
+    "stream_bm25_score" -> ((s, d) => {
+      val base = Fixtures.freshDir("graft_bm25stream_fixture")
+      Files.createDirectories(base)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchDocs = s.read.parquet(s"$d/documents.parquet")
+      val qtok = TextQueries.bm25QueryTokens(batchDocs).localCheckpoint()
+      val (dfreq, stats) = graft.ops.TextOps.bm25Fit(
+        TextQueries.bm25Corpus(batchDocs), "doc_id", "text", qtok)
+      val q = StreamOps.bm25EachBatch(
+        StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
+          batchDocs.schema).filter(col("doc_id") >= 3),
+        qtok, dfreq.localCheckpoint(), stats.localCheckpoint(),
+        "doc_id", "text", s"$base/out", Some(s"$base/ckpt"))
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("query_id", "doc_id", "score6", "n_terms", "bm25")
+    }),
+
     "stream_classify_nb" -> ((s, d) => {
       val base = Fixtures.freshDir("graft_nbstream_fixture")
       Files.createDirectories(base)
@@ -1520,6 +1544,11 @@ object StreamQueries extends QueryPack {
     // stateless projection — one AvailableNow pass ≡ the batch extract,
     // closed-form oracle shared verbatim
     "stream_html_extract" -> TextQueries.htmlExtractOracleSql,
+    "stream_bm25_score" -> (TextQueries.bm25LexCte +
+      s"""
+        |SELECT query_id, doc_id, score6, n_terms,
+        |  ${StableRound.sql6("score6 / 1000000.0")} AS bm25
+        |FROM lex""".stripMargin),
 
     // survivors = docs with no lower-id exact-Jaccard≥0.5 partner (the
     // proven dedupe_minhash_lsh pair CTE — LSH recall on this corpus is

@@ -33,6 +33,56 @@ object TextQueries extends QueryPack {
        |WHERE CAST(round(CAST(inter / (s1.nsh + s2.nsh - inter) AS DECIMAL(27,12)), 4) AS DOUBLE) >= 0.5""".stripMargin
   }
 
+  // Shared BM25 setup for the lexical-retrieval entries (text_bm25_topk,
+  // stream_bm25_score, vec_hybrid_rrf): docs 0-2 act as the query set
+  // (their distinct token sets), docs >= 3 as the corpus.
+  private[queries] def bm25QueryTokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+
+  private[queries] def bm25Corpus(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") >= 3)
+
+  /** DuckDB replay of TextOps.bm25 over the shared query/corpus split:
+    * CTE chain ending in `lex(query_id, doc_id, score6, n_terms)`.
+    * Constants are written as the same double ARITHMETIC the Scala side
+    * compiles ((1.2 + 1.0), (1.0 - 0.75)) so every IEEE op matches; each
+    * per-term score snaps to round6 micro-units before the integer sum
+    * (the maxsim discipline — summation order can never matter). */
+  private[queries] val bm25LexCte: String = {
+    val term = graft.StableRound.sql6(
+      "ln(1.0 + (st.n - dfr.df + CAST(0.5 AS DOUBLE)) / " +
+        "(dfr.df + CAST(0.5 AS DOUBLE))) * " +
+      "(tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) / " +
+      "(tf.tf + CAST(1.2 AS DOUBLE) * ((1.0 - CAST(0.75 AS DOUBLE)) + " +
+        "CAST(0.75 AS DOUBLE) * dl.dl / st.avgdl))")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 3),
+       |qt AS (SELECT DISTINCT doc_id AS query_id,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE doc_id < 3),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS dl FROM corpus),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM corpus),
+       |qv AS (SELECT DISTINCT token FROM qt),
+       |tokq AS (SELECT t.doc_id, t.token FROM tok t JOIN qv USING (token)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokq GROUP BY 1, 2),
+       |dfr AS (SELECT token, count(DISTINCT doc_id) AS df
+       |  FROM tokq GROUP BY 1),
+       |term AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor($term * 1000000 + 0.5) AS BIGINT) AS s6
+       |  FROM tf JOIN qt USING (token) JOIN dfr USING (token)
+       |    JOIN dl USING (doc_id) CROSS JOIN st),
+       |lex AS (SELECT query_id, doc_id, CAST(sum(s6) AS BIGINT) AS score6,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM term GROUP BY 1, 2)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "text_tokenize" -> ((s, d) =>
       TextOps.tokenize(Tables.documents(s, d), "doc_id", "text")),
@@ -128,6 +178,28 @@ object TextQueries extends QueryPack {
         .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("token"))))
         .filter(col("rk") <= 3)
+    }),
+
+    // BM25 LEXICAL RETRIEVAL (Okapi, Lucene idf; k1=1.2, b=0.75): top-15
+    // corpus docs per query, queries = docs 0-2's token sets. The other
+    // half of hybrid search next to vec_cosine_topk_batch — tf-idf ranks
+    // TERMS within a doc; BM25 ranks DOCS for a query, with dl/avgdl
+    // length normalization and tf saturation. Per-term scores snap to
+    // round6 micro-units before the per-doc integer sum, so the ranking
+    // order is engine-exact; the rk<=15 cut rides WindowGroupLimit (each
+    // map task forwards <=15 rows per query). Scale: corpus bodies are
+    // scanned once map-side; shuffles carry only (query, doc, matched-
+    // term) rows; df/stats/queries broadcast (frozen-artifact split —
+    // the streaming face reuses them verbatim).
+    "text_bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      TextOps.bm25(bm25Corpus(docs), "doc_id", "text",
+          bm25QueryTokens(docs))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score6").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 15)
+        .select("query_id", "doc_id", "score6", "n_terms", "bm25", "rk")
     }),
 
     // edit-distance scalar tier — the fuzzy-matching primitive (title /
@@ -894,6 +966,16 @@ object TextQueries extends QueryPack {
         |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, token) AS INTEGER) AS rk FROM sc)
         |SELECT doc_id, token, tfidf, rk FROM w WHERE rk <= 3""".stripMargin,
+
+    "text_bm25_topk" -> (bm25LexCte +
+      s""",
+        |w AS (SELECT query_id, doc_id, score6, n_terms,
+        |    ${graft.StableRound.sql6("score6 / 1000000.0")} AS bm25,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score6 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM lex)
+        |SELECT query_id, doc_id, score6, n_terms, bm25, rk
+        |FROM w WHERE rk <= 15""".stripMargin),
 
     "scalar_fuzzy_distance" ->
       s"""SELECT doc_id,

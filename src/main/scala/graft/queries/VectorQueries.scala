@@ -33,6 +33,64 @@ object VectorQueries extends QueryPack {
         emb.filter(col("vec_id") <= 2), "vec_id", "embedding")
     }),
 
+    // BINARY-QUANTIZATION ANN: 1-bit sign signatures (64 float dims →
+    // ONE 8-byte long), XOR+POPCNT Hamming prefilter to the top-200 by
+    // (hamming, id), exact cosine rerank to top-10. The third
+    // quantization tier next to int8 (vec_quantize_int8) and PQ
+    // (vec_ann_pq): 32× smaller scan for the filter pass, and only 200
+    // candidates ever pay a float dot product. 20× oversample is the
+    // measured recall knob on this isotropic corpus (spec-pinned
+    // frontier: 10/10, 10/10, 9/10 exact-top-10 hits at
+    // sf0.001/0.01/0.1); clustered real embeddings need far less. Both
+    // cuts are total orders, so the oracle replays candidates and
+    // rerank exactly.
+    "vec_ann_bq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.bqTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+        dim = 64, candidates = 200, k = 10)
+    }),
+
+    // HYBRID RETRIEVAL with Reciprocal Rank Fusion: lexical BM25 ranks
+    // (documents ≥ 3 scored against docs 0-2's token sets — the
+    // text_bm25_topk machinery) fused with dense cosine ranks
+    // (embeddings ≥ 3 vs query vectors 0-2) as
+    // rrf = Σ 1/(60 + rank) over the two top-50 lists, computed in
+    // exact integer nano-units (1e9 div (60+rank)) so fusion and its
+    // top-10 cut are engine-exact. The standard serving-side shape:
+    // each retriever runs its own scale path and emits a BOUNDED
+    // top-50 id list; fusion joins two k-row relations — cost
+    // independent of corpus size.
+    "vec_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val lexR = graft.ops.TextOps.bm25(
+          TextQueries.bm25Corpus(docs), "doc_id", "text",
+          TextQueries.bm25QueryTokens(docs))
+        .withColumn("r_lex", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score6").desc, col("doc_id"))).cast("long"))
+        .filter(col("r_lex") <= 50)
+        .select("query_id", "doc_id", "r_lex")
+      val emb = Tables.embeddings(s, d)
+      val denseR = VectorOps.cosineTopKBatch(
+          emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 50)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").cast("long").as("r_dense"))
+      lexR.join(denseR, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_nano",
+          coalesce(expr("1000000000L div (60L + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60L + r_dense)"), lit(0L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("rrf_nano").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "r_lex", "r_dense", "rrf_nano", "rk")
+    }),
+
     // batch similarity search: top-3 neighbors for each of 5 query vectors
     "vec_cosine_topk_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -890,6 +948,58 @@ object VectorQueries extends QueryPack {
         |FROM n, q WHERE n.vec_id <> 0
         |ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm) DESC, n.vec_id
         |LIMIT 10""".stripMargin),
+
+    // sign bits replayed per-dim ((e[i]>0) <> (qe[i]>0) summed — the
+    // unpacked twin of the Spark side's XOR+POPCNT on packed longs);
+    // both cuts are total orders so candidates and rerank replay exactly
+    "vec_ann_bq" -> (vCte +
+      """,
+        |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0),
+        |h AS (SELECT n.vec_id, n.e, n.nrm,
+        |    CAST(list_sum([CASE WHEN (n.e[i] > 0) <> (q.qe[i] > 0)
+        |      THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT)
+        |      AS hamming
+        |  FROM n, q WHERE n.vec_id <> 0),
+        |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 200)
+        |SELECT c.vec_id, c.hamming,
+        |  round(list_dot_product(c.e, q.qe) / (c.nrm * q.qnrm), 6) AS cos_sim
+        |FROM cand c, q
+        |ORDER BY list_dot_product(c.e, q.qe) / (c.nrm * q.qnrm) DESC, c.vec_id
+        |LIMIT 10""".stripMargin),
+
+    // lex CTE shared verbatim with text_bm25_topk / stream_bm25_score;
+    // rrf in exact integer nano-units (integer div of integer ranks)
+    "vec_hybrid_rrf" -> (TextQueries.bm25LexCte +
+      """,
+        |v2 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM v2),
+        |dq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM nv WHERE vec_id < 3),
+        |den AS (SELECT dq.query_id, nv.vec_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY dq.query_id
+        |      ORDER BY list_dot_product(nv.e, dq.qe) / (nv.nrm * dq.qn)
+        |        DESC, nv.vec_id) AS BIGINT) AS r_dense
+        |  FROM nv, dq WHERE nv.vec_id >= 3),
+        |lr AS (SELECT query_id, doc_id, r_lex FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score6 DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM lex) WHERE r_lex <= 50),
+        |dr AS (SELECT query_id, doc_id, r_dense FROM den
+        |  WHERE r_dense <= 50),
+        |fused AS (SELECT COALESCE(lr.query_id, dr.query_id) AS query_id,
+        |    COALESCE(lr.doc_id, dr.doc_id) AS doc_id, lr.r_lex, dr.r_dense,
+        |    COALESCE(1000000000 // (60 + lr.r_lex), 0)
+        |      + COALESCE(1000000000 // (60 + dr.r_dense), 0) AS rrf_nano
+        |  FROM lr FULL JOIN dr
+        |    ON lr.query_id = dr.query_id AND lr.doc_id = dr.doc_id),
+        |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rk FROM fused)
+        |SELECT query_id, doc_id, r_lex, r_dense, rrf_nano, rk
+        |FROM w WHERE rk <= 10""".stripMargin),
 
     // per-pair cosines snapped to round6 fixed-point BEFORE max ⇒ max
     // and sum are exact integer ops in both engines

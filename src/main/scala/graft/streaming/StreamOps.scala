@@ -1186,6 +1186,32 @@ object StreamOps {
     * and replay is idempotent through the dynamic-partition overwrite.
     * One AvailableNow pass over the static corpus reproduces the batch
     * entry exactly. */
+  /** BM25 scoring in its deployed posture: corpus statistics (query
+    * vocabulary df, n_docs/avgdl) are FROZEN batch-side — the index-build
+    * cadence — and every arriving micro-batch scores statelessly against
+    * the broadcast artifacts (a document arrives whole, so per-doc tf/dl
+    * are batch-local). One AvailableNow pass over the static corpus ≡
+    * batch TextOps.bm25, sharing its oracle verbatim. */
+  def bm25EachBatch(stream: DataFrame, queryTokens: DataFrame,
+      dfreq: DataFrame, stats: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextOps
+          .bm25Apply(batch, idCol, textCol, queryTokens, dfreq, stats)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+      }
+      .start()
+  }
+
   def dsirEachBatch(stream: DataFrame, scores: DataFrame, idCol: String,
       textCol: String, outDir: String,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {

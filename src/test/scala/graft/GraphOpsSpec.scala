@@ -51,6 +51,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5.nonEmpty, "3-core unexpectedly empty — entry is vacuous")
   }
 
+  test("bfsLayers: closed-form path graph — hop distances settle within " +
+      "rounds, unreached vertices absent, multi-source takes the min") {
+    // path 1-2-3-4-5-6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("u", "v")
+    val got = GraphOps.bfsLayers(edges, "u", "v",
+        Seq(1L).toDF("id"), "id", rounds = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // 4 rounds reach exactly hops <= 4; 6 and 7 are absent, not infinite
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+    // multi-source: distance to the NEAREST seed
+    val got2 = GraphOps.bfsLayers(edges, "u", "v",
+        Seq(1L, 7L).toDF("id"), "id", rounds = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 2L),
+      (6L, 1L), (7L, 0L)))
+  }
+
+  test("graph_bfs_layers entry: 4 rounds is the fixpoint on the bench " +
+      "graph (round 5 changes nothing)") {
+    val items = Tables.lineitem(spark, sfDir("0.001"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val g = GraphOps.coOccurrencePairs(items, "o", "p")
+      .groupBy("u", "v").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2).select("u", "v").localCheckpoint()
+    val seeds = g.select(col("u").as("id"))
+      .union(g.select(col("v").as("id")))
+      .distinct().orderBy("id").limit(3).localCheckpoint()
+    val r4 = GraphOps.bfsLayers(g, "u", "v", seeds, "id", rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    val r5 = GraphOps.bfsLayers(g, "u", "v", seeds, "id", rounds = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(r4 == r5, "BFS not converged at the entry's round count")
+    assert(r4.size > 3, "BFS reached nothing beyond the seeds — vacuous")
+  }
+
   test("hub basket: expansion is capped, not quadratic, and the plan is " +
       "explode-based with no per-basket self-join") {
     // one pathological 5000-item hub basket + a normal 3-item basket

@@ -173,4 +173,59 @@ class TextOpsSpec extends SparkSpec {
     assert(viaHtml == direct,
       "curation verdicts diverge between extracted and plain text")
   }
+
+  test("bm25 matches the hand-computed Okapi/Lucene formula on a " +
+      "closed-form corpus; non-matching docs are absent") {
+    // corpus: d1 = "a a b c" (tf_a=2, tf_b=1, dl=4),
+    //         d2 = "c c c a" (tf_a=1, dl=4), d3 = "d d" (no query term)
+    val corpus = Seq((1L, "a a b c"), (2L, "c c c a"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val qtok = Seq((0L, "a"), (0L, "b")).toDF("query_id", "token")
+    val got = TextOps.bm25(corpus, "doc_id", "text", qtok)
+      .select("query_id", "doc_id", "score6", "n_terms")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    // replicate the op's arithmetic exactly: N=3, avgdl=10/3,
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)), tfnorm = tf*2.2/(tf+1.2*
+    // (0.25+0.75*dl/avgdl)), per-term snap to round6 micro-units
+    val n = 3L; val avgdl = 10.0 / 3.0
+    def term6(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfn = (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+      // mirror StableRound.round6 exactly: decimal(…,12) bridge, then 6
+      val r6 = BigDecimal(idf * tfn)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r6 * 1e6 + 0.5).toLong
+    }
+    val d1 = term6(2, 2, 4) + term6(1, 1, 4) // a: df=2; b: df=1
+    val d2 = term6(1, 2, 4)
+    assert(got == Seq((0L, 1L, d1, 2L), (0L, 2L, d2, 1L)),
+      s"got $got, expected scores d1=$d1 d2=$d2; d3 must be absent")
+  }
+
+  test("bm25Fit/bm25Apply split: scoring a partition of the corpus " +
+      "against frozen stats reproduces the whole-corpus scores " +
+      "(the streaming-face contract)") {
+    val docs = spark.read.parquet(s"${sfDir("0.001")}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 3)
+    val qtok = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      .localCheckpoint()
+    val (dfreq, stats) = TextOps.bm25Fit(corpus, "doc_id", "text", qtok)
+    val df2 = dfreq.localCheckpoint(); val st2 = stats.localCheckpoint()
+    val whole = TextOps
+      .bm25Apply(corpus, "doc_id", "text", qtok, df2, st2)
+      .select("query_id", "doc_id", "score6")
+      .as[(Long, Long, Long)].collect().toSet
+    val halves = (0 to 1).flatMap { p =>
+      TextOps.bm25Apply(corpus.filter(pmod(col("doc_id"), lit(2)) === p),
+          "doc_id", "text", qtok, df2, st2)
+        .select("query_id", "doc_id", "score6")
+        .as[(Long, Long, Long)].collect()
+    }.toSet
+    assert(whole == halves, "per-batch scoring diverges from batch")
+    assert(whole.nonEmpty)
+  }
 }
