@@ -124,6 +124,46 @@ object VectorOps {
       .select(col(idCol), col("hamming"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Batch form of [[bqTopK]]: top-`k` for EACH query, vectors never
+    * shuffled. The Hamming pass ranks (query, id, hamming) LONG triples
+    * per query (WindowGroupLimit pushes the cut below the exchange —
+    * each map task forwards ≤`candidates` rows per query); the bounded
+    * |queries|·candidates winner list is then BROADCAST back into a
+    * second corpus scan to fetch vectors for the exact rerank (the
+    * batch-MMR re-attach discipline) — so the corpus is scanned exactly
+    * twice and no exchange ever carries an embedding. */
+  def bqTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, dim: Int,
+      candidates: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withNorm(queries, qVecCol).select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"),
+        signPack(col(qVecCol), dim).as("__qsig"))
+      .localCheckpoint() // bounded query set, three consumers
+    val cand = vectors
+      .select(col(idCol), signPack(col(vecCol), dim).as("__sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qsig"))))
+      .select(col("query_id"), col(idCol),
+        bit_count(col("__sig").bitwiseXOR(col("__qsig"))).cast("long")
+          .as("hamming"))
+      .withColumn("__hrk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col(idCol))))
+      .filter(col("__hrk") <= candidates)
+      .select(col("query_id"), col(idCol), col("hamming"))
+      .localCheckpoint() // bounded |queries|·candidates winner list
+    vectors.join(broadcast(cand), idCol)
+      .join(broadcast(q.select("query_id", "__qvec", "__qnorm")),
+        "query_id")
+      .select(col("query_id"), col(idCol), col("hamming"),
+        (dot(col(vecCol), col("__qvec")) /
+          (norm(col(vecCol)) * col("__qnorm"))).as("cos"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col(idCol))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("hamming"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
   /** ColBERT-style late-interaction MaxSim: score each DOC (a GROUP of
     * corpus vectors keyed by `docCol`) against a multi-vector query as
     * Σ_q max_v cos(q, v) — the retrieval scorer that keeps per-token

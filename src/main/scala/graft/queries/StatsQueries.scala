@@ -143,6 +143,57 @@ object StatsQueries extends QueryPack {
              * 2)).as("z"))
     }),
 
+    // WILCOXON SIGNED-RANK (paired, normal approximation with tie
+    // correction) — the paired twin of agg_mann_whitney: per user, total
+    // purchase cents vs total view cents (users observed under BOTH
+    // conditions; exact integer differences, zeros dropped per the
+    // classic procedure). Same integer-rank discipline: mid-ranks of
+    // |d| via bucketed prefix sums (no global window), 2·W+ stays an
+    // exact integer, so only the final z division is floating point —
+    // identical in any engine.
+    "agg_wilcoxon_signed_rank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val diffs = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("c"))
+            .otherwise(0L)).as("sp"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("event_type") === "view", col("c")).otherwise(0L))
+            .as("sv"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nv"))
+        .filter(col("np") > 0 && col("nv") > 0
+          && col("sp") =!= col("sv"))
+        .select((col("sp") - col("sv")).as("dd"))
+      val buckets = diffs
+        .groupBy(abs(col("dd")).as("ad")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("dd") > 0, 1L).otherwise(0L)).as("cnt_pos"))
+      val a = graft.ops.Prefix.belowBucketed(buckets.localCheckpoint(),
+          "ad", sums = Seq((col("cnt"), "below")), inclusive = false)
+        .agg(
+          sum(col("cnt")).cast(dec).as("n"),
+          sum((col("cnt_pos") * (col("below") * 2 + col("cnt") + 1))
+            .cast(dec)).as("w2"),
+          sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .cast(dec)).as("ties"))
+      a.select(
+        col("n").cast("long").as("n_pairs"),
+        col("w2").cast("long").as("w2_plus"),
+        StableRound.round6(
+          (col("w2").cast("double")
+            - (col("n") * (col("n") + 1)).cast("double") / 2.0)
+          / sqrt((col("n") * (col("n") + 1) * (col("n") * 2 + 1))
+              .cast("double") / 6.0
+            - col("ties").cast("double") / 12.0)).as("z"))
+    }),
+
     // Benford first-digit screen over order totals — the classic
     // fabricated-data / unit-mixup detector for financial-ish columns.
     // The leading digit is extracted from the EXACT CENT INTEGER's
@@ -2096,6 +2147,41 @@ object StatsQueries extends QueryPack {
         |        * CAST((n + 1) * n * (n - 1) - ties AS DOUBLE)
         |        / CAST(n * (n - 1) * 12 AS DOUBLE)) * 2)
         |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS z
+        |FROM a""".stripMargin,
+
+    "agg_wilcoxon_signed_rank" ->
+      s"""WITH ev AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS sp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS sv,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |d AS (SELECT sp - sv AS dd FROM ev
+        |  WHERE np > 0 AND nv > 0 AND sp <> sv),
+        |b AS (SELECT abs(dd) AS ad, count(*) AS cnt,
+        |    sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cnt_pos
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT cnt, cnt_pos,
+        |    COALESCE(sum(cnt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM b),
+        |a AS (SELECT sum(cnt) AS n,
+        |    sum(cnt_pos * (below * 2 + cnt + 1)) AS w2,
+        |    sum(cnt * cnt * cnt - cnt) AS ties
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(w2 AS BIGINT) AS w2_plus,
+        |  ${graft.StableRound.sql6(
+             "(CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2.0)" +
+             " / sqrt(CAST(n * (n + 1) * (n * 2 + 1) AS DOUBLE) / 6.0" +
+             " - CAST(ties AS DOUBLE) / 12.0)")} AS z
         |FROM a""".stripMargin,
 
     // exact cent-integer leading digit (int→string, never float log10)

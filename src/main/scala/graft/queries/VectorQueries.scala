@@ -52,6 +52,19 @@ object VectorQueries extends QueryPack {
         dim = 64, candidates = 200, k = 10)
     }),
 
+    // batch BQ: top-10 per query (vecs 0-2) over the >= 3 corpus, the
+    // serving-fleet form of vec_ann_bq — the Hamming rank moves only
+    // (query, id, hamming) long triples (WindowGroupLimit cut below the
+    // exchange), then the bounded winner list broadcasts back into a
+    // second corpus scan for the exact rerank: vectors NEVER shuffle.
+    "vec_ann_bq_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.bqTopKBatch(
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
+    }),
+
     // HYBRID RETRIEVAL with Reciprocal Rank Fusion: lexical BM25 ranks
     // (documents ≥ 3 scored against docs 0-2's token sets — the
     // text_bm25_topk machinery) fused with dense cosine ranks
@@ -966,6 +979,25 @@ object VectorQueries extends QueryPack {
         |FROM cand c, q
         |ORDER BY list_dot_product(c.e, q.qe) / (c.nrm * q.qnrm) DESC, c.vec_id
         |LIMIT 10""".stripMargin),
+
+    "vec_ann_bq_batch" -> (vCte +
+      """,
+        |q2 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 3),
+        |h AS (SELECT q2.query_id, n.vec_id,
+        |    CAST(list_sum([CASE WHEN (n.e[i] > 0) <> (q2.qe[i] > 0)
+        |      THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT)
+        |      AS hamming,
+        |    list_dot_product(n.e, q2.qe) / (n.nrm * q2.qn) AS cos
+        |  FROM n, q2 WHERE n.vec_id >= 3),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, vec_id) AS hrk FROM h),
+        |w AS (SELECT query_id, vec_id, hamming, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        |  FROM cand WHERE hrk <= 200)
+        |SELECT query_id, vec_id, hamming, round(cos, 6) AS cos_sim, rk
+        |FROM w WHERE rk <= 10""".stripMargin),
 
     // lex CTE shared verbatim with text_bm25_topk / stream_bm25_score;
     // rrf in exact integer nano-units (integer div of integer ranks)

@@ -562,6 +562,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(byId(2L) == 2L && byId(3L) == 1L)
   }
 
+  test("bqTopKBatch slices equal single-query bqTopK (the serving-fleet " +
+      "form changes the plan, never the answer)") {
+    val emb = spark.read
+      .parquet(s"${sfDir("0.001")}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" >= 3)
+    val batch = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
+      emb.filter($"vec_id" < 3).select("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, candidates = 50, k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .groupBy(_._1)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val single = VectorOps.bqTopK(corpus, "vec_id", "embedding",
+        emb.filter($"vec_id" === qid).select("embedding"), "embedding",
+        dim = 64, candidates = 50, k = 5)
+        .as[(Long, Long, Double)].collect().toSeq
+      val slice = batch(qid).sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq
+      assert(slice == single, s"query $qid slice diverges")
+    }
+  }
+
   test("vec_ann_bq frontier: 20x-oversampled 1-bit rerank recovers the " +
       "exact top-10 on the bench corpus") {
     val emb = spark.read
