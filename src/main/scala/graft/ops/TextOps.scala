@@ -73,20 +73,25 @@ object TextOps {
         .cast("double") / nTok).as("stop_ratio"))
   }
 
-  /** Deterministic quality score in [0,1]: rewards length (saturating at
-    * 100 tokens), penalizes stopword density, rewards lexical diversity. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
-    val ts = tokens(col(textCol))
+  /** Deterministic quality score in [0,1] as a column expression:
+    * rewards length (saturating at 100 tokens), penalizes stopword
+    * density, rewards lexical diversity. */
+  def qualityExpr(text: Column,
+      stopwords: Seq[String] = Seq("a", "the")): Column = {
+    val ts = tokens(text)
     val nTok = size(ts).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
     val stopRatio = size(filter(ts, t => array_contains(stopArr, t)))
       .cast("double") / nTok
     val distinctRatio = size(array_distinct(ts)).cast("double") / nTok
-    docs.select(col(idCol),
-      StableRound.round6(least(nTok / 100.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - stopRatio) * 0.3 + distinctRatio * 0.3).as("quality"))
+    StableRound.round6(least(nTok / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - stopRatio) * 0.3 + distinctRatio * 0.3)
   }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame =
+    docs.select(col(idCol),
+      qualityExpr(col(textCol), stopwords).as("quality"))
 
   /** TF-IDF: tf(d,t) × ln((N+1)/(df(t)+1)). Two group-aggregations (both
     * shuffle on token — small key space) + one broadcast of the scalar N. */

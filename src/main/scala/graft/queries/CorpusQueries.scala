@@ -250,6 +250,34 @@ object CorpusQueries extends QueryPack {
       CorpusOps.tokenBudgetWaterfill(Tables.documents(s, d), "text",
         "source")),
 
+    // CURRICULUM ORDERING: quality-quartile phases (easy→hard schedule)
+    // with a deterministic within-phase shuffle key — the stage between
+    // curation and packing when training on a difficulty schedule.
+    // phase = floor(4·rank/n) where rank = EXACT strict-below count
+    // under the (quality, doc_id) total order, computed WINDOWLESSLY
+    // via Prefix.belowBucketed (bucketed prefix sums — no
+    // single-partition exchange, the mann-whitney discipline); the
+    // shuffle key is the engine-neutral rolling fingerprint, so batch
+    // order inside a phase is reproducible in any engine. One map-only
+    // scan + the bounded prefix machinery; integer phase law replays
+    // exactly.
+    "pipeline_curriculum_order" -> ((s, d) => {
+      import graft.ops.TextOps
+      val base = Tables.documents(s, d).select(col("doc_id"),
+          TextOps.qualityExpr(col("text")).as("quality"),
+          TextOps.fingerprint(col("text")).as("shuffle_key"))
+        .localCheckpoint() // bounds + totals + main prefix passes
+      val n = base.agg(count(lit(1)).as("n"))
+      graft.ops.Prefix.belowBucketed(base, "quality",
+          tieBreak = Seq("doc_id"),
+          sums = Seq((lit(1L), "rnk")), inclusive = false)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("quality"),
+          col("rnk").cast("long").as("rnk"),
+          expr("(rnk * 4L) div n").as("phase"),
+          col("shuffle_key"))
+    }),
+
     // THE COMPOSED PRE-TRAINING PIPELINE — the real corpus build runs
     // curate → gopher → decontaminate → cluster-dedupe → mixture as ONE
     // job ending in a one-row report. Composition shape (and why it
@@ -1343,6 +1371,36 @@ object CorpusQueries extends QueryPack {
          |    AS lw_per_token,
          |  lw > 0 AS selected
          |FROM pd""".stripMargin,
+
+    // quality CTE shared with text_quality's oracle; rank/phase are
+    // exact integers so the quartile law replays verbatim
+    "pipeline_curriculum_order" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(round(CAST(least(nt / 100.0, 1.0) * 0.4
+        |      + (1.0 - ns / nt) * 0.3 + (nd / nt) * 0.3
+        |      AS DECIMAL(27,12)), 6) AS DOUBLE) AS quality,
+        |    fp AS shuffle_key
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('a', 'the'))) AS DOUBLE) AS ns,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        AS nd,
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(text, ''),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |    FROM documents)),
+        |nn AS (SELECT count(*) AS n FROM q),
+        |r AS (SELECT doc_id, quality, shuffle_key,
+        |    CAST(row_number() OVER (ORDER BY quality, doc_id) - 1
+        |      AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT doc_id, quality, rnk, (rnk * 4) // nn.n AS phase,
+        |  shuffle_key
+        |FROM r, nn""".stripMargin,
 
     // same integer waterfill law: i* by the affordability predicate,
     // cap and remainder by integer division — exact at any magnitude
