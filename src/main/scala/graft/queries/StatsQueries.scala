@@ -194,6 +194,70 @@ object StatsQueries extends QueryPack {
             - col("ties").cast("double") / 12.0)).as("z"))
     }),
 
+    // BENJAMINI-HOCHBERG FDR over a FAMILY of hypotheses — the
+    // multiple-testing control every segment-level dashboard needs
+    // (25 per-nation tests at α=0.05 expect ~1 false positive; BH
+    // bounds the false-discovery RATE instead). Hypotheses: per
+    // nation, one-sample z of the nation's mean order total against
+    // the global mean (all moments exact cent-integer DECIMAL sums).
+    // Two-sided p via the Abramowitz-Stegun 7.1.26 normal-tail
+    // polynomial written with IDENTICAL Horner arithmetic in both
+    // engines (the repo's first p-VALUE convention — prior tests stop
+    // at z to avoid the CDF; BH needs p, and a shared closed-form
+    // polynomial makes it engine-exact under the round6 snap). The
+    // m-row family is bounded (nations), so ranking rides
+    // Prefix.thetaRank (n² broadcast pairs, no window) and the BH cut
+    // k* = max{i: p(i) ≤ q·i/m} is one bounded aggregate; q = 0.1.
+    "agg_bh_fdr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.StableRound
+      val dec = DecimalType(38, 0)
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .localCheckpoint() // per-nation + global aggs share one pass
+      val per = base.groupBy("n_name").agg(
+        count(lit(1)).as("ni"), sum(col("c").cast(dec)).as("si"))
+      val glob = base.agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+      val meanI = col("si").cast("double") / col("ni").cast("double")
+      val meanG = col("s").cast("double") / col("n").cast("double")
+      // operator must end the line — a leading `-` starts a NEW
+      // (discarded) statement under Scala semicolon inference
+      val varG = col("ss").cast("double") / col("n").cast("double") -
+        meanG * meanG
+      val z = (meanI - meanG) / sqrt(varG / col("ni").cast("double"))
+      val az = abs(col("z"))
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = ((((lit(1.330274429) * t - 1.821255978) * t
+        + 1.781477937) * t - 0.356563782) * t + 0.319381530) * t
+      val p = lit(2.0) * exp(-az * az / 2.0) * 0.3989422804014327 * poly
+      val scored = per.crossJoin(broadcast(glob))
+        .withColumn("z", z)
+        .select(col("n_name"), col("ni").as("n_orders"),
+          StableRound.round6(col("z")).as("z6"),
+          StableRound.round6(p).as("p6"))
+      val m = scored.agg(count(lit(1)).as("m"))
+      val ranked = graft.ops.Prefix.thetaRank(scored,
+          Seq(("p6", false), ("n_name", false)), "rnk")
+        .crossJoin(broadcast(m))
+        .withColumn("rnk", col("rnk").cast("long"))
+        .withColumn("thr6",
+          StableRound.round6(lit(0.1) * col("rnk") / col("m")))
+        .localCheckpoint() // k* aggregate + output both read it
+      val kmax = ranked.agg(coalesce(
+        max(when(col("p6") <= col("thr6"), col("rnk"))), lit(0L))
+        .as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("n_name"), col("n_orders"), col("z6"), col("p6"),
+          col("rnk"), col("thr6"), (col("rnk") <= col("kmax")).as("reject"))
+    }),
+
     // Benford first-digit screen over order totals — the classic
     // fabricated-data / unit-mixup detector for financial-ish columns.
     // The leading digit is extracted from the EXACT CENT INTEGER's
@@ -2148,6 +2212,47 @@ object StatsQueries extends QueryPack {
         |        / CAST(n * (n - 1) * 12 AS DOUBLE)) * 2)
         |    AS DECIMAL(27,12)), 6) AS DOUBLE) AS z
         |FROM a""".stripMargin,
+
+    // the A&S 7.1.26 tail polynomial in the SAME Horner arithmetic as
+    // the Spark side; all moments exact integer sums; ranks/cut replay
+    // under the round6 snap on p and threshold
+    "agg_bh_fdr" -> {
+      val r6 = graft.StableRound.sql6 _
+      val zExpr =
+        "(CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)" +
+        " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " / sqrt((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))" +
+        " / CAST(ni AS DOUBLE))"
+      s"""WITH b AS (SELECT n_name,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |per AS (SELECT n_name, count(*) AS ni, sum(c) AS si
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM b),
+        |zz AS (SELECT n_name, ni, $zExpr AS z FROM per, g),
+        |pp AS (SELECT n_name, ni, z, abs(z) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz),
+        |sc AS (SELECT n_name, CAST(ni AS BIGINT) AS n_orders,
+        |    ${r6("z")} AS z6,
+        |    ${r6("2.0 * exp(-az * az / 2.0) * 0.3989422804014327" +
+             " * (((((1.330274429 * t - 1.821255978) * t" +
+             " + 1.781477937) * t - 0.356563782) * t" +
+             " + 0.319381530) * t)")} AS p6
+        |  FROM pp),
+        |mm AS (SELECT count(*) AS m FROM sc),
+        |r AS (SELECT sc.*, CAST(row_number() OVER (ORDER BY p6, n_name)
+        |    AS BIGINT) AS rnk FROM sc),
+        |rt AS (SELECT r.*, ${r6("CAST(0.1 AS DOUBLE) * rnk / m")} AS thr6
+        |  FROM r, mm),
+        |k AS (SELECT COALESCE(max(CASE WHEN p6 <= thr6 THEN rnk END),
+        |    0) AS kmax FROM rt)
+        |SELECT n_name, n_orders, z6, p6, rnk, thr6, rnk <= kmax AS reject
+        |FROM rt, k""".stripMargin
+    },
 
     "agg_wilcoxon_signed_rank" ->
       s"""WITH ev AS (
