@@ -197,6 +197,12 @@ object PlanAudit {
     // retriever-side cuts execute eagerly inside their own stages)
     "vec_hybrid_rrf" -> Seq(
       NodePresent("WindowGroupLimitExec", atLeast = 2)),
+    // batch BQ: the Hamming candidate cut must also ride a
+    // WindowGroupLimit pair — losing it shuffles the full
+    // |queries|×corpus (query, id, hamming) relation (the broadcast
+    // joins are hint-pinned and cannot degrade; the window cut can)
+    "vec_ann_bq_batch" -> Seq(
+      NodePresent("WindowGroupLimitExec", atLeast = 2)),
     // binary-quantization ANN: both cuts plan as TakeOrderedAndProject
     // (per-partition heap + bounded driver merge) and the whole probe
     // is exchange-free — an exchange here means the 8-byte-signature

@@ -139,7 +139,7 @@ object VectorOps {
     val q = withNorm(queries, qVecCol).select(col(qIdCol).as("query_id"),
         col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"),
         signPack(col(qVecCol), dim).as("__qsig"))
-      .localCheckpoint() // bounded query set, three consumers
+      .localCheckpoint() // bounded query set, two consumers
     val cand = vectors
       .select(col(idCol), signPack(col(vecCol), dim).as("__sig"))
       .crossJoin(broadcast(q.select(col("query_id"), col("__qsig"))))

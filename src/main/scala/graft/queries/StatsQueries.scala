@@ -179,10 +179,12 @@ object StatsQueries extends QueryPack {
           "ad", sums = Seq((col("cnt"), "below")), inclusive = false)
         .agg(
           sum(col("cnt")).cast(dec).as("n"),
-          sum((col("cnt_pos") * (col("below") * 2 + col("cnt") + 1))
-            .cast(dec)).as("w2"),
-          sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-            .cast(dec)).as("ties"))
+          // cast BEFORE multiplying (the agg_bh_fdr discipline): a
+          // ~2.1M-row tie bucket overflows cnt³ in long silently
+          sum(col("cnt_pos").cast(dec) *
+            (col("below") * 2 + col("cnt") + 1).cast(dec)).as("w2"),
+          sum(col("cnt").cast(dec) * col("cnt").cast(dec) *
+            col("cnt").cast(dec) - col("cnt").cast(dec)).as("ties"))
       a.select(
         col("n").cast("long").as("n_pairs"),
         col("w2").cast("long").as("w2_plus"),

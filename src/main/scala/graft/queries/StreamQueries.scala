@@ -631,8 +631,9 @@ object StreamQueries extends QueryPack {
       val (dfreq, stats) = graft.ops.TextOps.bm25Fit(
         TextQueries.bm25Corpus(batchDocs), "doc_id", "text", qtok)
       val q = StreamOps.bm25EachBatch(
-        StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
-          batchDocs.schema).filter(col("doc_id") >= 3),
+        TextQueries.bm25Corpus(
+          StreamOps.fileStreamParquet(s, s"$d/documents.parque*",
+            batchDocs.schema)),
         qtok, dfreq.localCheckpoint(), stats.localCheckpoint(),
         "doc_id", "text", s"$base/out", Some(s"$base/ckpt"))
       q.awaitTermination()

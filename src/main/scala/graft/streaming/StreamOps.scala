@@ -1159,22 +1159,9 @@ object StreamOps {
   def classifyEachBatch(stream: DataFrame,
       model: graft.ops.CorpusOps.NbModel, idCol: String, textCol: String,
       labelCol: String, outDir: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = stream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-    checkpoint.foreach(writer.option("checkpointLocation", _))
-    writer
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.CorpusOps
-          .nbApply(model, batch, idCol, textCol, labelCol)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id").parquet(outDir)
-      }
-      .start()
-  }
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    scoredEachBatch(stream, outDir, checkpoint)(batch =>
+      graft.ops.CorpusOps.nbApply(model, batch, idCol, textCol, labelCol))
 
   /** Streaming DSIR scoring — the deployed posture of
     * [[graft.ops.CorpusOps.dsirWeights]]: the B-row (bucket, score)
@@ -1186,6 +1173,12 @@ object StreamOps {
     * and replay is idempotent through the dynamic-partition overwrite.
     * One AvailableNow pass over the static corpus reproduces the batch
     * entry exactly. */
+  def dsirEachBatch(stream: DataFrame, scores: DataFrame, idCol: String,
+      textCol: String, outDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    scoredEachBatch(stream, outDir, checkpoint)(batch =>
+      graft.ops.CorpusOps.dsirApply(scores, batch, idCol, textCol))
+
   /** BM25 scoring in its deployed posture: corpus statistics (query
     * vocabulary df, n_docs/avgdl) are FROZEN batch-side — the index-build
     * cadence — and every arriving micro-batch scores statelessly against
@@ -1195,6 +1188,18 @@ object StreamOps {
   def bm25EachBatch(stream: DataFrame, queryTokens: DataFrame,
       dfreq: DataFrame, stats: DataFrame, idCol: String, textCol: String,
       outDir: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredEachBatch(stream, outDir, checkpoint)(batch =>
+      graft.ops.TextOps
+        .bm25Apply(batch, idCol, textCol, queryTokens, dfreq, stats))
+
+  /** The shared stateless-scoring scaffold behind the frozen-artifact
+    * streaming faces (NB classify, DSIR, BM25): one AvailableNow pass,
+    * `transform(batch)` per micro-batch, landed replay-exact under
+    * `__batch_id=N` with dynamic partition overwrite so a replayed
+    * batch rewrites exactly its own partition. */
+  private def scoredEachBatch(stream: DataFrame, outDir: String,
+      checkpoint: Option[String])(transform: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("append")
@@ -1202,27 +1207,7 @@ object StreamOps {
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.TextOps
-          .bm25Apply(batch, idCol, textCol, queryTokens, dfreq, stats)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id").parquet(outDir)
-      }
-      .start()
-  }
-
-  def dsirEachBatch(stream: DataFrame, scores: DataFrame, idCol: String,
-      textCol: String, outDir: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = stream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-    checkpoint.foreach(writer.option("checkpointLocation", _))
-    writer
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.CorpusOps
-          .dsirApply(scores, batch, idCol, textCol)
+        transform(batch)
           .withColumn("__batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
