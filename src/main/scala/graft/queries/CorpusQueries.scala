@@ -250,6 +250,40 @@ object CorpusQueries extends QueryPack {
       CorpusOps.tokenBudgetWaterfill(Tables.documents(s, d), "text",
         "source")),
 
+    // EPOCH PLANNING under a token budget with a repetition cap — the
+    // data-constrained-scaling question ("Scaling Data-Constrained
+    // Language Models", Muennighoff et al. 2023): budget = 50% of corpus
+    // tokens, shares follow α=0.5 temperature weights (√tokens, the
+    // sample_mixture tilt toward low-resource domains), and no domain
+    // repeats more than 4 epochs — past ~4 epochs repeated data stops
+    // buying loss. Complements pipeline_token_budget (which fills a
+    // budget without repetition): this one answers "how many PASSES over
+    // each domain". Weights snap to DECIMAL(27,12)@6 so their sum is
+    // exact; epochs is one straight-line double expression mirrored
+    // verbatim in the oracle; alloc = floor(epochs·tokens) on the
+    // snapped value. One grouped scan + a broadcast totals row.
+    "pipeline_epoch_plan" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val stats = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("wgt",
+          round(sqrt(col("n_tokens").cast("double"))
+            .cast(DecimalType(27, 12)), 6))
+      val tot = stats.agg(sum(col("wgt")).as("denom"),
+        sum(col("n_tokens")).as("total"))
+      stats.crossJoin(broadcast(tot))
+        .withColumn("epochs", StableRound.round6(least(
+          lit(4).cast("double"),
+          col("total").cast("double") * lit(0.5)
+            * (col("wgt").cast("double") / col("denom").cast("double"))
+            / col("n_tokens").cast("double"))))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("epochs"),
+          floor(col("epochs") * col("n_tokens").cast("double"))
+            .cast("long").as("alloc_tokens"))
+        .orderBy("lang")
+    }),
+
     // CURRICULUM ORDERING: quality-quartile phases (easy→hard schedule)
     // with a deterministic within-phase shuffle key — the stage between
     // curation and packing when training on a difficulty schedule.
@@ -1429,6 +1463,29 @@ object CorpusQueries extends QueryPack {
         |   END AS BIGINT) AS alloc_tokens,
         |  i > istar AS capped
         |FROM f""".stripMargin,
+
+    // weights as exact DECIMAL sums, the epoch law as the verbatim
+    // straight-line double expression of the Spark side
+    "pipeline_epoch_plan" ->
+      s"""WITH stats AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs, n_tokens,
+        |    round(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(27,12)), 6)
+        |      AS wgt
+        |  FROM stats),
+        |tot AS (SELECT sum(wgt) AS denom, sum(n_tokens) AS total FROM w),
+        |p AS (SELECT lang, n_docs, n_tokens,
+        |    ${StableRound.sql6(
+             "least(CAST(4 AS DOUBLE), CAST(total AS DOUBLE)" +
+             " * CAST(0.5 AS DOUBLE)" +
+             " * (CAST(wgt AS DOUBLE) / CAST(denom AS DOUBLE))" +
+             " / CAST(n_tokens AS DOUBLE))")} AS epochs
+        |  FROM w CROSS JOIN tot)
+        |SELECT lang, n_docs, n_tokens, epochs,
+        |  CAST(floor(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+        |    AS alloc_tokens
+        |FROM p ORDER BY lang""".stripMargin,
 
     // The composed pipeline, stage oracles embedded as SUBQUERIES (each
     // keeps its own WITH scope, so CTE names cannot collide) — the

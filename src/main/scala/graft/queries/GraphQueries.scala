@@ -406,6 +406,44 @@ object GraphQueries extends QueryPack {
           col("label").as("community_id"), col("community_size"))
     }),
 
+    // modularity Q (Newman 2004) as a partition-quality A/B: the same
+    // metric scored over BOTH community assignments this pack produces —
+    // connected components vs 3-round synchronous LPA.
+    // Q = Σ_c [e_c/m − (deg_c/2m)²], folded to (4m·Σe_c − Σdeg_c²)/(4m²)
+    // so every term is an exact integer (within-edges, degree sums,
+    // Σdeg_c²) and the ONLY float op is the final division — both
+    // engines evaluate the identical straight line. The honest verdict
+    // on THIS graph is the point: one giant component holds ~all edges
+    // (we=m but the null-model term cancels it, Q≈0.007) and the pinned
+    // synchronous-LPA trajectory fragments (440 communities, we≈1.5% of
+    // m, Q≈0.008) — the metric reports that neither partition beats the
+    // degree-sequence null model, which is exactly what a quality gauge
+    // must say about a structureless blob (GraphOpsSpec pins a planted
+    // two-clique graph where it reports Q≫0). Scale shape: degrees and
+    // labels join on ids (long pairs), the single-row aggregates
+    // broadcast — nothing quadratic, no vectors.
+    "graph_modularity" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val g = GraphOps.coOccurrencePairs(items, "o", "p",
+          requireExact = true)
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("u", "v")
+        .localCheckpoint() // CC, LPA, m, within-edges, degrees read it
+      val verts = g.select(col("u").as("id"))
+        .union(g.select(col("v").as("id"))).distinct()
+      val cc = graft.ops.Clusters.connectedComponentsStar(verts,
+        g.select(col("u").as("src"), col("v").as("dst")))
+      val lpa = GraphOps.labelPropagation(g, "u", "v", iters = 3)
+      def report(labels: org.apache.spark.sql.DataFrame, tag: String) =
+        GraphOps.modularity(g, "u", "v", labels, "id", "label")
+          .select(lit(tag).as("method"), col("n_communities"),
+            col("n_edges"), col("edges_within"), col("modularity"))
+      report(cc, "components").unionAll(report(lpa, "lpa3"))
+        .orderBy("method")
+    }),
+
     // association rules over the repeat-co-purchase pairs: support,
     // directional confidence, lift — the market-basket report
     // (Agrawal/Srikant's metrics, pair itemsets). Every ratio is exact
@@ -440,6 +478,31 @@ object GraphQueries extends QueryPack {
         .orderBy(col("lift").desc, col("u"), col("v"))
         .limit(50)
     }))
+
+  /** Shared replay of the repeat-co-purchase graph + 3 synchronous LPA
+    * rounds (`items … g, sym, l0 … l3`, no leading WITH so the
+    * modularity oracle can prepend WITH RECURSIVE) — the trajectory both
+    * the LPA entry and the modularity report are defined over. */
+  private val lpaBody: String = {
+    val rounds = (1 to 3).map { r =>
+      s""",
+        |n$r AS (SELECT s.x, l.lbl, count(*) AS c
+        |  FROM sym s JOIN l${r - 1} l ON l.x = s.y GROUP BY 1, 2),
+        |l$r AS (SELECT x, lbl FROM (SELECT x, lbl,
+        |    row_number() OVER (PARTITION BY x ORDER BY c DESC, lbl)
+        |      AS rn FROM n$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |g AS (SELECT a.p AS u, b.p AS v
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT u AS x, v AS y FROM g
+      |  UNION ALL SELECT v, u FROM g),
+      |l0 AS (SELECT DISTINCT x, x AS lbl FROM sym)$rounds""".stripMargin
+  }
+
+  private val lpaCte: String = "WITH " + lpaBody
 
   def oracle: Map[String, String] = Map(
     // id-ordered 3-way join — orientation-invariant counts, so the
@@ -678,26 +741,46 @@ object GraphQueries extends QueryPack {
         |SELECT id AS part_id, dist FROM d4""".stripMargin
     },
 
-    "graph_label_propagation" -> {
-      val rounds = (1 to 3).map { r =>
-        s""",
-          |n$r AS (SELECT s.x, l.lbl, count(*) AS c
-          |  FROM sym s JOIN l${r - 1} l ON l.x = s.y GROUP BY 1, 2),
-          |l$r AS (SELECT x, lbl FROM (SELECT x, lbl,
-          |    row_number() OVER (PARTITION BY x ORDER BY c DESC, lbl)
-          |      AS rn FROM n$r) WHERE rn = 1)""".stripMargin
-      }.mkString
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |  FROM lineitem),
-        |g AS (SELECT a.p AS u, b.p AS v
-        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u AS x, v AS y FROM g
-        |  UNION ALL SELECT v, u FROM g),
-        |l0 AS (SELECT DISTINCT x, x AS lbl FROM sym)$rounds,
+    "graph_label_propagation" ->
+      s"""$lpaCte,
         |cs AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
         |SELECT l3.x AS part_id, l3.lbl AS community_id, cs.community_size
-        |FROM l3 JOIN cs ON l3.lbl = cs.lbl""".stripMargin
+        |FROM l3 JOIN cs ON l3.lbl = cs.lbl""".stripMargin,
+
+    // both partitions replayed in one statement (WITH RECURSIVE for the
+    // min-label component closure + the chained LPA rounds), each folded
+    // to (4m·we − Σdeg_c²)/(4m²): every CTE below the shared chain is
+    // integer-exact, the final division is the single float op mirrored
+    // on the Spark side
+    "graph_modularity" -> {
+      def q(lblRel: String, tag: String) =
+        s"""SELECT '$tag' AS method, s$tag.nc AS n_communities,
+          |  m.m AS n_edges, w$tag.we AS edges_within,
+          |  ${graft.StableRound.sql6(
+               s"CAST(4 * m.m * w$tag.we - s$tag.sdc AS DOUBLE)" +
+               " / CAST(4 * m.m * m.m AS DOUBLE)")} AS modularity
+          |FROM s$tag, m, w$tag""".stripMargin
+      def parts(lblRel: String, tag: String) =
+        s"""w$tag AS (SELECT count(*) AS we FROM g
+          |  JOIN $lblRel a ON g.u = a.x JOIN $lblRel b ON g.v = b.x
+          |  WHERE a.lbl = b.lbl),
+          |d$tag AS (SELECT $lblRel.lbl, sum(deg.dg) AS degsum
+          |  FROM deg JOIN $lblRel ON deg.x = $lblRel.x GROUP BY 1),
+          |s$tag AS (SELECT CAST(sum(degsum * degsum) AS BIGINT) AS sdc,
+          |    count(*) AS nc FROM d$tag)""".stripMargin
+      s"""WITH RECURSIVE $lpaBody,
+        |r AS (SELECT x AS v, x AS l FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT sym.y AS v, r.l AS l FROM r JOIN sym ON sym.x = r.v),
+        |cc AS (SELECT v AS x, min(l) AS lbl FROM r GROUP BY v),
+        |m AS (SELECT count(*) AS m FROM g),
+        |deg AS (SELECT x, count(*) AS dg FROM sym GROUP BY 1),
+        |${parts("cc", "components")},
+        |${parts("l3", "lpa3")}
+        |${q("cc", "components")}
+        |UNION ALL
+        |${q("l3", "lpa3")}
+        |ORDER BY method""".stripMargin
     },
 
     "agg_market_basket" -> {

@@ -65,6 +65,44 @@ object VectorQueries extends QueryPack {
         "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
     }),
 
+    // INDEX-QUALITY AUDIT: recall@10 and MRR of the BQ-ANN tier against
+    // the exact cosine top-10 (the relevance set), per query — the
+    // continuous eval every serving fleet runs before trusting an
+    // approximate index ("is 1-bit + 20× oversample still good enough on
+    // THIS corpus?"). Both lists are total-ordered (cos desc, id), hits
+    // and first-hit rank are integers, so recall and MRR replay exactly;
+    // the metric join moves only (query, id, rank) triples — the eval
+    // costs two bounded retrievals + a k-row join, never a new scan
+    // shape. Scale: exact side is the brute-force pass you'd run on a
+    // SAMPLE of queries; the approx side is the production path.
+    "vec_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 3)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").localCheckpoint()
+      val exact = VectorOps.cosineTopKBatch(corpus, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
+          qs, "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      val hits = approx
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("rk")).as("__minrk"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          graft.StableRound.round6(
+            coalesce(col("n_hits"), lit(0L)).cast("double")
+              / lit(10).cast("double")).as("recall_at_10"),
+          graft.StableRound.round6(coalesce(
+            lit(1).cast("double") / col("__minrk").cast("double"),
+            lit(0.0))).as("mrr"))
+        .orderBy("query_id")
+    }),
+
     // HYBRID RETRIEVAL with Reciprocal Rank Fusion: lexical BM25 ranks
     // (documents ≥ 3 scored against docs 0-2's token sets — the
     // text_bm25_topk machinery) fused with dense cosine ranks
@@ -998,6 +1036,43 @@ object VectorQueries extends QueryPack {
         |  FROM cand WHERE hrk <= 200)
         |SELECT query_id, vec_id, hamming, round(cos, 6) AS cos_sim, rk
         |FROM w WHERE rk <= 10""".stripMargin),
+
+    // replays BOTH retrieval chains (the vec_ann_bq_batch candidates +
+    // rerank, and the exact top-10) then counts integer hits — recall
+    // and MRR are single straight-line float ops on exact integers
+    "vec_recall_eval" -> (vCte +
+      s""",
+        |q2 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 3),
+        |h AS (SELECT q2.query_id, n.vec_id,
+        |    CAST(list_sum([CASE WHEN (n.e[i] > 0) <> (q2.qe[i] > 0)
+        |      THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT)
+        |      AS hamming,
+        |    list_dot_product(n.e, q2.qe) / (n.nrm * q2.qn) AS cos
+        |  FROM n, q2 WHERE n.vec_id >= 3),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, vec_id) AS hrk FROM h),
+        |approx AS (SELECT query_id, vec_id, rk FROM (
+        |  SELECT query_id, vec_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        |    FROM cand WHERE hrk <= 200) WHERE rk <= 10),
+        |exact AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS xr FROM h) WHERE xr <= 10),
+        |hits AS (SELECT a.query_id, count(*) AS n_hits, min(a.rk) AS minrk
+        |  FROM approx a JOIN exact x
+        |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |  GROUP BY 1)
+        |SELECT q2.query_id, coalesce(hits.n_hits, 0) AS n_hits,
+        |  ${graft.StableRound.sql6(
+             "CAST(coalesce(hits.n_hits, 0) AS DOUBLE)" +
+             " / CAST(10 AS DOUBLE)")} AS recall_at_10,
+        |  ${graft.StableRound.sql6(
+             "coalesce(CAST(1 AS DOUBLE) / CAST(hits.minrk AS DOUBLE)," +
+             " CAST(0.0 AS DOUBLE))")} AS mrr
+        |FROM q2 LEFT JOIN hits ON q2.query_id = hits.query_id
+        |ORDER BY q2.query_id""".stripMargin),
 
     // lex CTE shared verbatim with text_bm25_topk / stream_bm25_score;
     // rrf in exact integer nano-units (integer div of integer ranks)

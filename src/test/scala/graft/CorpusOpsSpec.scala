@@ -505,4 +505,28 @@ class ClustersSpec extends SparkSpec {
     assert(got.size == n)
     assert(got.values.toSet == Set(1L))
   }
+
+  test("pipeline_epoch_plan: epochs capped at 4, anti-monotone in domain " +
+      "size, total allocation within the half-corpus budget") {
+    val d = sfDir("0.001")
+    val rows = SparkEntry.queries("pipeline_epoch_plan")(spark, d)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    val total = rows.map(_._3).sum
+    rows.foreach { case (lang, nDocs, nTok, epochs, alloc) =>
+      assert(nDocs > 0 && nTok > 0, lang)
+      assert(epochs > 0.0 && epochs <= 4.0, s"$lang epochs=$epochs")
+      // alloc = floor(epochs·tokens) on the snapped epochs
+      assert(alloc <= epochs * nTok + 1e-6 && alloc > epochs * nTok - 1,
+        s"$lang alloc=$alloc")
+    }
+    // α=0.5 tilt: epochs strictly decrease as domain size grows
+    // (epochs ∝ 1/√tokens until the cap)
+    val bySize = rows.sortBy(_._3)
+    bySize.zip(bySize.tail).foreach { case (a, b) =>
+      assert(a._4 >= b._4, s"${a._1} vs ${b._1}")
+    }
+    assert(rows.map(_._5).sum <= total / 2,
+      s"allocated ${rows.map(_._5).sum} of budget ${total / 2}")
+  }
 }

@@ -17,6 +17,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L)))
   }
 
+  test("modularity: planted two-clique graph scores the closed form; " +
+      "the all-one-community and singleton partitions score their nulls") {
+    // two 5-cliques bridged by one edge: m=21, within(by-clique)=20,
+    // per-clique degree sums 21 each -> Q = (4·21·20 − 2·21²)/(4·21²)
+    //   = 798/1764 = 0.452381 (exact at round6)
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(6L to 10L) ++ Seq((5L, 6L)))
+      .toDF("u", "v")
+    val byClique = (1L to 10L).map(i => (i, if (i <= 5) 1L else 2L))
+      .toDF("id", "label")
+    val got = GraphOps.modularity(edges, "u", "v", byClique, "id", "label")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 21L, 20L, 0.452381)))
+    // one community holding everything: Q = m/m − (2m/2m)² = 0 exactly
+    val allOne = (1L to 10L).map(i => (i, 0L)).toDF("id", "label")
+    val gotOne = GraphOps.modularity(edges, "u", "v", allOne, "id", "label")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotOne == Seq((1L, 21L, 21L, 0.0)))
+    // singletons: we=0, Q = −Σdeg²/(4m²) < 0 — the degenerate floor
+    val single = (1L to 10L).map(i => (i, i)).toDF("id", "label")
+    val gotS = GraphOps.modularity(edges, "u", "v", single, "id", "label")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotS.head._1 == 10L && gotS.head._3 == 0L
+      && gotS.head._4 < 0.0)
+  }
+
   test("kcorePeel: pendant chains peel away, the dense core survives " +
       "with within-core degrees") {
     // K4 (1-4 complete) + pendant path 4-5-6: the 3-core is exactly K4
