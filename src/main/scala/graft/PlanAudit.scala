@@ -209,7 +209,26 @@ object PlanAudit {
     // prefilter started shuffling 256-byte vectors
     "vec_ann_bq" -> Seq(
       NodePresent("TakeOrderedAndProjectExec", atLeast = 2),
-      NodeAbsent("ShuffleExchangeExec")))
+      NodeAbsent("ShuffleExchangeExec")),
+    // recall eval: the EXACT side's per-query top-10 cut must keep the
+    // WindowGroupLimit pair (the approx side's cuts execute eagerly
+    // inside bqTopKBatch's checkpoints) — losing it shuffles the full
+    // |queries|×corpus score relation to compute a 3-row metric
+    "vec_recall_eval" -> Seq(
+      NodePresent("WindowGroupLimitExec", atLeast = 2)),
+    // epoch planner: the m-row totals ride a broadcast nested-loop
+    // cross join — a shuffle fallback would repartition the stats frame
+    // corpus-side if the checkpoint discipline ever regressed (the
+    // output orderBy's range exchange over the m-row frame is expected
+    // and out of scope; the corpus-scanned-once property itself is
+    // pinned by the localCheckpoint)
+    "pipeline_epoch_plan" -> Seq(
+      NodePresent("BroadcastNestedLoopJoinExec")))
+    // graph_modularity has no node row: every join runs eagerly inside
+    // GraphOps.modularity's bounded localCheckpoints (labels) or
+    // against checkpointed g, and the returned plan is the tiny
+    // union-of-single-row-aggregates tail — gating nodes there would
+    // pin the wrong stage (the vec_mmr_rerank_batch rationale).
     // vec_mmr_rerank_batch has no node row: its corpus-side joins
     // (candidate re-attach) carry an EXPLICIT broadcast() hint — which
     // Spark honors unconditionally, so it cannot silently degrade — and

@@ -270,6 +270,8 @@ object CorpusQueries extends QueryPack {
         .withColumn("wgt",
           round(sqrt(col("n_tokens").cast("double"))
             .cast(DecimalType(27, 12)), 6))
+        .localCheckpoint() // m-row bounded frame; totals + final both
+                           // read it — the corpus is scanned ONCE
       val tot = stats.agg(sum(col("wgt")).as("denom"),
         sum(col("n_tokens")).as("total"))
       stats.crossJoin(broadcast(tot))
