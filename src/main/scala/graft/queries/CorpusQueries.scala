@@ -592,6 +592,47 @@ object CorpusQueries extends QueryPack {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))),
 
+    // SPLIT-LEAKAGE AUDIT: near-duplicate pairs that CROSS the
+    // train/eval boundary of the sample_split_hash law — the test-set
+    // contamination check every LLM data release runs (Lee et al. 2022
+    // found C4's validation split leaking against train; n-gram overlap
+    // is text_decontaminate, this is its NEAR-DUP face). One row per
+    // eval (val/test) doc: how many train near-dups touch it, the worst
+    // jaccard, and the leaked flag a release gate keys on. Scale shape:
+    // the pair relation is the banded MinHash-LSH tier (ids only, never
+    // all-pairs); the split law is a per-row hash — the audit adds two
+    // id⋈split joins and a grouped count on top of machinery that
+    // already scales.
+    "pipeline_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sp = docs
+        .withColumn("h", CorpusOps.samplingHash(col("doc_id")))
+        .withColumn("bucket", expr("h div 10000"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      val pairs = TextDedupe.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      val crossing = pairs
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("sp1")),
+          "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("sp2")),
+          "d2")
+        .filter((col("sp1") === "train") =!= (col("sp2") === "train"))
+        .select(when(col("sp1") === "train", col("d2")).otherwise(col("d1"))
+          .as("doc_id"), col("jaccard"))
+      val leak = crossing.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_train_dups"),
+          max(col("jaccard")).as("max_jaccard"))
+      sp.filter(col("split") =!= "train")
+        .join(leak, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          (coalesce(col("n_train_dups"), lit(0L)) > 0).as("leaked"))
+        .orderBy("doc_id")
+    }),
+
     // one-glance DATASET CARD per language: doc/char/token totals,
     // exact-duplicate rate, and corpus share — the release-report
     // rollup a training-data build publishes. Two aggregation passes
@@ -1621,6 +1662,37 @@ object CorpusQueries extends QueryPack {
         |  CASE WHEN hv // 10000 < 80 THEN 'train'
         |       WHEN hv // 10000 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h""".stripMargin,
+
+    // split law replayed from the same hash arithmetic; the near-dup
+    // pair relation is the dedupe_minhash_lsh oracle embedded as a
+    // subquery (its own WITH scope — the pretrain-corpus composition
+    // idiom), so banding recall vs the exact form is re-checked here too
+    "pipeline_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id,
+        |    CASE WHEN hv // 10000 < 80 THEN 'train'
+        |         WHEN hv // 10000 < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      (((doc_id % 1000000007) * 48271 + 12345) % 1000000007
+        |        * 48271 + 12345) % 1000000007 % 1000000 AS hv
+        |    FROM documents)),
+        |pr AS (SELECT * FROM (${TextQueries.shingleCte(blocked = false)})),
+        |crossing AS (SELECT
+        |    CASE WHEN s1.split = 'train' THEN pr.d2 ELSE pr.d1 END
+        |      AS doc_id,
+        |    pr.jaccard
+        |  FROM pr JOIN sp s1 ON pr.d1 = s1.doc_id
+        |  JOIN sp s2 ON pr.d2 = s2.doc_id
+        |  WHERE (s1.split = 'train') <> (s2.split = 'train')),
+        |leak AS (SELECT doc_id, count(*) AS n_train_dups,
+        |    max(jaccard) AS max_jaccard
+        |  FROM crossing GROUP BY 1)
+        |SELECT sp.doc_id, sp.split,
+        |  coalesce(leak.n_train_dups, 0) AS n_train_dups,
+        |  coalesce(leak.max_jaccard, CAST(0.0 AS DOUBLE)) AS max_jaccard,
+        |  coalesce(leak.n_train_dups, 0) > 0 AS leaked
+        |FROM sp LEFT JOIN leak ON sp.doc_id = leak.doc_id
+        |WHERE sp.split <> 'train'
+        |ORDER BY sp.doc_id""".stripMargin,
 
     // n_tokens/n_chars: DuckDB sum(BIGINT) returns HUGEINT, which pandas
     // renders as float64 ("3.0" vs Spark's int64 "3") — value-equal but

@@ -217,6 +217,60 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rate == 0.5)
     assert(math.abs(frac - rate) < 5 * math.sqrt(0.25 / 2000))
   }
+
+  test("pipeline_epoch_plan: epochs capped at 4, anti-monotone in domain " +
+      "size, total allocation within the half-corpus budget") {
+    val d = sfDir("0.001")
+    val rows = SparkEntry.queries("pipeline_epoch_plan")(spark, d)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    val total = rows.map(_._3).sum
+    rows.foreach { case (lang, nDocs, nTok, epochs, alloc) =>
+      assert(nDocs > 0 && nTok > 0, lang)
+      assert(epochs > 0.0 && epochs <= 4.0, s"$lang epochs=$epochs")
+      // alloc = floor(epochs·tokens) on the snapped epochs
+      assert(alloc <= epochs * nTok + 1e-6 && alloc > epochs * nTok - 1,
+        s"$lang alloc=$alloc")
+    }
+    // α=0.5 tilt: epochs strictly decrease as domain size grows
+    // (epochs ∝ 1/√tokens until the cap)
+    val bySize = rows.sortBy(_._3)
+    bySize.zip(bySize.tail).foreach { case (a, b) =>
+      assert(a._4 >= b._4, s"${a._1} vs ${b._1}")
+    }
+    assert(rows.map(_._5).sum <= total / 2,
+      s"allocated ${rows.map(_._5).sum} of budget ${total / 2}")
+  }
+
+  test("pipeline_split_leakage agrees with a driver-side recomposition " +
+      "of the near-dup pairs against the split law") {
+    import graft.ops.TextDedupe
+    val d = sfDir("0.01") // sf with a non-empty crossing-pair set
+    val docs = Tables.documents(spark, d)
+    val split = docs
+      .withColumn("h", CorpusOps.samplingHash(col("doc_id")))
+      .select(col("doc_id"), (expr("h div 10000") < 80).as("isTrain"))
+      .as[(Long, Boolean)].collect().toMap
+    val pairs = TextDedupe.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    val expected = pairs.flatMap { case (a, b, j) =>
+      if (split(a) != split(b)) Some((if (split(a)) b else a, j)) else None
+    }.groupBy(_._1)
+      .map { case (k, v) => k -> ((v.length.toLong, v.map(_._2).max)) }
+    val got = SparkEntry.queries("pipeline_split_leakage")(spark, d)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty && got.forall(_._2 != "train"))
+    assert(got.exists(_._5), "no leaked doc at sf0.01 — fixture drift?")
+    got.foreach { case (id, _, nDups, maxJ, leaked) =>
+      expected.get(id) match {
+        case Some((en, ej)) =>
+          assert(nDups == en && maxJ == ej && leaked, s"doc $id")
+        case None =>
+          assert(nDups == 0L && maxJ == 0.0 && !leaked, s"doc $id")
+      }
+    }
+    assert(got.count(_._5) == expected.size)
+  }
 }
 
 class DedupeIncrementalSpec extends SparkSpec {
@@ -504,29 +558,5 @@ class ClustersSpec extends SparkSpec {
     info(f"1000-link chain: $secs%.1f s at local[4]")
     assert(got.size == n)
     assert(got.values.toSet == Set(1L))
-  }
-
-  test("pipeline_epoch_plan: epochs capped at 4, anti-monotone in domain " +
-      "size, total allocation within the half-corpus budget") {
-    val d = sfDir("0.001")
-    val rows = SparkEntry.queries("pipeline_epoch_plan")(spark, d)
-      .as[(String, Long, Long, Double, Long)].collect().toSeq
-    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
-    val total = rows.map(_._3).sum
-    rows.foreach { case (lang, nDocs, nTok, epochs, alloc) =>
-      assert(nDocs > 0 && nTok > 0, lang)
-      assert(epochs > 0.0 && epochs <= 4.0, s"$lang epochs=$epochs")
-      // alloc = floor(epochs·tokens) on the snapped epochs
-      assert(alloc <= epochs * nTok + 1e-6 && alloc > epochs * nTok - 1,
-        s"$lang alloc=$alloc")
-    }
-    // α=0.5 tilt: epochs strictly decrease as domain size grows
-    // (epochs ∝ 1/√tokens until the cap)
-    val bySize = rows.sortBy(_._3)
-    bySize.zip(bySize.tail).foreach { case (a, b) =>
-      assert(a._4 >= b._4, s"${a._1} vs ${b._1}")
-    }
-    assert(rows.map(_._5).sum <= total / 2,
-      s"allocated ${rows.map(_._5).sum} of budget ${total / 2}")
   }
 }

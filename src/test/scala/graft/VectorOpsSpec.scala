@@ -598,6 +598,36 @@ class VectorOpsSpec extends SparkSpec {
     assert((bq intersect exact).size >= 8,
       s"BQ recall collapsed: ${(bq intersect exact).size}/10")
   }
+
+  test("vec_recall_eval matches an independent driver-side recomputation " +
+      "from the two retrieval lists") {
+    val d = sfDir("0.001")
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val qs = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val exactSets = VectorOps.cosineTopKBatch(corpus, "vec_id",
+        "embedding", qs, "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val approx = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
+        qs, "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect()
+    val expected = approx.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.filter(r => exactSets(q)(r._2))
+      val mrr = if (hits.isEmpty) 0.0 else 1.0 / hits.map(_._3).min
+      q -> ((hits.length.toLong, hits.length / 10.0, mrr))
+    }
+    val got = SparkEntry.queries("vec_recall_eval")(spark, d)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.length == expected.size)
+    got.foreach { case (q, nHits, recall, mrr) =>
+      val (eh, er, em) = expected(q)
+      assert(nHits == eh, s"query $q n_hits")
+      assert(math.abs(recall - er) < 1e-6, s"query $q recall")
+      assert(math.abs(mrr - em) < 1e-6, s"query $q mrr")
+    }
+  }
 }
 
 class KMeansLloydSpec extends SparkSpec {
@@ -713,35 +743,5 @@ class PcaPowerSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(exact == (100L until 105L).toSet)
     assert(ann == exact)
-  }
-
-  test("vec_recall_eval matches an independent driver-side recomputation " +
-      "from the two retrieval lists") {
-    val d = sfDir("0.001")
-    val emb = Tables.embeddings(spark, d)
-    val corpus = emb.filter(col("vec_id") >= 3)
-    val qs = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
-    val exactSets = VectorOps.cosineTopKBatch(corpus, "vec_id",
-        "embedding", qs, "vec_id", "embedding", k = 10)
-      .select("query_id", "vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
-    val approx = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
-        qs, "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
-      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect()
-    val expected = approx.groupBy(_._1).map { case (q, rows) =>
-      val hits = rows.filter(r => exactSets(q)(r._2))
-      val mrr = if (hits.isEmpty) 0.0 else 1.0 / hits.map(_._3).min
-      q -> ((hits.length.toLong, hits.length / 10.0, mrr))
-    }
-    val got = SparkEntry.queries("vec_recall_eval")(spark, d)
-      .as[(Long, Long, Double, Double)].collect()
-    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
-    assert(got.length == expected.size)
-    got.foreach { case (q, nHits, recall, mrr) =>
-      val (eh, er, em) = expected(q)
-      assert(nHits == eh, s"query $q n_hits")
-      assert(math.abs(recall - er) < 1e-6, s"query $q recall")
-      assert(math.abs(mrr - em) < 1e-6, s"query $q mrr")
-    }
   }
 }
