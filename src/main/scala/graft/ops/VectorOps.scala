@@ -164,6 +164,31 @@ object VectorOps {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
   }
 
+  /** Retrieval metrics of an approximate candidate list against an
+    * exact relevance set: per query, hit count, recall@k and MRR
+    * (reciprocal rank of the FIRST relevant candidate). `exact` is
+    * (query_id, vec_id); `approx` is (query_id, vec_id, rk) with rk a
+    * total-ordered 1-based rank. Hits ride a left-semi join on long
+    * pairs; both metrics are single straight-line float ops on exact
+    * integers under round6 — fully engine-replayable. Queries with no
+    * hits surface as (0, 0.0, 0.0), never dropped. */
+  def retrievalMetrics(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("rk")).as("__minrk"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        graft.StableRound.round6(
+          coalesce(col("n_hits"), lit(0L)).cast("double")
+            / lit(k).cast("double")).as(s"recall_at_$k"),
+        graft.StableRound.round6(coalesce(
+          lit(1).cast("double") / col("__minrk").cast("double"),
+          lit(0.0))).as("mrr"))
+  }
+
   /** ColBERT-style late-interaction MaxSim: score each DOC (a GROUP of
     * corpus vectors keyed by `docCol`) against a multi-vector query as
     * Σ_q max_v cos(q, v) — the retrieval scorer that keeps per-token

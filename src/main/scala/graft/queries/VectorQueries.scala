@@ -86,21 +86,48 @@ object VectorQueries extends QueryPack {
       val approx = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
           qs, "vec_id", "embedding", dim = 64, candidates = 200, k = 10)
         .select(col("query_id"), col("vec_id"), col("rk"))
-      val hits = approx
-        .join(exact, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_hits"), min(col("rk")).as("__minrk"))
-      qs.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          graft.StableRound.round6(
-            coalesce(col("n_hits"), lit(0L)).cast("double")
-              / lit(10).cast("double")).as("recall_at_10"),
-          graft.StableRound.round6(coalesce(
-            lit(1).cast("double") / col("__minrk").cast("double"),
-            lit(0.0))).as("mrr"))
+      VectorOps.retrievalMetrics(exact, approx, k = 10)
         .orderBy("query_id")
+    }),
+
+    // MATRYOSHKA-STYLE DIMENSION SWEEP: recall@10 + MRR of cosine
+    // retrieval over the first 16/32/64 embedding dimensions against
+    // the full-dim exact top-10 — the "how many dims can we serve"
+    // study behind MRL-truncated indexes (Kusupati et al. 2022): a
+    // prefix that holds recall lets the fleet store/scan 4× less. The
+    // 64-dim rows are the built-in sanity anchor (truncating nothing
+    // must score 10/10, mrr 1) — and on THIS corpus the verdict is
+    // "don't truncate": the synthetic embeddings are isotropic (energy
+    // uniform across dims, unlike MRL-trained ones), so 16/32-dim
+    // recall collapses to 0.0-0.3. The metric discriminating that from
+    // the 1.0 anchor is precisely the pre-deployment answer the sweep
+    // exists to give. Slicing is a per-row projection — each
+    // dims pass is the same bounded cosineTopKBatch plan over a
+    // narrower vector, and the k-row relevance set is checkpointed and
+    // reused across passes.
+    "vec_matryoshka_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 3)
+        .select("vec_id", "embedding")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").localCheckpoint()
+      val exact = VectorOps.cosineTopKBatch(corpus, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .localCheckpoint() // |queries|·10 rows, reused per dims pass
+      val reports = Seq(16, 32, 64).map { dims =>
+        val c = corpus.select(col("vec_id"),
+          slice(col("embedding"), 1, dims).as("embedding"))
+        val q = qs.select(col("vec_id"),
+          slice(col("embedding"), 1, dims).as("embedding"))
+        val approx = VectorOps.cosineTopKBatch(c, "vec_id", "embedding",
+            q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id"), col("rk"))
+        VectorOps.retrievalMetrics(exact, approx, k = 10)
+          .select(lit(dims).as("dims"), col("query_id"), col("n_hits"),
+            col("recall_at_10"), col("mrr"))
+      }
+      reports.reduce(_.unionAll(_)).orderBy("dims", "query_id")
     }),
 
     // HYBRID RETRIEVAL with Reciprocal Rank Fusion: lexical BM25 ranks
@@ -1073,6 +1100,56 @@ object VectorQueries extends QueryPack {
              " CAST(0.0 AS DOUBLE))")} AS mrr
         |FROM q2 LEFT JOIN hits ON q2.query_id = hits.query_id
         |ORDER BY q2.query_id""".stripMargin),
+
+    // one truncated-cosine chain per dims (list slices of the SAME
+    // double-cast vectors the full-dim chain dots), each ranked under
+    // the (cos desc, id) total order; metrics are the vec_recall_eval
+    // integer machinery with a dims literal
+    "vec_matryoshka_eval" -> {
+      def pass(dd: Int) =
+        s""",
+          |h$dd AS (SELECT q2.query_id, n.vec_id,
+          |    list_dot_product(n.e[1:$dd], q2.qe[1:$dd])
+          |      / (sqrt(list_dot_product(n.e[1:$dd], n.e[1:$dd]))
+          |        * sqrt(list_dot_product(q2.qe[1:$dd], q2.qe[1:$dd])))
+          |      AS cos
+          |  FROM n, q2 WHERE n.vec_id >= 3),
+          |a$dd AS (SELECT query_id, vec_id, rk FROM (
+          |  SELECT query_id, vec_id,
+          |      CAST(row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+          |    FROM h$dd) WHERE rk <= 10),
+          |hit$dd AS (SELECT a.query_id, count(*) AS n_hits,
+          |    min(a.rk) AS minrk
+          |  FROM a$dd a JOIN ex x
+          |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+          |  GROUP BY 1),
+          |m$dd AS (SELECT $dd AS dims, u.query_id,
+          |    coalesce(h.n_hits, 0) AS n_hits,
+          |    ${graft.StableRound.sql6(
+               "CAST(coalesce(h.n_hits, 0) AS DOUBLE)" +
+               " / CAST(10 AS DOUBLE)")} AS recall_at_10,
+          |    ${graft.StableRound.sql6(
+               "coalesce(CAST(1 AS DOUBLE) / CAST(h.minrk AS DOUBLE)," +
+               " CAST(0.0 AS DOUBLE))")} AS mrr
+          |  FROM (SELECT DISTINCT query_id FROM ex) u
+          |  LEFT JOIN hit$dd h ON u.query_id = h.query_id)""".stripMargin
+      vCte +
+        s""",
+          |q2 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+          |  FROM n WHERE vec_id < 3),
+          |ex AS (SELECT query_id, vec_id FROM (
+          |  SELECT q2.query_id, n.vec_id,
+          |      row_number() OVER (PARTITION BY q2.query_id
+          |        ORDER BY list_dot_product(n.e, q2.qe) / (n.nrm * q2.qn)
+          |          DESC, n.vec_id) AS xr
+          |    FROM n, q2 WHERE n.vec_id >= 3) WHERE xr <= 10)""".stripMargin +
+        pass(16) + pass(32) + pass(64) +
+        """
+          |SELECT * FROM m16 UNION ALL SELECT * FROM m32
+          |UNION ALL SELECT * FROM m64
+          |ORDER BY dims, query_id""".stripMargin
+    },
 
     // lex CTE shared verbatim with text_bm25_topk / stream_bm25_score;
     // rrf in exact integer nano-units (integer div of integer ranks)

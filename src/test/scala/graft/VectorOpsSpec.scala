@@ -599,6 +599,42 @@ class VectorOpsSpec extends SparkSpec {
       s"BQ recall collapsed: ${(bq intersect exact).size}/10")
   }
 
+  test("vec_matryoshka_eval: the 64-dim anchor is perfect, and the " +
+      "16-dim pass matches a driver-side truncated-cosine recomputation") {
+    val d = sfDir("0.001")
+    val got = SparkEntry.queries("vec_matryoshka_eval")(spark, d)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(got.length == 9)
+    got.filter(_._1 == 64).foreach { case (_, q, n, r, m) =>
+      assert(n == 10L && r == 1.0 && m == 1.0, s"64-dim anchor query $q")
+    }
+    // driver-side 16-dim recomputation from raw vectors
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dp / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val corpus = emb.filter(_._1 >= 3)
+    val queries = emb.filter(_._1 < 3)
+    val expected = queries.map { case (qid, qv) =>
+      def topk(dims: Int) = corpus
+        .map { case (id, v) => (id, cos(v.take(dims), qv.take(dims))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      val exact = topk(64).toSet
+      val hits = topk(16).zipWithIndex.filter(p => exact(p._1))
+      qid -> ((hits.length.toLong,
+        if (hits.isEmpty) 0.0 else 1.0 / (hits.map(_._2).min + 1)))
+    }.toMap
+    got.filter(_._1 == 16).foreach { case (_, q, n, r, m) =>
+      val (en, em) = expected(q)
+      assert(n == en, s"query $q n_hits")
+      assert(math.abs(r - en / 10.0) < 1e-6, s"query $q recall")
+      assert(math.abs(m - em) < 1e-6, s"query $q mrr")
+    }
+  }
+
   test("vec_recall_eval matches an independent driver-side recomputation " +
       "from the two retrieval lists") {
     val d = sfDir("0.001")
