@@ -134,14 +134,19 @@ object VectorOps {
     * twice and no exchange ever carries an embedding. */
   def bqTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, dim: Int,
-      candidates: Int, k: Int): DataFrame = {
+      candidates: Int, k: Int,
+      sigCol: Option[String] = None): DataFrame = {
+    // sigCol: serve from signatures PRE-COMPUTED at ingest
+    // (StreamOps.bqIngestEachBatch) instead of re-signing the corpus
+    // per query — the prefilter scan then reads (id, sig) only
     import org.apache.spark.sql.expressions.Window
     val q = withNorm(queries, qVecCol).select(col(qIdCol).as("query_id"),
         col(qVecCol).as("__qvec"), col("__norm").as("__qnorm"),
         signPack(col(qVecCol), dim).as("__qsig"))
       .localCheckpoint() // bounded query set, two consumers
     val cand = vectors
-      .select(col(idCol), signPack(col(vecCol), dim).as("__sig"))
+      .select(col(idCol), sigCol.map(col)
+        .getOrElse(signPack(col(vecCol), dim)).as("__sig"))
       .crossJoin(broadcast(q.select(col("query_id"), col("__qsig"))))
       .select(col("query_id"), col(idCol),
         bit_count(col("__sig").bitwiseXOR(col("__qsig"))).cast("long")

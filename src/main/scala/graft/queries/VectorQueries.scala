@@ -469,6 +469,50 @@ object VectorQueries extends QueryPack {
         minRecall = 0.9)
     }),
 
+    // STREAMING INDEX-QUALITY MONITORING: the corpus arrives in three
+    // epochs (vec_id mod 3); signatures are computed map-only AT INGEST
+    // (StreamOps.bqIngestEachBatch) and landed replay-exact beside the
+    // floats; after each epoch the FROZEN query set re-measures
+    // recall@10 + MRR of the served (pre-signed) BQ path against the
+    // exact top-10 over the accumulated corpus — the "is the index
+    // still good enough / when do we re-tune" audit run continuously as
+    // the corpus grows. Epoch 3's slice provably equals the batch
+    // vec_recall_eval (same corpus, same paths — spec-pinned); each
+    // epoch's report is eagerly checkpointed so it pins ITS prefix of
+    // the landed layout, not the final state.
+    "stream_recall_eval" -> ((s, d) => {
+      val base = Fixtures.freshDir("graft_streamrecall_fixture")
+      val src = s"$base/src"
+      val landed = s"$base/landed"
+      val ckpt = s"$base/ckpt"
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").localCheckpoint()
+      val srcSchema = emb.select("vec_id", "embedding").schema
+      val reports = (0 until 3).map { e =>
+        emb.filter(col("vec_id") >= 3 && pmod(col("vec_id"), lit(3)) === e)
+          .select("vec_id", "embedding")
+          .write.mode("append").parquet(src)
+        graft.streaming.StreamOps.bqIngestEachBatch(
+          graft.streaming.StreamOps.fileStreamParquet(s, src, srcSchema),
+          "vec_id", "embedding", dim = 64, landed, Some(ckpt))
+          .awaitTermination()
+        val corpus = s.read.parquet(landed)
+        val exact = VectorOps.cosineTopKBatch(corpus, "vec_id",
+            "embedding", qs, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val approx = VectorOps.bqTopKBatch(corpus, "vec_id", "embedding",
+            qs, "vec_id", "embedding", dim = 64, candidates = 200,
+            k = 10, sigCol = Some("sig"))
+          .select(col("query_id"), col("vec_id"), col("rk"))
+        VectorOps.retrievalMetrics(exact, approx, k = 10)
+          .select(lit(e + 1).as("epoch"), col("query_id"), col("n_hits"),
+            col("recall_at_10"), col("mrr"))
+          .localCheckpoint() // eager: pin THIS epoch's landed prefix
+      }
+      reports.reduce(_.unionAll(_)).orderBy("epoch", "query_id")
+    }),
+
     // STREAMING vector ingest: the planted corpus arrives as a stream,
     // each micro-batch map-only cell-assigned and landed replay-exact
     // under cell=K/__batch_id=N — the incremental build of the
@@ -1100,6 +1144,56 @@ object VectorQueries extends QueryPack {
              " CAST(0.0 AS DOUBLE))")} AS mrr
         |FROM q2 LEFT JOIN hits ON q2.query_id = hits.query_id
         |ORDER BY q2.query_id""".stripMargin),
+
+    // the streaming audit replays as three batch chains over the
+    // mod-3 epoch PREFIXES of the corpus (landed signatures equal
+    // signPack by the ingest law, spec-pinned) — each epoch is the
+    // vec_recall_eval machinery with a corpus predicate + epoch literal
+    "stream_recall_eval" -> {
+      def pass(e: Int) =
+        s""",
+          |h$e AS (SELECT q2.query_id, n.vec_id,
+          |    CAST(list_sum([CASE WHEN (n.e[i] > 0) <> (q2.qe[i] > 0)
+          |      THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT)
+          |      AS hamming,
+          |    list_dot_product(n.e, q2.qe) / (n.nrm * q2.qn) AS cos
+          |  FROM n, q2 WHERE n.vec_id >= 3 AND n.vec_id % 3 < $e),
+          |a$e AS (SELECT query_id, vec_id, rk FROM (
+          |  SELECT query_id, vec_id,
+          |      CAST(row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+          |    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |        ORDER BY hamming, vec_id) AS hrk FROM h$e)
+          |    WHERE hrk <= 200) WHERE rk <= 10),
+          |x$e AS (SELECT query_id, vec_id FROM (
+          |  SELECT query_id, vec_id, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS xr
+          |    FROM h$e) WHERE xr <= 10),
+          |hit$e AS (SELECT a.query_id, count(*) AS n_hits,
+          |    min(a.rk) AS minrk
+          |  FROM a$e a JOIN x$e x
+          |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+          |  GROUP BY 1),
+          |m$e AS (SELECT $e AS epoch, q2.query_id,
+          |    coalesce(h.n_hits, 0) AS n_hits,
+          |    ${graft.StableRound.sql6(
+               "CAST(coalesce(h.n_hits, 0) AS DOUBLE)" +
+               " / CAST(10 AS DOUBLE)")} AS recall_at_10,
+          |    ${graft.StableRound.sql6(
+               "coalesce(CAST(1 AS DOUBLE) / CAST(h.minrk AS DOUBLE)," +
+               " CAST(0.0 AS DOUBLE))")} AS mrr
+          |  FROM q2 LEFT JOIN hit$e h ON q2.query_id = h.query_id)"""
+          .stripMargin
+      vCte +
+        s""",
+          |q2 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+          |  FROM n WHERE vec_id < 3)""".stripMargin +
+        pass(1) + pass(2) + pass(3) +
+        """
+          |SELECT * FROM m1 UNION ALL SELECT * FROM m2
+          |UNION ALL SELECT * FROM m3
+          |ORDER BY epoch, query_id""".stripMargin
+    },
 
     // one truncated-cosine chain per dims (list slices of the SAME
     // double-cast vectors the full-dim chain dots), each ranked under

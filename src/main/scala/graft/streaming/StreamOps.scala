@@ -1363,6 +1363,36 @@ object StreamOps {
       .start()
   }
 
+  /** Per-batch BINARY-QUANTIZATION ingest — stream_recall_eval's index
+    * maintenance face: each arriving vector gets its 1-bit sign
+    * signature ([[graft.ops.VectorOps.signPack]], a codegen'd map-only
+    * projection — no shuffle, no training state) computed ONCE at
+    * ingest and landed beside the floats under `__batch_id=N` with
+    * dynamic partition overwrite (replay-idempotent: a re-sent batch
+    * overwrites exactly its own partition). Serving then reads
+    * signatures back instead of re-signing the corpus per query — the
+    * point of paying the bit-pack at write time. */
+  def bqIngestEachBatch(stream: DataFrame, idCol: String, vecCol: String,
+      dim: Int, layoutDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("sig",
+            graft.ops.VectorOps.signPack(col(vecCol), dim))
+          .withColumn("__batch_id", lit(batchId))
+          .sortWithinPartitions(col("__batch_id"), col(idCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(layoutDir)
+      }
+      .start()
+  }
+
   /** Per-batch AS-OF ENRICHMENT against a STATIC right side —
     * stream_asof_enrich: each micro-batch of facts is as-of joined
     * ([[graft.ops.Joins.asOfJoin]] — the one-shuffle union trick) to an

@@ -1048,4 +1048,40 @@ class StreamingSpec extends SparkSpec {
     assert(pf.contains("cell") && pf.contains("__batch_id"),
       s"landed read did not prune both dims: $pf")
   }
+
+  test("bq ingest lands signPack-exact signatures, replays idempotent, " +
+      "and stream_recall_eval's final epoch equals the batch audit") {
+    import graft.ops.VectorOps
+    import graft.streaming.StreamOps
+    val d = sfDir("0.001")
+    // (a) landed signatures equal a batch signPack recompute; a re-sent
+    // epoch overwrites its own partition (no dup rows)
+    val base = graft.queries.Fixtures.freshDir("graft_bqingest_spec")
+    val src = s"$base/src"
+    val landed = s"$base/landed"
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < 50)
+    emb.write.mode("append").parquet(src)
+    def runOnce(ck: String): Unit =
+      StreamOps.bqIngestEachBatch(
+        StreamOps.fileStreamParquet(spark, src, emb.schema),
+        "vec_id", "embedding", dim = 64, landed, Some(s"$base/$ck"))
+        .awaitTermination()
+    runOnce("ck1")
+    val got = spark.read.parquet(landed)
+    assert(got.count() == emb.count())
+    val mismatch = got.filter(
+      col("sig") =!= VectorOps.signPack(col("embedding"), 64)).count()
+    assert(mismatch == 0, "landed sig != signPack recompute")
+    runOnce("ck2") // fresh checkpoint re-processes every file: a replay
+    assert(spark.read.parquet(landed).count() == emb.count(),
+      "replayed epoch must overwrite, not append")
+    // (b) the streaming audit's last epoch IS the batch audit
+    val streamed = SparkEntry.queries("stream_recall_eval")(spark, d)
+      .filter(col("epoch") === 3).drop("epoch")
+    val batch = SparkEntry.queries("vec_recall_eval")(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "epoch-3 slice differs from vec_recall_eval")
+  }
 }
