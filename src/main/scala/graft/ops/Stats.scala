@@ -641,4 +641,46 @@ object Stats {
       .select(col("r._1").cast("long").as("rep"), col("r._2").as("nr"),
         col("r._3").as("sr"))
   }
+  /** Mann–Kendall trend report over a keyed integer series
+    * (keyCol, tCol ascending order positions, valCol values) — the
+    * computation behind agg_mann_kendall, factored for planted-series
+    * specs. S and 18·Var(S) (tie-corrected) are exact integers; the
+    * continuity-corrected z is one straight-line double under round6;
+    * the trend label compares the SNAPPED z to ±1.96. Pair set is
+    * quadratic in SERIES LENGTH per key — bound the series, not the
+    * corpus, before calling. */
+  def mannKendall(series: DataFrame, keyCol: String, tCol: String,
+      valCol: String): DataFrame = {
+    val s = series.select(col(keyCol).as("__k"), col(tCol).as("__t"),
+      col(valCol).cast("long").as("__v"))
+    val sg = when(col("c2") > col("c1"), 1L)
+      .when(col("c2") < col("c1"), -1L).otherwise(0L)
+    val sstat = s.select(col("__k"), col("__t").as("t1"),
+        col("__v").as("c1"))
+      .join(s.select(col("__k"), col("__t").as("t2"),
+        col("__v").as("c2")), Seq("__k"))
+      .filter(col("t2") > col("t1"))
+      .groupBy("__k").agg(sum(sg).as("s_stat"))
+    val nDf = s.groupBy("__k").agg(count(lit(1)).as("n_days"))
+    val ties = s.groupBy("__k", "__v").agg(count(lit(1)).as("tt"))
+      .groupBy("__k")
+      .agg(sum(col("tt") * (col("tt") - 1L)
+        * (lit(2L) * col("tt") + 5L)).as("tsum"))
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1L).cast("double")
+          / sqrt(col("var18").cast("double") / lit(18).cast("double")))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1L).cast("double")
+          / sqrt(col("var18").cast("double") / lit(18).cast("double")))
+      .otherwise(lit(0.0))
+    nDf.join(sstat, "__k").join(ties, "__k")
+      .withColumn("var18", col("n_days") * (col("n_days") - 1L)
+        * (lit(2L) * col("n_days") + 5L) - col("tsum"))
+      .withColumn("z", StableRound.round6(z))
+      .select(col("__k").as(keyCol), col("n_days"), col("s_stat"),
+        col("var18"), col("z"),
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
 }

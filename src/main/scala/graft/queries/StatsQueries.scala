@@ -489,6 +489,39 @@ object StatsQueries extends QueryPack {
               .cast("double") / 1e6).as("ts_slope"))
     }),
 
+    // Mann–Kendall trend test over the SAME zero-filled daily series —
+    // theil_sen's significance twin (the slope says HOW MUCH, MK says
+    // WHETHER the monotone trend is distinguishable from noise, with
+    // no distributional assumption). S = Σ_{i<j} sign(x_j − x_i) is an
+    // exact integer over the day-bounded pair set (quadratic in SERIES
+    // LENGTH, never corpus size — the theil_sen discipline);
+    // 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays an exact integer
+    // including the tie correction; the continuity-corrected z is one
+    // straight-line double expression, and the verdict label compares
+    // the SNAPPED z to ±1.96 so it is engine-stable by construction.
+    "agg_mann_kendall" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.StableRound
+      val counts = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val bounds = counts.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val grid = counts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+      val series = grid.join(counts, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("t", datediff(col("day"), lit("2024-01-01")))
+        .select("event_type", "t", "cnt")
+        .localCheckpoint() // bounded days×types frame, read 3×
+      graft.ops.Stats.mannKendall(series, "event_type", "t", "cnt")
+    }),
+
     // third/fourth moments (population skewness + excess kurtosis) per
     // group — see Stats.skewKurtExact for why the built-in skewness()/
     // kurtosis() can never hash-match another engine and how exact
@@ -2393,6 +2426,53 @@ object StatsQueries extends QueryPack {
               "CAST(sl[CAST(ceil(len(sl) * 0.5) AS INT)] AS DOUBLE) " +
                 "/ 1000000.0")} AS ts_slope
          |FROM l""".stripMargin
+    },
+
+    // same series CTE as theil_sen; S and 18·Var(S) exact integers,
+    // the continuity-corrected z one mirrored straight line, the label
+    // compares the snapped z to ±1.96
+    "agg_mann_kendall" -> {
+      def zb(off: String) = "CAST(s_stat " + off + " 1 AS DOUBLE) " +
+        "/ sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |grid AS (SELECT t.event_type, g.day
+         |  FROM (SELECT DISTINCT event_type FROM c) t
+         |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+         |    INTERVAL 1 DAY)) AS day FROM b) g),
+         |s AS (SELECT grid.event_type,
+         |    date_diff('day', TIMESTAMP '2024-01-01', grid.day) AS t,
+         |    COALESCE(c.cnt, 0) AS cnt
+         |  FROM grid LEFT JOIN c ON c.event_type = grid.event_type
+         |    AND c.day = grid.day),
+         |st AS (SELECT a.event_type, CAST(sum(CASE
+         |      WHEN b.cnt > a.cnt THEN 1
+         |      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM s a JOIN s b ON a.event_type = b.event_type AND b.t > a.t
+         |  GROUP BY 1),
+         |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |  FROM s GROUP BY 1),
+         |tg AS (SELECT event_type,
+         |    CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tsum
+         |  FROM (SELECT event_type, cnt, count(*) AS tt FROM s
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |v AS (SELECT nn.event_type, nn.n_days, st.s_stat,
+         |    CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+         |      - tg.tsum AS BIGINT) AS var18
+         |  FROM nn JOIN st USING (event_type) JOIN tg USING (event_type)),
+         |zz AS (SELECT event_type, n_days, s_stat, var18,
+         |    ${graft.StableRound.sql6(
+              "CASE WHEN s_stat > 0 THEN " + zb("-") +
+              " WHEN s_stat < 0 THEN " + zb("+") +
+              " ELSE CAST(0 AS DOUBLE) END")} AS z
+         |  FROM v)
+         |SELECT event_type, n_days, s_stat, var18, z,
+         |  CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'increasing'
+         |       WHEN z < CAST(-1.96 AS DOUBLE) THEN 'decreasing'
+         |       ELSE 'no_trend' END AS trend
+         |FROM zz""".stripMargin
     },
 
     // zero-filled hour grid + lead pairs; integer sufficient statistics,

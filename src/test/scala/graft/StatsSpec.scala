@@ -195,4 +195,26 @@ class StatsSpec extends SparkSpec {
     assert(got._1 == n.toLong && got._2 == sorted.sum)
     assert(math.abs(got._3 - want) < 2e-6)
   }
+
+  test("mannKendall: planted monotone series hit the closed form, a " +
+      "constant series is a zero-variance no_trend") {
+    // strictly increasing / decreasing n=10 series: S = ±C(10,2) = ±45,
+    // no ties -> 18Var = 10·9·25 = 2250, z = (|S|−1)/sqrt(125) ≈ 3.935
+    val rows =
+      (1 to 10).map(i => ("up", i.toLong, i.toLong)) ++
+      (1 to 10).map(i => ("down", i.toLong, (11 - i).toLong)) ++
+      (1 to 10).map(i => ("flat", i.toLong, 7L))
+    val got = Stats.mannKendall(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .as[(String, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val zExp = 44.0 / math.sqrt(2250.0 / 18.0)
+    assert(got("up")._3 == 45L && got("up")._4 == 2250L)
+    assert(math.abs(got("up")._5 - zExp) < 1e-6)
+    assert(got("up")._6 == "increasing")
+    assert(got("down")._3 == -45L && got("down")._6 == "decreasing")
+    assert(math.abs(got("down")._5 + zExp) < 1e-6)
+    // constant series: one tie group of n cancels 18Var exactly; the
+    // S=0 branch never divides
+    assert(got("flat") == (("flat", 10L, 0L, 0L, 0.0, "no_trend")))
+  }
 }
