@@ -32,9 +32,11 @@ object GraphQueries extends QueryPack {
     //   - each triangle {a≺b≺c} is counted exactly once: only its
     //     ≺-minimal vertex has two out-edges into it.
     "graph_triangle_count" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // hub-capped pair builder (GraphOps.coOccurrencePairs): bounded
       // per-task expansion instead of the quadratic per-order self-join.
       // The edge set feeds FOUR consumers (deg, orientation join, n_edges,
@@ -47,6 +49,7 @@ object GraphQueries extends QueryPack {
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // ku + kv + n_paths2: 3 consumers, agg once
       // total-order orientation key: (deg, id) packed into one long —
       // ids are key-space ints (< 2^32), deg < 2^31, no collision
       val ku = deg.select(col("x").as("u"),
@@ -103,14 +106,17 @@ object GraphQueries extends QueryPack {
     // division of exact integers (deterministic IEEE in both engines)
     // under round6; deg<2 nodes define lcc=0. Output is |V| rows.
     "graph_clustering_coeff" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val edges = GraphOps.coOccurrencePairs(items, "o", "p")
         .distinct().localCheckpoint()
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // ku + kv + the lcc join: 3 consumers
       val ku = deg.select(col("x").as("u"),
         (col("deg") * lit(1L << 32) + col("u")).as("ku"))
       val kv = deg.select(col("x").as("v"),
@@ -146,14 +152,17 @@ object GraphQueries extends QueryPack {
     "graph_assortativity" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val edges = GraphOps.coOccurrencePairs(items, "o", "p")
         .distinct().localCheckpoint()
       val deg = edges.select(col("u").as("x"))
         .union(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // du + dv: 2 consumers, agg once
       val du = deg.select(col("x").as("u"), col("deg").as("du"))
       val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -181,9 +190,11 @@ object GraphQueries extends QueryPack {
     // the triangle entry there is no orientation trick; support-filter
     // (or hub-cap) first is how this survives a power-law graph.
     "graph_common_neighbors" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // materialized: g feeds the left-anti join AND both symmetrized
       // halves (4 consumers of the pair expansion otherwise)
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
@@ -214,9 +225,11 @@ object GraphQueries extends QueryPack {
     // under round6, and the top-20 cut is total-ordered by
     // (jaccard, u, v).
     "graph_jaccard_neighbors" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // materialized like graph_common_neighbors: g has 3 consumers,
       // sym has 3 (self-join twice + degree table)
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
@@ -249,9 +262,11 @@ object GraphQueries extends QueryPack {
     // (how hub-heavy is this corpus?). Two exact aggs riding one
     // exchange class; output is #distinct-degrees rows, tiny at any SF.
     "graph_degree_dist" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val edges = GraphOps.coOccurrencePairs(items, "o", "p")
         .distinct().localCheckpoint() // read twice by the degree union
       edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
@@ -270,9 +285,11 @@ object GraphQueries extends QueryPack {
     // fixed-point longs before the final per-degree-class average, so
     // the cross-node sum is an integer sum.
     "graph_avg_nbr_degree" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // requireExact: this entry's oracle enumerates UNCAPPED a.p < b.p
       // pairs — fail loudly if a basket ever outgrows the cap instead
       // of silently diverging (ADVICE r12)
@@ -305,9 +322,11 @@ object GraphQueries extends QueryPack {
     // oracle unrolls the same 5 rounds as integer CTE stages. Top-20 by
     // the (rank, id) total order, so the LIMIT cut is unambiguous.
     "graph_pagerank" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
@@ -325,9 +344,11 @@ object GraphQueries extends QueryPack {
     // oracle = the recursive-CTE closure, engine-independent because
     // the component labelling (min id) is canonical.
     "graph_components" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
@@ -348,9 +369,11 @@ object GraphQueries extends QueryPack {
     // GraphOpsSpec pins that 5 rounds IS the fixpoint on this graph
     // (round 6 changes nothing) plus the closed-form triangle+tail law.
     "graph_kcore" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
@@ -365,9 +388,11 @@ object GraphQueries extends QueryPack {
     // CTEs (the pagerank/kcore discipline); GraphOpsSpec pins a
     // closed-form path graph and that round 5 changes nothing here.
     "graph_bfs_layers" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val g = GraphOps.coOccurrencePairs(items, "o", "p")
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select("u", "v")
@@ -386,9 +411,11 @@ object GraphQueries extends QueryPack {
     // pipeline uses to stratify near-duplicate families or co-purchase
     // modules. Community size joined back on the final labels.
     "graph_label_propagation" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // requireExact: the oracle enumerates UNCAPPED a.p < b.p pairs —
       // fail loudly if a basket outgrows the cap (the triangle-count
       // discipline, ADVICE r12)
@@ -423,9 +450,11 @@ object GraphQueries extends QueryPack {
     // labels join on ids (long pairs), the single-row aggregates
     // broadcast — nothing quadratic, no vectors.
     "graph_modularity" -> ((s, d) => {
+      // raw (o, p) — coOccurrencePairs dedupes inside its own basket
+      // aggregation (collect_set), so the old pre-distinct() exchange
+      // is gone (r17 opt round, guide §2.4)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       val g = GraphOps.coOccurrencePairs(items, "o", "p",
           requireExact = true)
         .groupBy("u", "v").agg(count(lit(1)).as("s"))
@@ -436,8 +465,15 @@ object GraphQueries extends QueryPack {
       val cc = graft.ops.Clusters.connectedComponentsStar(verts,
         g.select(col("u").as("src"), col("v").as("dst")))
       val lpa = GraphOps.labelPropagation(g, "u", "v", iters = 3)
+      // label-independent degree table computed ONCE for both reports
+      // (r17 opt: was re-aggregated per modularity call)
+      val deg = g.select(col("u"))
+        .union(g.select(col("v").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .localCheckpoint()
       def report(labels: org.apache.spark.sql.DataFrame, tag: String) =
-        GraphOps.modularity(g, "u", "v", labels, "id", "label")
+        GraphOps.modularity(g, "u", "v", labels, "id", "label",
+          degrees = Some(deg))
           .select(lit(tag).as("method"), col("n_communities"),
             col("n_edges"), col("edges_within"), col("modularity"))
       report(cc, "components").unionAll(report(lpa, "lpa3"))

@@ -17,6 +17,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L)))
   }
 
+  test("coOccurrencePairs dedupes duplicate (basket, item) rows inside " +
+      "its own aggregation (r17 opt: callers no longer pre-distinct)") {
+    // same baskets as above but with every row duplicated and one row
+    // tripled — the pair MULTISET must equal the distinct input's
+    val items = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 40L),
+      (3L, 50L)).toDF("o", "p")
+    val dups = items.union(items).union(items.limit(1))
+    val got = GraphOps.coOccurrencePairs(dups, "o", "p")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L)))
+    // requireExact counts DISTINCT items per basket, so duplicates do
+    // not trip the cap guard
+    assert(GraphOps.coOccurrencePairs(dups, "o", "p", cap = 3,
+      requireExact = true).count() == 4)
+  }
+
   test("modularity: planted two-clique graph scores the closed form; " +
       "the all-one-community and singleton partitions score their nulls") {
     // two 5-cliques bridged by one edge: m=21, within(by-clique)=20,
@@ -42,6 +60,15 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(gotS.head._1 == 10L && gotS.head._3 == 0L
       && gotS.head._4 < 0.0)
+    // r17 opt: a precomputed degree table yields the identical report
+    // (the share-one-aggregation path graph_modularity uses)
+    val deg = edges.select(col("u"))
+      .union(edges.select(col("v").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val gotPre = GraphOps.modularity(edges, "u", "v", byClique,
+        "id", "label", degrees = Some(deg))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotPre == got)
   }
 
   test("kcorePeel: pendant chains peel away, the dense core survives " +
