@@ -73,11 +73,22 @@ object TextDedupe {
       threshold: Double, blockCol: Option[String] = None,
       broadcastDfreq: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized ONCE (r17 opt): base has six downstream consumers
+    // (dfreq, the prefix join side, the exploded verify index ×2, the
+    // length table ×2) and without the checkpoint each re-scanned the
+    // source and re-ran the regex tokenize + shingle hashing — the
+    // formatted plan showed 8 source scans per call. The stored frame
+    // is the hashed-shingle corpus (ids + long arrays, no text), the
+    // one relation every later stage derives from; storing it beats
+    // recomputing the shingling 8× (guide §2.4/§5 — and unlike a
+    // counting relation over a continuous domain, the recompute here
+    // is regex-heavy CPU).
     val base = docs
       .select((col(idCol) +: blockCol.map(col).toSeq :+
         shingles(col(textCol)).as("sharr")): _*)
       .filter(size(col("sharr")) > 0)
       .withColumn("nsh", size(col("sharr")))
+      .localCheckpoint()
     val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
       col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
     // global shingle document-frequency → rare-first canonical order
@@ -160,11 +171,22 @@ object TextDedupe {
       threshold: Double, blockCol: Option[String] = None,
       broadcastDfreq: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized ONCE (r17 opt): base has six downstream consumers
+    // (dfreq, the prefix join side, the exploded verify index ×2, the
+    // length table ×2) and without the checkpoint each re-scanned the
+    // source and re-ran the regex tokenize + shingle hashing — the
+    // formatted plan showed 8 source scans per call. The stored frame
+    // is the hashed-shingle corpus (ids + long arrays, no text), the
+    // one relation every later stage derives from; storing it beats
+    // recomputing the shingling 8× (guide §2.4/§5 — and unlike a
+    // counting relation over a continuous domain, the recompute here
+    // is regex-heavy CPU).
     val base = docs
       .select((col(idCol) +: blockCol.map(col).toSeq :+
         shingles(col(textCol)).as("sharr")): _*)
       .filter(size(col("sharr")) > 0)
       .withColumn("nsh", size(col("sharr")))
+      .localCheckpoint()
     val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
       col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
     val dfreq0 = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
