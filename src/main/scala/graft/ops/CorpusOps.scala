@@ -283,14 +283,21 @@ object CorpusOps {
     * accumulation-order-dependent double sum. */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       hashKeys: Boolean = true): DataFrame = {
+    // r17 opt: occ (the bigram extraction — the expensive text pass)
+    // feeds the big aggregate AND the scoring join; uni (vocab-bounded)
+    // feeds the vocab count AND the join. Materialized once each —
+    // before, every consumer re-scanned the corpus and re-ran the
+    // shingle/split explode (5 source scans in the plan, now 2).
     val occ = docs.select(col(idCol), explode(
       graft.functions.ShingleArray.shingleOccurrences(col(textCol), 2))
       .as("__g0"))
       .select(col(idCol), gramKey(col("__g0"), hashKeys).as("g"),
         gramKey(substring_index(col("__g0"), " ", 1), hashKeys).as("w1"))
+      .localCheckpoint()
     val uni = docs.select(explode(split(col(textCol), " ")).as("__w0"))
       .select(gramKey(col("__w0"), hashKeys).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = occ.groupBy("g").agg(count(lit(1)).as("cb"))
     val scored = occ

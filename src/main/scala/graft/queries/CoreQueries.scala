@@ -151,6 +151,11 @@ object CoreQueries extends QueryPack {
       val grid = daily.join(news, Seq("day"), "left")
         .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
         .withColumn("__dn", datediff(col("day"), lit("1970-01-01")))
+        // belowBucketed scans its dom 3× (documented contract) and each
+        // evaluation re-ran BOTH corpus aggregations — the grid is one
+        // row per DAY, the textbook bounded frame (r17 opt: 8 source
+        // scans → 2 in the plan)
+        .localCheckpoint()
       graft.ops.Prefix.belowBucketed(grid, "__dn",
           sums = Seq((col("n_new"), "cum_users")), inclusive = true)
         .drop("__dn")

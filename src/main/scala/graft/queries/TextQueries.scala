@@ -461,12 +461,19 @@ object TextQueries extends QueryPack {
           "transform(sequence(1, size(ts)-1), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))
           .as("g"))
+      // r17 opt: the count relations materialize once (they are the
+      // Zipf-bounded vocab tables), and the grand totals derive from
+      // them algebraically (n1 = Σcu, n2 = Σcb — identical values) —
+      // before, n1/n2 each re-scanned and re-exploded the corpus and
+      // cu/cb re-ran per consumer: 5 corpus passes, now 2 (unigram +
+      // bigram extraction once each)
       val cb = bg.groupBy("g").agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
       val cu = tok.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cu"))
-      val n1 = tok.select(explode(col("ts")).as("w"))
-        .agg(count(lit(1)).as("n1"))
-      val n2 = bg.agg(count(lit(1)).as("n2"))
+        .localCheckpoint()
+      val n1 = cu.agg(sum("cu").as("n1"))
+      val n2 = cb.agg(sum("cb").as("n2"))
       cb.filter(col("cb") >= 5)
         .withColumn("w1", split(col("g"), " ")(0))
         .withColumn("w2", split(col("g"), " ")(1))
