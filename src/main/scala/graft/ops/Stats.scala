@@ -52,23 +52,38 @@ object Stats {
     * implement the same rank formula and the interpolation arithmetic
     * is the same straight-line IEEE ops — verified by the unchanged
     * agg_describe oracle at all three SFs.
+    *
+    * @param statsDf optional PRECOMPUTED per-column bounds relation
+    *   `(cn string, mn double, mx double, n long)` — mn/mx/n must equal
+    *   min/max/count of the non-null values of each column cast to
+    *   double (exactly what a describe-style moment pass already
+    *   produces). When the caller has such a pass anyway, deriving the
+    *   bounds from its MATERIALIZED one-row result removes the whole
+    *   stats subtree here: without it, the stats/targets paths re-run
+    *   the counting aggregation (r18 measured: 3 runtime corpus scans +
+    *   3 final count aggregations under AQE stage reuse; with it, 2 and
+    *   2 — see OPTIMIZATION_r18.md). Rows must be bounded (≤ |cols|)
+    *   and the frame materialized (it is broadcast into three places).
     * Returns one row: `${c}__p25/p50/p75` per input column. */
   def exactQuantilesByCounting(df: DataFrame, cols: Seq[String],
-      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      statsDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 1024
     val melted = df.selectExpr(s"stack(${cols.size}, " +
         cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
         ") AS (cn, v)")
       .filter(col("v").isNotNull)
-    // NOT materialized: all consumers hash-partition on cn (or cn, b),
-    // so Catalyst shares one exchange via ReusedExchange — measured
-    // neutral with an explicit localCheckpoint at sf0.1
+    // NOT materialized: the counting relation is O(distinct values) ≈
+    // O(rows) on continuous domains, so an eager checkpoint serializes
+    // a corpus-sized frame (measured +12-24% in r17); its two
+    // consumers (cum, offsets) share ONE shuffle at runtime via AQE
+    // stage reuse instead (verified in the executed plan, r18)
     val counts = melted.groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
-    // per-column bounds/total from the already-compressed counts
-    // relation (tiny), broadcast back for bucketing
-    val stats = counts.groupBy("cn").agg(
-      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n"))
+    // per-column bounds/total: caller-provided (see scaladoc) or from
+    // the already-compressed counts relation; broadcast for bucketing
+    val stats = statsDf.getOrElse(counts.groupBy("cn").agg(
+      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n")))
     val bucketed = counts.join(broadcast(stats), Seq("cn"))
       .withColumn("b",
         when(col("mx") === col("mn"), lit(0L)).otherwise(
@@ -148,7 +163,20 @@ object Stats {
     }
     val oneBase = df.agg(aggs.head, aggs.tail: _*)
     val withQ =
-      if (exact) oneBase.crossJoin(exactQuantilesByCounting(df, cols))
+      if (exact) {
+        // materialize the ONE-ROW moment result and hand its
+        // min/max/count cells to the quantile core as the bounds
+        // relation — the quantile stats/targets subtrees then cost
+        // zero extra passes (guide §2.4; r18: runtime corpus scans
+        // 3 → 2, the 583k-row targets re-aggregation disappears)
+        val one = oneBase.localCheckpoint()
+        val statsDf = one.selectExpr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', `${c}__min`, `${c}__max`, " +
+            s"cast(`${c}__count` as bigint)").mkString(", ") +
+          ") AS (cn, mn, mx, n)")
+        one.crossJoin(exactQuantilesByCounting(df, cols,
+          statsDf = Some(statsDf)))
+      }
       else oneBase.select(cols.flatMap { c =>
         Seq(col(s"${c}__count"), col(s"${c}__mean"), col(s"${c}__std"),
           col(s"${c}__min"),
@@ -231,8 +259,17 @@ object Stats {
     }
     val one0 = df.agg(aggs.head, aggs.tail: _*)
     val one =
-      if (exact && numCols.nonEmpty)
-        one0.crossJoin(exactQuantilesByCounting(df, numCols))
+      if (exact && numCols.nonEmpty) {
+        // same bounds handoff as describe(): the one-row moment pass
+        // already carries min/max/count per numeric column
+        val oneCk = one0.localCheckpoint()
+        val statsDf = oneCk.selectExpr(s"stack(${numCols.size}, " +
+          numCols.map(c => s"'$c', `${c}__min`, `${c}__max`, " +
+            s"cast(`${c}__count` as bigint)").mkString(", ") +
+          ") AS (cn, mn, mx, n)")
+        oneCk.crossJoin(exactQuantilesByCounting(df, numCols,
+          statsDf = Some(statsDf)))
+      }
       else one0
 
     // string modes: long format, one scan for all string columns; both
@@ -340,17 +377,25 @@ object Stats {
     * carries (group, value) domains, bucket-total windows are ≤1024
     * rows per group, within-bucket cumsums parallelize across
     * (group, bucket), and the target relation (|groups|·|ps| rows)
-    * broadcasts. Returns one row per group with `p<pct>` columns. */
+    * broadcasts. Returns one row per group with `p<pct>` columns.
+    *
+    * @param statsDf optional precomputed per-GROUP bounds
+    *   `(groupCols..., mn double, mx double, n long)` over the non-null
+    *   values cast to double — the grouped twin of
+    *   [[exactQuantilesByCounting]]'s statsDf. Callers should
+    *   materialize it (bounded: one row per group); providing it stops
+    *   the stats/targets paths re-deriving the counting relation. */
   def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, ps: Seq[Double]): DataFrame = {
+      valueCol: String, ps: Seq[Double],
+      statsDf: Option[DataFrame] = None): DataFrame = {
     val B = 1024
     val g = groupCols.map(col)
     val vals = df.select(g :+ col(valueCol).cast("double").as("v"): _*)
       .filter(col("v").isNotNull)
     val counts = vals.groupBy(g :+ col("v"): _*)
       .agg(count(lit(1)).as("cnt"))
-    val stats = counts.groupBy(g: _*).agg(
-      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n"))
+    val stats = statsDf.getOrElse(counts.groupBy(g: _*).agg(
+      min("v").as("mn"), max("v").as("mx"), sum("cnt").as("n")))
     val bucketed = counts.join(broadcast(stats), groupCols)
       .withColumn("b",
         when(col("mx") === col("mn"), lit(0L)).otherwise(

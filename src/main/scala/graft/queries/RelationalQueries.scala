@@ -684,12 +684,23 @@ object RelationalQueries extends QueryPack {
     "agg_approx_quantile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       // exact twin via the counting relation (never buffers the raw
-      // column — see Stats.exactQuantilesByCounting), sketch alongside
-      li.agg(expr(
-          "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("apq"))
+      // column — see Stats.exactQuantilesByCounting), sketch alongside.
+      // The sketch pass also carries min/max/count, and the materialized
+      // one-row result feeds the quantile core's bounds relation — the
+      // core's stats/targets subtrees then cost no extra corpus pass
+      // (r18, same handoff as Stats.describe)
+      val base = li.agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("apq"),
+        min(col("l_extendedprice")).cast("double").as("__mn"),
+        max(col("l_extendedprice")).cast("double").as("__mx"),
+        count(col("l_extendedprice")).as("__n"))
+        .localCheckpoint()
+      val bounds = base.select(lit("l_extendedprice").as("cn"),
+        col("__mn").as("mn"), col("__mx").as("mx"), col("__n").as("n"))
+      base
         .crossJoin(graft.ops.Stats.exactQuantilesByCounting(
-          li, Seq("l_extendedprice"), Seq(0.5, 0.95)))
+          li, Seq("l_extendedprice"), Seq(0.5, 0.95), Some(bounds)))
         .select(
           round(col("l_extendedprice__p50"), 6).as("exact_p50"),
           round(col("l_extendedprice__p95"), 6).as("exact_p95"),

@@ -79,9 +79,23 @@ object StatsQueries extends QueryPack {
     // via the grouped two-level counting relation (no buffering
     // percentile, no per-group serial domain sort; Stats.groupedQuantiles)
     "agg_quantiles_grouped" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      Stats.groupedQuantiles(Tables.lineitem(s, d), Seq("l_returnflag"),
-          "l_extendedprice", Seq(0.5, 0.95))
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d)
+      // per-group bounds (|l_returnflag| rows, bounded) computed once
+      // from the source and materialized, so the quantile core's
+      // stats/targets paths stop re-deriving the counting relation
+      // (r18: static corpus scans 5 → 3; same values — min/max/count
+      // over the non-null doubles is what the core derived itself)
+      val bounds = li
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(min("v").as("mn"), max("v").as("mx"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      Stats.groupedQuantiles(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.5, 0.95), Some(bounds))
         .select(col("l_returnflag"),
           graft.StableRound.round6(col("p50")).as("p50"),
           graft.StableRound.round6(col("p95")).as("p95"))
@@ -796,19 +810,27 @@ object StatsQueries extends QueryPack {
       }
       val ma = marg("a")
       val mb = marg("b")
-      // cast BEFORE the product: m·r2 overflows int64 past ~1e10 rows
-      val sa = ma.agg(sum(col("m").cast(dec)).as("n"),
-        sum(col("m").cast(dec) * col("r2a")).as("sx"),
-        sum(col("m").cast(dec) * col("r2a") * col("r2a")).as("sxx"))
-      val sb = mb.agg(
-        sum(col("m").cast(dec) * col("r2b")).as("sy"),
-        sum(col("m").cast(dec) * col("r2b") * col("r2b")).as("syy"))
+      // ALL six sums come from the one joined relation (r18): the
+      // margin identities Σ_a m_a·r2a = Σ_joined cnt·r2a (m_a = Σ_b cnt
+      // and every joint row joins both margins) make the separate
+      // sa/sb aggregations redundant — each margin chain (domain agg +
+      // two-level prefix windows) now has exactly ONE consumer instead
+      // of two, halving the margin work in the executed plan. The sums
+      // are the same exact DECIMAL(38,0) integers, order-free, so the
+      // result is bit-identical. Cast BEFORE the product: cnt·r2a·r2b
+      // overflows int64 past ~1e6 rows; decimal caps at 4n³ < 1e38.
       val sxy = joint.join(broadcast(ma.select("a", "r2a")), "a")
         .join(mb.select("b", "r2b"), "b")
-        .agg(sum(col("cnt").cast(dec) * col("r2a") * col("r2b"))
-          .as("sxy"))
+        .agg(
+          sum(col("cnt").cast(dec)).as("n"),
+          sum(col("cnt").cast(dec) * col("r2a")).as("sx"),
+          sum(col("cnt").cast(dec) * col("r2a") * col("r2a")).as("sxx"),
+          sum(col("cnt").cast(dec) * col("r2b")).as("sy"),
+          sum(col("cnt").cast(dec) * col("r2b") * col("r2b")).as("syy"),
+          sum(col("cnt").cast(dec) * col("r2a") * col("r2b"))
+            .as("sxy"))
       def D(c: org.apache.spark.sql.Column) = c.cast("double")
-      sa.crossJoin(sb).crossJoin(sxy)
+      sxy
         .select(col("n").cast("long").as("n"),
           StableRound.round6(
             (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))

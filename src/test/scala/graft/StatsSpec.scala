@@ -133,6 +133,49 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("caller-provided bounds (statsDf) give bit-identical quantiles " +
+      "to the self-derived path, ungrouped and grouped") {
+    import org.apache.spark.sql.functions._
+    // ungrouped: bounds from a describe-style moment pass (min/max as
+    // double, non-null count as long) must reproduce the default path
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (4.0, 20.0), (8.0, 30.0),
+      (8.0, null), (9.5, 40.0)).toDF("a", "b")
+    val bounds = df.agg(
+        min(col("a")).cast("double").as("a__min"),
+        max(col("a")).cast("double").as("a__max"),
+        count(col("a")).as("a__count"),
+        min(col("b")).cast("double").as("b__min"),
+        max(col("b")).cast("double").as("b__max"),
+        count(col("b")).as("b__count"))
+      .selectExpr("stack(2, 'a', a__min, a__max, a__count, " +
+        "'b', b__min, b__max, b__count) AS (cn, mn, mx, n)")
+    val got = Stats.exactQuantilesByCounting(df, Seq("a", "b"),
+      statsDf = Some(bounds)).collect()(0)
+    val exp = Stats.exactQuantilesByCounting(df, Seq("a", "b"))
+      .collect()(0)
+    (0 until 6).foreach(i =>
+      assert(got.getDouble(i) == exp.getDouble(i), s"cell $i"))
+    // grouped twin: per-group bounds relation
+    val gdf = Seq[(String, java.lang.Double)](
+      ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 95.0),
+      ("b", 5.0), ("b", null), ("b", 7.5), ("c", 42.0)).toDF("g", "v")
+    val gBounds = gdf
+      .select(col("g"), col("v").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+    val gGot = Stats.groupedQuantiles(gdf, Seq("g"), "v", Seq(0.5, 0.95),
+      Some(gBounds)).orderBy("g").collect()
+    val gExp = Stats.groupedQuantiles(gdf, Seq("g"), "v", Seq(0.5, 0.95))
+      .orderBy("g").collect()
+    gExp.zip(gGot).foreach { case (e, g) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getDouble(1) == e.getDouble(1))
+      assert(g.getDouble(2) == e.getDouble(2))
+    }
+  }
+
   test("exactQuantilesByCounting: single row and all-equal columns") {
     import org.apache.spark.sql.functions._
     val one = Seq((7.0)).toDF("a")
