@@ -168,8 +168,12 @@ object Stats {
         // min/max/count cells to the quantile core as the bounds
         // relation — the quantile stats/targets subtrees then cost
         // zero extra passes (guide §2.4; r18: runtime corpus scans
-        // 3 → 2, the 583k-row targets re-aggregation disappears)
-        val one = oneBase.localCheckpoint()
+        // 3 → 2, the 583k-row targets re-aggregation disappears).
+        // Non-eager: the one-row frame materializes with the query it
+        // feeds instead of as a separate pre-main barrier job
+        // (measured equal-or-better at sf0.1; the frame is one row, so
+        // either mode is storage-trivial)
+        val one = oneBase.localCheckpoint(false)
         val statsDf = one.selectExpr(s"stack(${cols.size}, " +
           cols.map(c => s"'$c', `${c}__min`, `${c}__max`, " +
             s"cast(`${c}__count` as bigint)").mkString(", ") +
@@ -261,8 +265,9 @@ object Stats {
     val one =
       if (exact && numCols.nonEmpty) {
         // same bounds handoff as describe(): the one-row moment pass
-        // already carries min/max/count per numeric column
-        val oneCk = one0.localCheckpoint()
+        // already carries min/max/count per numeric column (non-eager
+        // for the same stage-concurrency reason)
+        val oneCk = one0.localCheckpoint(false)
         val statsDf = oneCk.selectExpr(s"stack(${numCols.size}, " +
           numCols.map(c => s"'$c', `${c}__min`, `${c}__max`, " +
             s"cast(`${c}__count` as bigint)").mkString(", ") +

@@ -695,7 +695,8 @@ object RelationalQueries extends QueryPack {
         min(col("l_extendedprice")).cast("double").as("__mn"),
         max(col("l_extendedprice")).cast("double").as("__mx"),
         count(col("l_extendedprice")).as("__n"))
-        .localCheckpoint()
+        .localCheckpoint(false) // non-eager: one-row frame, no separate
+                                // pre-main barrier job
       val bounds = base.select(lit("l_extendedprice").as("cn"),
         col("__mn").as("mn"), col("__mx").as("mx"), col("__n").as("n"))
       base

@@ -93,7 +93,8 @@ object StatsQueries extends QueryPack {
         .groupBy("l_returnflag")
         .agg(min("v").as("mn"), max("v").as("mx"),
           count(lit(1)).as("n"))
-        .localCheckpoint()
+        .localCheckpoint(false) // non-eager: |groups|-row frame, no
+                                // separate pre-main barrier job
       Stats.groupedQuantiles(li, Seq("l_returnflag"),
           "l_extendedprice", Seq(0.5, 0.95), Some(bounds))
         .select(col("l_returnflag"),
