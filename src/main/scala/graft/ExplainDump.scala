@@ -36,6 +36,10 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("ERROR")
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // fatal VM errors propagate (never swallowed as a one-line note),
+    // and any per-entry failure fails the RUN: a silently-empty plans
+    // sweep must not pass for evidence (ADVICE r17)
+    var failed = 0
     entries.foreach { case (name, fn) =>
       try {
         spark.sparkContext.setJobDescription(s"explain: $name")
@@ -45,10 +49,15 @@ object ExplainDump {
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
         System.err.println(s"[explain] $name ok (${plan.length} chars)")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
           System.err.println(s"[explain] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[explain] $failed entr(ies) failed to dump")
+      sys.exit(1)
+    }
   }
 }

@@ -288,12 +288,18 @@ object CorpusOps {
     // feeds the vocab count AND the join. Materialized once each —
     // before, every consumer re-scanned the corpus and re-ran the
     // shingle/split explode (5 source scans in the plan, now 2).
+    // occ is CORPUS-SIZED, so it persists WITH lineage (r18, ADVICE
+    // r17): localCheckpoint pins blocks with no recompute path — an
+    // executor loss mid-query fails the job at cluster scale — while
+    // MEMORY_AND_DISK keeps the one-computation sharing and falls back
+    // to the (shallow: scan+explode) lineage on block loss. Bounded
+    // frames (uni: vocab rows) keep the cheaper localCheckpoint.
     val occ = docs.select(col(idCol), explode(
       graft.functions.ShingleArray.shingleOccurrences(col(textCol), 2))
       .as("__g0"))
       .select(col(idCol), gramKey(col("__g0"), hashKeys).as("g"),
         gramKey(substring_index(col("__g0"), " ", 1), hashKeys).as("w1"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = docs.select(explode(split(col(textCol), " ")).as("__w0"))
       .select(gramKey(col("__w0"), hashKeys).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))

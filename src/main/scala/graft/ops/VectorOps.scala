@@ -1522,9 +1522,26 @@ object VectorOps {
     * bit-identical on any engine and the DuckDB oracle replays the
     * two-level argmin as chained CTEs. Returns (pre-update final-round
     * centroids — the frozen quantizer `lastAssign` was scored
-    * against —, final assignment (vid, cid, x)). */
+    * against —, final assignment (vid, cid, x), or null when
+    * `needAssign` is false).
+    *
+    * FUSED rounds (r18, guide §2.4/§5): an intermediate round's
+    * assignment has exactly ONE consumer — that round's centroid
+    * update — so it stays LAZY inside the update's own plan: each of
+    * the first iters−1 rounds is ONE eager job (the k-row cents
+    * checkpoint, which also truncates the round-to-round lineage)
+    * instead of two, and the n-row (vid, cid, x) frame is never
+    * materialized to block storage for those rounds. The final round
+    * never updates: callers only ever consume the PRE-update model
+    * (preFinal) and its assignment, so the old final update was dead
+    * work. Jobs per call: 2·iters → iters (assignment-consuming
+    * callers) or iters−1 (quantizer-only callers, needAssign=false —
+    * the final assignment itself is skipped). Trajectory unchanged:
+    * the update folds the identical assignment relation, so every
+    * round's centroids — and the oracle replay — are bit-identical. */
   private def lloydRounds2(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): (DataFrame, DataFrame) = {
+      k: Int, iters: Int, needAssign: Boolean = true)
+      : (DataFrame, DataFrame) = {
     val g = superK(k)
     val vx = vecs.select(col(idCol).cast("long").as("vid"),
         quantized(vecCol).as("x"))
@@ -1532,14 +1549,10 @@ object VectorOps {
     var cents = vx.filter(col("vid") < k)
       .select(col("vid").as("cid"), col("x").as("c"))
       .localCheckpoint()
-    var preFinal = cents
-    var lastAssign: DataFrame = null
-    for (_ <- 1 to iters) {
-      preFinal = cents
+    for (_ <- 1 until iters) {
       val assign = twoLevelScores(vx, cents, g)
         .select(col("vid"),
           array_min(col("ds")).getField("cid").as("cid"), col("x"))
-        .localCheckpoint()
       val upd = assign
         .select(col("cid"), posexplode(col("x")).as(Seq("pos", "q")))
         .groupBy("cid", "pos")
@@ -1553,9 +1566,18 @@ object VectorOps {
       cents = cents.join(updArr, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cnew"), col("c")).as("c"))
         .localCheckpoint()
-      lastAssign = assign
     }
-    (preFinal, lastAssign)
+    // `cents` is now the frozen quantizer (the pre-update centroids of
+    // the final round). The final assignment stays checkpointed when
+    // requested — entries consume the cells relation repeatedly.
+    val lastAssign =
+      if (needAssign)
+        twoLevelScores(vx, cents, g)
+          .select(col("vid"),
+            array_min(col("ds")).getField("cid").as("cid"), col("x"))
+          .localCheckpoint()
+      else null
+    (cents, lastAssign)
   }
 
   /** Final two-level Lloyd assignment (id → cell) — the single-cell
@@ -1580,7 +1602,7 @@ object VectorOps {
     * k scale with the corpus. */
   def semdedupQuantizer(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame =
-    lloydRounds2(vecs, idCol, vecCol, k, iters)._1
+    lloydRounds2(vecs, idCol, vecCol, k, iters, needAssign = false)._1
 
   /** Two-level assignment of arbitrary vectors against a frozen
     * quantizer relation — nAssign=1 reproduces [[semdedupCells]]'s
