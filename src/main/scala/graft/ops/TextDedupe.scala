@@ -82,13 +82,16 @@ object TextDedupe {
     // one relation every later stage derives from; storing it beats
     // recomputing the shingling 8× (guide §2.4/§5 — and unlike a
     // counting relation over a continuous domain, the recompute here
-    // is regex-heavy CPU).
+    // is regex-heavy CPU). CORPUS-SIZED, so it persists WITH lineage
+    // (r18 audit): on a cluster an executor loss recomputes the lost
+    // blocks from the (shallow) scan+shingle lineage instead of
+    // failing the job, which a lineage-free localCheckpoint would.
     val base = docs
       .select((col(idCol) +: blockCol.map(col).toSeq :+
         shingles(col(textCol)).as("sharr")): _*)
       .filter(size(col("sharr")) > 0)
       .withColumn("nsh", size(col("sharr")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
       col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
     // global shingle document-frequency → rare-first canonical order
@@ -186,7 +189,7 @@ object TextDedupe {
         shingles(col(textCol)).as("sharr")): _*)
       .filter(size(col("sharr")) > 0)
       .withColumn("nsh", size(col("sharr")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select((col(idCol) +: blockCol.map(col).toSeq :+
       col("nsh") :+ explode(col("sharr")).as("shingle")): _*)
     val dfreq0 = ex.groupBy("shingle").agg(count(lit(1)).as("df"))

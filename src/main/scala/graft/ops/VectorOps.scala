@@ -1543,9 +1543,16 @@ object VectorOps {
       k: Int, iters: Int, needAssign: Boolean = true)
       : (DataFrame, DataFrame) = {
     val g = superK(k)
+    // vx and the final assignment are CORPUS-SIZED (n×d quantized
+    // longs / n assignment rows): persist WITH lineage (r18 audit) so
+    // a lost block recomputes from the shallow scan+quantize lineage
+    // instead of failing the job. The k-row cents stays a
+    // localCheckpoint — it is the per-round ITERATIVE frame whose
+    // checkpoint is load-bearing for plan/lineage truncation (persist
+    // would nest every previous round's plan inside the next).
     val vx = vecs.select(col(idCol).cast("long").as("vid"),
         quantized(vecCol).as("x"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = vx.filter(col("vid") < k)
       .select(col("vid").as("cid"), col("x").as("c"))
       .localCheckpoint()
@@ -1568,14 +1575,15 @@ object VectorOps {
         .localCheckpoint()
     }
     // `cents` is now the frozen quantizer (the pre-update centroids of
-    // the final round). The final assignment stays checkpointed when
-    // requested — entries consume the cells relation repeatedly.
+    // the final round). The final assignment stays materialized when
+    // requested — entries consume the cells relation repeatedly —
+    // with lineage, like vx above.
     val lastAssign =
       if (needAssign)
         twoLevelScores(vx, cents, g)
           .select(col("vid"),
             array_min(col("ds")).getField("cid").as("cid"), col("x"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else null
     (cents, lastAssign)
   }

@@ -797,11 +797,16 @@ object StatsQueries extends QueryPack {
       import org.apache.spark.sql.types.DecimalType
       import graft.StableRound
       val dec = DecimalType(38, 0)
+      // O(distinct (a,b)) ≈ O(n) on the continuous price axis, so the
+      // shared joint counting relation persists WITH lineage (r18
+      // audit) rather than localCheckpoint: same one-computation
+      // sharing across the margin/product consumers, but recomputable
+      // on block loss at cluster scale
       val joint = Tables.lineitem(s, d)
         .select(round(col("l_quantity")).cast("long").as("a"),
           round(col("l_extendedprice") * 100).cast("long").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def marg(k: String) = {
         val dom = joint.groupBy(k).agg(sum("cnt").as("m"))
         graft.ops.Prefix.belowBucketed(dom, k,
